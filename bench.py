@@ -1,0 +1,71 @@
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully executed via a count-collapsing action
+(write to noop-like sink = collect row count) so the measured time
+covers scan + shuffle + compute, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from syncquill_spark import get_spark
+from syncquill_spark.plans import QUERIES
+
+HEADLINE = [
+    "sync_diff_keyed",
+    "sync_apply_keyed",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_topk_orders",
+    "setop_customers_without_orders",
+    "scalar_functions",
+    "json_events_extract",
+    "dedup_exact",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("syncquill-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/session so the first query doesn't pay startup cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        # foreach-noop action: executes the full plan, returns nothing
+        # to the driver (no collect bottleneck in the measurement).
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

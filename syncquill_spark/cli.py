@@ -1,0 +1,68 @@
+"""CLI (reference operators A13/A14, syncquill.py:148-161, 217-239).
+
+``syncquill-spark sync|upsert --source ... --target ...`` with the
+reference's arg-over-env resolution (load_env_or_args, 158-161).
+Connectors are URI-selected: ``parquet:/path``, ``bq:dataset.table``,
+``sheets:spreadsheet_id/range``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from syncquill_spark import get_spark
+from syncquill_spark.engine import sync, upsert
+from syncquill_spark.sources import BigQueryTable, ParquetTable, SheetsTable, Table
+
+
+def _resolve(arg_value: str | None, env_var: str) -> str:
+    """CLI arg wins over env var (syncquill.py:158-161)."""
+    if arg_value is None:
+        return os.environ[env_var]
+    return arg_value
+
+
+def table_from_uri(uri: str) -> Table:
+    scheme, _, rest = uri.partition(":")
+    if scheme == "parquet":
+        return ParquetTable(rest)
+    if scheme == "bq":
+        dataset, _, table = rest.partition(".")
+        return BigQueryTable(dataset, table)
+    if scheme == "sheets":
+        sid, _, rng = rest.partition("/")
+        return SheetsTable(sid, rng or "Sheet1")
+    raise ValueError(f"unknown table URI scheme: {uri!r}")
+
+
+def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="PySpark-native table sync engine")
+    p.add_argument("action", choices=["sync", "upsert"])
+    p.add_argument("--source", help="source table URI (env: SYNC_SOURCE)")
+    p.add_argument("--target", help="target table URI (env: SYNC_TARGET)")
+    p.add_argument("--key", default="slno")
+    p.add_argument("--mode", choices=["keyed", "positional"], default="keyed")
+    p.add_argument("--dry-run", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_arguments(argv)
+    source = table_from_uri(_resolve(args.source, "SYNC_SOURCE"))
+    target = table_from_uri(_resolve(args.target, "SYNC_TARGET"))
+    spark = get_spark("syncquill-spark-cli")
+    if args.action == "sync":
+        result = sync(
+            spark, source, target, key=args.key, mode=args.mode, dry_run=args.dry_run
+        )
+        print(result.report if result.n_changes else "No changes.")
+    else:
+        upsert(spark, source, target)
+        print("Successfully added/updated table.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""Pipeline driver: sync / upsert entry functions (reference A15).
+
+Mirrors main() at syncquill.py:217-239:
+
+- ``sync``: read source + target -> validate -> diff -> report ->
+  apply as ONE atomic overwrite (vs. the reference's N+1 DML jobs).
+- ``upsert``: read source -> truncate-and-load target (syncquill.py:
+  131-146, WRITE_TRUNCATE + schema autodetect; here: overwrite with
+  the source's schema).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from syncquill_spark.operators.apply import apply_changes
+from syncquill_spark.operators.diff import diff_keyed, diff_positional
+from syncquill_spark.operators.report import format_change_report
+from syncquill_spark.operators.validate import validate_sync_frame
+from syncquill_spark.sources.base import Table
+
+
+@dataclass
+class SyncResult:
+    changes: DataFrame
+    n_changes: int
+    report: str
+
+
+def sync(
+    spark: SparkSession,
+    source: Table,
+    target: Table,
+    key: str = "slno",
+    mode: str = "keyed",
+    dry_run: bool = False,
+    validate: bool = True,
+) -> SyncResult:
+    """Compute the change set source-vs-target and apply it to target.
+
+    ``mode``: 'keyed' (scalable full-outer-join diff) or 'positional'
+    (reference-exact zip-by-index semantics, syncquill.py:109-129).
+    """
+    src = source.read(spark)
+    tgt = target.read(spark)
+    if validate:
+        validate_sync_frame(src, key=key)
+
+    differ = diff_keyed if mode == "keyed" else diff_positional
+    changes = differ(tgt, src, key=key)
+    changes = changes.localCheckpoint(eager=True)  # pin: survives target overwrite
+    n = changes.count()
+
+    report = ""
+    if n:
+        report = format_change_report(changes, src.columns, key=key)
+        if not dry_run:
+            post = apply_changes(tgt, changes, source=src, key=key)
+            target.overwrite(post)
+    return SyncResult(changes=changes, n_changes=n, report=report or "No changes.")
+
+
+def upsert(spark: SparkSession, source: Table, target: Table) -> None:
+    """Truncate-and-reload target from source (reference A11)."""
+    target.overwrite(source.read(spark))

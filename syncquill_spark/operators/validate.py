@@ -1,0 +1,75 @@
+"""Constraint validation (reference operators A2 + A3).
+
+The reference rejects the whole dataset if any row is missing the key
+column (syncquill.py:66-70) or contains an empty cell / is shorter than
+the header (syncquill.py:72-74), reporting the 1-based sheet row number
+(``i + 2``) and the first offending column (helper at 54-58).
+
+Spark-native design: one aggregation pass that collects the first
+offending row per failure class instead of a driver-side loop. On a
+100 TB table this is a single scan with a tiny (LIMIT 1) result; no
+collect of the data itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ValidationError(ValueError):
+    """Raised when a sync-source frame violates reference constraints."""
+
+
+def validate_sync_frame(
+    df: DataFrame,
+    key: str = "slno",
+    row_number_col: str | None = None,
+) -> DataFrame:
+    """Enforce the reference's two constraints; return df unchanged if OK.
+
+    - every row has a non-null, non-empty ``key``  (syncquill.py:68-70)
+    - no cell anywhere is null or empty            (syncquill.py:72-74)
+
+    ``row_number_col``: optional column holding the original 1-based
+    data row number; used to phrase errors like the reference's
+    ``row {i + 2}`` (header is row 1, first data row is row 2). When
+    absent, errors identify the offending key value instead — a stable
+    identifier is more useful than a position on a distributed table.
+    """
+    if key not in df.columns:
+        raise ValidationError(
+            f"Error: Missing '{key}' column in header {df.columns}."
+        )
+
+    cols = [c for c in df.columns if c != row_number_col]
+    # One pass: for each row compute (key_missing, first_empty_col).
+    empty_checks = F.array(
+        *[
+            F.when(
+                F.col(c).isNull() | (F.col(c).cast("string") == ""), F.lit(c)
+            ).otherwise(F.lit(None))
+            for c in cols
+        ]
+    )
+    probe = df.select(
+        (F.col(key).isNull() | (F.col(key).cast("string") == "")).alias("_key_missing"),
+        F.get(F.array_compact(empty_checks), 0).alias("_first_empty_col"),
+        (F.col(row_number_col) if row_number_col else F.col(key).cast("string")).alias(
+            "_row_ref"
+        ),
+    ).filter(F.col("_key_missing") | F.col("_first_empty_col").isNotNull())
+
+    bad = probe.limit(1).collect()
+    if bad:
+        row = bad[0]
+        if row["_key_missing"]:
+            raise ValidationError(
+                f"Error: Missing '{key}' in row {row['_row_ref']}. "
+                f"Please ensure every row has a '{key}'."
+            )
+        raise ValidationError(
+            f"Error: Row {row['_row_ref']} contains empty values in column "
+            f"{row['_first_empty_col']}. Please ensure every cell is filled."
+        )
+    return df

@@ -1,0 +1,522 @@
+"""Oracle-checked query registry.
+
+Every operator the engine claims (SURVEY.md §2) appears here twice:
+as a Spark DataFrame program in ``QUERIES`` and as an equivalent
+DuckDB SQL string in ``ORACLES`` (None => rows-only check for ops that
+SQL cannot express). Column names/aliases match exactly on both sides
+(driver hashes values after sorting columns by name).
+
+Hash-robustness policy (cross-engine value identity):
+- no raw DOUBLE in any checked output: aggregates go through exact
+  DECIMAL arithmetic (CAST(x AS DECIMAL(18,2)) before SUM), ranks and
+  counts are integers, everything else is strings/ints;
+- doubles may be *compared/ordered* freely (same parquet bits in both
+  engines) — they just don't appear in output columns;
+- timestamps are projected via date_format/strftime to fixed patterns.
+
+Sync-fixture queries derive a deterministic "mutated" source table from
+``customer``/``supplier`` with pure SQL-expressible transforms, so the
+CDC diff operators (reference syncquill.py:109-129) are verifiable
+against DuckDB computing the same change set relationally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from syncquill_spark.operators.apply import apply_changes
+from syncquill_spark.operators.diff import diff_keyed, diff_positional
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
+    # default; read it as epoch-nanos LongType (portable integer math).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Sync fixtures: deterministic mutated source derived from customer/supplier.
+# Target = customer (4 stable-typed cols); source = customer with
+#   - rows c_custkey % 97 == 0 removed                  -> del_row
+#   - c_mktsegment := 'SYNCED'   where c_custkey % 10 == 3   -> cell diff
+#   - c_name := upper(c_name)    where c_custkey % 13 == 5   -> cell diff
+#   - appended rows keyed c_custkey + 1000000 where % 83 == 1 -> extra_row
+# ---------------------------------------------------------------------------
+
+_CUST_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+
+
+def _customer_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    return customer.select(*_CUST_COLS)
+
+
+def _customer_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    base = (
+        customer.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            F.col("c_custkey"),
+            F.when(F.col("c_custkey") % 13 == 5, F.upper("c_name"))
+            .otherwise(F.col("c_name"))
+            .alias("c_name"),
+            F.col("c_nationkey"),
+            F.when(F.col("c_custkey") % 10 == 3, F.lit("SYNCED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+    )
+    extra = customer.filter(F.col("c_custkey") % 83 == 1).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.col("c_nationkey"),
+        F.lit("EXTRA").alias("c_mktsegment"),
+    )
+    return base.unionByName(extra)
+
+
+_CUSTOMER_SOURCE_SQL = """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 13 = 5 THEN upper(c_name) ELSE c_name END AS c_name,
+           c_nationkey,
+           CASE WHEN c_custkey % 10 = 3 THEN 'SYNCED' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer WHERE c_custkey % 97 <> 0
+    UNION ALL
+    SELECT c_custkey + 1000000,
+           'NEW-' || CAST(c_custkey AS VARCHAR),
+           c_nationkey,
+           'EXTRA'
+    FROM customer WHERE c_custkey % 83 = 1
+"""
+
+
+def q_sync_diff_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 keyed CDC diff: full-outer join on key + unpivot (scalable mode)."""
+    return diff_keyed(
+        _customer_target(spark, sf_dir),
+        _customer_source(spark, sf_dir),
+        key="c_custkey",
+    )
+
+
+_SYNC_DIFF_KEYED_SQL = f"""
+WITH src AS ({_CUSTOMER_SOURCE_SQL}),
+t AS (SELECT CAST(c_custkey AS VARCHAR) k, CAST(c_name AS VARCHAR) c_name,
+             CAST(c_nationkey AS VARCHAR) c_nationkey, CAST(c_mktsegment AS VARCHAR) c_mktsegment
+      FROM customer),
+s AS (SELECT CAST(c_custkey AS VARCHAR) k, CAST(c_name AS VARCHAR) c_name,
+             CAST(c_nationkey AS VARCHAR) c_nationkey, CAST(c_mktsegment AS VARCHAR) c_mktsegment
+      FROM src),
+j AS (SELECT t.k tk, s.k sk,
+             t.c_name t_name, s.c_name s_name,
+             t.c_nationkey t_nat, s.c_nationkey s_nat,
+             t.c_mktsegment t_seg, s.c_mktsegment s_seg
+      FROM t FULL OUTER JOIN s ON t.k = s.k)
+SELECT 'del_row' AS change_type, tk AS slno, CAST(NULL AS VARCHAR) AS col,
+       CAST(NULL AS VARCHAR) AS old_value, CAST(NULL AS VARCHAR) AS new_value
+FROM j WHERE sk IS NULL
+UNION ALL
+SELECT 'extra_row', sk, NULL, NULL, NULL FROM j WHERE tk IS NULL
+UNION ALL
+SELECT 'diff', tk, 'c_name', t_name, s_name
+FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND t_name IS DISTINCT FROM s_name
+UNION ALL
+SELECT 'diff', tk, 'c_nationkey', t_nat, s_nat
+FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND t_nat IS DISTINCT FROM s_nat
+UNION ALL
+SELECT 'diff', tk, 'c_mktsegment', t_seg, s_seg
+FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND t_seg IS DISTINCT FROM s_seg
+"""
+
+
+def q_sync_diff_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 positional diff (reference-exact zip-by-index, syncquill.py:109-129).
+
+    Interior deletes in the source cascade into spurious cell diffs plus
+    tail del_rows — the reference's literal behavior, reproduced here.
+    """
+    (supplier,) = load_tables(spark, sf_dir, "supplier")
+    target = supplier.select("s_suppkey", "s_name", "s_nationkey")
+    source = (
+        supplier.filter(F.col("s_suppkey") % 10 != 7)
+        .select(
+            F.col("s_suppkey"),
+            F.when(
+                F.col("s_suppkey") % 9 == 2,
+                F.concat(F.lit("SYNC-"), F.col("s_name")),
+            )
+            .otherwise(F.col("s_name"))
+            .alias("s_name"),
+            F.col("s_nationkey"),
+        )
+    )
+    return diff_positional(target, source, key="s_suppkey")
+
+
+_SYNC_DIFF_POSITIONAL_SQL = """
+WITH tgt AS (
+  SELECT CAST(s_suppkey AS VARCHAR) s_suppkey, CAST(s_name AS VARCHAR) s_name,
+         CAST(s_nationkey AS VARCHAR) s_nationkey,
+         ROW_NUMBER() OVER (ORDER BY s_suppkey) pos
+  FROM supplier),
+srcb AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 9 = 2 THEN 'SYNC-' || s_name ELSE s_name END AS s_name,
+         s_nationkey
+  FROM supplier WHERE s_suppkey % 10 <> 7),
+src AS (
+  SELECT CAST(s_suppkey AS VARCHAR) s_suppkey, CAST(s_name AS VARCHAR) s_name,
+         CAST(s_nationkey AS VARCHAR) s_nationkey,
+         ROW_NUMBER() OVER (ORDER BY s_suppkey) pos
+  FROM srcb),
+j AS (SELECT tgt.pos, tgt.s_suppkey tk, src.s_suppkey sk,
+             tgt.s_name t_name, src.s_name s_name,
+             tgt.s_nationkey t_nat, src.s_nationkey s_nat
+      FROM tgt FULL OUTER JOIN src ON tgt.pos = src.pos)
+SELECT 'del_row' AS change_type, tk AS slno, CAST(NULL AS VARCHAR) AS col,
+       CAST(NULL AS VARCHAR) AS old_value, CAST(NULL AS VARCHAR) AS new_value
+FROM j WHERE sk IS NULL
+UNION ALL
+SELECT 'extra_row', sk, NULL, NULL, NULL FROM j WHERE tk IS NULL
+UNION ALL
+SELECT 'diff', tk, 's_suppkey', tk, sk
+FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND tk IS DISTINCT FROM sk
+UNION ALL
+SELECT 'diff', tk, 's_name', t_name, s_name
+FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND t_name IS DISTINCT FROM s_name
+UNION ALL
+SELECT 'diff', tk, 's_nationkey', t_nat, s_nat
+FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND t_nat IS DISTINCT FROM s_nat
+"""
+
+
+def q_sync_apply_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-A10 merge-apply: post-image of target after applying the keyed
+    change set; must equal the mutated source (round-trip invariant)."""
+    target = _customer_target(spark, sf_dir)
+    source = _customer_source(spark, sf_dir)
+    changes = diff_keyed(target, source, key="c_custkey")
+    return apply_changes(target, changes, source=source, key="c_custkey")
+
+
+_SYNC_APPLY_SQL = f"SELECT * FROM ({_CUSTOMER_SOURCE_SQL})"
+
+
+def q_sync_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 truncate-and-load: the post-image IS the source (WRITE_TRUNCATE,
+    syncquill.py:131-146); schema re-inferred from the source frame."""
+    return _customer_source(spark, sf_dir)
+
+
+def q_sync_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 validation probe as a relational query: rows violating the
+    reference's constraints (missing key / any empty cell). Clean fixture
+    => empty result; the operator form raises (see operators/validate.py)."""
+    target = _customer_target(spark, sf_dir)
+    checks = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col(c).isNull() | (F.col(c).cast("string") == ""), F.lit(c)
+                ).otherwise(F.lit(None))
+                for c in _CUST_COLS
+            ]
+        )
+    )
+    return (
+        target.select(
+            F.col("c_custkey").cast("string").alias("slno"),
+            F.get(checks, 0).alias("first_empty_col"),
+        )
+        .filter(F.col("first_empty_col").isNotNull())
+    )
+
+
+_SYNC_VALIDATE_SQL = """
+SELECT CAST(c_custkey AS VARCHAR) AS slno,
+       CASE WHEN c_custkey IS NULL THEN 'c_custkey'
+            WHEN c_name IS NULL OR c_name = '' THEN 'c_name'
+            WHEN c_nationkey IS NULL THEN 'c_nationkey'
+            WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 'c_mktsegment'
+       END AS first_empty_col
+FROM customer
+WHERE c_custkey IS NULL OR c_name IS NULL OR c_name = '' OR c_nationkey IS NULL
+   OR c_mktsegment IS NULL OR c_mktsegment = ''
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (Tier B): joins / aggs / windows / set ops / scalars.
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation with exact decimal arithmetic.
+
+    Scale: partial aggregation map-side, single shuffle on the (tiny)
+    group key; decimal sums are exact => cross-engine stable.
+    """
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # exact decimal sums, surfaced as double: both engines cast
+            # the same exact decimal => identical float64 bits => the
+            # order-insensitive value hash matches regardless of how the
+            # driver stringifies numerics.
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("decimal(38,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_AGG_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 5-way join. Dims (region/nation/supplier) are
+    broadcast (AQE does it from size); facts shuffle once on join keys."""
+    region, nation, customer, supplier, orders, lineitem = load_tables(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .filter(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("decimal(38,4)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_JOIN_REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price (window + rank filter).
+    Deterministic tie-break on o_orderkey; output is int-only."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_WINDOW_TOPK_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, rk FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) t
+WHERE rk <= 3
+"""
+
+
+def q_setop_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join / EXCEPT: customers that never placed an order."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        customer.select("c_custkey")
+        .exceptAll(orders.select(F.col("o_custkey").alias("c_custkey")))
+        .distinct()
+    )
+
+
+_SETOP_CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT DISTINCT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface: string ops, date parts, CASE, arithmetic."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_u"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date_str"),
+        F.when(F.col("o_totalprice") > 200000, F.lit("big"))
+        .when(F.col("o_totalprice") > 50000, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
+    )
+
+
+_SCALAR_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       upper(o_orderstatus) AS status_u,
+       substr(o_orderpriority, 1, 1) AS prio_code,
+       year(o_orderdate) AS o_year,
+       month(o_orderdate) AS o_month,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date_str,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END AS size_class,
+       length(o_orderpriority) AS prio_len,
+       o_orderstatus || '-' || o_orderpriority AS status_prio
+FROM orders
+"""
+
+
+def q_json_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract a field from the JSON props column."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+
+
+_JSON_EVENTS_EXTRACT_SQL = """
+SELECT event_id, event_type, json_extract_string(props, '$.k') AS k_str
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# EXT tier batch 1: exact dedup + text token stats.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on documents.text: keep min doc_id per distinct text.
+
+    Scale: group on sha2(text) (fixed 64-byte key) instead of the full
+    text => smaller shuffle rows at 100 TB; output re-exposes counts.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return (
+        documents.groupBy(F.sha2(F.col("text"), 256).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_doc_id", "n_copies")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals per document (int/string output)."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+_TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id, lang,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       length(text) AS len_chars,
+       len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_unique_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sync_diff_keyed": q_sync_diff_keyed,
+    "sync_diff_positional": q_sync_diff_positional,
+    "sync_apply_keyed": q_sync_apply_keyed,
+    "sync_upsert": q_sync_upsert,
+    "sync_validate": q_sync_validate,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "window_topk_orders": q_window_topk_orders,
+    "setop_customers_without_orders": q_setop_customers_without_orders,
+    "scalar_functions": q_scalar_functions,
+    "json_events_extract": q_json_events_extract,
+    "dedup_exact": q_dedup_exact,
+    "text_token_stats": q_text_token_stats,
+}
+
+ORACLES: dict[str, str] = {
+    "sync_diff_keyed": _SYNC_DIFF_KEYED_SQL,
+    "sync_diff_positional": _SYNC_DIFF_POSITIONAL_SQL,
+    "sync_apply_keyed": _SYNC_APPLY_SQL,
+    "sync_upsert": _SYNC_APPLY_SQL,
+    "sync_validate": _SYNC_VALIDATE_SQL,
+    "agg_pricing_summary": _AGG_PRICING_SUMMARY_SQL,
+    "join_revenue_by_nation": _JOIN_REVENUE_BY_NATION_SQL,
+    "window_topk_orders": _WINDOW_TOPK_ORDERS_SQL,
+    "setop_customers_without_orders": _SETOP_CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "scalar_functions": _SCALAR_FUNCTIONS_SQL,
+    "json_events_extract": _JSON_EVENTS_EXTRACT_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "text_token_stats": _TEXT_TOKEN_STATS_SQL,
+}

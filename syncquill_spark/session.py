@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference (syncquill.py:14-36) bootstraps Sheets/BigQuery clients;
+our equivalent bootstrap is one SparkSession tuned for large scans:
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+Arrow on (vectorized pandas_udf exchange), and shuffle partitions sized
+by env so the same code runs local[32] in tests and 1000-executor in
+production.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "syncquill-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults target correctness at local scale and efficiency at
+    cluster scale:
+
+    - AQE enabled: coalesces post-shuffle partitions, splits skewed
+      join partitions, converts to broadcast joins at runtime.
+    - Arrow enabled: pandas_udf / mapInPandas exchange is columnar.
+    - shuffle.partitions: env SPARK_GRAFT_CPUS locally; on a real
+      cluster override to ~2-3x total cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 128 MB input splits: right-sized tasks for TB-scale parquet scans.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

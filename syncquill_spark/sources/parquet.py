@@ -1,0 +1,35 @@
+"""Parquet-backed Table — the tested connector implementation.
+
+Stands in for the BigQuery side in tests (per SURVEY.md §2.1 A4); also
+the natural lakehouse target at 100 TB. Overwrite is atomic via
+write-to-staging + swap when ``atomic_swap`` (needed because Spark
+cannot overwrite a path it is currently reading).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from syncquill_spark.sources.base import Table
+
+
+class ParquetTable(Table):
+    def __init__(self, path: str):
+        self.path = path
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        staging = f"{self.path}.__staging_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path) if os.path.isdir(self.path) else os.remove(self.path)
+        os.rename(staging, self.path)
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path)

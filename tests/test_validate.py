@@ -1,0 +1,43 @@
+"""Validation tests (reference A2/A3, syncquill.py:66-74)."""
+
+from __future__ import annotations
+
+import pytest
+
+from syncquill_spark.operators import ValidationError, validate_sync_frame
+
+SCHEMA = "slno string, name string, amount string"
+
+
+def test_valid_frame_passes(spark):
+    df = spark.createDataFrame([("1", "a", "2.0")], SCHEMA)
+    assert validate_sync_frame(df) is df
+
+
+def test_missing_key_column(spark):
+    df = spark.createDataFrame([("a", "2.0")], "name string, amount string")
+    with pytest.raises(ValidationError, match="Missing 'slno' column"):
+        validate_sync_frame(df)
+
+
+def test_empty_key_value(spark):
+    df = spark.createDataFrame([("1", "a", "2.0"), ("", "b", "3.0")], SCHEMA)
+    with pytest.raises(ValidationError, match="Missing 'slno' in row"):
+        validate_sync_frame(df)
+
+
+def test_null_key_value(spark):
+    df = spark.createDataFrame([(None, "b", "3.0")], SCHEMA)
+    with pytest.raises(ValidationError, match="Missing 'slno'"):
+        validate_sync_frame(df)
+
+
+def test_empty_cell_names_column(spark):
+    df = spark.createDataFrame([("1", "", "3.0")], SCHEMA)
+    with pytest.raises(ValidationError, match="empty values in column name"):
+        validate_sync_frame(df)
+
+
+def test_typed_frame_passes(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert validate_sync_frame(df, key="c_custkey") is df
