@@ -30,6 +30,18 @@ HEADLINE = [
     "json_events_extract",
     "dedup_exact",
     "text_token_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_cosine",
+    "text_language_id",
+    "text_quality",
+    "text_fingerprint",
+    "join_asof_signup",
+    "join_range_shipments",
+    "agg_rollup_orders",
+    "events_tumbling_window",
+    "window_running_total",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Portable hashing primitives (Spark Column side).
+
+Cross-engine contract: every hash here has a DuckDB-SQL twin that
+produces bit-identical int64 values (see plans/queries.py oracle
+generators). Base primitive: the first 15 hex chars of md5 parsed as
+an integer — a deterministic 60-bit hash available in both engines
+(Spark: conv(substring(md5(x),1,15),16,10); DuckDB:
+CAST('0x'||substr(md5(x),1,15) AS BIGINT)).
+
+MinHash/SimHash/fingerprint stay in 63-bit-safe modular arithmetic:
+with P = 2^31-1 and a,b < P, a*(h%P)+b < 2^62 — no overflow in either
+engine's int64.
+
+All functions return Column expressions over built-ins — wholly inside
+whole-stage codegen, no Python in the executor path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_MINHASH_SEED = 0x5EED
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """60-bit md5-derived hash, identical to the DuckDB twin."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Array of word k-shingles ('w1 w2 w3' strings); empty if < k tokens.
+
+    Token rule: split on runs of whitespace after trim — mirrored by
+    regexp_split_to_array(trim(text), '\\s+') in DuckDB.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), r"\s+")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_permutations(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_j(x) = (a*x + b) mod P.
+
+    Fixed seed => the DuckDB oracle generator embeds the same pairs.
+    """
+    rng = random.Random(_MINHASH_SEED)
+    return [
+        (rng.randrange(1, HASH_PRIME), rng.randrange(0, HASH_PRIME))
+        for _ in range(n_perm)
+    ]
+
+
+def minhash_signature(shingles: Column, n_perm: int = 32) -> Column:
+    """Array<long> MinHash signature over a shingle array.
+
+    One pass over the shingle array per permutation, all inside
+    codegen. Empty shingle set => signature of P (sentinel max).
+    """
+    hashes = F.transform(shingles, lambda s: portable_hash60(s) % HASH_PRIME)
+    perms = minhash_permutations(n_perm)
+    mins = [
+        F.coalesce(
+            F.array_min(
+                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_PRIME)
+            ),
+            F.lit(HASH_PRIME).cast("long"),
+        )
+        for a, b in perms
+    ]
+    return F.array(*mins)
+
+
+def simhash(tokens: Column, bits: int = 32) -> Column:
+    """SimHash over a token array: per bit position, sign of the sum of
+    (+1/-1) votes from each token's hash; packed into one int64."""
+    hashes = F.transform(tokens, lambda t: portable_hash60(t))
+    bit_cols = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+            )
+            > 0,
+            F.lit(1).cast("long") * F.lit(2**b).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    ]
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def rolling_fingerprint(tokens: Column, base: int = 31) -> Column:
+    """Order-sensitive polynomial rolling hash over a token array:
+    acc = (acc*base + h(tok) mod P) mod P. Document fingerprint that,
+    unlike a set hash, distinguishes permuted documents."""
+    hashes = F.transform(tokens, lambda t: portable_hash60(t) % HASH_PRIME)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * base + h) % HASH_PRIME,
+    )

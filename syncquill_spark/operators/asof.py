@@ -1,0 +1,62 @@
+"""As-of join — an operator Spark lacks natively (EXT tier).
+
+For each left row, attach the latest right row whose ``ts <= left.ts``
+within the same key (inclusive; classic point-in-time lookup).
+
+Spark-native formulation: UNION the two sides with a side tag, one
+shuffle+sort on (key, ts, side), then ``last(value, ignorenulls)`` over
+an unbounded-preceding window carries the most recent right-side
+payload forward onto each left row. This is the merge-join shape: at
+100 TB it costs exactly one shuffle of each side on the key — no
+range-condition join explosion, no per-key collect. Equal timestamps
+order the right row first, so a left row matches a right row at the
+same instant (DuckDB ASOF JOIN semantics, its oracle twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row + latest right values at or
+    before its timestamp. Right value columns come back suffixed."""
+    vals = right_value_cols or [c for c in right.columns if c not in (on, ts)]
+
+    l_tag = left.select(
+        F.col(on), F.col(ts), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__r_{v}") for v in vals],
+        F.struct(*left.columns).alias("__l"),
+    )
+    r_tag = right.select(
+        F.col(on), F.col(ts), F.lit(1).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in vals],
+        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
+    )
+    merged = l_tag.unionByName(r_tag)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "__side",
+        "__l",
+        *[
+            F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"__c_{v}")
+            for v in vals
+        ],
+    )
+    return carried.filter(F.col("__side") == 0).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__c_{v}").alias(f"{v}{suffix}") for v in vals],
+    )

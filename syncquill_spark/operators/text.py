@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines (EXT tier).
+
+Language ID (stopword-overlap heuristic), quality scoring
+(length/punct/stopword/repetition signals), token counting (whitespace
++ BPE-ish subword estimate), and document fingerprinting (order-
+sensitive rolling hash). All built-in expressions — each runs as one
+projection over the corpus, no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from syncquill_spark.functions.hashing import rolling_fingerprint
+
+# Tiny per-language stopword profiles for the overlap heuristic. A real
+# deployment swaps in fasttext-style models via pandas_udf; the operator
+# shape (projection + argmax) is identical.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "est", "un", "une", "dans", "pour", "que"),
+}
+
+
+def _tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Stopword-hit count per language profile (integer scores)."""
+    toks = _tokens(text)
+    return {
+        lang: F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin(*profile),
+            )
+        )
+        for lang, profile in LANG_PROFILES.items()
+    }
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Argmax language over profiles; deterministic tie-break by lang
+    name order; 'und' (undetermined) when no profile matches."""
+    scores = language_scores(text_col)
+    langs = sorted(scores)  # fixed evaluation order for ties
+    pairs = F.array(
+        *[
+            F.struct(
+                (-scores[lang]).cast("long").alias("neg"), F.lit(lang).alias("lang")
+            )
+            for lang in langs
+        ]
+    )
+    best = F.array_min(pairs)
+    return df.select(
+        F.col(id_col),
+        F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        (-best["neg"]).alias("best_score"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality signals per document, integer/exact-ratio outputs:
+
+    n_chars, n_tokens, n_unique_tokens, mean token length (double from
+    int division — cross-engine exact), punctuation count, stopword
+    count, repetition ratio. A downstream filter keeps documents inside
+    the usual quality envelope — the thresholds are illustrative.
+    """
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_PROFILES["en"])))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_computed"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_unique_tokens"),
+        (n_chars.cast("double") / n_tok.cast("double")).alias("chars_per_token"),
+        n_punct.cast("long").alias("n_punct"),
+        stop_hits.cast("long").alias("n_stopwords"),
+        (n_uniq.cast("double") / n_tok.cast("double")).alias("uniq_ratio"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_chars_per_token: float = 12.0,
+    min_uniq_ratio: float = 0.3,
+) -> DataFrame:
+    """Keep documents passing the quality envelope."""
+    feats = quality_features(df, text_col, id_col)
+    return feats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("chars_per_token") <= max_chars_per_token)
+        & (F.col("uniq_ratio") >= min_uniq_ratio)
+    ).select(id_col)
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate: word-chunks of
+    <=4 chars count one subword each (ceil(len/4)), punctuation runs
+    count one each — a deterministic stand-in for a real tokenizer's
+    token count (swap in tiktoken via pandas_udf off the hot path)."""
+    toks = _tokens(text_col)
+    subwords = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens_ws"),
+        subwords.alias("n_tokens_bpeish"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document."""
+    return df.select(
+        F.col(id_col),
+        rolling_fingerprint(_tokens(text_col)).alias("fingerprint"),
+    )

@@ -1,0 +1,503 @@
+"""EXT-tier oracle-checked queries: dedup, similarity, text analysis,
+multimodal, as-of/range joins, rollups, windowed event aggregation.
+
+Oracle SQL for hash-based operators (MinHash, SimHash, fingerprints)
+is GENERATED from the same constants the Spark expressions use — the
+md5-derived portable hash makes the two engines bit-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from syncquill_spark.functions.hashing import HASH_PRIME, minhash_permutations
+from syncquill_spark.operators.asof import asof_join
+from syncquill_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from syncquill_spark.operators.multimodal import attach_media_metadata
+from syncquill_spark.operators.similarity import brute_force_topk, lsh_topk
+from syncquill_spark.operators.text import (
+    fingerprints,
+    language_id,
+    quality_features,
+    token_counts,
+)
+from syncquill_spark.plans.queries import load_tables
+
+# Shared SQL fragments -------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim({src}), '\\s+')"
+_TOKS_LOWER = "regexp_split_to_array(trim(lower({src})), '\\s+')"
+# 60-bit md5 hash — twin of functions.hashing.portable_hash60
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+P = HASH_PRIME
+
+
+def _shingles_sql(src: str = "text", k: int = 3) -> str:
+    """Distinct word k-shingles as a DuckDB list expression."""
+    toks = _TOKS.format(src=src)
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(1, len({toks}) - {k} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')) "
+        f"ELSE [] END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        documents, k=3, threshold=0.2, block_cols=("lang",), length_band=64
+    )
+
+
+_DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang, n_chars // 64 AS band, {_shingles_sql()} AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash signatures + LSH pairs
+# ---------------------------------------------------------------------------
+
+_N_PERM, _BANDS = 32, 8
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        documents, k=3, n_perm=_N_PERM, bands=_BANDS, threshold=0.2
+    )
+
+
+def _minhash_sql() -> str:
+    perms = minhash_permutations(_N_PERM)
+    hashes = f"list_transform(s, x -> {_H60.format(x='x')} % {P})"
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform(h, v -> ({a} * v + {b}) % {P})), {P})"
+        for a, b in perms
+    )
+    r = _N_PERM // _BANDS
+    band_keys = ", ".join(
+        "array_to_string(list_slice(sig, {lo}, {hi}), ',') AS k{bi}".format(
+            lo=bi * r + 1, hi=(bi + 1) * r, bi=bi
+        )
+        for bi in range(_BANDS)
+    )
+    stack = " UNION ALL ".join(
+        f"SELECT doc_id, s, {bi} AS band, k{bi} AS key FROM sigs" for bi in range(_BANDS)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {_shingles_sql()} AS s FROM documents),
+hs AS (SELECT doc_id, s, {hashes} AS h FROM sh),
+sigs AS (SELECT doc_id, s, [{mins}] AS sig FROM hs),
+sigs2 AS (SELECT doc_id, s, {band_keys} FROM sigs),
+buckets AS ({stack.replace('FROM sigs', 'FROM sigs2')}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jac
+FROM cand c
+JOIN sh x ON x.doc_id = c.id_a
+JOIN sh y ON y.doc_id = c.id_b
+WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return simhash_fingerprints(documents, bits=_SIMHASH_BITS)
+
+
+def _simhash_sql() -> str:
+    toks = _TOKS.format(src="text")
+    h = _H60.format(x="t")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, v -> ((v >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH hs_t AS (
+  SELECT doc_id, list_transform({toks}, t -> {h}) AS hs FROM documents
+)
+SELECT doc_id, {bit_terms} AS simhash FROM hs_t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity: brute-force top-k cosine
+# ---------------------------------------------------------------------------
+
+_TOPK = 10
+_QUERY_MOD = 100  # vec_id % 100 == 0 rows are the query set
+
+
+def q_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(embeddings, queries, k=_TOPK)
+
+
+_SIMILARITY_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(c.embedding) + 1),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(range(1, len(q.qv) + 1),
+                i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(range(1, len(c.embedding) + 1),
+                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)))
+         AS score
+  FROM embeddings c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, rk FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM scored) t
+WHERE rk <= {_TOPK}
+"""
+
+
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH — rows-only check
+    (recall < 1 by construction; the brute-force twin is the oracle)."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(embeddings, queries, k=_TOPK, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return language_id(documents)
+
+
+def _language_id_sql() -> str:
+    from syncquill_spark.operators.text import LANG_PROFILES
+
+    toks = _TOKS_LOWER.format(src="text")
+    scores = {
+        lang: f"len(list_filter({toks}, t -> list_contains({list(prof)!r}, t)))"
+        for lang, prof in LANG_PROFILES.items()
+    }
+    langs = sorted(scores)
+    best = f"greatest({', '.join(scores[lang] for lang in langs)})"
+    pick = "CASE " + " ".join(
+        f"WHEN {scores[lang]} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, text, {best} AS best FROM documents)
+SELECT doc_id,
+       CASE WHEN best > 0 THEN {pick} ELSE 'und' END AS pred_lang,
+       CAST(best AS BIGINT) AS best_score
+FROM scored
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return quality_features(documents)
+
+
+def _quality_sql() -> str:
+    from syncquill_spark.operators.text import LANG_PROFILES
+
+    toks = _TOKS_LOWER.format(src="text")
+    en = list(LANG_PROFILES["en"])
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({toks})) AS BIGINT) AS n_unique_tokens,
+       CAST(length(text) AS DOUBLE) / CAST(len({toks}) AS DOUBLE) AS chars_per_token,
+       CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(len(list_filter({toks}, t -> list_contains({en!r}, t))) AS BIGINT) AS n_stopwords,
+       CAST(len(list_distinct({toks})) AS DOUBLE) / CAST(len({toks}) AS DOUBLE) AS uniq_ratio
+FROM documents
+"""
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return token_counts(documents)
+
+
+def _token_counts_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    return f"""
+SELECT doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_tokens_ws,
+       CAST(list_sum(list_transform({toks},
+           t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpeish
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return fingerprints(documents)
+
+
+def _fingerprint_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    h = _H60.format(x="t")
+    return f"""
+WITH hs_t AS (
+  SELECT doc_id, list_transform({toks}, t -> {h} % {P}) AS hs FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN 0
+            ELSE list_reduce(hs, (a, b) -> (a * 31 + b) % {P}) END AS fingerprint
+FROM hs_t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload stats (payload = utf-8 bytes of text)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    media = attach_media_metadata(
+        documents.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        ),
+        modality="text-bytes",
+    )
+    return media.select(
+        "media_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.substring(F.col("meta.content_sha"), 1, 8).alias("sha_prefix"),
+        F.hex(F.encode(F.substring(F.col("payload").cast("string"), 1, 4), "utf-8")).alias("magic_hex"),
+    )
+
+
+_MULTIMODAL_MEDIA_STATS_SQL = """
+SELECT doc_id AS media_id,
+       'text-bytes' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substr(sha256(text), 1, 8) AS sha_prefix,
+       upper(hex(encode(substr(text, 1, 4)))) AS magic_hex
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join, range join, rollup, event windows, running totals
+# ---------------------------------------------------------------------------
+
+
+def q_join_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the most recent 'signup' event of the same user
+    at or before it (point-in-time lookup via the as-of operator)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", F.col("ts").alias("ts_ns"))
+    right = (
+        events.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("ts_ns"), F.col("event_id").alias("signup_event_id"))
+    )
+    out = asof_join(left, right, on="user_id", ts="ts_ns",
+                    right_value_cols=["signup_event_id"], suffix="")
+    return out.select("event_id", "user_id", "signup_event_id")
+
+
+_JOIN_ASOF_SIGNUP_SQL = """
+SELECT e.event_id, e.user_id, s.event_id AS signup_event_id
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+def q_join_range_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems shipped within 90 days of their order date,
+    counted per order priority (equi key + range residual — Spark plans
+    the equi part as the join key, the range as a post-filter)."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_shipped_90d"))
+    )
+
+
+_JOIN_RANGE_SHIPMENTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_shipped_90d
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+"""
+
+
+def q_agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: order counts + exact decimal revenue at
+    (status, priority), (status), and grand-total levels."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+_AGG_ROLLUP_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+_WINDOW_NS = 300 * 10**9  # 5-minute tumbling buckets in epoch-nanos
+
+
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregation (the
+    streaming variant reuses this exact grouping — see
+    syncquill_spark/streaming). ts is epoch-nanos int64."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.withColumn("bucket", F.expr(f"ts div {_WINDOW_NS}"))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_TUMBLING_WINDOW_SQL = f"""
+SELECT epoch_ns(ts) // {_WINDOW_NS} AS bucket, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event count + running value total (ordered by
+    event_id; exact decimal accumulation surfaced as double)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+_WINDOW_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS running_n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_topk_cosine": q_similarity_topk_cosine,
+    "similarity_topk_lsh": q_similarity_topk_lsh,
+    "text_language_id": q_text_language_id,
+    "text_quality": q_text_quality,
+    "text_token_counts": q_text_token_counts,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_media_stats": q_multimodal_media_stats,
+    "join_asof_signup": q_join_asof_signup,
+    "join_range_shipments": q_join_range_shipments,
+    "agg_rollup_orders": q_agg_rollup_orders,
+    "events_tumbling_window": q_events_tumbling_window,
+    "window_running_total": q_window_running_total,
+}
+
+EXT_ORACLES: dict[str, str | None] = {
+    "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "similarity_topk_cosine": _SIMILARITY_TOPK_SQL,
+    "similarity_topk_lsh": None,  # approximate by construction
+    "text_language_id": _language_id_sql(),
+    "text_quality": _quality_sql(),
+    "text_token_counts": _token_counts_sql(),
+    "text_fingerprint": _fingerprint_sql(),
+    "multimodal_media_stats": _MULTIMODAL_MEDIA_STATS_SQL,
+    "join_asof_signup": _JOIN_ASOF_SIGNUP_SQL,
+    "join_range_shipments": _JOIN_RANGE_SHIPMENTS_SQL,
+    "agg_rollup_orders": _AGG_ROLLUP_ORDERS_SQL,
+    "events_tumbling_window": _EVENTS_TUMBLING_WINDOW_SQL,
+    "window_running_total": _WINDOW_RUNNING_TOTAL_SQL,
+}

@@ -1,0 +1,26 @@
+"""Structured Streaming tier (EXT — the reference is batch-only;
+its poll-and-diff CDC pattern, README.md:48-51, becomes an incremental
+pipeline here).
+
+- windows: watermarked tumbling/sliding aggregations over event
+  streams, sharing grouping logic with the batch twin
+  (plans/queries_ext.q_events_tumbling_window).
+- incremental_sync: the batch diff/apply operators run per micro-batch
+  via foreachBatch with Trigger.AvailableNow — identical semantics,
+  incremental execution.
+- stream_dedup: dropDuplicatesWithinWatermark over a content hash.
+"""
+
+from syncquill_spark.streaming.windows import (
+    read_events_stream,
+    stream_dedup,
+    tumbling_window_counts,
+)
+from syncquill_spark.streaming.incremental_sync import incremental_sync
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_window_counts",
+    "stream_dedup",
+    "incremental_sync",
+]

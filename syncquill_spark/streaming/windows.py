@@ -1,0 +1,106 @@
+"""Watermarked window aggregations + streaming dedup over event streams.
+
+The events fixture stores ts as TIMESTAMP(NANOS) (read as epoch-nanos
+int64); streaming ops need a real timestamp column, derived with
+timestamp_micros(ts div 1000) — integer math, no precision surprises.
+
+Scale notes: watermark bounds state (late rows beyond it are dropped
+and their state evicted); the shuffle key is (window, event_type) so
+state is evenly spread; AvailableNow processes a backlog incrementally
+with bounded per-batch memory — the 100 TB replay story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream over the events parquet (schema pinned from a batch
+    read — required by readStream; file sources replay incrementally)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File streams need a DIRECTORY; events.parquet is a single file,
+    # so stream the sf dir with a glob filter selecting just it.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    return events.withColumn(
+        "event_time", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts+sums per event_type with late-data bound.
+
+    Streaming twin of plans/queries_ext.q_events_tumbling_window: same
+    grouping, watermarked so state is evicted once event time passes
+    window_end + watermark.
+    """
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps state
+    only inside the watermark horizon — bounded memory on unbounded
+    streams (vs. dropDuplicates whose state grows forever)."""
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> list:
+    """Execute a streaming frame over the current backlog
+    (Trigger.AvailableNow) into an in-memory sink; return the rows.
+
+    output_mode: 'complete' for aggregations on a finite backlog (in
+    append mode un-finalized windows would never emit because the
+    watermark stops advancing at end-of-input); 'append' for row-wise
+    streams like dedup. Production writes to a real sink with
+    checkpointLocation instead.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()

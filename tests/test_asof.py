@@ -1,0 +1,37 @@
+"""As-of join: point-in-time semantics incl. ties and no-match."""
+
+from __future__ import annotations
+
+from syncquill_spark.operators.asof import asof_join
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 5), (1, 9), (1, 3), (2, 7)], "u long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 4, "a"), (1, 8, "b"), (3, 1, "z")], "u long, t long, v string"
+    )
+    out = {
+        (r["u"], r["t"]): r["v_asof"]
+        for r in asof_join(left, right, on="u", ts="t").collect()
+    }
+    assert out[(1, 5)] == "a"   # latest right at/before t=5 is t=4
+    assert out[(1, 9)] == "b"
+    assert out[(1, 3)] is None  # nothing at/before t=3
+    assert out[(2, 7)] is None  # key has no right rows
+
+
+def test_asof_tie_is_inclusive(spark):
+    left = spark.createDataFrame([(1, 5)], "u long, t long")
+    right = spark.createDataFrame([(1, 5, "same-instant")], "u long, t long, v string")
+    out = asof_join(left, right, on="u", ts="t").collect()[0]
+    assert out["v_asof"] == "same-instant"
+
+
+def test_asof_keeps_left_columns(spark):
+    left = spark.createDataFrame([(1, 5, "payload")], "u long, t long, note string")
+    right = spark.createDataFrame([(1, 4, 42)], "u long, t long, v long")
+    row = asof_join(left, right, on="u", ts="t").collect()[0]
+    assert row["note"] == "payload"
+    assert row["v_asof"] == 42

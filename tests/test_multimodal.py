@@ -1,0 +1,51 @@
+"""Multimodal plumbing: binary columns, metadata, Arrow-batched
+feature extraction (stubbed decode, real Spark mechanics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syncquill_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_image_stub,
+    extract_features,
+    media_stats,
+)
+
+
+def _media(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\nfakepayload")), (2, bytearray(b"RIFFfakewav"))],
+        "media_id long, payload binary",
+    )
+    return attach_media_metadata(df, modality="image")
+
+
+def test_attach_metadata(spark):
+    media = _media(spark)
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[1]["meta"]["n_bytes"] == 17
+    assert rows[1]["meta"]["modality"] == "image"
+    assert len(rows[1]["meta"]["content_sha"]) == 64
+
+
+def test_extract_features_schema_and_determinism(spark):
+    media = _media(spark)
+    out = extract_features(media, dim=8)
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,modality:string,n_bytes:bigint,feature:array<float>>"
+    )
+    rows = {r["media_id"]: r["feature"] for r in out.collect()}
+    assert len(rows[1]) == 8
+    # deterministic stub: same payload -> same features
+    assert rows[1] == [float(f"{v:.9g}") if False else v for v in rows[1]]
+    expected = decode_image_stub(bytes(b"\x89PNG\r\nfakepayload"), 8)
+    assert [round(v, 6) for v in rows[1]] == [round(v, 6) for v in expected]
+
+
+def test_media_stats_magic_bytes(spark):
+    media = _media(spark)
+    rows = {r["media_id"]: r for r in media_stats(media).collect()}
+    assert rows[1]["magic_hex"] == "89504E47"  # PNG magic
+    assert rows[2]["magic_hex"] == "52494646"  # RIFF
+    assert rows[1]["n_bytes"] == 17

@@ -1,0 +1,85 @@
+"""Structured Streaming tier: windowed aggs, streaming dedup, and the
+foreachBatch incremental sync — all driven with Trigger.AvailableNow
+over the parquet fixtures / tmp dirs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from syncquill_spark.operators import normalize_strings
+from syncquill_spark.sources import ParquetTable
+from syncquill_spark.streaming import (
+    incremental_sync,
+    read_events_stream,
+    stream_dedup,
+    tumbling_window_counts,
+)
+from syncquill_spark.streaming.windows import run_available_now
+from syncquill_spark.plans.queries_ext import q_events_tumbling_window
+
+
+def test_tumbling_window_matches_batch_twin(spark, sf_dir):
+    """Streaming windowed agg over the full backlog == batch grouping."""
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    got = run_available_now(
+        tumbling_window_counts(stream), "t_win", output_mode="complete"
+    )
+    batch = q_events_tumbling_window(spark, sf_dir).collect()
+    got_map = {
+        (int(r["window_start"].timestamp() // 300), r["event_type"]): (
+            r["n_events"],
+            round(r["sum_value"], 2),
+        )
+        for r in got
+    }
+    batch_map = {
+        (int(r["bucket"] * 300 // 300), r["event_type"]): (
+            r["n_events"],
+            round(r["sum_value"], 2),
+        )
+        for r in batch
+    }
+    assert got_map == batch_map
+
+
+def test_stream_dedup(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        stream_dedup(stream, key_cols=("user_id",)), "t_dedup"
+    )
+    users = [r["user_id"] for r in out]
+    assert len(users) == len(set(users))
+    assert len(users) > 0
+
+
+def test_incremental_sync_applies_batch(spark, tmp_path):
+    tgt_df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "slno long, name string, amount double"
+    )
+    src_df = spark.createDataFrame(
+        [("1", "a", "1.0"), ("2", "bX", "2.0"), ("3", "c", "3.0")],
+        "slno string, name string, amount string",
+    )
+    tgt_path = str(tmp_path / "tgt.pq")
+    src_path = str(tmp_path / "src")
+    tgt_df.write.parquet(tgt_path)
+    src_df.write.parquet(src_path)
+
+    target = ParquetTable(tgt_path)
+    stream = (
+        spark.readStream.schema(src_df.schema).parquet(src_path)
+    )
+    seen = []
+    q = incremental_sync(
+        spark, stream, target, key="slno",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_batch=lambda bid, ch: seen.append(ch.count()),
+    )
+    q.awaitTermination()
+
+    post = set(map(tuple, normalize_strings(target.read(spark)).collect()))
+    want = set(map(tuple, src_df.collect()))
+    assert post == want
+    assert seen == [2]  # one micro-batch: 1 cell diff + 1 insert

@@ -1,0 +1,52 @@
+"""Text-analysis operators: language ID, quality, tokens, fingerprints."""
+
+from __future__ import annotations
+
+from syncquill_spark.operators.text import (
+    fingerprints,
+    language_id,
+    quality_features,
+    quality_filter,
+    token_counts,
+)
+
+DOCS = "doc_id long, text string"
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is warm"),
+            (2, "der Hund ist nicht zu Hause und die Katze"),
+            (3, "el perro es grande y la casa es de piedra"),
+            (4, "zzz qqq xxx"),
+        ],
+        DOCS,
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_quality_features_and_filter(spark):
+    good = "this is a reasonably long document with many distinct useful words overall"
+    spam = "buy buy buy buy buy buy buy buy buy buy buy buy"
+    df = spark.createDataFrame([(1, good), (2, spam)], DOCS)
+    feats = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert feats[1]["n_tokens"] == 12
+    assert feats[1]["uniq_ratio"] > 0.9
+    assert feats[2]["uniq_ratio"] < 0.1
+    kept = [r["doc_id"] for r in quality_filter(df, min_tokens=5).collect()]
+    assert kept == [1]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "ab cdefgh i")], DOCS)
+    r = token_counts(df).collect()[0]
+    assert r["n_tokens_ws"] == 3
+    assert r["n_tokens_bpeish"] == 1 + 2 + 1  # ceil(2/4)+ceil(6/4)+ceil(1/4)
+
+
+def test_fingerprint_distinguishes_order(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "c b a"), (3, "a b c")], DOCS)
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df).collect()}
+    assert fp[1] == fp[3] != fp[2]
