@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from syncquill_spark.operators.apply import apply_changes
 from syncquill_spark.operators.diff import diff_keyed, diff_positional
@@ -55,11 +56,36 @@ def sync(
 
     report = ""
     if n:
-        report = format_change_report(changes, src.columns, key=key)
+        # The reference prints FULL row values for added/deleted rows
+        # (syncquill.py:199-206); fetch just those rows (keyed filter on
+        # a change-set-sized key list — never a full-table collect).
+        rows_by_key = _rows_for_keys(
+            src, _keys_of(changes, "extra_row", key), key
+        ) | _rows_for_keys(tgt, _keys_of(changes, "del_row", key), key)
+        report = format_change_report(changes, src.columns, rows_by_key=rows_by_key, key=key)
         if not dry_run:
             post = apply_changes(tgt, changes, source=src, key=key)
             target.overwrite(post)
     return SyncResult(changes=changes, n_changes=n, report=report or "No changes.")
+
+
+def _keys_of(changes: DataFrame, change_type: str, key: str) -> list[str]:
+    return [
+        r[key]
+        for r in changes.filter(F.col("change_type") == change_type).select(key).collect()
+    ]
+
+
+def _rows_for_keys(df: DataFrame, keys: list[str], key: str) -> dict[str, list[str]]:
+    """key -> string-normalized full row, for the report's row tables."""
+    if not keys:
+        return {}
+    rows = (
+        df.filter(F.col(key).cast("string").isin(keys))
+        .select([F.col(c).cast("string").alias(c) for c in df.columns])
+        .collect()
+    )
+    return {r[key]: [("" if r[c] is None else r[c]) for c in df.columns] for r in rows}
 
 
 def upsert(spark: SparkSession, source: Table, target: Table) -> None:

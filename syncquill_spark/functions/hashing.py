@@ -62,18 +62,26 @@ def minhash_permutations(n_perm: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(shingles: Column, n_perm: int = 32) -> Column:
-    """Array<long> MinHash signature over a shingle array.
+def shingle_hashes(shingles: Column) -> Column:
+    """Array<long> of (md5-derived mod P) hashes for a shingle array.
 
-    One pass over the shingle array per permutation, all inside
-    codegen. Empty shingle set => signature of P (sentinel max).
+    MATERIALIZE this in its own projection (``df.select(...)``) before
+    feeding it to minhash/simhash/fingerprint: higher-order functions
+    evaluate interpreted (outside codegen), and an expression referenced
+    by N downstream permutations would otherwise be recomputed N times —
+    measured 16x slower for a 32-perm MinHash.
     """
-    hashes = F.transform(shingles, lambda s: portable_hash60(s) % HASH_PRIME)
+    return F.transform(shingles, lambda s: portable_hash60(s) % HASH_PRIME)
+
+
+def minhash_from_hashes(hashes: Column, n_perm: int = 32) -> Column:
+    """Array<long> MinHash signature over a PRE-MATERIALIZED hash array
+    (see shingle_hashes). Empty set => signature of P (sentinel max)."""
     perms = minhash_permutations(n_perm)
     mins = [
         F.coalesce(
             F.array_min(
-                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_PRIME)
+                F.transform(hashes, _perm_fn(a, b)),
             ),
             F.lit(HASH_PRIME).cast("long"),
         )
@@ -82,20 +90,37 @@ def minhash_signature(shingles: Column, n_perm: int = 32) -> Column:
     return F.array(*mins)
 
 
-def simhash(tokens: Column, bits: int = 32) -> Column:
-    """SimHash over a token array: per bit position, sign of the sum of
-    (+1/-1) votes from each token's hash; packed into one int64."""
-    hashes = F.transform(tokens, lambda t: portable_hash60(t))
+def _perm_fn(a: int, b: int):
+    # closure factory: Spark introspects lambda arity, so no default-arg
+    # binding tricks — each permutation gets its own 1-arg lambda.
+    return lambda h: (F.lit(a) * h + F.lit(b)) % HASH_PRIME
+
+
+def minhash_signature(shingles: Column, n_perm: int = 32) -> Column:
+    """Convenience one-expression form. Prefer the two-stage
+    shingle_hashes + minhash_from_hashes in real pipelines (16x faster,
+    see shingle_hashes docstring); this form is kept for small inputs
+    and API symmetry."""
+    return minhash_from_hashes(shingle_hashes(shingles), n_perm)
+
+
+def token_hashes(tokens: Column) -> Column:
+    """Full-range 60-bit hash per token (no mod — simhash needs the
+    bits). Materialize in its own projection (see shingle_hashes)."""
+    return F.transform(tokens, lambda t: portable_hash60(t))
+
+
+def _bit_vote_fn(b: int):
+    return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
+    """SimHash over a PRE-MATERIALIZED token-hash array: per bit
+    position, sign of the sum of (+1/-1) votes; packed into one int64."""
     bit_cols = [
         F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
-            )
-            > 0,
-            F.lit(1).cast("long") * F.lit(2**b).cast("long"),
+            F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote_fn(b)) > 0,
+            F.lit(2**b).cast("long"),
         )
         .otherwise(F.lit(0).cast("long"))
         for b in range(bits)
@@ -104,6 +129,13 @@ def simhash(tokens: Column, bits: int = 32) -> Column:
     for c in bit_cols[1:]:
         out = out + c
     return out
+
+
+def simhash(tokens: Column, bits: int = 32) -> Column:
+    """Convenience one-expression form; prefer token_hashes +
+    simhash_from_hashes in pipelines (avoids bits-fold recompute of the
+    md5 hashing — see shingle_hashes)."""
+    return simhash_from_hashes(token_hashes(tokens), bits)
 
 
 def rolling_fingerprint(tokens: Column, base: int = 31) -> Column:

@@ -21,10 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from syncquill_spark.functions.hashing import (
     HASH_PRIME,
-    minhash_signature,
-    simhash,
+    minhash_from_hashes,
+    shingle_hashes,
+    simhash_from_hashes,
+    token_hashes,
     word_shingles,
 )
 
@@ -65,13 +69,15 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jac) with id_a < id_b, jac as double computed
     from exact integer set sizes (cross-engine stable).
     """
+    # Persist the shingled frame: it feeds BOTH sides of the self-join,
+    # and without pinning Spark recomputes the shingling twice.
     sh = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         *( [ (F.col(length_col) / length_band).cast("long").alias("_band") ]
            if length_band else [] ),
         F.array_distinct(word_shingles(text_col, k)).alias("_sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     block = list(block_cols) + (["_band"] if length_band else [])
     a = sh.select(
         *[F.col(c).alias(f"_l_{c}") for c in block],
@@ -120,10 +126,21 @@ def minhash_lsh_pairs(
     assert n_perm % bands == 0, "bands must divide n_perm"
     r = n_perm // bands
 
-    base = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, k)).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_perm))
+    # Three projections, each materializing what the next references
+    # many times: shingles -> hash array -> signature. Higher-order
+    # exprs run interpreted, so letting the 32 permutations re-inline
+    # the md5 pipeline costs 16x (see functions.hashing.shingle_hashes).
+    base = (
+        df.select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, k)).alias("_sh"),
+        )
+        .withColumn("_h", shingle_hashes(F.col("_sh")))
+        .select(
+            id_col, "_sh", minhash_from_hashes(F.col("_h"), n_perm).alias("_sig")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
+    )
 
     buckets = base.select(
         F.col(id_col),
@@ -177,8 +194,10 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """Per-document SimHash fingerprint (int64 carrying `bits` bits)."""
     return df.select(
+        F.col(id_col), token_hashes(_tokens(text_col)).alias("_h")
+    ).select(
         F.col(id_col),
-        simhash(_tokens(text_col), bits).alias("simhash"),
+        simhash_from_hashes(F.col("_h"), bits).alias("simhash"),
     )
 
 
@@ -199,7 +218,9 @@ def simhash_near_pairs(
     tractable; recall/cost is tunable via prefix_bits.
     """
     fp = simhash_fingerprints(df, id_col, text_col, bits)
-    pre = fp.withColumn("_pre", F.shiftright(F.col("simhash"), bits - prefix_bits))
+    pre = fp.withColumn(
+        "_pre", F.shiftright(F.col("simhash"), bits - prefix_bits)
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
     a = pre.select(
         F.col("_pre").alias("_pa"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
     )
