@@ -40,14 +40,17 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     """
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.trim(c), r"\s+")
-    n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # k-way zip_with over shifted slices, NOT transform(sequence(i), ->
+    # slice(toks, i, k)): lambdas re-evaluate captured subtrees per
+    # element, so the transform form re-runs the regex split once PER
+    # SHINGLE POSITION (~n times/doc); this form runs it k+1 times.
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))  # shingle count
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
 
 
 def minhash_permutations(n_perm: int) -> list[tuple[int, int]]:
