@@ -16,6 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from syncquill_spark import get_spark
 from syncquill_spark.plans import QUERIES
 
@@ -51,8 +53,18 @@ def main() -> None:
     spark = get_spark("syncquill-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/session so the first query doesn't pay startup cost.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the JVM/session so the first query doesn't pay startup cost:
+    # touch the parquet reader, one shuffle (join + groupBy), and
+    # whole-stage codegen once, on the smallest table (region, 5 rows).
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    (
+        warm.join(warm.selectExpr("r_regionkey as k"), warm["r_regionkey"] == F.col("k"))
+        .groupBy("r_name")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -25,10 +25,8 @@ from pyspark.storagelevel import StorageLevel
 
 from syncquill_spark.functions.hashing import (
     HASH_PRIME,
-    minhash_from_hashes,
-    shingle_hashes,
-    simhash_from_hashes,
-    token_hashes,
+    minhash_permutations,
+    portable_hash60,
     word_shingles,
 )
 
@@ -149,45 +147,50 @@ def minhash_lsh_pairs(
     assert n_perm % bands == 0, "bands must divide n_perm"
     r = n_perm // bands
 
-    # Three projections, each materializing what the next references
-    # many times: shingles -> hash array -> signature. Higher-order
-    # exprs run interpreted, so letting the 32 permutations re-inline
-    # the md5 pipeline costs 16x (see functions.hashing.shingle_hashes).
-    base = (
-        df.select(
-            F.col(id_col),
-            F.array_distinct(word_shingles(text_col, k)).alias("_sh"),
-        )
-        .withColumn("_h", shingle_hashes(F.col("_sh")))
-        .select(
-            id_col, "_sh", minhash_from_hashes(F.col("_h"), n_perm).alias("_sig")
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
+    # Signatures come from explode + ONE groupBy with n_perm codegen
+    # min() aggregates (map-side partial agg, no interpreted lambda
+    # folds). explode_outer keeps empty-shingle docs (null hash →
+    # min() ignores it → sentinel P signature, as before). The compact
+    # (id, shingle-array) frame is what gets persisted: it feeds the
+    # exploded signature path AND the candidate verification.
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, k)).alias("_sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = sh.select(
+        F.col(id_col), F.explode_outer("_sh").alias("_s")
+    ).withColumn("_h", portable_hash60(F.col("_s")) % HASH_PRIME)
+    perms = minhash_permutations(n_perm)
+    sigs = ex.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.min((F.lit(a) * F.col("_h") + F.lit(b)) % HASH_PRIME),
+                F.lit(HASH_PRIME).cast("long"),
+            ).alias(f"_m{j}")
+            for j, (a, b) in enumerate(perms)
+        ]
     )
 
-    buckets = base.select(
-        F.col(id_col),
-        F.col("_sh"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.concat_ws(
-                        ",", F.transform(F.slice("_sig", bi * r + 1, r), lambda v: v.cast("string"))
-                    ).alias("key"),
-                ),
-            )
-        ).alias("_b"),
-    ).select(id_col, "_sh", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"_m{bi * r + o}").cast("string") for o in range(r)]
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
 
     left = buckets.select(
         F.col("_band").alias("_lb"), F.col("_key").alias("_lk"),
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"),
+        F.col(id_col).alias("id_a"),
     )
     right = buckets.select(
         F.col("_band").alias("_rb"), F.col("_key").alias("_rk"),
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"),
+        F.col(id_col).alias("id_b"),
     )
     cand = (
         left.join(
@@ -195,14 +198,23 @@ def minhash_lsh_pairs(
             (left["_lb"] == right["_rb"]) & (left["_lk"] == right["_rk"])
             & (left["id_a"] < right["id_b"]),
         )
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Exact-Jaccard verify: candidates are ~duplicate-count rows (tiny
+    # next to the corpus), so fetch each side's cached shingle array
+    # and intersect directly — two joins of a small frame against the
+    # persisted sh, not a re-shingling.
+    sh_a = sh.select(F.col(id_col).alias("_ia"), F.col("_sh").alias("_sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("_ib"), F.col("_sh").alias("_sh_b"))
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
     return (
-        cand.select(
-            "id_a", "id_b",
+        cand.join(sh_a, F.col("id_a") == F.col("_ia"))
+        .join(sh_b, F.col("id_b") == F.col("_ib"))
+        .select(
+            "id_a",
+            "id_b",
             (inter.cast("double") / union.cast("double")).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
@@ -215,13 +227,32 @@ def simhash_fingerprints(
     text_col: str = "text",
     bits: int = 32,
 ) -> DataFrame:
-    """Per-document SimHash fingerprint (int64 carrying `bits` bits)."""
-    return df.select(
-        F.col(id_col), token_hashes(_tokens(text_col)).alias("_h")
-    ).select(
-        F.col(id_col),
-        simhash_from_hashes(F.col("_h"), bits).alias("simhash"),
+    """Per-document SimHash fingerprint (int64 carrying `bits` bits).
+
+    Explode tokens, ONE groupBy with `bits` codegen sum() aggregates
+    (per-bit +1/-1 votes), then pack sign bits — no interpreted lambda
+    folds, map-side partial agg at scale. Votes from null tokens (null
+    text) count 0, matching the fold form's all-zero fingerprint.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode_outer(_tokens(text_col)).alias("_t")
+    ).withColumn("_h", portable_hash60(F.col("_t")))
+    vote = lambda b: (  # noqa: E731
+        F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1
     )
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(F.coalesce(vote(b), F.lit(0))).alias(f"_v{b}")
+            for b in range(bits)
+        ]
+    )
+    packed = None
+    for b in range(bits):
+        bit = F.when(F.col(f"_v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = bit if packed is None else packed + bit
+    return votes.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_near_pairs(
