@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_topk_cosine",
     "text_language_id",
     "text_quality",

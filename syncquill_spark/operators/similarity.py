@@ -16,9 +16,10 @@ JVM codegen, no Python UDF, no Arrow transfer on the hot path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
-from syncquill_spark.functions.vectors import cosine_similarity
+from syncquill_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def brute_force_topk(
@@ -66,6 +67,107 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
         h = int(hashlib.md5(f"{plane_idx}:{j}".encode()).hexdigest()[:15], 16)
         comps.append((h / float(2**60)) * 2.0 - 1.0)
     return comps
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup over a vector
+    column): banded random-hyperplane blocking + exact cosine verify.
+
+    Each vector gets `bands` bucket keys (one per band, each the sign
+    pattern of `planes_per_band` hyperplane dots); a pair is a
+    candidate if ANY band key matches (OR-construction — recall
+    1-(1-p^r)^b for per-plane agreement p). Candidates self-join on
+    (band, key) only — never the O(n^2) pair space — then exact cosine
+    >= threshold verifies. Hyperplanes are md5-derived (deterministic,
+    reproducible in any engine); all math is codegen built-ins folding
+    left-to-right, so scores are bit-identical to the DuckDB oracle.
+
+    Output: (id_a, id_b) int pairs with id_a < id_b, hash-stable.
+    """
+    planes = [
+        _hyperplane(dim, b * planes_per_band + p)
+        for b in range(bands)
+        for p in range(planes_per_band)
+    ]
+
+    def band_key(vec, bi: int):
+        bits = []
+        for p in range(planes_per_band):
+            plane = planes[bi * planes_per_band + p]
+            d = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    # Bucket self-join carries IDS ONLY (the candidate shuffle is two
+    # ints per row, not two embedding payloads); vectors re-attach for
+    # verification from the small unit-normalized frame. Verification
+    # on unit vectors needs ONE array fold per pair (dot >= threshold)
+    # instead of three (dot + two norms).
+    keyed = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        band_key(F.col(vec_col), bi).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    a = keyed.select(
+        F.col("_band").alias("_ba"), F.col("_key").alias("_ka"),
+        F.col(id_col).alias("id_a"),
+    )
+    b = keyed.select(
+        F.col("_band").alias("_bb"), F.col("_key").alias("_kb"),
+        F.col(id_col).alias("id_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["_ba"] == b["_bb"]) & (a["_ka"] == b["_kb"]) & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # norm in its own projection + persist: a lambda that referenced
+    # l2_norm(vec) directly would re-fold the whole vector PER ELEMENT
+    # (O(d^2)/vector) once CollapseProject inlines it.
+    unit = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(F.col(vec_col)).alias("_nrm"))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_nrm")).alias("_u"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    u_a = unit.select(F.col(id_col).alias("_ia"), F.col("_u").alias("_ua"))
+    u_b = unit.select(F.col(id_col).alias("_ib"), F.col("_u").alias("_ub"))
+    return (
+        cand.join(u_a, F.col("id_a") == F.col("_ia"))
+        .join(u_b, F.col("id_b") == F.col("_ib"))
+        .filter(dot(F.col("_ua"), F.col("_ub")) >= threshold)
+        .select("id_a", "id_b")
+    )
 
 
 def lsh_topk(

@@ -21,7 +21,12 @@ from syncquill_spark.operators.dedup import (
     simhash_fingerprints,
 )
 from syncquill_spark.operators.multimodal import attach_media_metadata
-from syncquill_spark.operators.similarity import brute_force_topk, lsh_topk
+from syncquill_spark.operators.similarity import (
+    _hyperplane,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
 from syncquill_spark.operators.text import (
     fingerprints,
     language_id,
@@ -208,6 +213,90 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(embeddings, queries, k=_TOPK, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: embedding-cosine near-dup (banded SRP-LSH blocking + exact verify)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_THRESHOLD = 0.35
+_NEARDUP_BANDS = 4
+_NEARDUP_R = 4  # planes per band
+_NEARDUP_DIM = 64
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the embedding column. The 0.35 threshold fits
+    the synthetic near-orthogonal fixture (max pairwise cosine ~0.51);
+    real near-dup corpora use ~0.9+, where the same band/plane config
+    has ~0.996 recall and far sparser candidates (sign agreement rises
+    with cosine). The oracle mirrors the blocking exactly, so the check
+    is exact regardless of the recall regime."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        embeddings,
+        threshold=_NEARDUP_THRESHOLD,
+        bands=_NEARDUP_BANDS,
+        planes_per_band=_NEARDUP_R,
+        dim=_NEARDUP_DIM,
+    )
+
+
+def _plane_dot_sql(plane: list[float], vec: str = "embedding") -> str:
+    lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {len(plane) + 1}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({lits})[i]), (a, b) -> a + b)"
+    )
+
+
+def _embedding_neardup_sql() -> str:
+    """Oracle twin of q_dedup_embedding_cosine: the SAME md5-derived
+    hyperplanes as SQL literals, the same banded sign-pattern blocking,
+    and the same unit-normalize-then-dot verify with left-fold double
+    math — bit-identical candidates/scores."""
+    band_selects = []
+    for bi in range(_NEARDUP_BANDS):
+        bits = []
+        for p in range(_NEARDUP_R):
+            plane = _hyperplane(_NEARDUP_DIM, bi * _NEARDUP_R + p)
+            bits.append(
+                f"CASE WHEN {_plane_dot_sql(plane)} >= 0 THEN '1' ELSE '0' END"
+            )
+        key = " || ".join(bits)
+        band_selects.append(
+            f"SELECT vec_id, {bi} AS band, {key} AS key FROM embeddings"
+        )
+    keyed = "\nUNION ALL\n".join(band_selects)
+    d = _NEARDUP_DIM
+    sq_norm = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    unit_dot = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> ua.u[i] * ub.u[i]), (a, b) -> a + b)"
+    )
+    return f"""
+WITH keyed AS (
+{keyed}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+  FROM (SELECT vec_id, embedding, sqrt({sq_norm}) AS nrm FROM embeddings)
+)
+SELECT cand.id_a, cand.id_b
+FROM cand
+JOIN unit ua ON cand.id_a = ua.vec_id
+JOIN unit ub ON cand.id_b = ub.vec_id
+WHERE {unit_dot} >= {_NEARDUP_THRESHOLD}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -470,6 +559,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_topk_cosine": q_similarity_topk_cosine,
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "text_language_id": q_text_language_id,
@@ -488,6 +578,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
+    "dedup_embedding_cosine": _embedding_neardup_sql(),
     "similarity_topk_cosine": _SIMILARITY_TOPK_SQL,
     "similarity_topk_lsh": None,  # approximate by construction
     "text_language_id": _language_id_sql(),

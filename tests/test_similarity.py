@@ -57,3 +57,36 @@ def test_lsh_topk_is_subset_quality(spark, embeddings):
     top = lsh_topk(embeddings, queries, k=5)
     rank1 = {r["query_id"]: r["neighbor_id"] for r in top.filter("rk = 1").collect()}
     assert rank1 and all(q == n for q, n in rank1.items())
+
+
+def test_embedding_near_dup_pairs(spark):
+    """Planted near-duplicates must be found (they share every band key
+    only probabilistically — verify with ones/perturbed-ones vectors
+    whose sign patterns are identical); verified pairs must actually
+    clear the cosine threshold per numpy."""
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 64))
+    # plant two exact near-dup groups: 100~101 (identical) and 102~103
+    # (tiny perturbation — same hyperplane signs, cosine ~ 1)
+    rows = [(100 + i, base[i].tolist()) for i in range(20)]
+    rows.append((200, base[0].tolist()))
+    rows.append((201, (base[1] + 1e-6 * base[2]).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert (100, 200) in got
+    assert (101, 201) in got
+
+    # every reported pair really is >= threshold
+    vecs = {vid: np.array(v) for vid, v in rows}
+    for ia, ib in got:
+        a, b = vecs[ia], vecs[ib]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.95 - 1e-12
