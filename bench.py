@@ -44,6 +44,7 @@ HEADLINE = [
     "join_range_shipments",
     "agg_rollup_orders",
     "events_tumbling_window",
+    "events_sessionization",
     "window_running_total",
 ]
 

@@ -34,6 +34,7 @@ from syncquill_spark.operators.text import (
     token_counts,
 )
 from syncquill_spark.plans.queries import load_tables
+from syncquill_spark.streaming.sessionize import GAP_NANOS, sessionize_batch
 
 # Shared SQL fragments -------------------------------------------------------
 
@@ -524,6 +525,48 @@ GROUP BY 1, 2
 """
 
 
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming applyInPandasWithState sessionizer
+    (streaming/sessionize.py): 30-min-gap sessions per user. Session
+    math runs in MICROseconds (ts div 1000) because DuckDB's timestamp
+    type truncates the fixture's nanos — sub-µs digits can't survive a
+    cross-engine comparison."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    return sessionize_batch(
+        events.withColumn("ts", F.expr("ts div 1000")),
+        gap_nanos=GAP_NANOS // 1000,
+    )
+
+
+_SESSION_GAP_US = GAP_NANOS // 1000
+
+_EVENTS_SESSIONIZATION_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts, value FROM events
+),
+marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
 def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running event count + running value total (ordered by
     event_id; exact decimal accumulation surfaced as double)."""
@@ -571,6 +614,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_range_shipments": q_join_range_shipments,
     "agg_rollup_orders": q_agg_rollup_orders,
     "events_tumbling_window": q_events_tumbling_window,
+    "events_sessionization": q_events_sessionization,
     "window_running_total": q_window_running_total,
 }
 
@@ -590,5 +634,6 @@ EXT_ORACLES: dict[str, str | None] = {
     "join_range_shipments": _JOIN_RANGE_SHIPMENTS_SQL,
     "agg_rollup_orders": _AGG_ROLLUP_ORDERS_SQL,
     "events_tumbling_window": _EVENTS_TUMBLING_WINDOW_SQL,
+    "events_sessionization": _EVENTS_SESSIONIZATION_SQL,
     "window_running_total": _WINDOW_RUNNING_TOTAL_SQL,
 }

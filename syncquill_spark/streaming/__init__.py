@@ -9,6 +9,9 @@ pipeline here).
   via foreachBatch with Trigger.AvailableNow — identical semantics,
   incremental execution.
 - stream_dedup: dropDuplicatesWithinWatermark over a content hash.
+- sessionize: custom stateful operator (applyInPandasWithState) —
+  inactivity-gap sessions with per-user GroupState and event-time
+  timeout, plus the window-function batch twin.
 """
 
 from syncquill_spark.streaming.windows import (
@@ -17,10 +20,16 @@ from syncquill_spark.streaming.windows import (
     tumbling_window_counts,
 )
 from syncquill_spark.streaming.incremental_sync import incremental_sync
+from syncquill_spark.streaming.sessionize import (
+    sessionize_batch,
+    sessionize_stream,
+)
 
 __all__ = [
     "read_events_stream",
     "tumbling_window_counts",
     "stream_dedup",
     "incremental_sync",
+    "sessionize_batch",
+    "sessionize_stream",
 ]

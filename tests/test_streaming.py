@@ -83,3 +83,33 @@ def test_incremental_sync_applies_batch(spark, tmp_path):
     want = set(map(tuple, src_df.collect()))
     assert post == want
     assert seen == [2]  # one micro-batch: 1 cell diff + 1 insert
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_dir):
+    """applyInPandasWithState sessionizer: every session it emits over
+    the finite backlog must equal a batch-twin session, and most
+    sessions close in-stream (only each user's final open session can
+    be held back by the never-advancing end-of-input watermark)."""
+    from syncquill_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+    from syncquill_spark.streaming.windows import with_event_time
+
+    stream = with_event_time(read_events_stream(spark, sf_dir)).withWatermark(
+        "event_time", "10 minutes"
+    )
+    got = run_available_now(sessionize_stream(stream), "t_sessions")
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = sessionize_batch(events).collect()
+    batch_keys = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch
+    }
+    n_users = events.select("user_id").distinct().count()
+
+    assert len(got) >= len(batch) - n_users  # at most one open session/user
+    for r in got:
+        key = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        assert key in batch_keys, f"streamed session not in batch twin: {key}"
