@@ -100,6 +100,104 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize: no image codecs in this container. Deterministic
+    fake: md5-keystream bytes of exactly width*height length (so batch
+    shapes and downstream size accounting behave like a real resize).
+    A real deployment replaces the body with PIL resize + re-encode."""
+    out = bytearray()
+    seed = hashlib.md5(payload).digest()
+    while len(out) < width * height:
+        seed = hashlib.md5(seed).digest()
+        out.extend(seed)
+    return bytes(out[: width * height])
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Arrow-batched image resize over media payloads (mapInPandas).
+
+    1-row-in/1-row-out transform: payload bytes are rewritten, typed
+    dimensions attached. Partitioning note for 100 TB: payload-heavy
+    stages inherit scan partitions (files.maxPartitionBytes); if source
+    files hold many large payloads per row-group, repartition upstream
+    so a batch of decoded images fits executor memory.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_image_stub(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(b) for b in resized],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_frames_total", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every_n: int = 10
+) -> DataFrame:
+    """Frame sampling for video payloads: 1 row in -> K rows out.
+
+    STUB decoder: the payload is treated as a concatenation of
+    fixed-size fake frames (a real deployment swaps in pyav/ffmpeg
+    iteration); every_n-th frame is emitted as its own row. The 1->K
+    expansion INSIDE mapInPandas is the scale-relevant shape: frames
+    never materialize as a giant array column, batches stay
+    Arrow-sized, and downstream per-frame operators (resize, feature
+    extract) parallelize over frame rows, not video rows.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, totals = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n_total = max(len(p) // frame_bytes, 1)
+                for fi in range(0, n_total, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(bytes(p[fi * frame_bytes:(fi + 1) * frame_bytes]))
+                    totals.append(n_total)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_frames_total": totals,
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Byte-level stats over binary payloads — pure built-ins, no
     decode: size, sha prefix, magic-byte hex. Useful for partition

@@ -49,3 +49,37 @@ def test_media_stats_magic_bytes(spark):
     assert rows[1]["magic_hex"] == "89504E47"  # PNG magic
     assert rows[2]["magic_hex"] == "52494646"  # RIFF
     assert rows[1]["n_bytes"] == 17
+
+
+def test_resize_images_shapes(spark):
+    from syncquill_spark.operators.multimodal import resize_image_stub, resize_images
+
+    media = _media(spark)
+    rows = {r["media_id"]: r for r in resize_images(media, 16, 4).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r["width"] == 16 and r["height"] == 4
+        assert r["n_bytes"] == 64 and len(r["payload"]) == 64
+    # deterministic stub: same payload -> same resized bytes
+    assert bytes(rows[1]["payload"]) == resize_image_stub(b"\x89PNG\r\nfakepayload", 16, 4)
+
+
+def test_sample_frames_expansion(spark):
+    from syncquill_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(256)) * 25)),  # 6400 bytes = 25 frames @256
+         (2, bytearray(b"tiny"))],                # <1 frame -> clamps to 1
+        "media_id long, payload binary",
+    )
+    out = sample_frames(df, frame_bytes=256, every_n=10).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # 25 frames sampled every 10 -> indices 0, 10, 20
+    assert sorted(r["frame_idx"] for r in by_id[1]) == [0, 10, 20]
+    assert all(r["n_frames_total"] == 25 for r in by_id[1])
+    assert all(len(r["frame"]) == 256 for r in by_id[1])
+    # tiny payload: one (short) frame
+    assert [r["frame_idx"] for r in by_id[2]] == [0]
+    assert bytes(by_id[2][0]["frame"]) == b"tiny"
