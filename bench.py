@@ -43,6 +43,9 @@ HEADLINE = [
     "join_asof_signup",
     "join_range_shipments",
     "agg_rollup_orders",
+    "subquery_exists_orders",
+    "agg_cube_sales",
+    "agg_customer_balance_stats",
     "events_tumbling_window",
     "events_sessionization",
     "window_running_total",

@@ -489,6 +489,81 @@ FROM documents
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_subquery_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style correlated filter as a LEFT SEMI join (TPC-H Q4
+    shape): count orders per priority having at least one deep-discount
+    line item. Semi-join shuffles only the join key side — no
+    duplicate-row blowup, no distinct afterwards."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    discounted = lineitem.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return (
+        orders.join(discounted, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_SUBQUERY_EXISTS_ORDERS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q_agg_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id — all 2^2
+    grouping sets in ONE pass (Spark expands to a single shuffle with
+    replicated grouping keys; no per-set rescans)."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_AGG_CUBE_SALES_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_customer_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment balance stats. avg is decimal-sum / count surfaced
+    as double (float summation order is partition-dependent; decimal
+    accumulation is exact, so results are cluster-layout-independent —
+    required for any check-summed pipeline at scale)."""
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min(dec).cast("double").alias("min_bal"),
+        F.max(dec).cast("double").alias("max_bal"),
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_bal"),
+    )
+
+
+_AGG_CUSTOMER_BALANCE_STATS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_diff_keyed": q_sync_diff_keyed,
     "sync_diff_positional": q_sync_diff_positional,
@@ -503,6 +578,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_events_extract": q_json_events_extract,
     "dedup_exact": q_dedup_exact,
     "text_token_stats": q_text_token_stats,
+    "subquery_exists_orders": q_subquery_exists_orders,
+    "agg_cube_sales": q_agg_cube_sales,
+    "agg_customer_balance_stats": q_agg_customer_balance_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -519,4 +597,7 @@ ORACLES: dict[str, str] = {
     "json_events_extract": _JSON_EVENTS_EXTRACT_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "text_token_stats": _TEXT_TOKEN_STATS_SQL,
+    "subquery_exists_orders": _SUBQUERY_EXISTS_ORDERS_SQL,
+    "agg_cube_sales": _AGG_CUBE_SALES_SQL,
+    "agg_customer_balance_stats": _AGG_CUSTOMER_BALANCE_STATS_SQL,
 }
