@@ -70,6 +70,12 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # ... and the diff-shaped path (full-outer join + stack unpivot),
+    # which the first headline query hits: 5 rows through the same
+    # operators compiles the same generated classes.
+    QUERIES["sync_diff_keyed"](
+        spark, sf_dir
+    ).limit(5).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

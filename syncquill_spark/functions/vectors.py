@@ -31,3 +31,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     double — the same op order DuckDB's list aggregates use, so scores
     compare (and order) identically cross-engine."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# Perf note (measured, don't revisit): unrolling a known-dim dot
+# product into an explicit element_at sum chain to escape interpreted
+# higher-order evaluation is ~7x SLOWER than the folds above — the
+# 64-term-per-plane expression trees (1000+ nodes/projection) choke
+# Catalyst optimization and codegen. The lambda folds are the right
+# form for array math; cut per-ROW work (normalize once, fewer folds
+# per pair) rather than per-ELEMENT overhead.

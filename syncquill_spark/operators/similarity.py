@@ -99,6 +99,9 @@ def embedding_near_dup_pairs(
     ]
 
     def band_key(vec, bi: int):
+        # NOTE: the lambda fold runs interpreted, but an explicit
+        # 64-term element_at sum chain is ~7x WORSE (giant expression
+        # trees choke optimizer + codegen) — measured, don't revisit.
         bits = []
         for p in range(planes_per_band):
             plane = planes[bi * planes_per_band + p]
