@@ -46,6 +46,7 @@ HEADLINE = [
     "subquery_exists_orders",
     "agg_cube_sales",
     "agg_customer_balance_stats",
+    "join_salted_revenue",
     "events_tumbling_window",
     "events_sessionization",
     "window_running_total",

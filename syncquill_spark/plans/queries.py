@@ -564,6 +564,47 @@ GROUP BY c_mktsegment
 """
 
 
+def q_join_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation demo with UNCHANGED semantics: lineitem->orders
+    equi-join through salted_join (hot order keys spread over 8
+    sub-keys), then a salted two-phase aggregation per order status.
+    The oracle is the plain join+group SQL — salting must not change a
+    single row."""
+    from syncquill_spark.operators.skew import salted_agg, salted_join
+
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    joined = salted_join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders.select("o_orderkey", "o_orderstatus"),
+        key="o_orderkey",
+        salt_factor=8,
+        salt_from=["o_orderkey", "l_linenumber"],
+    )
+    return salted_agg(
+        joined,
+        "o_orderstatus",
+        {
+            "n_items": (F.count(F.lit(1)), "count"),
+            "sum_qty": (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+                "sum",
+            ),
+        },
+        salt_factor=8,
+        salt_from=["o_orderkey", "l_linenumber"],
+    ).withColumn("sum_qty", F.col("sum_qty").cast("double"))
+
+
+_JOIN_SALTED_REVENUE_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_diff_keyed": q_sync_diff_keyed,
     "sync_diff_positional": q_sync_diff_positional,
@@ -581,6 +622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subquery_exists_orders": q_subquery_exists_orders,
     "agg_cube_sales": q_agg_cube_sales,
     "agg_customer_balance_stats": q_agg_customer_balance_stats,
+    "join_salted_revenue": q_join_salted_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -600,4 +642,5 @@ ORACLES: dict[str, str] = {
     "subquery_exists_orders": _SUBQUERY_EXISTS_ORDERS_SQL,
     "agg_cube_sales": _AGG_CUBE_SALES_SQL,
     "agg_customer_balance_stats": _AGG_CUSTOMER_BALANCE_STATS_SQL,
+    "join_salted_revenue": _JOIN_SALTED_REVENUE_SQL,
 }
