@@ -48,6 +48,9 @@ HEADLINE = [
     "agg_customer_balance_stats",
     "join_salted_revenue",
     "events_tumbling_window",
+    "events_sliding_window",
+    "agg_distinct_users_exact",
+    "agg_distinct_users_approx",
     "events_sessionization",
     "window_running_total",
 ]

@@ -525,6 +525,80 @@ GROUP BY 1, 2
 """
 
 
+_SLIDE_US = 300 * 10**6  # 5-minute slide
+_WIDTH_US = 600 * 10**6  # 10-minute windows -> each event in 2 windows
+
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (width 10 min, slide 5 min) via
+    F.window over a real timestamp — Spark expands each event into its
+    overlapping windows before the grouping shuffle. Window starts are
+    emitted as epoch-micros int64 (engine-portable, no tz)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(
+            F.window("event_time", "10 minutes", "5 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("win.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_EVENTS_SLIDING_WINDOW_SQL = f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS t, event_type, value FROM events
+),
+assigned AS (
+  SELECT (t // {_SLIDE_US}) * {_SLIDE_US} AS window_start_us, event_type, value FROM e
+  UNION ALL
+  SELECT (t // {_SLIDE_US}) * {_SLIDE_US} - {_SLIDE_US} AS window_start_us,
+         event_type, value FROM e
+)
+SELECT window_start_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+def q_agg_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct users — the oracle-checked twin of the
+    HLL sketch below (two shuffles: distinct-ize then count)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+_AGG_DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_agg_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct count — ONE shuffle of fixed-size sketch
+    state instead of the exact form's distinct-ize shuffle; the 100 TB
+    cardinality path. Estimator differs from DuckDB's HLL, so this is
+    rows-only checked; the exact twin above is the correctness anchor
+    (rsd=0.02 keeps the estimate within ~2 percent)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
 def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming applyInPandasWithState sessionizer
     (streaming/sessionize.py): 30-min-gap sessions per user. Session
@@ -614,6 +688,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_range_shipments": q_join_range_shipments,
     "agg_rollup_orders": q_agg_rollup_orders,
     "events_tumbling_window": q_events_tumbling_window,
+    "events_sliding_window": q_events_sliding_window,
+    "agg_distinct_users_exact": q_agg_distinct_users_exact,
+    "agg_distinct_users_approx": q_agg_distinct_users_approx,
     "events_sessionization": q_events_sessionization,
     "window_running_total": q_window_running_total,
 }
@@ -634,6 +711,9 @@ EXT_ORACLES: dict[str, str | None] = {
     "join_range_shipments": _JOIN_RANGE_SHIPMENTS_SQL,
     "agg_rollup_orders": _AGG_ROLLUP_ORDERS_SQL,
     "events_tumbling_window": _EVENTS_TUMBLING_WINDOW_SQL,
+    "events_sliding_window": _EVENTS_SLIDING_WINDOW_SQL,
+    "agg_distinct_users_exact": _AGG_DISTINCT_USERS_SQL,
+    "agg_distinct_users_approx": None,  # HLL estimators differ per engine
     "events_sessionization": _EVENTS_SESSIONIZATION_SQL,
     "window_running_total": _WINDOW_RUNNING_TOTAL_SQL,
 }
