@@ -6,11 +6,15 @@ The reference has two hard-wired connectors — Google Sheets scan
 to a DataFrame and writes back atomically. Parquet is the tested
 implementation; Sheets and BigQuery are real implementations gated on
 their (absent-in-CI) client libraries with the same interface.
+SheetGridDataSource additionally exposes Sheets-API-shaped grids as a
+registered Spark 4 Python DataSource (format "sheetgrid") with
+partitioned executor-side reads.
 """
 
 from syncquill_spark.sources.base import Table
 from syncquill_spark.sources.parquet import ParquetTable
 from syncquill_spark.sources.sheets import SheetsTable
 from syncquill_spark.sources.bigquery import BigQueryTable
+from syncquill_spark.sources.sheetgrid_datasource import SheetGridDataSource
 
-__all__ = ["Table", "ParquetTable", "SheetsTable", "BigQueryTable"]
+__all__ = ["Table", "ParquetTable", "SheetsTable", "BigQueryTable", "SheetGridDataSource"]
