@@ -1,0 +1,91 @@
+"""Duplicate-cluster resolution: near-dup PAIRS -> connected components
+-> one canonical keeper per cluster.
+
+Pair emitters (ngram_jaccard_pairs, minhash_lsh_pairs,
+embedding_near_dup_pairs) produce edges; dedup needs the transitive
+closure: if A~B and B~C, then {A,B,C} is one duplicate group even when
+A~C was never emitted. Component id = MIN node id reachable — a
+fixpoint independent of iteration/join order, which is what makes an
+iterative distributed algorithm oracle-checkable against a DuckDB
+recursive CTE.
+
+Scale notes: min-label propagation converges in O(component diameter)
+rounds — near-dup clusters are shallow (pairs all connect through
+shared content), so a handful of rounds suffices; max_iter bounds the
+pathological chain. Each round is one shuffle (join on node) + one
+groupBy min; lineage is cut per round with localCheckpoint so plans
+don't grow unboundedly (the standard iterative-algorithm discipline on
+Spark — same pattern as GraphFrames' internal CC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`;
+    component = min reachable node id.
+
+    Raises RuntimeError if max_iter rounds don't reach the fixpoint
+    (diameter > max_iter — not a silently-wrong result).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # neighbor labels: for each edge u->v, v's current component
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(edges["u"].alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.select("node", "comp")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_keepers(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(node, keeper) per clustered doc: keeper = the cluster's min id.
+    Rows with node == keeper are the survivors; the rest drop. Join
+    against the corpus with a left-anti on (node != keeper) to apply.
+    """
+    return connected_components(pairs, src, dst).select(
+        F.col("node"), F.col("comp").alias("keeper")
+    )

@@ -217,6 +217,45 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup: pairs -> connected components -> cluster/keeper assignment
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the n-gram Jaccard near-dup pairs: every
+    clustered doc with its cluster id (= min doc_id reachable). The
+    min-label fixpoint is iteration-order-independent, so the iterative
+    Spark loop and DuckDB's recursive CTE provably agree."""
+    from syncquill_spark.operators.clusters import connected_components
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, k=3, threshold=0.2, block_cols=("lang",), length_band=64
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{_DEDUP_NGRAM_JACCARD_SQL}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup: embedding-cosine near-dup (banded SRP-LSH blocking + exact verify)
 # ---------------------------------------------------------------------------
 
@@ -677,6 +716,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_clusters": q_dedup_clusters,
     "similarity_topk_cosine": q_similarity_topk_cosine,
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "text_language_id": q_text_language_id,
@@ -700,6 +740,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": _embedding_neardup_sql(),
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "similarity_topk_cosine": _SIMILARITY_TOPK_SQL,
     "similarity_topk_lsh": None,  # approximate by construction
     "text_language_id": _language_id_sql(),

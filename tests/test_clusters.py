@@ -1,0 +1,32 @@
+"""Connected components / dedup keepers over hand-built graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from syncquill_spark.operators.clusters import connected_components, dedup_keepers
+
+
+def test_chain_triangle_and_pair(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_keepers_survivor_set(spark):
+    pairs = spark.createDataFrame([(5, 3), (3, 9)], "id_a long, id_b long")
+    k = {r["node"]: r["keeper"] for r in dedup_keepers(pairs).collect()}
+    assert k == {3: 3, 5: 3, 9: 3}
+
+
+def test_nonconvergence_raises(spark):
+    # a 6-chain cannot converge in 1 round
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=1)
