@@ -40,6 +40,7 @@ HEADLINE = [
     "text_language_id",
     "text_quality",
     "text_fingerprint",
+    "text_term_stats",
     "join_asof_signup",
     "join_range_shipments",
     "agg_rollup_orders",

@@ -217,6 +217,55 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text: TF/DF term statistics (inverted-index shape)
+# ---------------------------------------------------------------------------
+
+
+def q_text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by term frequency, with corpus document
+    frequency attached — the explode -> (doc,term) groupBy -> term-level
+    groupBy pipeline IS the inverted-index build at scale (both
+    aggregations shuffle on their group keys with map-side combine; the
+    df side is term-count-sized, broadcastable back onto tf). Integer
+    outputs + (tf desc, term asc) tie-break = engine-exact ranking."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rk")
+    )
+
+
+def _term_stats_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, term, tf, df, rk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, tf.term ASC) AS rk
+  FROM tf JOIN dfreq ON tf.term = dfreq.term) t
+WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup: pairs -> connected components -> cluster/keeper assignment
 # ---------------------------------------------------------------------------
 
@@ -722,6 +771,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
     "text_token_counts": q_text_token_counts,
+    "text_term_stats": q_text_term_stats,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_media_stats": q_multimodal_media_stats,
     "join_asof_signup": q_join_asof_signup,
@@ -746,6 +796,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "text_language_id": _language_id_sql(),
     "text_quality": _quality_sql(),
     "text_token_counts": _token_counts_sql(),
+    "text_term_stats": _term_stats_sql(),
     "text_fingerprint": _fingerprint_sql(),
     "multimodal_media_stats": _MULTIMODAL_MEDIA_STATS_SQL,
     "join_asof_signup": _JOIN_ASOF_SIGNUP_SQL,
