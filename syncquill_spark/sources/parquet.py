@@ -33,3 +33,28 @@ class ParquetTable(Table):
 
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path)
+
+
+class PartitionedParquetTable(ParquetTable):
+    """Hive-layout parquet table partitioned on low-cardinality columns
+    (e.g. lang, date) — the 100 TB layout rule: a filter on a partition
+    column prunes whole directories BEFORE any file is opened
+    (PartitionFilters in the scan node), so a one-language query over a
+    multi-PB corpus reads only that language's files. Keep partition
+    columns low-cardinality (lang/date/source, never doc_id): small
+    files from over-partitioning cost more than they save.
+    """
+
+    def __init__(self, path: str, partition_cols: tuple[str, ...]):
+        super().__init__(path)
+        self.partition_cols = tuple(partition_cols)
+
+    def overwrite(self, df: DataFrame) -> None:
+        staging = f"{self.path}.__staging_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(staging)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path) if os.path.isdir(self.path) else os.remove(self.path)
+        os.rename(staging, self.path)
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").partitionBy(*self.partition_cols).parquet(self.path)

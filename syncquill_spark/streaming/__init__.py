@@ -16,6 +16,7 @@ pipeline here).
 
 from syncquill_spark.streaming.windows import (
     read_events_stream,
+    sliding_window_counts,
     stream_dedup,
     tumbling_window_counts,
 )
@@ -28,6 +29,7 @@ from syncquill_spark.streaming.sessionize import (
 __all__ = [
     "read_events_stream",
     "tumbling_window_counts",
+    "sliding_window_counts",
     "stream_dedup",
     "incremental_sync",
     "sessionize_batch",

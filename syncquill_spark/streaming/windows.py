@@ -68,6 +68,33 @@ def tumbling_window_counts(
     )
 
 
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window counts+sums per event_type (each event lands in
+    window/slide overlapping windows — Spark replicates rows into
+    their windows before the shuffle). Streaming twin of
+    plans/queries_ext.q_events_sliding_window."""
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window, slide).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_dedup(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),

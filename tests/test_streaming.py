@@ -113,3 +113,23 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_dir):
     for r in got:
         key = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         assert key in batch_keys, f"streamed session not in batch twin: {key}"
+
+
+def test_sliding_window_matches_batch_twin(spark, sf_dir):
+    """Streaming sliding-window agg over the backlog == batch twin."""
+    from syncquill_spark.streaming.windows import sliding_window_counts
+    from syncquill_spark.plans.queries_ext import q_events_sliding_window
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        sliding_window_counts(stream), "t_slide", output_mode="complete"
+    )
+    got_map = {
+        (r["window_start_us"], r["event_type"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in got
+    }
+    batch_map = {
+        (r["window_start_us"], r["event_type"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in q_events_sliding_window(spark, sf_dir).collect()
+    }
+    assert got_map == batch_map
