@@ -41,6 +41,7 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "text_term_stats",
+    "text_readability",
     "join_asof_signup",
     "join_range_shipments",
     "agg_rollup_orders",

@@ -132,3 +132,35 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.col(id_col),
         rolling_fingerprint(_tokens(text_col)).alias("fingerprint"),
     )
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch-style readability per document via an Arrow-batched
+    pandas_udf — the sanctioned Python path: one vectorized call per
+    Arrow batch, never per row.
+
+    score = 206.835 - 1.015*(words/sentences) - 84.6*(vowelgroups/words)
+
+    with sentences = periods+1 and vowel groups as a syllable proxy —
+    all per-ROW arithmetic (counts -> a few double ops), so results are
+    bit-identical to the SQL oracle: no cross-row float accumulation,
+    and IEEE double mul/div/sub are exactly specified. This is the
+    template for tokenizer/model scoring UDFs (tiktoken, fasttext):
+    batch in, numpy out, deterministic."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no signature annotations: `from __future__ import annotations`
+    # stringifies them and pandas_udf can't resolve 'pd.Series' lazily
+    @pandas_udf("double")
+    def _score(text):
+        words = text.str.strip().str.split(r"\s+").str.len().astype("float64")
+        sentences = (text.str.count(r"\.") + 1).astype("float64")
+        vowel_groups = text.str.lower().str.count(r"[aeiou]+").astype("float64")
+        return pd.Series(
+            206.835 - 1.015 * (words / sentences) - 84.6 * (vowel_groups / words)
+        )
+
+    return df.select(F.col(id_col), _score(F.col(text_col)).alias("readability"))

@@ -31,6 +31,7 @@ from syncquill_spark.operators.text import (
     fingerprints,
     language_id,
     quality_features,
+    readability_scores,
     token_counts,
 )
 from syncquill_spark.plans.queries import load_tables
@@ -214,6 +215,31 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(embeddings, queries, k=_TOPK, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Text: pandas_udf readability scoring (Arrow-vectorized Python path)
+# ---------------------------------------------------------------------------
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas_udf scoring with an EXACT oracle: the score
+    is per-row double arithmetic over integer counts (no cross-row
+    accumulation), so numpy and DuckDB produce bit-identical doubles."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return readability_scores(documents)
+
+
+def _readability_sql() -> str:
+    toks = _TOKS.format(src="text")
+    w = f"CAST(len({toks}) AS DOUBLE)"
+    s = "CAST(length(text) - length(replace(text, '.', '')) + 1 AS DOUBLE)"
+    v = "CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS DOUBLE)"
+    return f"""
+SELECT doc_id,
+       206.835 - 1.015 * ({w} / {s}) - 84.6 * ({v} / {w}) AS readability
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -772,6 +798,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_token_counts": q_text_token_counts,
     "text_term_stats": q_text_term_stats,
+    "text_readability": q_text_readability,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_media_stats": q_multimodal_media_stats,
     "join_asof_signup": q_join_asof_signup,
@@ -797,6 +824,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "text_quality": _quality_sql(),
     "text_token_counts": _token_counts_sql(),
     "text_term_stats": _term_stats_sql(),
+    "text_readability": _readability_sql(),
     "text_fingerprint": _fingerprint_sql(),
     "multimodal_media_stats": _MULTIMODAL_MEDIA_STATS_SQL,
     "join_asof_signup": _JOIN_ASOF_SIGNUP_SQL,

@@ -1,0 +1,42 @@
+"""CSV / JSON Table connectors: round-trip + end-to-end sync (CSV
+source standing in for a sheet export, parquet target)."""
+
+from __future__ import annotations
+
+from syncquill_spark.engine import sync
+from syncquill_spark.sources import ParquetTable
+from syncquill_spark.sources.files import CsvTable, JsonTable
+
+
+def test_csv_roundtrip_all_string(spark, tmp_path):
+    t = CsvTable(str(tmp_path / "t.csv"))
+    df = spark.createDataFrame([(1, "a", 1.5)], "slno long, name string, amount double")
+    t.overwrite(df)
+    back = t.read(spark)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == ["string"] * 3
+    assert back.collect()[0].asDict() == {"slno": "1", "name": "a", "amount": "1.5"}
+
+
+def test_json_roundtrip(spark, tmp_path):
+    t = JsonTable(str(tmp_path / "t.json"))
+    df = spark.createDataFrame([(1, "a")], "slno long, name string")
+    t.overwrite(df)
+    assert {tuple(r) for r in t.read(spark).select("slno", "name").collect()} == {(1, "a")}
+
+
+def test_csv_source_syncs_into_parquet_target(spark, tmp_path):
+    src = CsvTable(str(tmp_path / "sheet.csv"))
+    src.overwrite(spark.createDataFrame(
+        [("1", "a", "9.9"), ("2", "b", "2.0"), ("4", "d", "4.0")],
+        "slno string, name string, amount string",
+    ))
+    tgt = ParquetTable(str(tmp_path / "tgt.pq"))
+    tgt.overwrite(spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.0), (3, "c", 3.0)],
+        "slno long, name string, amount double",
+    ))
+    result = sync(spark, src, tgt)
+    assert result.n_changes == 3  # amount diff on 1, insert 4, delete 3
+    post = {r["slno"]: (r["name"], r["amount"]) for r in tgt.read(spark).collect()}
+    assert set(post) == {1, 2, 4}
+    assert post[1] == ("a", 9.9)
