@@ -2,8 +2,8 @@
 
 ``syncquill-spark sync|upsert --source ... --target ...`` with the
 reference's arg-over-env resolution (load_env_or_args, 158-161).
-Connectors are URI-selected: ``parquet:/path``, ``bq:dataset.table``,
-``sheets:spreadsheet_id/range``.
+Connectors are URI-selected: ``parquet:/path``, ``csv:/path``,
+``json:/path``, ``bq:dataset.table``, ``sheets:spreadsheet_id/range``.
 """
 
 from __future__ import annotations
@@ -28,6 +28,14 @@ def table_from_uri(uri: str) -> Table:
     scheme, _, rest = uri.partition(":")
     if scheme == "parquet":
         return ParquetTable(rest)
+    if scheme == "csv":
+        from syncquill_spark.sources.files import CsvTable
+
+        return CsvTable(rest)
+    if scheme == "json":
+        from syncquill_spark.sources.files import JsonTable
+
+        return JsonTable(rest)
     if scheme == "bq":
         dataset, _, table = rest.partition(".")
         return BigQueryTable(dataset, table)
