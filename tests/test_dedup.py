@@ -67,3 +67,106 @@ def test_simhash_identical_docs_equal(docs):
         for r in simhash_near_pairs(docs, max_hamming=5).collect()
     }
     assert near[(1, 2)] == 0
+
+
+# --- property-based: the distributed forms equal naive local recomputation ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _doc_strategy():
+    return st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+
+
+def _naive_jaccard(a: str, b: str, k: int = 3) -> float | None:
+    def sh(t):
+        toks = t.strip().split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    union = len(sa | sb)
+    return None if union == 0 else len(sa & sb) / union
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_doc_strategy())
+def test_ngram_jaccard_matches_naive(spark, texts):
+    """Set-similarity-join Jaccard == python set math, every pair with
+    jac >= threshold and nothing else (no blocking: one bucket)."""
+    from syncquill_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.2, block_cols=(), length_band=None
+        ).collect()
+    }
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            jac = _naive_jaccard(texts[i], texts[j])
+            if jac is not None and jac >= 0.2:
+                want[(i, j)] = jac
+    assert set(got) == set(want)
+    for p in got:
+        assert abs(got[p] - want[p]) < 1e-12
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=_doc_strategy())
+def test_minhash_signature_matches_pure_python(spark, texts):
+    """Spark's explode+groupBy MinHash == a direct python recomputation
+    with the same permutations and md5-derived hashes."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.functions.hashing import (
+        HASH_PRIME,
+        minhash_permutations,
+        portable_hash60,
+        word_shingles,
+    )
+
+    perms = minhash_permutations(8)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ex = df.select(
+        "doc_id", F.explode_outer(F.array_distinct(word_shingles("text", 3))).alias("_s")
+    ).withColumn("_h", portable_hash60(F.col("_s")) % HASH_PRIME)
+    sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.min((F.lit(a) * F.col("_h") + F.lit(b)) % HASH_PRIME),
+                F.lit(HASH_PRIME).cast("long"),
+            ).alias(f"m{j}")
+            for j, (a, b) in enumerate(perms)
+        ]
+    )
+    got = {r["doc_id"]: [r[f"m{j}"] for j in range(8)] for r in sigs.collect()}
+
+    def py_sig(text):
+        toks = text.strip().split()
+        shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % HASH_PRIME
+            for s in shingles
+        ]
+        return [
+            min(((a * h + b) % HASH_PRIME for h in hs), default=HASH_PRIME)
+            for a, b in perms
+        ]
+
+    for i, t in enumerate(texts):
+        assert got[i] == py_sig(t), f"doc {i}: {t!r}"
