@@ -49,6 +49,7 @@ HEADLINE = [
     "agg_cube_sales",
     "agg_customer_balance_stats",
     "join_salted_revenue",
+    "agg_status_sets",
     "events_tumbling_window",
     "events_sliding_window",
     "agg_distinct_users_exact",

@@ -605,6 +605,27 @@ GROUP BY o_orderstatus
 """
 
 
+def q_agg_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the distinct order statuses seen per priority,
+    as a SORTED set (collect_set is unordered by construction —
+    array_sort makes the result deterministic, serialized to CSV so the
+    comparison is engine-portable)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_AGG_STATUS_SETS_SQL = """
+SELECT o_orderpriority,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_diff_keyed": q_sync_diff_keyed,
     "sync_diff_positional": q_sync_diff_positional,
@@ -623,6 +644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_cube_sales": q_agg_cube_sales,
     "agg_customer_balance_stats": q_agg_customer_balance_stats,
     "join_salted_revenue": q_join_salted_revenue,
+    "agg_status_sets": q_agg_status_sets,
 }
 
 ORACLES: dict[str, str] = {
@@ -643,4 +665,5 @@ ORACLES: dict[str, str] = {
     "agg_cube_sales": _AGG_CUBE_SALES_SQL,
     "agg_customer_balance_stats": _AGG_CUSTOMER_BALANCE_STATS_SQL,
     "join_salted_revenue": _JOIN_SALTED_REVENUE_SQL,
+    "agg_status_sets": _AGG_STATUS_SETS_SQL,
 }
