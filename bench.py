@@ -50,6 +50,8 @@ HEADLINE = [
     "agg_customer_balance_stats",
     "join_salted_revenue",
     "agg_status_sets",
+    "agg_pivot_status",
+    "text_sentences_udtf",
     "events_tumbling_window",
     "events_sliding_window",
     "agg_distinct_users_exact",

@@ -626,6 +626,35 @@ GROUP BY o_orderpriority
 """
 
 
+def q_agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority x status, statuses as columns.
+    Values are pinned (pivot('o_orderstatus', [...])) so the plan is one
+    pass — an unpinned pivot first runs a distinct scan to discover
+    columns, a silent extra job at scale."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+_AGG_PIVOT_STATUS_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_diff_keyed": q_sync_diff_keyed,
     "sync_diff_positional": q_sync_diff_positional,
@@ -645,6 +674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_customer_balance_stats": q_agg_customer_balance_stats,
     "join_salted_revenue": q_join_salted_revenue,
     "agg_status_sets": q_agg_status_sets,
+    "agg_pivot_status": q_agg_pivot_status,
 }
 
 ORACLES: dict[str, str] = {
@@ -666,4 +696,5 @@ ORACLES: dict[str, str] = {
     "agg_customer_balance_stats": _AGG_CUSTOMER_BALANCE_STATS_SQL,
     "join_salted_revenue": _JOIN_SALTED_REVENUE_SQL,
     "agg_status_sets": _AGG_STATUS_SETS_SQL,
+    "agg_pivot_status": _AGG_PIVOT_STATUS_SQL,
 }

@@ -243,6 +243,54 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Text: sentence explosion via Python UDTF (table function surface)
+# ---------------------------------------------------------------------------
+
+
+def q_text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one row per non-empty
+    sentence with its original split index, consumed via LATERAL join.
+    The 1->K expansion happens inside the table function (same shape as
+    multimodal frame sampling); string ops mirror the SQL oracle
+    exactly (split on '.', strip spaces only)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text):  # noqa: ANN001 — UDTF protocol
+            if text is None:
+                return
+            for i, part in enumerate(text.split(".")):
+                s = part.strip(" ")
+                if s:
+                    yield i, s
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents.createOrReplaceTempView("documents_v")
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM documents_v d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+_TEXT_SENTENCES_SQL = """
+WITH parts AS (
+  SELECT doc_id, string_split(text, '.') AS ps FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(ps) AS sentence,
+         generate_subscripts(ps, 1) AS idx
+  FROM parts
+)
+SELECT doc_id, CAST(idx - 1 AS INTEGER) AS sentence_idx, trim(sentence) AS sentence
+FROM e WHERE trim(sentence) <> ''
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text: TF/DF term statistics (inverted-index shape)
 # ---------------------------------------------------------------------------
 
@@ -799,6 +847,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": q_text_token_counts,
     "text_term_stats": q_text_term_stats,
     "text_readability": q_text_readability,
+    "text_sentences_udtf": q_text_sentences_udtf,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_media_stats": q_multimodal_media_stats,
     "join_asof_signup": q_join_asof_signup,
@@ -825,6 +874,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "text_token_counts": _token_counts_sql(),
     "text_term_stats": _term_stats_sql(),
     "text_readability": _readability_sql(),
+    "text_sentences_udtf": _TEXT_SENTENCES_SQL,
     "text_fingerprint": _fingerprint_sql(),
     "multimodal_media_stats": _MULTIMODAL_MEDIA_STATS_SQL,
     "join_asof_signup": _JOIN_ASOF_SIGNUP_SQL,
