@@ -39,11 +39,20 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     regexp_split_to_array(trim(text), '\\s+') in DuckDB.
     """
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.trim(c), r"\s+")
-    # k-way zip_with over shifted slices, NOT transform(sequence(i), ->
-    # slice(toks, i, k)): lambdas re-evaluate captured subtrees per
-    # element, so the transform form re-runs the regex split once PER
-    # SHINGLE POSITION (~n times/doc); this form runs it k+1 times.
+    return word_shingles_from_tokens(F.split(F.trim(c), r"\s+"), k)
+
+
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Shingles from a PRE-COMPUTED token array column.
+
+    Prefer this two-projection form in pipelines: project the regex
+    split to its own column first (df.select(split(...).alias("_t")))
+    and shingle from the attribute — the split then runs ONCE per row.
+    This expression references `toks` k+1 times, and interpreted
+    evaluation has no subexpression sharing, so inlining the split here
+    re-runs it k+1 times (and transform-over-positions re-ran it once
+    per shingle, ~n times, before the k-way zip_with form below).
+    """
     m = F.greatest(F.size(toks) - (k - 1), F.lit(0))  # shingle count
     out = F.slice(toks, 1, m)
     for j in range(1, k):

@@ -28,6 +28,7 @@ from syncquill_spark.functions.hashing import (
     minhash_permutations,
     portable_hash60,
     word_shingles,
+    word_shingles_from_tokens,
 )
 
 
@@ -77,12 +78,20 @@ def ngram_jaccard_pairs(
     the array_intersect cross-join form at sf0.1 (with the zip_with
     shingler in functions.hashing), identical output.
     """
+    # tokens in their own projection: the regex split runs once per row
+    # (word_shingles_from_tokens references it k+1 times; inlined, the
+    # interpreted evaluator would re-split per reference).
     sh = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         *( [ (F.col(length_col) / length_band).cast("long").alias("_band") ]
            if length_band else [] ),
-        F.array_distinct(word_shingles(text_col, k)).alias("_sh"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        *( ["_band"] if length_band else [] ),
+        F.array_distinct(word_shingles_from_tokens(F.col("_toks"), k)).alias("_sh"),
     ).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
@@ -155,7 +164,10 @@ def minhash_lsh_pairs(
     # exploded signature path AND the candidate verification.
     sh = df.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(text_col, k)).alias("_sh"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.array_distinct(word_shingles_from_tokens(F.col("_toks"), k)).alias("_sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     ex = sh.select(
         F.col(id_col), F.explode_outer("_sh").alias("_s")
