@@ -170,3 +170,36 @@ def test_minhash_signature_matches_pure_python(spark, texts):
 
     for i, t in enumerate(texts):
         assert got[i] == py_sig(t), f"doc {i}: {t!r}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=_doc_strategy())
+def test_simhash_matches_pure_python(spark, texts):
+    """Vote-sum groupBy SimHash == direct python recomputation."""
+    import hashlib
+
+    from syncquill_spark.operators.dedup import simhash_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(df, bits=16).collect()
+    }
+
+    def py_simhash(text, bits=16):
+        toks = text.strip().split() or [""]
+        # Spark's split('\s+') on ''/whitespace yields [''] — mirror it
+        if text.strip() == "":
+            toks = [""]
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        out = 0
+        for b in range(bits):
+            votes = sum(((h >> b) & 1) * 2 - 1 for h in hs)
+            if votes > 0:
+                out += 1 << b
+        return out
+
+    for i, t in enumerate(texts):
+        assert got[i] == py_simhash(t), f"doc {i}: {t!r}"
