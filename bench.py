@@ -44,6 +44,7 @@ HEADLINE = [
     "text_readability",
     "join_asof_signup",
     "join_range_shipments",
+    "join_binned_range",
     "agg_rollup_orders",
     "subquery_exists_orders",
     "agg_cube_sales",

@@ -637,6 +637,45 @@ GROUP BY o_orderpriority
 """
 
 
+def q_join_binned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key) via interval binning: supplier
+    balances (points) against nation-level customer balance envelopes
+    (intervals) — count, per nation name, the suppliers from ANY nation
+    whose balance falls inside that nation's [min, max] customer
+    balance. A naive plan is a nested-loop cartesian; the binned form
+    equi-joins on a width-1000 bin first."""
+    from syncquill_spark.operators.ranges import binned_range_join
+
+    customer, supplier, nation = load_tables(
+        spark, sf_dir, "customer", "supplier", "nation"
+    )
+    intervals = (
+        customer.groupBy("c_nationkey")
+        .agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "lo", "hi")
+    )
+    points = supplier.select("s_suppkey", F.col("s_acctbal").cast("double").alias("bal"))
+    return (
+        binned_range_join(points, intervals, "bal", "lo", "hi", bin_width=1000.0)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers_in_range"))
+    )
+
+
+_JOIN_BINNED_RANGE_SQL = """
+WITH intervals AS (
+  SELECT n_name, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, COUNT(*) AS n_suppliers_in_range
+FROM supplier JOIN intervals
+  ON CAST(s_acctbal AS DOUBLE) >= lo AND CAST(s_acctbal AS DOUBLE) <= hi
+GROUP BY n_name
+"""
+
+
 def q_agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation: order counts + exact decimal revenue at
     (status, priority), (status), and grand-total levels."""
@@ -852,6 +891,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_media_stats": q_multimodal_media_stats,
     "join_asof_signup": q_join_asof_signup,
     "join_range_shipments": q_join_range_shipments,
+    "join_binned_range": q_join_binned_range,
     "agg_rollup_orders": q_agg_rollup_orders,
     "events_tumbling_window": q_events_tumbling_window,
     "events_sliding_window": q_events_sliding_window,
@@ -879,6 +919,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "multimodal_media_stats": _MULTIMODAL_MEDIA_STATS_SQL,
     "join_asof_signup": _JOIN_ASOF_SIGNUP_SQL,
     "join_range_shipments": _JOIN_RANGE_SHIPMENTS_SQL,
+    "join_binned_range": _JOIN_BINNED_RANGE_SQL,
     "agg_rollup_orders": _AGG_ROLLUP_ORDERS_SQL,
     "events_tumbling_window": _EVENTS_TUMBLING_WINDOW_SQL,
     "events_sliding_window": _EVENTS_SLIDING_WINDOW_SQL,
