@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "similarity_topk_cosine",
+    "similarity_topk_ivf",
     "text_language_id",
     "text_quality",
     "text_fingerprint",

@@ -173,6 +173,103 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the
+    partition-and-probe scale path alongside `lsh_topk`.
+
+    1. **Centroids**: the `n_cells` corpus vectors with the smallest
+       `md5(id)` — a deterministic uniform sample (md5 order is
+       uncorrelated with id order), reproducible in any engine with no
+       RNG state and no iterative k-means. Unit-normalized so cell
+       scores are one dot product each.
+    2. **Assign**: every corpus vector goes to its max-cosine cell
+       (argmax over `n_cells` dots; on unit centroids argmax dot ==
+       argmax cosine, so the corpus-side norm fold is skipped).
+    3. **Probe**: each query scores the same centroid set and keeps its
+       `nprobe` best cells; candidates are corpus rows in probed cells
+       only — the cross product never materializes.
+    4. **Verify**: exact cosine re-rank within candidates, window
+       top-k per query. Same fold math as `brute_force_topk`, so scores
+       are bit-identical to the DuckDB oracle.
+
+    Scale shape: centroids are O(n_cells·dim) — broadcast; assignment
+    is one broadcast nested-loop pass (no corpus shuffle) + a skinny
+    (id, cell, score) argmax agg; the candidate join is an equi-join on
+    cell_id (AQE handles fat cells). At 1000-executor scale you would
+    additionally collect the centroid table into literal arrays to fold
+    assignment into a single zero-shuffle projection — kept in-plan
+    here so the whole query (centroid choice included) stays
+    declarative and oracle-checkable at any scale factor.
+
+    Output: (query_id, neighbor_id, rk) — ints only, hash-stable.
+    """
+    # Deterministic "sample without replacement": total order by
+    # (md5(id), id), take n_cells. orderBy+limit is TakeOrdered — a
+    # distributed partial top-k, not a global sort.
+    hashed = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    cents0 = hashed.orderBy("_h", id_col).limit(n_cells)
+    w_cells = Window.orderBy("_h", id_col)  # n_cells rows — single partition is fine
+    cents = (
+        cents0.withColumn("cell_id", F.row_number().over(w_cells))
+        .withColumn("_nrm", l2_norm(F.col("_cv")))
+        .select(
+            "cell_id",
+            F.transform(F.col("_cv"), lambda x: x.cast("double") / F.col("_nrm")).alias("_ucv"),
+        )
+    )
+
+    def best_cells(side: DataFrame, side_id: str, n: int) -> DataFrame:
+        """Per row of `side`: its `n` highest-dot cells (ties → lower
+        cell_id). Broadcast NL join against the tiny centroid table."""
+        scored = side.join(F.broadcast(cents)).select(
+            side_id,
+            "cell_id",
+            F.col(vec_col).alias(vec_col),
+            dot(F.col(vec_col), F.col("_ucv")).alias("_cs"),
+        )
+        w = Window.partitionBy(side_id).orderBy(
+            F.col("_cs").desc(), F.col("cell_id").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(side_id, "cell_id", vec_col)
+        )
+
+    assigned = best_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id", 1
+    ).withColumnRenamed(vec_col, "_cvec")
+    probed = best_cells(
+        queries.select(query_id_col, vec_col), query_id_col, nprobe
+    ).withColumnRenamed(vec_col, "_qvec")
+
+    scored = assigned.join(F.broadcast(probed), "cell_id").select(
+        query_id_col,
+        "neighbor_id",
+        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", "rk")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -25,6 +25,7 @@ from syncquill_spark.operators.similarity import (
     _hyperplane,
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from syncquill_spark.operators.text import (
@@ -215,6 +216,92 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(embeddings, queries, k=_TOPK, n_planes=8, dim=64)
+
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN: deterministic md5-sampled centroids,
+    max-cosine cell assignment, nprobe probing, exact re-rank. Unlike
+    LSH this is fully oracle-checkable — centroid choice is a total
+    order (md5, id), so both engines build the identical index."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        embeddings, queries, k=_TOPK, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
+    )
+
+
+def _ivf_sql() -> str:
+    """Oracle twin of q_similarity_topk_ivf: same (md5, id)-ordered
+    centroid sample, same unit-normalize, same left-fold double dots,
+    same tie-breaks — bit-identical index and ranking."""
+    d = 64
+    sq_norm = (
+        f"list_reduce(list_transform(embedding, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+    )
+
+    def dot_ucv(vec: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {d + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * CAST(ct.ucv[i] AS DOUBLE)), "
+            f"(a, b) -> a + b)"
+        )
+
+    cos = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), "
+        f"(a, b) -> a + b) "
+        f"/ (sqrt(list_reduce(list_transform(q.embedding, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) "
+        f"* sqrt(list_reduce(list_transform(c.embedding, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))"
+    )
+    return f"""
+WITH cents0 AS (
+  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings ORDER BY h, vec_id LIMIT {_IVF_CELLS}
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cell_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ucv
+  FROM (SELECT vec_id, embedding, h, sqrt({sq_norm}) AS nrm FROM cents0) t
+),
+assign AS (
+  SELECT neighbor_id, cell_id FROM (
+    SELECT c.vec_id AS neighbor_id, ct.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                              ORDER BY {dot_ucv("c.embedding")} DESC,
+                                       ct.cell_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents ct) t WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.vec_id AS query_id, ct.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dot_ucv("q.embedding")} DESC,
+                                       ct.cell_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents ct
+    WHERE q.vec_id % {_QUERY_MOD} = 0) t WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id, {cos} AS score
+  FROM assign a JOIN probes p USING (cell_id)
+  JOIN embeddings c ON c.vec_id = a.neighbor_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+)
+SELECT query_id, neighbor_id, rk FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM scored) t
+WHERE rk <= {_TOPK}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -881,6 +968,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "similarity_topk_cosine": q_similarity_topk_cosine,
     "similarity_topk_lsh": q_similarity_topk_lsh,
+    "similarity_topk_ivf": q_similarity_topk_ivf,
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
     "text_token_counts": q_text_token_counts,
@@ -909,6 +997,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "similarity_topk_cosine": _SIMILARITY_TOPK_SQL,
     "similarity_topk_lsh": None,  # approximate by construction
+    "similarity_topk_ivf": _ivf_sql(),
     "text_language_id": _language_id_sql(),
     "text_quality": _quality_sql(),
     "text_token_counts": _token_counts_sql(),

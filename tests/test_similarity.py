@@ -90,3 +90,42 @@ def test_embedding_near_dup_pairs(spark):
         a, b = vecs[ia], vecs[ib]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos >= 0.95 - 1e-12
+
+
+def test_ivf_topk_rank1_and_recall(spark, embeddings):
+    """IVF rank-1 for an in-corpus query is itself (its own cell is
+    always the top probe); recall@10 vs brute force stays high on the
+    near-orthogonal fixture with nprobe=4/16 cells."""
+    from syncquill_spark.operators.similarity import ivf_topk
+
+    queries = embeddings.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_topk(embeddings, queries, k=10, n_cells=16, nprobe=4)
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in ivf.filter("rk = 1").collect()}
+    assert rank1 and all(q == n for q, n in rank1.items())
+
+    exact = brute_force_topk(embeddings, queries, k=10)
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set] = {}
+    for r in ivf.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    # random 4-of-16 cells would land ~25%; the index must beat that
+    assert hits / total >= 0.4, f"recall {hits}/{total}"
+
+
+def test_ivf_full_probe_equals_brute_force(spark, embeddings):
+    """With nprobe == n_cells every candidate survives blocking, so IVF
+    must reduce to the exact answer — the clean correctness limit."""
+    from syncquill_spark.operators.similarity import ivf_topk
+
+    queries = embeddings.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_topk(embeddings, queries, k=5, n_cells=8, nprobe=8)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    assert {tuple(r) for r in ivf.collect()} == {tuple(r) for r in exact.collect()}
