@@ -53,6 +53,9 @@ HEADLINE = [
     "join_salted_revenue",
     "agg_status_sets",
     "agg_pivot_status",
+    "agg_grouping_sets",
+    "agg_quantiles_status",
+    "setop_repeat_customers",
     "text_sentences_udtf",
     "events_tumbling_window",
     "events_sliding_window",

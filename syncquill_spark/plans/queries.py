@@ -655,6 +655,106 @@ GROUP BY o_orderpriority
 """
 
 
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — (status, priority), (priority), () —
+    the general form that ROLLUP/CUBE are shorthands for. One pass:
+    Spark expands rows per set before the shuffle (same Expand node as
+    rollup/cube), so cost is sets x input, not one job per set."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+_AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
+def q_agg_quantiles_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-rank quartiles + p95 of order value per status.
+
+    Deliberately rank-based (row_number to position ceil(pct*n/100),
+    integer math) rather than percentile()/quantile_cont(): picked
+    values are actual data elements, so the result is bit-identical in
+    any engine — interpolating quantile implementations differ in
+    last-ulp float ops and would break cross-engine hash checks.
+    Scale shape: one shuffle on the group key; the rank window sorts
+    within each status partition only (no global order)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = (
+        orders.select("o_orderstatus", "o_totalprice", "o_orderkey")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+
+    def at(pct: int):
+        return F.max(
+            F.when(
+                F.col("rk") == F.expr(f"(n * {pct} + 99) div 100"),
+                F.col("o_totalprice"),
+            )
+        )
+
+    return ranked.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        at(25).alias("p25"),
+        at(50).alias("p50"),
+        at(75).alias("p75"),
+        at(95).alias("p95"),
+    )
+
+
+_AGG_QUANTILES_STATUS_SQL = """
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       MAX(CASE WHEN rk = (n * 25 + 99) // 100 THEN o_totalprice END) AS p25,
+       MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN o_totalprice END) AS p50,
+       MAX(CASE WHEN rk = (n * 75 + 99) // 100 THEN o_totalprice END) AS p75,
+       MAX(CASE WHEN rk = (n * 95 + 99) // 100 THEN o_totalprice END) AS p95
+FROM ranked GROUP BY o_orderstatus
+"""
+
+
+def q_setop_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who ordered in both 1995 and 1996 (set
+    semantics — Spark plans this as a distinct + semi-join-shaped
+    aggregate, one shuffle per side on the key)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == y).select(
+            F.col("o_custkey").alias("custkey")
+        )
+
+    return year_keys(1995).intersect(year_keys(1996))
+
+
+_SETOP_REPEAT_CUSTOMERS_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_diff_keyed": q_sync_diff_keyed,
     "sync_diff_positional": q_sync_diff_positional,
@@ -675,6 +775,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_salted_revenue": q_join_salted_revenue,
     "agg_status_sets": q_agg_status_sets,
     "agg_pivot_status": q_agg_pivot_status,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_quantiles_status": q_agg_quantiles_status,
+    "setop_repeat_customers": q_setop_repeat_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -697,4 +800,7 @@ ORACLES: dict[str, str] = {
     "join_salted_revenue": _JOIN_SALTED_REVENUE_SQL,
     "agg_status_sets": _AGG_STATUS_SETS_SQL,
     "agg_pivot_status": _AGG_PIVOT_STATUS_SQL,
+    "agg_grouping_sets": _AGG_GROUPING_SETS_SQL,
+    "agg_quantiles_status": _AGG_QUANTILES_STATUS_SQL,
+    "setop_repeat_customers": _SETOP_REPEAT_CUSTOMERS_SQL,
 }
