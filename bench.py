@@ -56,6 +56,8 @@ HEADLINE = [
     "agg_grouping_sets",
     "agg_quantiles_status",
     "setop_repeat_customers",
+    "join_shipping_priority",
+    "join_returned_items",
     "text_sentences_udtf",
     "events_tumbling_window",
     "events_sliding_window",

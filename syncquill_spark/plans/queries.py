@@ -755,6 +755,107 @@ SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
 """
 
 
+def q_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue by order. Customer is
+    the selective dim (1 segment of 5) — filtered before the join so
+    the fact shuffle carries only matching keys; top-10 by revenue is
+    a TakeOrdered, not a global sort. Revenue in exact decimal."""
+    customer, orders, lineitem = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    cutoff = F.lit("1996-07-01").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("decimal(38,4)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_JOIN_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_shipdate > TIMESTAMP '1996-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_join_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items per customer
+    + nation, top-20. Nation broadcasts; the returnflag filter prunes
+    the fact scan (pushed to parquet); deterministic tiebreak on
+    custkey keeps the LIMIT stable across engines."""
+    customer, orders, lineitem, nation = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("decimal(38,4)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_returned"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_JOIN_RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_returned
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_diff_keyed": q_sync_diff_keyed,
     "sync_diff_positional": q_sync_diff_positional,
@@ -778,6 +879,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_quantiles_status": q_agg_quantiles_status,
     "setop_repeat_customers": q_setop_repeat_customers,
+    "join_shipping_priority": q_join_shipping_priority,
+    "join_returned_items": q_join_returned_items,
 }
 
 ORACLES: dict[str, str] = {
@@ -803,4 +906,6 @@ ORACLES: dict[str, str] = {
     "agg_grouping_sets": _AGG_GROUPING_SETS_SQL,
     "agg_quantiles_status": _AGG_QUANTILES_STATUS_SQL,
     "setop_repeat_customers": _SETOP_REPEAT_CUSTOMERS_SQL,
+    "join_shipping_priority": _JOIN_SHIPPING_PRIORITY_SQL,
+    "join_returned_items": _JOIN_RETURNED_ITEMS_SQL,
 }
