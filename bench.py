@@ -65,6 +65,7 @@ HEADLINE = [
     "agg_distinct_users_approx",
     "events_sessionization",
     "window_running_total",
+    "join_events_customers",
 ]
 
 

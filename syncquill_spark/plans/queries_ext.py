@@ -817,6 +817,35 @@ _SLIDE_US = 300 * 10**6  # 5-minute slide
 _WIDTH_US = 600 * 10**6  # 10-minute windows -> each event in 2 windows
 
 
+def q_join_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.enrich_with_dim: events enriched with
+    the customer dim (broadcast — the fact side never shuffles for the
+    join), then aggregated per market segment. Left join so events
+    with no matching customer keep flowing (null segment bucket)."""
+    events, customer = load_tables(spark, sf_dir, "events", "customer")
+    return (
+        events.join(
+            F.broadcast(customer),
+            events["user_id"] == customer["c_custkey"],
+            "left",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_JOIN_EVENTS_CUSTOMERS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window aggregation (width 10 min, slide 5 min) via
     F.window over a real timestamp — Spark expands each event into its
@@ -987,6 +1016,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_users_approx": q_agg_distinct_users_approx,
     "events_sessionization": q_events_sessionization,
     "window_running_total": q_window_running_total,
+    "join_events_customers": q_join_events_customers,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -1016,4 +1046,5 @@ EXT_ORACLES: dict[str, str | None] = {
     "agg_distinct_users_approx": None,  # HLL estimators differ per engine
     "events_sessionization": _EVENTS_SESSIONIZATION_SQL,
     "window_running_total": _WINDOW_RUNNING_TOTAL_SQL,
+    "join_events_customers": _JOIN_EVENTS_CUSTOMERS_SQL,
 }

@@ -15,6 +15,7 @@ pipeline here).
 """
 
 from syncquill_spark.streaming.windows import (
+    enrich_with_dim,
     read_events_stream,
     sliding_window_counts,
     stream_dedup,
@@ -27,6 +28,7 @@ from syncquill_spark.streaming.sessionize import (
 )
 
 __all__ = [
+    "enrich_with_dim",
     "read_events_stream",
     "tumbling_window_counts",
     "sliding_window_counts",

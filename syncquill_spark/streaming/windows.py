@@ -110,6 +110,22 @@ def stream_dedup(
     )
 
 
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment join: each microbatch of the stream
+    joins against the (re-read per batch, so updatable) static dim.
+    The dim side is broadcast — no shuffle of the stream, no state
+    store; this is the scale shape for attaching reference data to a
+    100 TB/day event stream (dims are small; facts never repartition)."""
+    return events.join(
+        F.broadcast(dim), events[stream_key] == dim[dim_key], "left"
+    ).drop(dim_key)
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> list:

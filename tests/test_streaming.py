@@ -133,3 +133,25 @@ def test_sliding_window_matches_batch_twin(spark, sf_dir):
         for r in q_events_sliding_window(spark, sf_dir).collect()
     }
     assert got_map == batch_map
+
+
+def test_stream_static_enrich_matches_batch_twin(spark, sf_dir):
+    """Streaming events joined to the static customer dim, aggregated
+    per segment over the full backlog == the batch twin query."""
+    from syncquill_spark.streaming import enrich_with_dim
+    from syncquill_spark.plans.queries_ext import q_join_events_customers
+
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    stream = read_events_stream(spark, sf_dir)
+    enriched = enrich_with_dim(stream, dim)
+    assert enriched.isStreaming
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    got = run_available_now(agg, "t_enrich", output_mode="complete")
+    batch = q_join_events_customers(spark, sf_dir).collect()
+    as_map = lambda rows: {
+        r["c_mktsegment"]: (r["n_events"], round(r["sum_value"], 2)) for r in rows
+    }
+    assert as_map(got) == as_map(batch)
