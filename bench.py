@@ -66,6 +66,7 @@ HEADLINE = [
     "events_sessionization",
     "window_running_total",
     "join_events_customers",
+    "pipeline_corpus_curation",
 ]
 
 

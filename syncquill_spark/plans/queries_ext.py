@@ -29,9 +29,11 @@ from syncquill_spark.operators.similarity import (
     lsh_topk,
 )
 from syncquill_spark.operators.text import (
+    LANG_PROFILES,
     fingerprints,
     language_id,
     quality_features,
+    quality_filter,
     readability_scores,
     token_counts,
 )
@@ -817,6 +819,83 @@ _SLIDE_US = 300 * 10**6  # 5-minute slide
 _WIDTH_US = 600 * 10**6  # 10-minute windows -> each event in 2 windows
 
 
+def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed training-data pass:
+
+    exact dedup (keep min doc_id per distinct text, grouped on sha2 so
+    the shuffle carries 64-byte keys, not documents) → quality filter
+    (token count / chars-per-token / uniqueness envelope) → language ID
+    → per-language token + char accounting. One declarative plan: the
+    stages fuse into ~3 shuffles total (dedup window, doc_id joins,
+    final agg); nothing materializes between stages.
+    """
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    keep = (
+        documents.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text")
+    )
+    curated = keep.join(quality_filter(keep), "doc_id")
+    stats = (
+        language_id(curated)
+        .join(token_counts(curated), "doc_id")
+        .join(
+            curated.select("doc_id", F.length("text").cast("long").alias("n_chars")),
+            "doc_id",
+        )
+    )
+    return stats.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_bpeish").alias("total_tokens_bpeish"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _pipeline_curation_sql() -> str:
+    """Composed oracle: the dedup/filter/language/token CTEs chained,
+    each the exact SQL twin of the operator the Spark plan reuses."""
+    toks = _TOKS_LOWER.format(src="text")
+    langs = sorted(LANG_PROFILES)
+    scores = {
+        lang: f"len(list_filter(toks, t -> list_contains({list(LANG_PROFILES[lang])!r}, t)))"
+        for lang in langs
+    }
+    best = f"greatest({', '.join(scores[lang] for lang in langs)})"
+    pick = "CASE " + " ".join(
+        f"WHEN {scores[lang]} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH keep AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents) t WHERE rn = 1
+),
+feat AS (
+  SELECT doc_id, text, {toks} AS toks FROM keep
+),
+filt AS (
+  SELECT doc_id, text, toks FROM feat
+  WHERE len(toks) >= 10
+    AND CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) <= 12.0
+    AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.3
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN best > 0 THEN {pick} ELSE 'und' END AS pred_lang
+  FROM (SELECT doc_id, toks, {best} AS best FROM filt) s
+)
+SELECT l.pred_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(list_sum(list_transform(f.toks,
+           t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS BIGINT) AS total_tokens_bpeish,
+       CAST(SUM(length(f.text)) AS BIGINT) AS total_chars
+FROM filt f JOIN lang l USING (doc_id)
+GROUP BY l.pred_lang
+"""
+
+
 def q_join_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.enrich_with_dim: events enriched with
     the customer dim (broadcast — the fact side never shuffles for the
@@ -1017,6 +1096,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionization": q_events_sessionization,
     "window_running_total": q_window_running_total,
     "join_events_customers": q_join_events_customers,
+    "pipeline_corpus_curation": q_pipeline_corpus_curation,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -1047,4 +1127,5 @@ EXT_ORACLES: dict[str, str | None] = {
     "events_sessionization": _EVENTS_SESSIONIZATION_SQL,
     "window_running_total": _WINDOW_RUNNING_TOTAL_SQL,
     "join_events_customers": _JOIN_EVENTS_CUSTOMERS_SQL,
+    "pipeline_corpus_curation": _pipeline_curation_sql(),
 }
