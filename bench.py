@@ -67,6 +67,12 @@ HEADLINE = [
     "window_running_total",
     "join_events_customers",
     "pipeline_corpus_curation",
+    "agg_promo_revenue",
+    "join_priority_lines",
+    "curation_hash_split",
+    "curation_redact_pii",
+    "curation_pack_sequences",
+    "embedding_quantize",
 ]
 
 

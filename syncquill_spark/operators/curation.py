@@ -1,0 +1,127 @@
+"""Corpus-curation operators for training-data pipelines (EXT tier —
+no reference counterpart; mandated by BASELINE.json north_star).
+
+Three operators a large-scale pretraining pipeline runs on every
+corpus, each a pure projection or a single bounded shuffle so the plan
+scales linearly with input bytes:
+
+- ``hash_split``: deterministic train/val/test assignment from a salted
+  60-bit md5 hash of the document key. No shuffle at all — a projection
+  the parquet writer can partition by. Splits are stable across runs,
+  machines, and engines (the DuckDB oracle reproduces them bit-for-bit),
+  which is the property that matters at 100 TB: re-running the pipeline
+  must not migrate documents between train and test.
+
+- ``redact_pii``: regex redaction of emails / phone numbers / IPv4
+  addresses via built-in ``regexp_replace`` (JVM codegen, no UDF).
+  Patterns are restricted to the Java-regex ∩ RE2 common subset so the
+  DuckDB twin is exact. Per-doc match counts come from
+  ``regexp_extract_all`` for audit metrics.
+
+- ``pack_sequences``: assign documents to fixed token-budget "packs"
+  (context-window filling). Documents are ordered deterministically
+  (by id) within each partition column value (e.g. lang); pack id is
+  floor(running-token-cumsum-before / budget) — contiguous chunk
+  packing. One window shuffle partitioned by the stratify column; the
+  per-key window is the scale knob (shard wide keys upstream, e.g. by
+  adding a hash-bucket column to the stratify key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from syncquill_spark.functions.hashing import portable_hash60
+from syncquill_spark.operators.text import token_counts
+
+# Java-regex ∩ RE2 subset (no backrefs, no lookaround) — both engines
+# agree on every match. Order matters: emails first (contain digits),
+# then IPs (contain dots), then phones.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d-]{6,}\d"
+
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 96),  # buckets [0, 96)
+    ("val", 98),  # buckets [96, 98)
+    ("test", 100),  # buckets [98, 100)
+)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    salt: str = "split-v1",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Append deterministic ``bucket`` (int) and ``split`` (string)
+    columns. bucket = h60(salt || ':' || id) mod n_buckets; split = the
+    first (name, upper) entry with bucket < upper. Pure projection."""
+    bucket = (
+        portable_hash60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+        % n_buckets
+    )
+    expr = None
+    for name, upper in splits:
+        cond = bucket < upper
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("bucket", bucket.cast("long")).withColumn("split", expr)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace emails/IPv4s/phones with typed placeholder tokens and
+    append audit counts. Single projection, all JVM regexes."""
+    c = F.col(text_col)
+    red = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), F.lit(0))).cast("long"))
+        .withColumn("n_ips", F.size(F.regexp_extract_all(text_col, F.lit(IPV4_RE), F.lit(0))).cast("long"))
+        .withColumn("n_phones", F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), F.lit(0))).cast("long"))
+        .withColumn(out_col, red)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    stratify_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document a ``pack_id`` so consecutive documents
+    (ordered by id within each stratify value) fill ~``budget``-token
+    context windows: pack_id = floor(cumsum_before / budget).
+
+    Contiguous chunk packing — the streaming-writer order a sequence
+    packer consumes; deterministic, engine-portable, and expressible as
+    one window cumsum (vs greedy first-fit, which needs sequential
+    state). A pack overflows its budget by at most one document, the
+    standard "document boundary" tolerance.
+
+    Scale: the only shuffle is the window partition on ``stratify_col``.
+    For skewed strata, pre-shard: stratify on (lang, h60(id) % k) — the
+    packs stay valid because pack ids are namespaced by the partition
+    key tuple.
+    """
+    toks = token_counts(df, text_col=text_col, id_col=id_col).select(
+        id_col, "n_tokens_bpeish"
+    )
+    with_toks = df.select(id_col, stratify_col).join(toks, id_col)
+    w = (
+        Window.partitionBy(stratify_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens_bpeish").over(w), F.lit(0).cast("long"))
+    return with_toks.select(
+        F.col(id_col),
+        F.col(stratify_col),
+        F.col("n_tokens_bpeish").alias("n_tokens"),
+        F.floor(cum_before / budget).cast("long").alias("pack_id"),
+    )

@@ -856,6 +856,88 @@ LIMIT 20
 """
 
 
+def q_agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo-revenue share by ship month: lineitem
+    joined to part, conditional decimal revenue split promo vs total.
+
+    Scale: part is the small side => broadcast (no fact shuffle for the
+    join); one partial-agg shuffle on the month key. The promo/total
+    ratio is left to the consumer — emitting exact decimal numerator and
+    denominator keeps the checked output engine-stable (decimal division
+    scale rules differ across engines).
+    """
+    part, lineitem = load_tables(spark, sf_dir, "part", "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,4)")))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_AGG_PROMO_REVENUE_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(38,4))
+                ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,4))) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ship_month
+"""
+
+
+def q_join_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional counting over a fact-fact join:
+    per line status, how many shipped lines belong to urgent/high-
+    priority orders vs the rest, within one ship year.
+
+    Scale: the shipdate filter is pushed to the parquet scan (row-group
+    pruning on the sort-ish date column); the join shuffles both sides
+    on orderkey once; counts partial-aggregate map-side.
+    """
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+_JOIN_PRIORITY_LINES_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+           AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_diff_keyed": q_sync_diff_keyed,
     "sync_diff_positional": q_sync_diff_positional,
@@ -881,6 +963,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setop_repeat_customers": q_setop_repeat_customers,
     "join_shipping_priority": q_join_shipping_priority,
     "join_returned_items": q_join_returned_items,
+    "agg_promo_revenue": q_agg_promo_revenue,
+    "join_priority_lines": q_join_priority_lines,
 }
 
 ORACLES: dict[str, str] = {
@@ -908,4 +992,6 @@ ORACLES: dict[str, str] = {
     "setop_repeat_customers": _SETOP_REPEAT_CUSTOMERS_SQL,
     "join_shipping_priority": _JOIN_SHIPPING_PRIORITY_SQL,
     "join_returned_items": _JOIN_RETURNED_ITEMS_SQL,
+    "agg_promo_revenue": _AGG_PROMO_REVENUE_SQL,
+    "join_priority_lines": _JOIN_PRIORITY_LINES_SQL,
 }

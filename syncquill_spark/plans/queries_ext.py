@@ -1068,6 +1068,157 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id
 # Registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Curation: hash split / PII redaction / sequence packing / int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def q_curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — pure projection, and
+    bit-identical across engines/runs (the property that keeps held-out
+    data held out when a 100 TB pipeline is re-run)."""
+    from syncquill_spark.operators.curation import hash_split
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return hash_split(documents).select("doc_id", "bucket", "split")
+
+
+_CURATION_HASH_SPLIT_SQL = f"""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 96 THEN 'train'
+            WHEN bucket < 98 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             {_H60.format(x="'split-v1:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents) t
+"""
+
+
+def _pii_synth_spark(doc_id: str = "doc_id", text: str = "text"):
+    did = F.col(doc_id)
+    return F.concat_ws(
+        " ",
+        F.col(text),
+        F.lit("contact"),
+        F.concat(F.lit("user"), did.cast("string"), F.lit("@example.com")),
+        F.lit("tel"),
+        F.concat(F.lit("+1-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        F.lit("ip"),
+        F.concat(
+            F.lit("10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            ((did * 7) % 256).cast("string"),
+        ),
+    )
+
+
+_PII_SYNTH_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+
+def q_curation_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus seeded with synthetic emails/phones/
+    IPs (the fixture text has none — the synth column makes the regexes
+    do real work and the oracle proves Java-regex/RE2 agreement)."""
+    from syncquill_spark.operators.curation import redact_pii
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    seeded = documents.select("doc_id", _pii_synth_spark().alias("pii"))
+    return redact_pii(seeded, text_col="pii", out_col="pii_redacted").select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "pii_redacted"
+    )
+
+
+def _curation_redact_sql() -> str:
+    from syncquill_spark.operators.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH seeded AS (SELECT doc_id, {_PII_SYNTH_SQL} AS pii FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(pii, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(pii, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(pii,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g') AS pii_redacted
+FROM seeded
+"""
+
+
+def q_curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: contiguous 512-token context-
+    window assignment per language via one window cumsum."""
+    from syncquill_spark.operators.curation import pack_sequences
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return pack_sequences(documents, budget=512, stratify_col="lang")
+
+
+def _curation_pack_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(list_sum(list_transform({toks},
+             x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           / 512) AS BIGINT) AS pack_id
+FROM t
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with
+    integer-only audit stats (L1 mass, extremes, zero count) — the
+    4x-compression first rung under the ANN indexes. Projection only."""
+    from syncquill_spark.functions.vectors import quantize_int8
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    q = quantize_int8(F.col("embedding"))
+    return embeddings.select(
+        "vec_id",
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+        F.array_max(q).cast("long").alias("q_max"),
+        F.array_min(q).cast("long").alias("q_min"),
+        F.size(F.filter(q, lambda x: x == 0)).cast("long").alias("n_zero"),
+    )
+
+
+_EMBEDDING_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+),
+qt AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) END) AS q
+  FROM s
+)
+SELECT vec_id,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_max(q) AS BIGINT) AS q_max,
+       CAST(list_min(q) AS BIGINT) AS q_min,
+       CAST(len(list_filter(q, x -> x = 0)) AS BIGINT) AS n_zero
+FROM qt
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1097,6 +1248,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running_total": q_window_running_total,
     "join_events_customers": q_join_events_customers,
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
+    "curation_hash_split": q_curation_hash_split,
+    "curation_redact_pii": q_curation_redact_pii,
+    "curation_pack_sequences": q_curation_pack_sequences,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -1128,4 +1283,8 @@ EXT_ORACLES: dict[str, str | None] = {
     "window_running_total": _WINDOW_RUNNING_TOTAL_SQL,
     "join_events_customers": _JOIN_EVENTS_CUSTOMERS_SQL,
     "pipeline_corpus_curation": _pipeline_curation_sql(),
+    "curation_hash_split": _CURATION_HASH_SPLIT_SQL,
+    "curation_redact_pii": _curation_redact_sql(),
+    "curation_pack_sequences": _curation_pack_sql(),
+    "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
 }

@@ -1,0 +1,142 @@
+"""Unit tests for the corpus-curation operators (EXT tier)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syncquill_spark.functions.vectors import quantize_int8
+from syncquill_spark.operators.curation import hash_split, pack_sequences, redact_pii
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------------------
+# hash_split
+# ---------------------------------------------------------------------------
+
+
+def test_hash_split_deterministic_and_total(spark):
+    df = _docs(spark, [(i, f"doc {i}", "en") for i in range(200)])
+    a = {r.doc_id: (r.bucket, r.split) for r in hash_split(df).collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in hash_split(df).collect()}
+    assert a == b
+    assert all(0 <= v[0] < 100 for v in a.values())
+    assert all(v[1] in {"train", "val", "test"} for v in a.values())
+    # labels follow buckets exactly
+    for bucket, split in a.values():
+        want = "train" if bucket < 96 else ("val" if bucket < 98 else "test")
+        assert split == want
+
+
+def test_hash_split_stable_under_subset(spark):
+    # membership of a doc must not depend on what else is in the batch
+    full = {r.doc_id: r.split for r in hash_split(_docs(spark, [(i, "x", "en") for i in range(50)])).collect()}
+    sub = {r.doc_id: r.split for r in hash_split(_docs(spark, [(i, "x", "en") for i in range(0, 50, 7)])).collect()}
+    for k, v in sub.items():
+        assert full[k] == v
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    df = _docs(spark, [(i, "x", "en") for i in range(300)])
+    a = {r.doc_id: r.bucket for r in hash_split(df, salt="s1").collect()}
+    b = {r.doc_id: r.bucket for r in hash_split(df, salt="s2").collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+# ---------------------------------------------------------------------------
+# redact_pii
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_patterns(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@my-site.org now", "en"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up", "en"),
+            (3, "call +44-20-7946-0958 today", "en"),
+            (4, "nothing sensitive here", "en"),
+        ],
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].text_redacted == "mail me at <EMAIL> now"
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 0)
+    assert out[2].text_redacted == "server <IP> and <IP> up"
+    assert out[2].n_ips == 2
+    assert out[3].text_redacted == "call <PHONE> today"
+    assert out[3].n_phones == 1
+    assert out[4].text_redacted == "nothing sensitive here"
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_contiguous_budget(spark):
+    # ~5 bpe-ish tokens per doc ("aaaa " * 5 -> 5 four-char words)
+    df = _docs(spark, [(i, ("aaaa " * 5).strip(), "en") for i in range(100)])
+    rows = sorted(pack_sequences(df, budget=50, stratify_col="lang").collect(),
+                  key=lambda r: r.doc_id)
+    assert all(r.n_tokens == 5 for r in rows)
+    # 50-token budget / 5-token docs -> 10 docs per pack, in doc_id order
+    for r in rows:
+        assert r.pack_id == r.doc_id // 10
+    # pack ids are contiguous from 0 and non-decreasing in doc order
+    assert rows[0].pack_id == 0
+    assert all(b.pack_id >= a.pack_id for a, b in zip(rows, rows[1:]))
+
+
+def test_pack_sequences_stratified(spark):
+    df = _docs(spark, [(i, "aaaa bbbb", "en" if i % 2 else "de") for i in range(40)])
+    rows = pack_sequences(df, budget=8, stratify_col="lang").collect()
+    # each stratum packs independently: both langs start at pack 0
+    for lang in ("en", "de"):
+        packs = [r.pack_id for r in rows if r.lang == lang]
+        assert min(packs) == 0
+    # 2 tokens/doc, budget 8 -> 4 docs per pack within each stratum
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault((r.lang, r.pack_id), 0)
+        by_pack[(r.lang, r.pack_id)] += r.n_tokens
+    assert all(v <= 8 for v in by_pack.values())
+
+
+def test_pack_overflow_tolerance(spark):
+    # a doc bigger than the budget still gets its own pack (boundary doc
+    # may overflow; packing never splits a document)
+    df = _docs(spark, [(1, "aaaa " * 100, "en"), (2, "bbbb", "en")])
+    rows = {r.doc_id: r for r in pack_sequences(df, budget=10, stratify_col="lang").collect()}
+    assert rows[1].pack_id == 0
+    assert rows[2].pack_id == 10  # cumsum_before=100 -> floor(100/10)
+
+
+# ---------------------------------------------------------------------------
+# quantize_int8
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_range_and_dequant(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0]), (3, [3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id",
+            "embedding",
+            quantize_int8(F.col("embedding")).alias("q"),
+        ).collect()
+    }
+    assert out[2].q == [0, 0, 0, 0]  # zero vector -> zeros, no div-by-0
+    assert out[3].q == [127]  # max element always hits full scale
+    for r in out.values():
+        assert all(-127 <= v <= 127 for v in r.q)
+        scale = max(abs(x) for x in r.embedding) / 127.0
+        for x, qv in zip(r.embedding, r.q):
+            if scale:
+                assert abs(qv * scale - x) <= scale / 2 + 1e-12
