@@ -87,6 +87,61 @@ def redact_pii(
     )
 
 
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by hash threshold:
+    h60(salt || ':' || id) mod 1e6 < fraction * 1e6. Unlike
+    ``df.sample`` this is stable across runs/partitionings/engines, and
+    consistent under subsetting — the sample of a shard equals the
+    shard of the sample, which is what lets a 100 TB job sample
+    per-partition with no coordination. Pure projection + filter."""
+    thresh = int(fraction * 1_000_000)
+    h = portable_hash60(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    return df.filter((h % 1_000_000) < thresh)
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style boilerplate detection: word k-grams occurring in at
+    least ``min_docs`` DISTINCT documents (headers, footers, license
+    blurbs). Per-doc distinct shingles (array_distinct before explode
+    keeps the shuffle at one row per (doc, gram)) -> count per gram ->
+    threshold. Downstream passes remove or down-weight matching spans.
+
+    Scale: the explode output is the corpus in k-gram form (~k x text
+    bytes) but partial aggregation collapses it map-side; the final
+    shuffle carries only distinct grams. For 100 TB, pre-hash grams to
+    64-bit ints (portable_hash60) so the shuffle carries fixed-width
+    keys; kept as strings here so the report is human-readable.
+    """
+    from syncquill_spark.functions.hashing import word_shingles_from_tokens
+    from syncquill_spark.operators.text import _tokens
+
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    grams = toks.select(
+        id_col,
+        F.explode(F.array_distinct(word_shingles_from_tokens(F.col("_toks"), k))).alias(
+            "ngram"
+        ),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -108,6 +108,57 @@ def quality_filter(
     ).select(id_col)
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_top_frac: float = 0.2
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document: the
+    count of the most frequent token and most frequent bigram, plus a
+    repetitive flag (top token > ``max_top_frac`` of all tokens).
+
+    Scale shape: explode -> (doc, term) partial-agg -> per-doc max.
+    Frequencies via two-level groupBy (map-side combine both levels),
+    NOT a per-doc O(n^2) array scan — the shuffle carries (doc_id,
+    term, count), bounded by vocabulary not text size. Flag math stays
+    integer (5 * top > n) so the oracle is hash-exact.
+    """
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    unigrams = toks.select(id_col, F.explode("_toks").alias("term"))
+    top_uni = (
+        unigrams.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").cast("long").alias("max_tok_freq"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+    from syncquill_spark.functions.hashing import word_shingles_from_tokens
+
+    bigrams = toks.select(
+        id_col, F.explode(word_shingles_from_tokens(F.col("_toks"), 2)).alias("bg")
+    )
+    top_bi = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").cast("long").alias("max_bigram_freq"))
+    )
+    inv_frac = int(round(1.0 / max_top_frac))
+    return (
+        top_uni.join(top_bi, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "max_tok_freq",
+            F.coalesce("max_bigram_freq", F.lit(0).cast("long")).alias("max_bigram_freq"),
+            F.when(F.col("max_tok_freq") * inv_frac > F.col("n_tokens"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_repetitive"),
+        )
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate: word-chunks of
     <=4 chars count one subword each (ceil(len/4)), punctuation runs

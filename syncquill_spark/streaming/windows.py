@@ -126,6 +126,67 @@ def enrich_with_dim(
     ).drop(dim_key)
 
 
+def stream_stream_funnel(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_lag_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join — the conversion-funnel shape: each
+    click joined to same-user purchases within ``max_lag_minutes``
+    after it.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark can size the state store: a
+    click's state is evicted once the purchase-side watermark passes
+    click_time + max_lag; an unbounded condition would grow state
+    forever. Shuffle key is user_id on both sides — co-partitioned
+    once, then the range predicate evaluates within partitions.
+
+    Batch twin: plans/queries_ext.q_funnel_click_purchase (oracle-
+    checked); the stream-vs-batch test proves they emit the same rows.
+    """
+    c = (
+        with_event_time(clicks)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", watermark)
+    )
+    p = (
+        with_event_time(purchases)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", watermark)
+    )
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            < F.col("click_time") + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        # integer `div`, not float `/`: float-then-cast rounds half-up in
+        # some engines and truncates in others — div is portable.
+        F.expr("(unix_micros(purchase_time) - unix_micros(click_time)) div 1000000")
+        .cast("long")
+        .alias("lag_seconds"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> list:
