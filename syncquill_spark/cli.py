@@ -17,6 +17,31 @@ from syncquill_spark.engine import sync, upsert
 from syncquill_spark.sources import BigQueryTable, ParquetTable, SheetsTable, Table
 
 
+def _load_dotenv(path: str = ".env") -> None:
+    """Load KEY=VALUE lines from a .env file into os.environ, matching
+    the reference's load_dotenv() call before env resolution
+    (syncquill.py:219-224). Uses python-dotenv when available;
+    otherwise a minimal parser (comments and blank lines skipped,
+    existing environment wins — dotenv's default)."""
+    try:
+        from dotenv import load_dotenv  # type: ignore
+
+        load_dotenv(path)
+        return
+    except ImportError:
+        pass
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, _, v = line.partition("=")
+            k, v = k.strip(), v.strip().strip("'\"")
+            os.environ.setdefault(k, v)
+
+
 def _resolve(arg_value: str | None, env_var: str) -> str:
     """CLI arg wins over env var (syncquill.py:158-161)."""
     if arg_value is None:
@@ -57,6 +82,7 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
 
 
 def main(argv: list[str] | None = None) -> int:
+    _load_dotenv()  # .env before env resolution (syncquill.py:219-224)
     args = parse_arguments(argv)
     source = table_from_uri(_resolve(args.source, "SYNC_SOURCE"))
     target = table_from_uri(_resolve(args.target, "SYNC_TARGET"))

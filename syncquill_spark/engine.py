@@ -59,20 +59,37 @@ def sync(
         # The reference prints FULL row values for added/deleted rows
         # (syncquill.py:199-206); fetch just those rows (keyed filter on
         # a change-set-sized key list — never a full-table collect).
+        # Both collects are capped at REPORT_LIMIT, matching the report
+        # renderer's own cap, so a pathological change set (e.g. a full
+        # reload that deletes every row) cannot pull the whole table to
+        # the driver.
         rows_by_key = _rows_for_keys(
-            src, _keys_of(changes, "extra_row", key), key
-        ) | _rows_for_keys(tgt, _keys_of(changes, "del_row", key), key)
-        report = format_change_report(changes, src.columns, rows_by_key=rows_by_key, key=key)
+            src, _keys_of(changes, "extra_row"), key
+        ) | _rows_for_keys(tgt, _keys_of(changes, "del_row"), key)
+        report = format_change_report(
+            changes, src.columns, rows_by_key=rows_by_key, limit=REPORT_LIMIT
+        )
         if not dry_run:
             post = apply_changes(tgt, changes, source=src, key=key)
             target.overwrite(post)
     return SyncResult(changes=changes, n_changes=n, report=report or "No changes.")
 
 
-def _keys_of(changes: DataFrame, change_type: str, key: str) -> list[str]:
+#: Driver-side row cap shared by the report renderer and the key
+#: collects below (report.py caps rendering at the same number).
+REPORT_LIMIT = 10_000
+
+
+def _keys_of(changes: DataFrame, change_type: str) -> list[str]:
+    """Key values of row-level changes. The change set always names its
+    key column ``slno`` (CHANGE_SET_SCHEMA) regardless of the caller's
+    key name — read it from there, capped at the report limit."""
     return [
-        r[key]
-        for r in changes.filter(F.col("change_type") == change_type).select(key).collect()
+        r["slno"]
+        for r in changes.filter(F.col("change_type") == change_type)
+        .select("slno")
+        .limit(REPORT_LIMIT)
+        .collect()
     ]
 
 

@@ -31,14 +31,23 @@ def asof_join(
     before its timestamp. Right value columns come back suffixed."""
     vals = right_value_cols or [c for c in right.columns if c not in (on, ts)]
 
+    # The right-side payload rides as ONE struct so last(ignorenulls)
+    # carries the whole most-recent right ROW forward — a NULL field of
+    # that row stays NULL on the matched left row (point-in-time
+    # semantics), instead of being papered over by a stale non-null
+    # value from an older right row (which per-column last() would do).
+    r_struct_type = right.select(
+        F.struct(*[F.col(v) for v in vals]).alias("__r")
+    ).schema["__r"].dataType
+
     l_tag = left.select(
         F.col(on), F.col(ts), F.lit(0).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__r_{v}") for v in vals],
+        F.lit(None).cast(r_struct_type).alias("__r"),
         F.struct(*left.columns).alias("__l"),
     )
     r_tag = right.select(
         F.col(on), F.col(ts), F.lit(1).alias("__side"),
-        *[F.col(v).alias(f"__r_{v}") for v in vals],
+        F.struct(*[F.col(v) for v in vals]).alias("__r"),
         F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
     )
     merged = l_tag.unionByName(r_tag)
@@ -51,12 +60,9 @@ def asof_join(
     carried = merged.select(
         "__side",
         "__l",
-        *[
-            F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"__c_{v}")
-            for v in vals
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__c"),
     )
     return carried.filter(F.col("__side") == 0).select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__c_{v}").alias(f"{v}{suffix}") for v in vals],
+        *[F.col(f"__c.{v}").alias(f"{v}{suffix}") for v in vals],
     )

@@ -38,7 +38,6 @@ def format_change_report(
     cols: list[str],
     rows_by_key: dict[str, list[str]] | None = None,
     limit: int = 10_000,
-    key: str = "slno",
 ) -> str:
     """Render a change-set DataFrame as the reference's ASCII report.
 
@@ -46,6 +45,10 @@ def format_change_report(
     extra_row/del_row payload display (the reference prints whole rows
     for those, syncquill.py:199-206); when absent, only the key is
     shown for row-level changes.
+
+    The change set's key column is always named ``slno``
+    (CHANGE_SET_SCHEMA) no matter what the caller's key column is
+    called, so change rows are read via ``r["slno"]`` here.
     """
     collected = changes.limit(limit).collect()
     diffs = [r for r in collected if r["change_type"] == "diff"]
@@ -61,19 +64,19 @@ def format_change_report(
     if extras:
         lines.append("")
         lines.append("Added new rows:")
-        lines.extend(_format_table([["Status"] + cols] + [["New"] + full_row(r[key]) for r in extras]))
+        lines.extend(_format_table([["Status"] + cols] + [["New"] + full_row(r["slno"]) for r in extras]))
     if dels:
         lines.append("")
         lines.append("Deleted rows:")
-        lines.extend(_format_table([["Status"] + cols] + [["Old"] + full_row(r[key]) for r in dels]))
+        lines.extend(_format_table([["Status"] + cols] + [["Old"] + full_row(r["slno"]) for r in dels]))
 
     if diffs:
         all_changes: list[list[str]] = [["Status"] + cols]
         for r in diffs:
-            old_row = ["Old", r[key]] + [
+            old_row = ["Old", r["slno"]] + [
                 (r["old_value"] if cols[i] == r["col"] else "") for i in range(1, len(cols))
             ]
-            new_row = ["New", r[key]] + [
+            new_row = ["New", r["slno"]] + [
                 (r["new_value"] if cols[i] == r["col"] else "") for i in range(1, len(cols))
             ]
             all_changes.append(old_row)

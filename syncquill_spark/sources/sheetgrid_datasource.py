@@ -44,9 +44,21 @@ def _load_grid(path: str) -> list[list]:
 
 
 class _RowRange(InputPartition):
-    def __init__(self, start: int, end: int):
+    """One row-range of the grid WITH its rows embedded.
+
+    The grid is parsed exactly once, on the driver; each partition
+    ships only its slice to the executor (InputPartitions are
+    serialized to tasks), so numPartitions=N costs one parse, not N+1.
+    Against a real Sheets backend this object would instead carry the
+    A1-notation range (start/end) and the task would fetch just that
+    row range over the API — same boundary, remote fetch instead of an
+    embedded slice.
+    """
+
+    def __init__(self, start: int, end: int, rows: list[list]):
         self.start = start
         self.end = end
+        self.rows = rows
 
 
 class SheetGridReader(DataSourceReader):
@@ -54,21 +66,21 @@ class SheetGridReader(DataSourceReader):
         self.schema = schema
         self.path = options["path"]
         self.num_partitions = int(options.get("numpartitions", 4))
-        # data-row count decided on the driver so partitions() is cheap
-        self.n_rows = len(_load_grid(self.path)) - 1
+        # single driver-side parse; partitions() slices it
+        self._data_rows = _load_grid(self.path)[1:]
+        self.n_rows = len(self._data_rows)
 
     def partitions(self):
         n = max(1, min(self.num_partitions, self.n_rows or 1))
         step = math.ceil(self.n_rows / n) if self.n_rows else 1
         return [
-            _RowRange(lo, min(lo + step, self.n_rows))
+            _RowRange(lo, min(lo + step, self.n_rows), self._data_rows[lo : lo + step])
             for lo in range(0, max(self.n_rows, 1), step)
         ]
 
     def read(self, partition: _RowRange):
         width = len(self.schema.fields)
-        values = _load_grid(self.path)
-        for row in values[1 + partition.start : 1 + partition.end]:
+        for row in partition.rows:
             cells = [
                 (str(c) if c is not None else None) for c in row[:width]
             ] + [None] * max(0, width - len(row))

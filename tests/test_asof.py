@@ -29,6 +29,20 @@ def test_asof_tie_is_inclusive(spark):
     assert out["v_asof"] == "same-instant"
 
 
+def test_asof_null_in_latest_right_row_is_preserved(spark):
+    """If the most recent right row has a NULL value column, the left
+    row must see that NULL — not a stale non-null value carried forward
+    from an older right row (point-in-time semantics)."""
+    left = spark.createDataFrame([(1, 10)], "u long, t long")
+    right = spark.createDataFrame(
+        [(1, 4, "old", 1.0), (1, 8, None, 2.0)],
+        "u long, t long, v string, w double",
+    )
+    row = asof_join(left, right, on="u", ts="t").collect()[0]
+    assert row["v_asof"] is None  # latest right row's NULL, not "old"
+    assert row["w_asof"] == 2.0   # other columns come from the SAME row
+
+
 def test_asof_keeps_left_columns(spark):
     left = spark.createDataFrame([(1, 5, "payload")], "u long, t long, note string")
     right = spark.createDataFrame([(1, 4, 42)], "u long, t long, v long")

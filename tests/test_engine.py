@@ -4,6 +4,7 @@ the report sink and the sheets grid adapter."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from syncquill_spark.cli import parse_arguments, table_from_uri
 from syncquill_spark.engine import sync, upsert
@@ -40,9 +41,56 @@ def test_sync_applies_changes(spark, tables):
     assert "Row changes:" in result.report
     post = target.read(spark)
     assert as_set(post) == as_set(source.read(spark))
-    assert dict(post.dtypes) == [("slno", "bigint"), ("name", "string"), ("amount", "double")] or True
     # target keeps its typed schema after apply
-    assert dict(post.dtypes)["slno"] == "bigint"
+    assert post.dtypes == [("slno", "bigint"), ("name", "string"), ("amount", "double")]
+
+
+def test_sync_with_non_default_key(spark, tmp_path):
+    """sync(key=...) with a key not named 'slno' (the CLI --key flag):
+    the change set still names its key column 'slno', and the report /
+    apply paths must read it from there."""
+    tgt = spark.createDataFrame(
+        [(10, "a", 1.0), (20, "b", 2.0), (30, "c", 3.0)],
+        "item_id long, name string, amount double",
+    )
+    src = spark.createDataFrame(
+        [("10", "a", "9.9"), ("20", "bb", "2.0"), ("40", "d", "4.0")],
+        "item_id string, name string, amount string",
+    )
+    tp, sp = str(tmp_path / "t.pq"), str(tmp_path / "s.pq")
+    tgt.write.parquet(tp)
+    src.write.parquet(sp)
+    source, target = ParquetTable(sp), ParquetTable(tp)
+    result = sync(spark, source, target, key="item_id")
+    assert result.n_changes == 4  # 2 cell diffs + 1 del + 1 extra
+    assert "Row changes:" in result.report
+    assert "Added new rows:" in result.report and "Deleted rows:" in result.report
+    post = target.read(spark)
+    assert as_set(post) == as_set(source.read(spark))
+
+
+def test_report_collect_is_capped(spark, tmp_path):
+    """A change set larger than the report cap (e.g. a full reload
+    deleting every row) must not collect the whole table to the driver:
+    the keys collect is bounded by engine.REPORT_LIMIT."""
+    import syncquill_spark.engine as eng
+
+    old_limit = eng.REPORT_LIMIT
+    eng.REPORT_LIMIT = 50
+    try:
+        tgt = spark.range(500).select(
+            F.col("id").alias("slno"), F.lit("x").alias("name")
+        )
+        src = spark.createDataFrame([("999999", "new")], "slno string, name string")
+        tp, sp = str(tmp_path / "t.pq"), str(tmp_path / "s.pq")
+        tgt.write.parquet(tp)
+        src.write.parquet(sp)
+        result = sync(spark, ParquetTable(sp), ParquetTable(tp), dry_run=True)
+        assert result.n_changes == 501  # 500 deletes + 1 insert
+        # the rendered "Deleted rows" table is capped, not 500 rows
+        assert result.report.count("| Old") <= eng.REPORT_LIMIT
+    finally:
+        eng.REPORT_LIMIT = old_limit
 
 
 def test_sync_dry_run_leaves_target(spark, tables):
@@ -116,3 +164,28 @@ def test_parse_arguments():
     args = parse_arguments(["sync", "--source", "parquet:/s", "--target", "parquet:/t"])
     assert args.action == "sync"
     assert args.mode == "keyed"
+
+
+def test_dotenv_loading(tmp_path, monkeypatch):
+    """CLI loads .env before env resolution (syncquill.py:219-224);
+    real environment wins over the file."""
+    import os
+
+    from syncquill_spark.cli import _load_dotenv
+
+    env = tmp_path / ".env"
+    env.write_text(
+        "# comment\n"
+        "SYNCQ_TEST_A=from_file\n"
+        "SYNCQ_TEST_B='quoted value'\n"
+        "\n"
+        "not a kv line\n"
+    )
+    monkeypatch.delenv("SYNCQ_TEST_A", raising=False)
+    monkeypatch.setenv("SYNCQ_TEST_B", "from_env")
+    _load_dotenv(str(env))
+    try:
+        assert os.environ["SYNCQ_TEST_A"] == "from_file"
+        assert os.environ["SYNCQ_TEST_B"] == "from_env"  # env var wins
+    finally:
+        os.environ.pop("SYNCQ_TEST_A", None)

@@ -85,6 +85,69 @@ def test_incremental_sync_applies_batch(spark, tmp_path):
     assert seen == [2]  # one micro-batch: 1 cell diff + 1 insert
 
 
+def test_incremental_sync_partial_batch_does_not_delete(spark, tmp_path):
+    """A multi-file backlog split across micro-batches must NOT delete
+    target rows merely absent from one partial batch: deletes are
+    dropped unless full_snapshot_batches=True."""
+    tgt_df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "slno long, name string"
+    )
+    tgt_path = str(tmp_path / "tgt.pq")
+    tgt_df.write.parquet(tgt_path)
+    src_path = str(tmp_path / "src")
+    # two source files; maxFilesPerTrigger=1 => each micro-batch sees
+    # only one file (a partial snapshot)
+    spark.createDataFrame([("1", "aX")], "slno string, name string").coalesce(
+        1
+    ).write.mode("append").parquet(src_path)
+    spark.createDataFrame([("2", "bX")], "slno string, name string").coalesce(
+        1
+    ).write.mode("append").parquet(src_path)
+
+    target = ParquetTable(tgt_path)
+    stream = (
+        spark.readStream.schema("slno string, name string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_path)
+    )
+    q = incremental_sync(
+        spark, stream, target, key="slno",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    post = {r["slno"]: r["name"] for r in target.read(spark).collect()}
+    # updates applied, and NO row was deleted (row 3 survives even
+    # though no batch contained it)
+    assert post == {1: "aX", 2: "bX", 3: "c"}
+
+
+def test_incremental_sync_full_snapshot_propagates_deletes(spark, tmp_path):
+    """With full_snapshot_batches=True a complete snapshot batch still
+    propagates deletes, matching the batch sync."""
+    tgt_df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "slno long, name string"
+    )
+    tgt_path = str(tmp_path / "tgt.pq")
+    tgt_df.write.parquet(tgt_path)
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("1", "a"), ("2", "bX")], "slno string, name string"
+    ).coalesce(1).write.parquet(src_path)
+
+    target = ParquetTable(tgt_path)
+    stream = spark.readStream.schema("slno string, name string").parquet(src_path)
+    q = incremental_sync(
+        spark, stream, target, key="slno",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        full_snapshot_batches=True,
+    )
+    q.awaitTermination()
+
+    post = {r["slno"]: r["name"] for r in target.read(spark).collect()}
+    assert post == {1: "a", 2: "bX"}  # row 3 deleted
+
+
 def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_dir):
     """applyInPandasWithState sessionizer: every session it emits over
     the finite backlog must equal a batch-twin session, and most
