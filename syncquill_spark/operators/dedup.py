@@ -77,6 +77,15 @@ def ngram_jaccard_pairs(
     Union size follows from |A| + |B| - |A∩B|. Measured 9x faster than
     the array_intersect cross-join form at sf0.1 (with the zip_with
     shingler in functions.hashing), identical output.
+
+    Band-edge recall: candidate pairs span ADJACENT length bands too
+    (|band_a - band_b| <= 1), so near-dups straddling a band boundary
+    (e.g. 63 vs 66 chars at band 64) are not missed. Implemented as an
+    equi-join still: the a-side emits its shingles under band keys
+    {band-1, band, band+1} while the b-side keeps its single band key,
+    so every qualifying pair matches under EXACTLY one key (the b
+    side's band) and the per-pair intersection count stays exact. Cost:
+    the a-side explode is 3x — bounded, and only on one side.
     """
     # tokens in their own projection: the regex split runs once per row
     # (word_shingles_from_tokens references it k+1 times; inlined, the
@@ -101,7 +110,18 @@ def ngram_jaccard_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
     block = list(block_cols) + (["_band"] if length_band else [])
     a = sh.select(
-        *[F.col(c).alias(f"_l_{c}") for c in block],
+        *[F.col(c).alias(f"_l_{c}") for c in block_cols],
+        *(
+            [
+                F.explode(
+                    F.array(
+                        F.col("_band") - 1, F.col("_band"), F.col("_band") + 1
+                    )
+                ).alias("_l__band")
+            ]
+            if length_band
+            else []
+        ),
         F.col("_s").alias("_ls"),
         F.col(id_col).alias("id_a"),
         F.col("_n").alias("_na"),
@@ -267,35 +287,84 @@ def simhash_fingerprints(
     return votes.select(F.col(id_col), packed.alias("simhash"))
 
 
+def simhash_band_layout(bits: int, bands: int) -> list[tuple[int, int]]:
+    """(offset, width) per band, distributing `bits` as evenly as
+    possible (wider bands first). Shared with the oracle SQL generator
+    so both engines block on identical bit ranges."""
+    widths = [bits // bands + (1 if i < bits % bands else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+    return list(zip(offsets, widths))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
-    prefix_bits: int = 8,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on the high
-    `prefix_bits` of the fingerprint (identical prefix => candidate).
+    """Near-dup pairs by SimHash hamming distance with banded
+    (pigeonhole) blocking: the fingerprint splits into
+    ``max_hamming + 1`` bit-bands, and any pair within ``max_hamming``
+    differing bits must agree EXACTLY on at least one band — so the
+    per-band equi-join has full recall, unlike single-prefix blocking
+    (which misses pairs whose differing bits fall inside the prefix).
 
-    Scale note: single-prefix blocking misses pairs that differ inside
-    the prefix; production recall uses the standard trick of joining on
-    each of C(bands) rotated prefixes. One block keeps the oracle SQL
-    tractable; recall/cost is tunable via prefix_bits.
+    Scale shape: each doc emits `bands` skinny (band, value, id, fp)
+    rows; candidates come from equi-joins on (band, value) — bucket
+    sizes ~ n / 2^band_width per band, never the O(n^2) pair space —
+    then one bit_count(xor) verify per distinct candidate.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming as int.
     """
+    n_bands = bands if bands is not None else max_hamming + 1
     fp = simhash_fingerprints(df, id_col, text_col, bits)
-    pre = fp.withColumn(
-        "_pre", F.shiftright(F.col("simhash"), bits - prefix_bits)
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
-    a = pre.select(
-        F.col("_pre").alias("_pa"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    layout = simhash_band_layout(bits, n_bands)
+    keyed = (
+        fp.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.shiftright(F.col("simhash"), off)
+                            .bitwiseAND(F.lit((1 << w) - 1))
+                            .alias("val"),
+                        )
+                        for bi, (off, w) in enumerate(layout)
+                    ]
+                )
+            ).alias("_b"),
+        )
+        .select(
+            id_col,
+            "simhash",
+            F.col("_b.band").alias("_band"),
+            F.col("_b.val").alias("_val"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
     )
-    b = pre.select(
-        F.col("_pre").alias("_pb"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    a = keyed.select(
+        F.col("_band").alias("_ba"), F.col("_val").alias("_va"),
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = keyed.select(
+        F.col("_band").alias("_bb"), F.col("_val").alias("_vb"),
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["_ba"] == b["_bb"]) & (a["_va"] == b["_vb"]) & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, (a["_pa"] == b["_pb"]) & (a["id_a"] < b["id_b"]))
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -18,7 +18,9 @@ from syncquill_spark.operators.asof import asof_join
 from syncquill_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_band_layout,
     simhash_fingerprints,
+    simhash_near_pairs,
 )
 from syncquill_spark.operators.multimodal import attach_media_metadata
 from syncquill_spark.operators.similarity import (
@@ -81,7 +83,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
 FROM sh a JOIN sh b
-  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+  ON a.lang = b.lang AND abs(a.band - b.band) <= 1 AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2
 """
@@ -152,19 +154,71 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(documents, bits=_SIMHASH_BITS)
 
 
-def _simhash_sql() -> str:
-    toks = _TOKS.format(src="text")
-    h = _H60.format(x="t")
+def _simhash_fp_expr() -> str:
+    """The fingerprint expression shared by the fingerprint oracle and
+    the pairs oracle (pack per-bit majority votes into an int64)."""
     bit_terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, v -> ((v >> {b}) & 1) * 2 - 1)) > 0 "
         f"THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
         for b in range(_SIMHASH_BITS)
     )
+    return bit_terms
+
+
+def _simhash_sql() -> str:
+    toks = _TOKS.format(src="text")
+    h = _H60.format(x="t")
     return f"""
 WITH hs_t AS (
   SELECT doc_id, list_transform({toks}, t -> {h}) AS hs FROM documents
 )
-SELECT doc_id, {bit_terms} AS simhash FROM hs_t
+SELECT doc_id, {_simhash_fp_expr()} AS simhash FROM hs_t
+"""
+
+
+_SIMHASH_MAX_HAMMING = 3
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with banded (pigeonhole) blocking — full
+    recall at hamming <= max_hamming, exact-oracle-checkable because
+    the fingerprints and band layout are identical in both engines."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return simhash_near_pairs(
+        documents, bits=_SIMHASH_BITS, max_hamming=_SIMHASH_MAX_HAMMING
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    """Oracle twin of q_dedup_simhash_pairs: same fingerprints, same
+    (offset, width) band layout from simhash_band_layout, same
+    bit_count(xor) hamming — identical candidates and results."""
+    toks = _TOKS.format(src="text")
+    h = _H60.format(x="t")
+    layout = simhash_band_layout(_SIMHASH_BITS, _SIMHASH_MAX_HAMMING + 1)
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {bi} AS band, "
+        f"(simhash >> {off}) & {(1 << w) - 1} AS val FROM fp"
+        for bi, (off, w) in enumerate(layout)
+    )
+    return f"""
+WITH hs_t AS (
+  SELECT doc_id, list_transform({toks}, t -> {h}) AS hs FROM documents
+),
+fp AS (
+  SELECT doc_id, {_simhash_fp_expr()} AS simhash FROM hs_t
+),
+keyed AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {_SIMHASH_MAX_HAMMING}
 """
 
 
@@ -210,14 +264,60 @@ WHERE rk <= {_TOPK}
 """
 
 
+_LSH_PLANES = 8
+
+
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH — rows-only check
-    (recall < 1 by construction; the brute-force twin is the oracle)."""
+    """Approximate ANN via random-hyperplane LSH. Approximate vs the
+    brute-force baseline, but EXACTLY oracle-checkable: the hyperplanes
+    are md5-derived, so DuckDB rebuilds the identical sign buckets and
+    the identical candidate set (see _lsh_topk_sql)."""
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(embeddings, queries, k=_TOPK, n_planes=8, dim=64)
+    return lsh_topk(embeddings, queries, k=_TOPK, n_planes=_LSH_PLANES, dim=64)
+
+
+def _lsh_topk_sql() -> str:
+    """Oracle twin of q_similarity_topk_lsh: the SAME md5-derived
+    hyperplanes as SQL literals build the same sign-pattern bucket per
+    vector, the bucket equi-join yields the identical candidate set,
+    and the same left-fold double cosine + (score desc, id asc)
+    tie-break ranks them identically — an EXACT oracle for an
+    approximate ANN query (the approximation is in the recall vs
+    brute force, not in the result's determinism)."""
+    planes = [_hyperplane(64, p) for p in range(_LSH_PLANES)]
+    bucket = " || ".join(
+        f"CASE WHEN {_plane_dot_sql(plane)} >= 0 THEN '1' ELSE '0' END"
+        for plane in planes
+    )
+    d = 64
+    cos = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), "
+        f"(a, b) -> a + b) "
+        f"/ (sqrt(list_reduce(list_transform(q.embedding, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) "
+        f"* sqrt(list_reduce(list_transform(c.embedding, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))"
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS score
+  FROM sig c JOIN sig q ON c.bucket = q.bucket
+  WHERE q.vec_id % {_QUERY_MOD} = 0
+)
+SELECT query_id, neighbor_id, rk FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM scored) t
+WHERE rk <= {_TOPK}
+"""
 
 
 _IVF_CELLS = 16
@@ -1223,6 +1323,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
     "similarity_topk_cosine": q_similarity_topk_cosine,
@@ -1258,10 +1359,11 @@ EXT_ORACLES: dict[str, str | None] = {
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_embedding_cosine": _embedding_neardup_sql(),
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "similarity_topk_cosine": _SIMILARITY_TOPK_SQL,
-    "similarity_topk_lsh": None,  # approximate by construction
+    "similarity_topk_lsh": _lsh_topk_sql(),
     "similarity_topk_ivf": _ivf_sql(),
     "text_language_id": _language_id_sql(),
     "text_quality": _quality_sql(),

@@ -69,6 +69,56 @@ def test_simhash_identical_docs_equal(docs):
     assert near[(1, 2)] == 0
 
 
+def test_ngram_jaccard_band_straddle_recall(spark):
+    """Two near-dup docs whose lengths straddle a 64-char band edge
+    (bands 0 and 1) must still pair up: candidates span adjacent
+    bands, not just identical ones."""
+    t1 = "the quick brown fox jumps over the lazy dog near the gate"  # < 64
+    t2 = t1 + " tomorrow"  # >= 64 chars -> next band
+    assert len(t1) < 64 <= len(t2)
+    df = spark.createDataFrame(
+        [(1, t1, "en", len(t1)), (2, t2, "en", len(t2))], DOCS
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5, length_band=64).collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] >= 0.5
+
+
+def test_simhash_pairs_full_recall_vs_brute_force(spark):
+    """Banded (pigeonhole) blocking must find EVERY pair within
+    max_hamming — including pairs whose differing bits fall in the high
+    byte, which the old single-high-prefix blocking missed. Compare the
+    operator's output against driver-side brute force over all C(n,2)
+    fingerprint pairs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (i, base + " " + suffix, "en", 1)
+        for i, suffix in enumerate(
+            ["", "x", "y", "zz", "alpha", "beta beta", "omega psi", "chi phi",
+             "one two three", "completely different text entirely"]
+        )
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    max_h = 4
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    ids = sorted(fp)
+    brute = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= max_h
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(df, max_hamming=max_h).collect()
+    }
+    assert got == brute
+    assert len(brute) > 0  # the fixture must actually exercise recall
+
+
 # --- property-based: the distributed forms equal naive local recomputation ---
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
