@@ -21,59 +21,9 @@ from pyspark.sql import functions as F
 from syncquill_spark import get_spark
 from syncquill_spark.plans import QUERIES
 
-HEADLINE = [
-    "sync_diff_keyed",
-    "sync_apply_keyed",
-    "agg_pricing_summary",
-    "join_revenue_by_nation",
-    "window_topk_orders",
-    "setop_customers_without_orders",
-    "scalar_functions",
-    "json_events_extract",
-    "dedup_exact",
-    "text_token_stats",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk_cosine",
-    "similarity_topk_ivf",
-    "text_language_id",
-    "text_quality",
-    "text_fingerprint",
-    "text_term_stats",
-    "text_readability",
-    "join_asof_signup",
-    "join_range_shipments",
-    "join_binned_range",
-    "agg_rollup_orders",
-    "subquery_exists_orders",
-    "agg_cube_sales",
-    "agg_customer_balance_stats",
-    "join_salted_revenue",
-    "agg_status_sets",
-    "agg_pivot_status",
-    "agg_grouping_sets",
-    "agg_quantiles_status",
-    "setop_repeat_customers",
-    "join_shipping_priority",
-    "join_returned_items",
-    "text_sentences_udtf",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "agg_distinct_users_exact",
-    "agg_distinct_users_approx",
-    "events_sessionization",
-    "window_running_total",
-    "join_events_customers",
-    "pipeline_corpus_curation",
-    "agg_promo_revenue",
-    "join_priority_lines",
-    "curation_hash_split",
-    "curation_redact_pii",
-    "curation_pack_sequences",
-    "embedding_quantize",
-]
+# The FULL registry is the headline set: every registered query gets a
+# per-round timing, so coverage can't silently drift as queries land.
+HEADLINE = list(QUERIES)
 
 
 def main() -> None:
@@ -102,10 +52,26 @@ def main() -> None:
     ).limit(5).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        # Isolate queries from each other: several operators persist()
+        # intermediate frames (shingles, unit vectors) that are scoped
+        # to their own query; left cached across 60 queries they pile
+        # up into executor-memory pressure that taxes UNRELATED later
+        # queries with GC/spill (measured: 3x total-time inflation).
+        spark.catalog.clearCache()
+        # Periodic forced GC: Spark's ContextCleaner frees broadcast
+        # blocks / shuffle state only when the DRIVER JVM garbage-
+        # collects, and a large heap may not GC for the whole run — in
+        # local mode that accumulation sits in the one JVM doing all
+        # the work and inflated this benchmark ~3x with erratic 10-80s
+        # outliers (measured; total fell 326s -> 90s with this line).
+        # On a real cluster the cleaner strategy is the same but the
+        # state is spread across executors.
+        if i % 5 == 0:
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         # foreach-noop action: executes the full plan, returns nothing
         # to the driver (no collect bottleneck in the measurement).

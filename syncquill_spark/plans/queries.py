@@ -214,9 +214,25 @@ def q_sync_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sync_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3 validation probe as a relational query: rows violating the
-    reference's constraints (missing key / any empty cell). Clean fixture
-    => empty result; the operator form raises (see operators/validate.py)."""
+    reference's constraints (missing key / any empty cell), run against
+    a DELIBERATELY corrupted derived frame so the violation set is
+    non-empty and hash-checked (the clean fixture would pass trivially
+    — 0 rows proves nothing). Corruption: blank c_mktsegment where
+    c_custkey % 101 == 7, NULL c_name where c_custkey % 137 == 11.
+    first_empty_col mirrors get_empty_cell_name's first-offender scan
+    (syncquill.py:54-58); the operator form raises
+    (operators/validate.py)."""
     target = _customer_target(spark, sf_dir)
+    corrupted = target.select(
+        F.col("c_custkey"),
+        F.when(F.col("c_custkey") % 137 == 11, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.col("c_nationkey"),
+        F.when(F.col("c_custkey") % 101 == 7, F.lit(""))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
     checks = F.array_compact(
         F.array(
             *[
@@ -228,7 +244,7 @@ def q_sync_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        target.select(
+        corrupted.select(
             F.col("c_custkey").cast("string").alias("slno"),
             F.get(checks, 0).alias("first_empty_col"),
         )
@@ -237,13 +253,20 @@ def q_sync_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SYNC_VALIDATE_SQL = """
+WITH corrupted AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 137 = 11 THEN NULL ELSE c_name END AS c_name,
+         c_nationkey,
+         CASE WHEN c_custkey % 101 = 7 THEN '' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+)
 SELECT CAST(c_custkey AS VARCHAR) AS slno,
        CASE WHEN c_custkey IS NULL THEN 'c_custkey'
             WHEN c_name IS NULL OR c_name = '' THEN 'c_name'
             WHEN c_nationkey IS NULL THEN 'c_nationkey'
             WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 'c_mktsegment'
        END AS first_empty_col
-FROM customer
+FROM corrupted
 WHERE c_custkey IS NULL OR c_name IS NULL OR c_name = '' OR c_nationkey IS NULL
    OR c_mktsegment IS NULL OR c_mktsegment = ''
 """

@@ -1068,6 +1068,65 @@ GROUP BY 1, 2
 """
 
 
+_FUNNEL_LAG_MINUTES = 10
+
+
+def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.windows.stream_stream_funnel: every
+    click joined to same-user purchases within 10 minutes after it.
+    All time math is integer microseconds (ts div 1000), matching the
+    streaming version's unix_micros arithmetic bit-for-bit, so the
+    stream-vs-batch test AND the DuckDB oracle are exact.
+
+    Scale shape: equi-join on user_id (one co-partitioning shuffle of
+    each side) with the time-range predicate evaluated within
+    partitions — the batch analogue of the stream-stream interval
+    join's state-store bound."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    lag_us = _FUNNEL_LAG_MINUTES * 60 * 1_000_000
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.expr("ts div 1000").alias("_cus"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_p_user_id"),
+        F.expr("ts div 1000").alias("_pus"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("_p_user_id"))
+            & (F.col("_pus") >= F.col("_cus"))
+            & (F.col("_pus") < F.col("_cus") + F.lit(lag_us)),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.expr("(_pus - _cus) div 1000000").cast("long").alias("lag_seconds"),
+        )
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, p.purchase_id,
+       CAST((p.pus - c.cus) // 1000000 AS BIGINT) AS lag_seconds
+FROM c JOIN p ON c.user_id = p.user_id
+ AND p.pus >= c.cus
+ AND p.pus < c.cus + {_FUNNEL_LAG_MINUTES * 60 * 1_000_000}
+"""
+
+
 def q_agg_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-type distinct users — the oracle-checked twin of the
     HLL sketch below (two shuffles: distinct-ize then count)."""
@@ -1083,16 +1142,40 @@ FROM events GROUP BY event_type
 """
 
 
+_APPROX_RSD = 0.02
+
+
 def q_agg_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch distinct count — ONE shuffle of fixed-size sketch
     state instead of the exact form's distinct-ize shuffle; the 100 TB
-    cardinality path. Estimator differs from DuckDB's HLL, so this is
-    rows-only checked; the exact twin above is the correctness anchor
-    (rsd=0.02 keeps the estimate within ~2 percent)."""
+    cardinality path. The raw estimate can't be hash-compared (HLL
+    estimators differ per engine), so the query computes exact AND
+    approx in one plan and emits the error-bound CHECK as a column:
+    ``within_bound = |approx - exact| / exact <= 3 * rsd``. The oracle
+    recomputes the exact count and asserts within_bound = TRUE — a
+    real hash-checked guarantee that the sketch is inside its
+    advertised accuracy, per group."""
     (events,) = load_tables(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    both = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=_APPROX_RSD).alias("_approx"),
     )
+    rel_err = F.abs(F.col("_approx") - F.col("n_users_exact")) / F.col(
+        "n_users_exact"
+    ).cast("double")
+    return both.select(
+        "event_type",
+        "n_users_exact",
+        (rel_err <= 3 * _APPROX_RSD).alias("within_bound"),
+    )
+
+
+_AGG_DISTINCT_USERS_APPROX_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
 
 
 def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,6 +1426,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_rollup_orders": q_agg_rollup_orders,
     "events_tumbling_window": q_events_tumbling_window,
     "events_sliding_window": q_events_sliding_window,
+    "funnel_click_purchase": q_funnel_click_purchase,
     "agg_distinct_users_exact": q_agg_distinct_users_exact,
     "agg_distinct_users_approx": q_agg_distinct_users_approx,
     "events_sessionization": q_events_sessionization,
@@ -1379,8 +1463,9 @@ EXT_ORACLES: dict[str, str | None] = {
     "agg_rollup_orders": _AGG_ROLLUP_ORDERS_SQL,
     "events_tumbling_window": _EVENTS_TUMBLING_WINDOW_SQL,
     "events_sliding_window": _EVENTS_SLIDING_WINDOW_SQL,
+    "funnel_click_purchase": _FUNNEL_SQL,
     "agg_distinct_users_exact": _AGG_DISTINCT_USERS_SQL,
-    "agg_distinct_users_approx": None,  # HLL estimators differ per engine
+    "agg_distinct_users_approx": _AGG_DISTINCT_USERS_APPROX_SQL,
     "events_sessionization": _EVENTS_SESSIONIZATION_SQL,
     "window_running_total": _WINDOW_RUNNING_TOTAL_SQL,
     "join_events_customers": _JOIN_EVENTS_CUSTOMERS_SQL,

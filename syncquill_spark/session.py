@@ -49,9 +49,19 @@ def get_spark(
         # 128 MB input splits: right-sized tasks for TB-scale parquet scans.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] mode: the driver heap IS the executor heap for all N
+        # task threads — size it for the box, not for a thin driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # Larger JIT code cache: a long session compiles one generated
+        # class per distinct plan; when the default ~240m cache fills,
+        # the JVM silently stops JIT-compiling and whole-stage-codegen
+        # queries run interpreted (measured ~10x on fold-heavy plans
+        # late in a 60-query benchmark run).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.net.preferIPv4Stack=true -XX:ReservedCodeCacheSize=512m",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -198,6 +198,30 @@ def test_sliding_window_matches_batch_twin(spark, sf_dir):
     assert got_map == batch_map
 
 
+def test_stream_stream_funnel_matches_batch_twin(spark, sf_dir):
+    """Stream-stream interval join over the finite backlog must emit
+    exactly the batch twin's rows (watermark=30min covers the whole
+    fixture horizon per trigger, so no row is dropped as late)."""
+    from syncquill_spark.streaming.windows import stream_stream_funnel
+    from syncquill_spark.plans.queries_ext import q_funnel_click_purchase
+
+    clicks = read_events_stream(spark, sf_dir)
+    purchases = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        stream_stream_funnel(clicks, purchases), "t_funnel"
+    )
+    got_set = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["lag_seconds"])
+        for r in got
+    }
+    batch_set = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["lag_seconds"])
+        for r in q_funnel_click_purchase(spark, sf_dir).collect()
+    }
+    assert got_set == batch_set
+    assert len(batch_set) > 0
+
+
 def test_stream_static_enrich_matches_batch_twin(spark, sf_dir):
     """Streaming events joined to the static customer dim, aggregated
     per segment over the full backlog == the batch twin query."""
