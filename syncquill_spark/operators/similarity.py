@@ -173,6 +173,13 @@ def embedding_near_dup_pairs(
     )
 
 
+#: Centroid components are quantized to 1e-6 before averaging so the
+#: per-cell mean is an exact int64 sum — order-independent, hence
+#: bit-identical across engines (a double sum's value depends on
+#: accumulation order, which Spark does not guarantee across shuffles).
+LLOYD_SCALE = 1_000_000
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -182,6 +189,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the
     partition-and-probe scale path alongside `lsh_topk`.
@@ -210,6 +218,18 @@ def ivf_topk(
     here so the whole query (centroid choice included) stays
     declarative and oracle-checkable at any scale factor.
 
+    ``refine_iters`` runs that many spherical-k-means (Lloyd)
+    refinement passes over the sampled centroids before the final
+    assignment: assign -> per-cell mean of UNIT corpus vectors ->
+    renormalize. Better-balanced cells on skewed corpora => better
+    recall at equal nprobe. Deterministic and oracle-exact: the mean
+    uses LLOYD_SCALE-quantized int64 component sums (order-independent
+    exact arithmetic, floor(x*S + 0.5) half-up — round() tie rules
+    differ across engines), and a cell that loses all its vectors (or
+    degenerates to a zero mean) keeps its previous centroid. Each
+    iteration costs one broadcast assignment pass + one skinny
+    (cell, pos) aggregation — no corpus shuffle.
+
     Output: (query_id, neighbor_id, rk) — ints only, hash-stable.
     """
     # Deterministic "sample without replacement": total order by
@@ -229,6 +249,60 @@ def ivf_topk(
             F.transform(F.col("_cv"), lambda x: x.cast("double") / F.col("_nrm")).alias("_ucv"),
         )
     )
+
+    if refine_iters > 0:
+        # unit corpus vectors once; reused by every Lloyd pass
+        u = corpus.select(
+            F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(F.col(vec_col)).alias("_unrm")
+        ).select(
+            F.col(id_col),
+            F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_unrm")).alias("_u"),
+        )
+    for _ in range(refine_iters):
+        w_assign = Window.partitionBy(id_col).orderBy(
+            F.col("_cs").desc(), F.col("cell_id").asc()
+        )
+        assigned_u = (
+            u.join(F.broadcast(cents))
+            .select(id_col, "cell_id", "_u", dot(F.col("_u"), F.col("_ucv")).alias("_cs"))
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .filter(F.col("_rn") == 1)
+        )
+        sums = (
+            assigned_u.select("cell_id", F.posexplode("_u").alias("_pos", "_x"))
+            .groupBy("cell_id", "_pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("_x") * LLOYD_SCALE + F.lit(0.5)).cast("long")
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        means = (
+            sums.select(
+                "cell_id",
+                "_pos",
+                (
+                    F.col("_s").cast("double")
+                    / (F.col("_n") * F.lit(float(LLOYD_SCALE)))
+                ).alias("_m"),
+            )
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+            .select("cell_id", F.transform(F.col("_pm"), lambda s: s["_m"]).alias("_mv"))
+        )
+        new_cents = means.select(
+            "cell_id", F.col("_mv"), l2_norm(F.col("_mv")).alias("_mnrm")
+        ).select(
+            "cell_id",
+            F.when(
+                F.col("_mnrm") > 0,
+                F.transform(F.col("_mv"), lambda x: x / F.col("_mnrm")),
+            ).alias("_ucv_new"),
+        )
+        cents = cents.join(new_cents, "cell_id", "left").select(
+            "cell_id", F.coalesce("_ucv_new", "_ucv").alias("_ucv")
+        )
 
     def best_cells(side: DataFrame, side_id: str, n: int) -> DataFrame:
         """Per row of `side`: its `n` highest-dot cells (ties → lower

@@ -322,6 +322,7 @@ WHERE rk <= {_TOPK}
 
 _IVF_CELLS = 16
 _IVF_NPROBE = 4
+_IVF_REFINE = 1
 
 
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,10 +339,36 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
-    """Oracle twin of q_similarity_topk_ivf: same (md5, id)-ordered
-    centroid sample, same unit-normalize, same left-fold double dots,
-    same tie-breaks — bit-identical index and ranking."""
+def q_similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with one spherical-k-means (Lloyd) refinement pass over the
+    sampled centroids — the index-build path for clustered corpora
+    (tests/test_similarity.py shows the recall win on planted
+    clusters; on this near-orthogonal random fixture refinement is
+    neutral-to-negative, which is expected — there are no clusters to
+    find). Fully oracle-checked: the Lloyd mean uses order-independent
+    scaled-int sums, so both engines build the identical refined
+    index."""
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        embeddings,
+        queries,
+        k=_TOPK,
+        n_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+        refine_iters=_IVF_REFINE,
+    )
+
+
+def _ivf_sql(refine: int = 0) -> str:
+    """Oracle twin of q_similarity_topk_ivf[_refined]: same (md5,
+    id)-ordered centroid sample, same Lloyd refinement (scaled-int
+    exact means, floor-half-up quantization), same left-fold double
+    dots, same tie-breaks — bit-identical index and ranking."""
+    from syncquill_spark.operators.similarity import LLOYD_SCALE
+
     d = 64
     sq_norm = (
         f"list_reduce(list_transform(embedding, "
@@ -354,6 +381,56 @@ def _ivf_sql() -> str:
             f"i -> CAST({vec}[i] AS DOUBLE) * CAST(ct.ucv[i] AS DOUBLE)), "
             f"(a, b) -> a + b)"
         )
+
+    # Lloyd refinement CTE chain (mirrors ivf_topk's refine_iters loop)
+    refine_ctes = ""
+    prev = "cents_0"
+    if refine > 0:
+        refine_ctes += f""",
+ru AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / unrm) AS u
+  FROM (SELECT vec_id, embedding, sqrt({sq_norm}) AS unrm FROM embeddings)
+)"""
+    for it in range(refine):
+        u_dot = (
+            f"list_reduce(list_transform(range(1, {d + 1}), "
+            f"i -> r.u[i] * ct.ucv[i]), (a, b) -> a + b)"
+        )
+        m_norm = "sqrt(list_reduce(list_transform(mv, x -> x * x), (a, b) -> a + b))"
+        refine_ctes += f""",
+a_{it} AS (
+  SELECT vec_id, cell_id, u FROM (
+    SELECT r.vec_id, ct.cell_id, r.u,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id
+                              ORDER BY {u_dot} DESC, ct.cell_id ASC) AS rn
+    FROM ru r CROSS JOIN {prev} ct) t WHERE rn = 1
+),
+s_{it} AS (
+  SELECT cell_id, pos,
+         SUM(CAST(floor(x * {LLOYD_SCALE} + 0.5) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM (SELECT cell_id, unnest(u) AS x, generate_subscripts(u, 1) AS pos
+        FROM a_{it})
+  GROUP BY cell_id, pos
+),
+m_{it} AS (
+  SELECT cell_id,
+         list(CAST(s AS DOUBLE) / (n * {float(LLOYD_SCALE)}) ORDER BY pos) AS mv
+  FROM s_{it} GROUP BY cell_id
+),
+n_{it} AS (
+  SELECT cell_id,
+         CASE WHEN mnrm > 0 THEN list_transform(mv, x -> x / mnrm) END AS ucv_new
+  FROM (SELECT cell_id, mv, {m_norm} AS mnrm FROM m_{it})
+),
+cents_{it + 1} AS (
+  SELECT c.cell_id, coalesce(n.ucv_new, c.ucv) AS ucv
+  FROM {prev} c LEFT JOIN n_{it} n USING (cell_id)
+)"""
+        prev = f"cents_{it + 1}"
+    refine_ctes += f""",
+cents AS (SELECT cell_id, ucv FROM {prev})"""
 
     cos = (
         f"list_reduce(list_transform(range(1, {d + 1}), "
@@ -369,11 +446,11 @@ WITH cents0 AS (
   SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
   FROM embeddings ORDER BY h, vec_id LIMIT {_IVF_CELLS}
 ),
-cents AS (
+cents_0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cell_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ucv
   FROM (SELECT vec_id, embedding, h, sqrt({sq_norm}) AS nrm FROM cents0) t
-),
+){refine_ctes},
 assign AS (
   SELECT neighbor_id, cell_id FROM (
     SELECT c.vec_id AS neighbor_id, ct.cell_id,
@@ -1412,6 +1489,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk_cosine": q_similarity_topk_cosine,
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "similarity_topk_ivf": q_similarity_topk_ivf,
+    "similarity_topk_ivf_refined": q_similarity_topk_ivf_refined,
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
     "text_token_counts": q_text_token_counts,
@@ -1449,6 +1527,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "similarity_topk_cosine": _SIMILARITY_TOPK_SQL,
     "similarity_topk_lsh": _lsh_topk_sql(),
     "similarity_topk_ivf": _ivf_sql(),
+    "similarity_topk_ivf_refined": _ivf_sql(refine=_IVF_REFINE),
     "text_language_id": _language_id_sql(),
     "text_quality": _quality_sql(),
     "text_token_counts": _token_counts_sql(),

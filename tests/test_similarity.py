@@ -118,6 +118,57 @@ def test_ivf_topk_rank1_and_recall(spark, embeddings):
     assert hits / total >= 0.4, f"recall {hits}/{total}"
 
 
+def _recall_at_10(spark, df, queries, refine_iters: int, n_cells=16, nprobe=2) -> float:
+    from syncquill_spark.operators.similarity import ivf_topk
+
+    exact = brute_force_topk(df, queries, k=10)
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf = ivf_topk(
+        df, queries, k=10, n_cells=n_cells, nprobe=nprobe, refine_iters=refine_iters
+    )
+    got: dict[int, set] = {}
+    for r in ivf.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    return hits / sum(len(v) for v in truth.values())
+
+
+def test_ivf_lloyd_refinement_improves_recall_on_clustered_corpus(spark):
+    """Lloyd refinement earns its keep on data WITH cluster structure
+    (the realistic embedding case): planted Gaussian clusters, md5-
+    sampled init, one refinement pass -> recall@10 at equal nprobe
+    must improve. (On the near-orthogonal random fixture refinement
+    can't help — there are no clusters to find — which is why this
+    test plants its own corpus.) Refined rank-1 self-retrieval must
+    still hold."""
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 32))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(40):
+            rows.append((vid, (centers[c] + 0.15 * rng.normal(size=32)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    r0 = _recall_at_10(spark, df, queries, refine_iters=0, n_cells=8, nprobe=1)
+    r1 = _recall_at_10(spark, df, queries, refine_iters=1, n_cells=8, nprobe=1)
+    assert r1 > r0, f"refined recall {r1:.3f} not above raw {r0:.3f}"
+
+    refined = ivf_topk(df, queries, k=10, n_cells=8, nprobe=1, refine_iters=1)
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in refined.filter("rk = 1").collect()}
+    assert rank1 and all(q == n for q, n in rank1.items())
+
+
 def test_ivf_full_probe_equals_brute_force(spark, embeddings):
     """With nprobe == n_cells every candidate survives blocking, so IVF
     must reduce to the exact answer — the clean correctness limit."""
