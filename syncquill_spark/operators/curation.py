@@ -142,6 +142,57 @@ def boilerplate_ngrams(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``k``-gram with an evaluation set — the standard n-gram
+    overlap check run before pretraining so eval answers don't leak
+    into the training corpus.
+
+    Output: (doc_id, n_contaminated_ngrams) for flagged train docs
+    (docs in ``eval_df`` are not reported — they ARE the benchmark).
+
+    Scale shape: distinct k-grams explode on both sides, the eval side
+    collapses to DISTINCT grams (benchmark sets are small — typically
+    broadcastable), and candidates come from ONE equi-join on the gram
+    followed by a per-doc count — never a doc x doc comparison. For
+    100 TB, swap the gram string for portable_hash60(gram) so the
+    shuffle/broadcast carries fixed-width ints; kept as strings here
+    for report readability.
+    """
+    from syncquill_spark.functions.hashing import word_shingles_from_tokens
+    from syncquill_spark.operators.text import _tokens
+
+    def grams(frame: DataFrame) -> DataFrame:
+        # tokens in their own projection (word_shingles_from_tokens
+        # references the array k+1 times — inlined, the split would
+        # re-run per reference)
+        return frame.select(F.col(id_col), _tokens(text_col).alias("_toks")).select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles_from_tokens(F.col("_toks"), k))
+            ).alias("ngram"),
+        )
+
+    eval_ids = eval_df.select(id_col).distinct()
+    eval_grams = grams(eval_df).select("ngram").distinct()
+    train_grams = grams(df).join(
+        F.broadcast(eval_ids).withColumnRenamed(id_col, "_eid"),
+        F.col(id_col) == F.col("_eid"),
+        "left_anti",
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -961,6 +961,185 @@ GROUP BY l_linestatus
 """
 
 
+def q_agg_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape: orders with at least one late-shipped line
+    (l_shipdate > o_orderdate + 30 days), counted per priority. The
+    EXISTS is a left-semi join — no row duplication, no distinct."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_AGG_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape: potential revenue from discount changes — a
+    pure scan-filter-aggregate with every predicate pushed to parquet.
+    Exact decimal product/sum => cross-engine stable single row."""
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(38,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_AGG_FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+           AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_agg_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape: distribution of customers by order count,
+    including zero-order customers (left join, count of non-null).
+    Two shuffles: per-customer count, then per-count histogram."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_AGG_CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+_LARGE_ORDER_QTY = 140
+
+
+def q_join_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape: customers with orders whose total line quantity
+    exceeds a threshold. The HAVING subquery is a semi-join against a
+    pre-aggregated (orderkey, qty) frame; quantities are integral
+    doubles so the exact decimal sum is engine-stable at the
+    threshold boundary."""
+    customer, orders, lineitem = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    qty = lineitem.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q")
+    )
+    big = qty.filter(F.col("_q") >= _LARGE_ORDER_QTY).select(
+        "l_orderkey", F.col("_q").cast("double").alias("total_qty")
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+    )
+
+
+_JOIN_LARGE_ORDERS_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(q AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= {_LARGE_ORDER_QTY}) t
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_setop_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shape: per synthetic country code, customers with
+    above-average positive balance and no URGENT orders (every fixture
+    customer has SOME order, so the classic no-orders form returns the
+    empty set — the urgent-order restriction keeps the anti-join
+    non-trivial). The average is a one-row broadcast (scalar
+    subquery); exact-decimal average avoids double-sum order
+    dependence at the comparison boundary."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+_SETOP_IDLE_RICH_SQL = """
+SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey % 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_diff_keyed": q_sync_diff_keyed,
     "sync_diff_positional": q_sync_diff_positional,
@@ -988,6 +1167,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_returned_items": q_join_returned_items,
     "agg_promo_revenue": q_agg_promo_revenue,
     "join_priority_lines": q_join_priority_lines,
+    "agg_order_priority": q_agg_order_priority,
+    "agg_forecast_revenue": q_agg_forecast_revenue,
+    "agg_customer_distribution": q_agg_customer_distribution,
+    "join_large_orders": q_join_large_orders,
+    "setop_idle_rich_customers": q_setop_idle_rich_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -1017,4 +1201,9 @@ ORACLES: dict[str, str] = {
     "join_returned_items": _JOIN_RETURNED_ITEMS_SQL,
     "agg_promo_revenue": _AGG_PROMO_REVENUE_SQL,
     "join_priority_lines": _JOIN_PRIORITY_LINES_SQL,
+    "agg_order_priority": _AGG_ORDER_PRIORITY_SQL,
+    "agg_forecast_revenue": _AGG_FORECAST_REVENUE_SQL,
+    "agg_customer_distribution": _AGG_CUSTOMER_DISTRIBUTION_SQL,
+    "join_large_orders": _JOIN_LARGE_ORDERS_SQL,
+    "setop_idle_rich_customers": _SETOP_IDLE_RICH_SQL,
 }

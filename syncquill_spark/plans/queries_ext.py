@@ -1411,6 +1411,81 @@ FROM seeded
 """
 
 
+_DECONTAM_K = 5
+_DECONTAM_EVAL_MOD = 100  # doc_id % 100 == 0 rows play the benchmark set
+_DECONTAM_LEAK_MOD = 97   # doc_id % 97 == 3 train docs get a leaked eval text
+
+
+def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    5-gram with the "benchmark" subset (doc_id % 100 == 0), with the
+    count of overlapping grams. The fixture corpus has no natural
+    5-gram overlap (verified — the un-seeded check returns 0 rows), so
+    leakage is SEEDED deterministically: train docs with
+    doc_id % 97 == 3 get the text of eval doc (doc_id % 5)*100
+    appended, and the operator must flag exactly those docs. One
+    equi-join on the gram — never doc x doc."""
+    from syncquill_spark.operators.curation import decontaminate
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    eval_df = documents.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0)
+    eval_texts = eval_df.select(
+        (F.col("doc_id") / _DECONTAM_EVAL_MOD).cast("long").alias("_ek"),
+        F.col("text").alias("_etext"),
+    )
+    leaky = (F.col("doc_id") % _DECONTAM_LEAK_MOD == 3) & (
+        F.col("doc_id") % _DECONTAM_EVAL_MOD != 0
+    )
+    corpus = (
+        documents.withColumn(
+            "_lk", F.when(leaky, F.col("doc_id") % 5).otherwise(F.lit(None))
+        )
+        .join(F.broadcast(eval_texts), F.col("_lk") == F.col("_ek"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_etext").isNotNull(),
+                F.concat_ws(" ", F.col("text"), F.col("_etext")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return decontaminate(corpus, eval_df, k=_DECONTAM_K)
+
+
+def _decontaminate_sql() -> str:
+    grams = _shingles_sql(k=_DECONTAM_K)
+    grams_c = _shingles_sql(src="ctext", k=_DECONTAM_K)
+    return f"""
+WITH eval_texts AS (
+  SELECT doc_id // {_DECONTAM_EVAL_MOD} AS ek, text AS etext
+  FROM documents WHERE doc_id % {_DECONTAM_EVAL_MOD} = 0
+),
+corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN e.etext IS NOT NULL THEN d.text || ' ' || e.etext
+              ELSE d.text END AS ctext
+  FROM documents d
+  LEFT JOIN eval_texts e
+    ON d.doc_id % {_DECONTAM_LEAK_MOD} = 3
+   AND d.doc_id % {_DECONTAM_EVAL_MOD} <> 0
+   AND d.doc_id % 5 = e.ek
+),
+eval_grams AS (
+  SELECT DISTINCT unnest({grams}) AS ngram
+  FROM documents WHERE doc_id % {_DECONTAM_EVAL_MOD} = 0
+),
+train_grams AS (
+  SELECT doc_id, unnest({grams_c}) AS ngram
+  FROM corpus WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0
+)
+SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
+FROM train_grams JOIN eval_grams USING (ngram)
+GROUP BY doc_id
+"""
+
+
 def q_curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: contiguous 512-token context-
     window assignment per language via one window cumsum."""
@@ -1512,6 +1587,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_events_customers": q_join_events_customers,
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "curation_hash_split": q_curation_hash_split,
+    "curation_decontaminate": q_curation_decontaminate,
     "curation_redact_pii": q_curation_redact_pii,
     "curation_pack_sequences": q_curation_pack_sequences,
     "embedding_quantize": q_embedding_quantize,
@@ -1550,6 +1626,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "join_events_customers": _JOIN_EVENTS_CUSTOMERS_SQL,
     "pipeline_corpus_curation": _pipeline_curation_sql(),
     "curation_hash_split": _CURATION_HASH_SPLIT_SQL,
+    "curation_decontaminate": _decontaminate_sql(),
     "curation_redact_pii": _curation_redact_sql(),
     "curation_pack_sequences": _curation_pack_sql(),
     "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
