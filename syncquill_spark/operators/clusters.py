@@ -50,26 +50,28 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # neighbor labels: for each edge u->v, v's current component
-        nbr = (
-            edges.join(labels, edges["v"] == labels["node"])
-            .select(edges["u"].alias("node"), F.col("comp"))
+        # neighbor labels: for each edge u->v, v's current component.
+        # The node's OLD label rides along (null on neighbor rows, so
+        # max() recovers it) — change detection then needs only a scan
+        # of the materialized result, not a second join+shuffle per
+        # round.
+        comp_type = labels.schema["comp"].dataType
+        nbr = edges.join(labels, edges["v"] == labels["node"]).select(
+            edges["u"].alias("node"),
+            F.col("comp"),
+            F.lit(None).cast(comp_type).alias("old"),
         )
         new_labels = (
-            labels.select("node", "comp")
+            labels.select("node", "comp", F.col("comp").alias("old"))
             .union(nbr)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.max("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # min-label is monotone non-increasing: fixpoint iff no strict
+        # decrease anywhere this round.
+        changed = new_labels.filter(F.col("comp") < F.col("old")).limit(1).count()
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(
