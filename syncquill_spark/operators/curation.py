@@ -106,6 +106,41 @@ def deterministic_sample(
     return df.filter((h % 1_000_000) < thresh)
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    hash-threshold fraction (language/source rebalancing — the standard
+    way a pretraining mix up-weights scarce languages and down-weights
+    dominant ones). Strata absent from ``fractions`` keep
+    ``default_fraction``.
+
+    Same stability contract as ``deterministic_sample``: membership
+    depends only on (salt, id), never on partitioning or run order, so
+    a 100 TB job samples per-partition with no coordination and the
+    sample of a shard equals the shard of the sample. Pure projection +
+    filter — no shuffle; the per-stratum threshold is a CASE over the
+    stratum column.
+    """
+    h = (
+        portable_hash60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+        % 1_000_000
+    )
+    thresh = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        t = F.lit(int(frac * 1_000_000))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    default = F.lit(int(default_fraction * 1_000_000))
+    thresh = default if thresh is None else thresh.otherwise(default)
+    return df.filter(h < thresh)
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     k: int = 5,

@@ -141,7 +141,15 @@ def repetition_signals(
         bigrams.groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
-        .agg(F.max("c").cast("long").alias("max_bigram_freq"))
+        .agg(
+            F.max("c").cast("long").alias("max_bigram_freq"),
+            # Gopher duplicate-n-gram mass: bigram instances whose gram
+            # occurs more than once, as a fraction of all bigrams
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("_dup_bi"),
+            F.sum("c").cast("long").alias("_tot_bi"),
+        )
     )
     inv_frac = int(round(1.0 / max_top_frac))
     return (
@@ -151,11 +159,62 @@ def repetition_signals(
             "n_tokens",
             "max_tok_freq",
             F.coalesce("max_bigram_freq", F.lit(0).cast("long")).alias("max_bigram_freq"),
+            F.coalesce(
+                F.col("_dup_bi").cast("double") / F.col("_tot_bi").cast("double"),
+                F.lit(0.0),
+            ).alias("dup_bigram_frac"),
             F.when(F.col("max_tok_freq") * inv_frac > F.col("n_tokens"), 1)
             .otherwise(0)
             .cast("long")
             .alias("is_repetitive"),
         )
+    )
+
+
+def quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_chars_per_token: int = 12,
+    min_uniq_pct: int = 30,
+    max_dup_bigram_pct: int = 60,
+) -> DataFrame:
+    """Gopher/C4-style composite quality envelope: one row per document
+    with each rule as a 0/1 column and ``keep`` = every rule passes.
+    Emitting per-rule verdicts (not just the filtered survivors) is
+    what a curation pipeline audits: WHICH rule rejected a document and
+    how much each rule costs the corpus.
+
+    All comparisons are integer cross-multiplications (uniq_ratio >=
+    30% becomes 100*n_unique >= 30*n_tokens), so verdicts are exact on
+    every engine — no float-threshold edge cases. Two shuffles total,
+    both from :func:`repetition_signals`; the feature projection is
+    shuffle-free.
+    """
+    feats = quality_features(df, text_col, id_col)
+    reps = repetition_signals(df, text_col, id_col).select(
+        id_col,
+        "max_tok_freq",
+        "dup_bigram_frac",
+        "is_repetitive",
+    )
+    j = feats.join(reps, id_col)
+    rule_len = (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    rule_cpt = F.col("n_chars_computed") <= max_chars_per_token * F.col("n_tokens")
+    rule_uniq = 100 * F.col("n_unique_tokens") >= min_uniq_pct * F.col("n_tokens")
+    rule_rep = F.col("is_repetitive") == 0
+    rule_dupbi = F.col("dup_bigram_frac") * 100 <= F.lit(float(max_dup_bigram_pct))
+    as_flag = lambda c: F.when(c, 1).otherwise(0).cast("long")
+    return j.select(
+        F.col(id_col),
+        as_flag(rule_len).alias("pass_length"),
+        as_flag(rule_cpt).alias("pass_chars_per_token"),
+        as_flag(rule_uniq).alias("pass_uniq_ratio"),
+        as_flag(rule_rep).alias("pass_not_repetitive"),
+        as_flag(rule_dupbi).alias("pass_dup_bigrams"),
+        as_flag(rule_len & rule_cpt & rule_uniq & rule_rep & rule_dupbi).alias("keep"),
     )
 
 

@@ -783,6 +783,100 @@ FROM documents
 """
 
 
+def _shingles_from_toks_sql(toks_expr: str, k: int, distinct: bool = True) -> str:
+    """Word k-shingles over an existing DuckDB token-list expression."""
+    body = (
+        f"CASE WHEN len({toks_expr}) >= {k} THEN "
+        f"list_transform(range(1, len({toks_expr}) - {k} + 2), "
+        f"i -> array_to_string(list_slice({toks_expr}, i, i + {k - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+    return f"list_distinct({body})" if distinct else body
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: top token/bigram frequency and
+    duplicate-bigram mass per document. Two two-level groupBys (term
+    counts then per-doc max/sum) — map-side combine at both levels,
+    shuffle bounded by vocabulary not text size."""
+    from syncquill_spark.operators.text import repetition_signals
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return repetition_signals(documents)
+
+
+def _repetition_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    sh2 = _shingles_from_toks_sql("t", 2, distinct=False)
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+uc AS (SELECT doc_id, term, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+ua AS (SELECT doc_id, MAX(c) AS mt, SUM(c) AS nt FROM uc GROUP BY 1),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest({sh2}) AS bg FROM toks) GROUP BY 1, 2),
+ba AS (SELECT doc_id, MAX(c) AS mb,
+              SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS db,
+              SUM(c) AS tb
+       FROM bc GROUP BY 1)
+SELECT ua.doc_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(mt AS BIGINT) AS max_tok_freq,
+       CAST(coalesce(mb, 0) AS BIGINT) AS max_bigram_freq,
+       coalesce(CAST(db AS DOUBLE) / CAST(tb AS DOUBLE), 0.0) AS dup_bigram_frac,
+       CAST(CASE WHEN mt * 5 > nt THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+"""
+
+
+def q_text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality envelope: per-rule 0/1 verdicts + keep flag,
+    integer cross-multiplication comparisons throughout."""
+    from syncquill_spark.operators.text import quality_rules
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return quality_rules(documents)
+
+
+def _quality_rules_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    sh2 = _shingles_from_toks_sql("t", 2, distinct=False)
+    return f"""
+WITH toks AS (SELECT doc_id, text, {toks} AS t FROM documents),
+ua AS (SELECT doc_id, MAX(c) AS mt, SUM(c) AS nt
+       FROM (SELECT doc_id, term, COUNT(*) AS c
+             FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2)
+       GROUP BY 1),
+ba AS (SELECT doc_id,
+              SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS db,
+              SUM(c) AS tb
+       FROM (SELECT doc_id, bg, COUNT(*) AS c
+             FROM (SELECT doc_id, unnest({sh2}) AS bg FROM toks) GROUP BY 1, 2)
+       GROUP BY 1),
+f AS (SELECT doc_id, length(text) AS nc, len(t) AS ntt,
+             len(list_distinct(t)) AS nu
+      FROM toks),
+r AS (SELECT f.doc_id,
+             CASE WHEN ntt >= 10 AND ntt <= 100000 THEN 1 ELSE 0 END AS p_len,
+             CASE WHEN nc <= 12 * ntt THEN 1 ELSE 0 END AS p_cpt,
+             CASE WHEN 100 * nu >= 30 * ntt THEN 1 ELSE 0 END AS p_uniq,
+             CASE WHEN mt * 5 > nt THEN 0 ELSE 1 END AS p_rep,
+             CASE WHEN coalesce(CAST(db AS DOUBLE) / CAST(tb AS DOUBLE), 0.0) * 100
+                       <= 60.0 THEN 1 ELSE 0 END AS p_dupbi
+      FROM f
+      JOIN ua ON f.doc_id = ua.doc_id
+      LEFT JOIN ba ON f.doc_id = ba.doc_id)
+SELECT doc_id,
+       CAST(p_len AS BIGINT) AS pass_length,
+       CAST(p_cpt AS BIGINT) AS pass_chars_per_token,
+       CAST(p_uniq AS BIGINT) AS pass_uniq_ratio,
+       CAST(p_rep AS BIGINT) AS pass_not_repetitive,
+       CAST(p_dupbi AS BIGINT) AS pass_dup_bigrams,
+       CAST(p_len * p_cpt * p_uniq * p_rep * p_dupbi AS BIGINT) AS keep
+FROM r
+"""
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     return token_counts(documents)
@@ -1486,6 +1580,54 @@ GROUP BY doc_id
 """
 
 
+_STRATA_FRACTIONS = {"en": 0.1, "de": 0.5, "es": 0.25, "fr": 0.75, "zh": 1.0}
+
+
+def q_curation_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling: down-weight dominant en
+    (10%), keep all zh — the standard pretraining-mix rebalance. Hash-
+    threshold membership, so the sample is stable across engines,
+    runs, and partitionings."""
+    from syncquill_spark.operators.curation import stratified_sample
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return stratified_sample(documents, _STRATA_FRACTIONS)
+
+
+def _sample_stratified_sql() -> str:
+    case = " ".join(
+        f"WHEN '{lang}' THEN {int(frac * 1_000_000)}"
+        for lang, frac in sorted(_STRATA_FRACTIONS.items())
+    )
+    h = _H60.format(x="'sample-v1:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE ({h}) % 1000000 < CASE lang {case} ELSE 0 END
+"""
+
+
+def q_curation_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate k-grams: word 3-grams appearing in >= 2
+    distinct documents. Per-doc-distinct explode -> one map-side-
+    combined count per gram."""
+    from syncquill_spark.operators.curation import boilerplate_ngrams
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return boilerplate_ngrams(documents, k=3, min_docs=2)
+
+
+def _boilerplate_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    sh3 = _shingles_from_toks_sql("t", 3, distinct=True)
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({sh3}) AS ngram FROM toks)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM grams GROUP BY ngram HAVING COUNT(*) >= 2
+"""
+
+
 def q_curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: contiguous 512-token context-
     window assignment per language via one window cumsum."""
@@ -1567,6 +1709,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk_ivf_refined": q_similarity_topk_ivf_refined,
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
+    "text_quality_rules": q_text_quality_rules,
     "text_token_counts": q_text_token_counts,
     "text_term_stats": q_text_term_stats,
     "text_readability": q_text_readability,
@@ -1588,6 +1732,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "curation_hash_split": q_curation_hash_split,
     "curation_decontaminate": q_curation_decontaminate,
+    "curation_sample_stratified": q_curation_sample_stratified,
+    "curation_boilerplate": q_curation_boilerplate,
     "curation_redact_pii": q_curation_redact_pii,
     "curation_pack_sequences": q_curation_pack_sequences,
     "embedding_quantize": q_embedding_quantize,
@@ -1606,6 +1752,8 @@ EXT_ORACLES: dict[str, str | None] = {
     "similarity_topk_ivf_refined": _ivf_sql(refine=_IVF_REFINE),
     "text_language_id": _language_id_sql(),
     "text_quality": _quality_sql(),
+    "text_repetition": _repetition_sql(),
+    "text_quality_rules": _quality_rules_sql(),
     "text_token_counts": _token_counts_sql(),
     "text_term_stats": _term_stats_sql(),
     "text_readability": _readability_sql(),
@@ -1627,6 +1775,8 @@ EXT_ORACLES: dict[str, str | None] = {
     "pipeline_corpus_curation": _pipeline_curation_sql(),
     "curation_hash_split": _CURATION_HASH_SPLIT_SQL,
     "curation_decontaminate": _decontaminate_sql(),
+    "curation_sample_stratified": _sample_stratified_sql(),
+    "curation_boilerplate": _boilerplate_sql(),
     "curation_redact_pii": _curation_redact_sql(),
     "curation_pack_sequences": _curation_pack_sql(),
     "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,

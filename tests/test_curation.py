@@ -140,3 +140,70 @@ def test_quantize_int8_range_and_dequant(spark):
         for x, qv in zip(r.embedding, r.q):
             if scale:
                 assert abs(qv * scale - x) <= scale / 2 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from syncquill_spark.operators.curation import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    rows = [(i, f"doc {i}", "en" if i % 2 else "zh") for i in range(400)]
+    df = _docs(spark, rows)
+    out = stratified_sample(df, {"en": 0.0, "zh": 1.0})
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [i for i in range(400) if i % 2 == 0]  # all zh, no en
+    # repeated run identical
+    assert got == sorted(r.doc_id for r in stratified_sample(df, {"en": 0.0, "zh": 1.0}).collect())
+
+
+def test_stratified_sample_matches_flat_sample_per_stratum(spark):
+    # a stratum sampled at rate f must equal deterministic_sample(f)
+    # restricted to that stratum (same salt => same membership)
+    from syncquill_spark.operators.curation import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    rows = [(i, f"doc {i}", "en" if i % 3 else "de") for i in range(300)]
+    df = _docs(spark, rows)
+    strat = {r.doc_id for r in stratified_sample(df, {"en": 0.3}, default_fraction=0.0).collect()}
+    flat = {
+        r.doc_id
+        for r in deterministic_sample(df.filter(F.col("lang") == "en"), 0.3).collect()
+    }
+    assert strat == flat
+
+
+def test_stratified_sample_default_fraction(spark):
+    from syncquill_spark.operators.curation import stratified_sample
+
+    df = _docs(spark, [(i, "x", "fr") for i in range(100)])
+    assert stratified_sample(df, {"en": 1.0}).count() == 0
+    assert stratified_sample(df, {"en": 0.0}, default_fraction=1.0).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_only_leaky_docs(spark):
+    from syncquill_spark.operators.curation import decontaminate
+
+    evald = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta", "en")])
+    train = _docs(
+        spark,
+        [
+            (1, "clean document with entirely different words here", "en"),
+            (2, "prefix words then alpha beta gamma delta epsilon tail", "en"),
+            (100, "alpha beta gamma delta epsilon zeta", "en"),  # eval member
+        ],
+    )
+    out = {r.doc_id: r.n_contaminated_ngrams for r in decontaminate(train, evald, k=5).collect()}
+    assert out == {2: 1}  # one shared 5-gram; eval doc itself not reported

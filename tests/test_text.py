@@ -50,3 +50,37 @@ def test_fingerprint_distinguishes_order(spark):
     df = spark.createDataFrame([(1, "a b c"), (2, "c b a"), (3, "a b c")], DOCS)
     fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df).collect()}
     assert fp[1] == fp[3] != fp[2]
+
+
+def test_repetition_dup_bigram_frac(spark):
+    from syncquill_spark.operators.text import repetition_signals
+
+    # "a b a b a" bigrams: [a b, b a, a b, b a] -> all duplicated
+    df = spark.createDataFrame([(1, "a b a b a"), (2, "u v w x y")], DOCS)
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["dup_bigram_frac"] == 1.0
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[1]["max_bigram_freq"] == 2
+    assert out[2]["is_repetitive"] == 0
+    assert out[1]["is_repetitive"] == 1  # 'a' is 3/5 > 1/5
+
+
+def test_quality_rules_flags(spark):
+    from syncquill_spark.operators.text import quality_rules
+
+    good = "this is a reasonably long document with many distinct useful words overall"
+    spam = "buy buy buy buy buy buy buy buy buy buy buy buy"
+    short = "too short"
+    df = spark.createDataFrame([(1, good), (2, spam), (3, short)], DOCS)
+    out = {r["doc_id"]: r for r in quality_rules(df, min_tokens=5).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0
+    assert out[2]["pass_uniq_ratio"] == 0
+    assert out[2]["pass_not_repetitive"] == 0
+    assert out[3]["keep"] == 0
+    assert out[3]["pass_length"] == 0
+    # rules are individually reported
+    assert set(out[1].asDict()) == {
+        "doc_id", "pass_length", "pass_chars_per_token", "pass_uniq_ratio",
+        "pass_not_repetitive", "pass_dup_bigrams", "keep",
+    }
