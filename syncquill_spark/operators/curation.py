@@ -141,6 +141,52 @@ def stratified_sample(
     return df.filter(h < thresh)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Assign every row a deterministic (shard, pos): a reproducible
+    global permutation for training-order randomization — the step that
+    writes a curated corpus out as N shuffled shards.
+
+    shard = h60(salt || ':' || id) mod n_shards; pos = rank of h within
+    the shard (ties broken by id — a total order, so the permutation is
+    unique). Re-running with the same salt reproduces the exact order;
+    changing the salt is a fresh epoch permutation.
+
+    Scale: one hash-partitioned shuffle on ``shard`` and a per-shard
+    sort — each shard sorts independently (no global sort), so n_shards
+    scales the sort width down with the data. This is exactly the
+    "write shuffled training shards" job shape at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash60(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )
+
+
+def filter_blocklist(
+    df: DataFrame,
+    blocked: DataFrame,
+    col: str = "source",
+) -> DataFrame:
+    """Drop rows whose ``col`` appears in the blocklist frame (domain /
+    source-level takedowns, spam lists). Blocklists are small next to
+    the corpus, so this is a broadcast anti-join — the corpus never
+    shuffles. ``blocked`` must have a column named ``col``."""
+    return df.join(F.broadcast(blocked.select(col).distinct()), col, "left_anti")
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     k: int = 5,

@@ -253,6 +253,113 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (cross-corpus) near-dup detection: new documents
+    whose MinHash bands collide with the EXISTING corpus, verified by
+    exact Jaccard. The ingest-time dedup shape: a fresh crawl snapshot
+    is checked against everything already kept, and only the new side
+    is small.
+
+    Output: (id_new, id_corpus, jac) with jac >= threshold.
+
+    Same machinery as :func:`minhash_lsh_pairs` (signatures -> banded
+    bucket equi-join -> cached-shingle verify) but the bucket join is
+    new-side x corpus-side only — no corpus self-pairs, no new
+    self-pairs. Signatures are computed over the tagged union in one
+    pass here; a production pipeline persists the corpus's band keys as
+    an index and recomputes only the new side per snapshot (the join
+    shape — equi-join on (band, key) — is identical).
+    """
+    assert n_perm % bands == 0, "bands must divide n_perm"
+    r = n_perm // bands
+
+    tagged = new_df.select(
+        F.col(id_col), F.col(text_col), F.lit("n").alias("_side")
+    ).unionByName(
+        corpus_df.select(F.col(id_col), F.col(text_col), F.lit("c").alias("_side"))
+    )
+    sh = tagged.select(
+        F.col(id_col),
+        "_side",
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    ).select(
+        F.col(id_col),
+        "_side",
+        F.array_distinct(word_shingles_from_tokens(F.col("_toks"), k)).alias("_sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = sh.select(
+        F.col(id_col), "_side", F.explode_outer("_sh").alias("_s")
+    ).withColumn("_h", portable_hash60(F.col("_s")) % HASH_PRIME)
+    perms = minhash_permutations(n_perm)
+    sigs = ex.groupBy(id_col, "_side").agg(
+        *[
+            F.coalesce(
+                F.min((F.lit(a) * F.col("_h") + F.lit(b)) % HASH_PRIME),
+                F.lit(HASH_PRIME).cast("long"),
+            ).alias(f"_m{j}")
+            for j, (a, b) in enumerate(perms)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"_m{bi * r + o}").cast("string") for o in range(r)]
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), "_side", F.explode(F.array(*band_structs)).alias("_b")
+    ).select(
+        id_col, "_side", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
+    )
+    left = buckets.filter(F.col("_side") == "n").select(
+        F.col("_band").alias("_lb"), F.col("_key").alias("_lk"),
+        F.col(id_col).alias("id_new"),
+    )
+    right = buckets.filter(F.col("_side") == "c").select(
+        F.col("_band").alias("_rb"), F.col("_key").alias("_rk"),
+        F.col(id_col).alias("id_corpus"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left["_lb"] == right["_rb"]) & (left["_lk"] == right["_rk"])
+            & (left["id_new"] != right["id_corpus"]),
+        )
+        .select("id_new", "id_corpus")
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+    sh_a = sh.filter(F.col("_side") == "n").select(
+        F.col(id_col).alias("_ia"), F.col("_sh").alias("_sh_a")
+    )
+    sh_b = sh.filter(F.col("_side") == "c").select(
+        F.col(id_col).alias("_ib"), F.col("_sh").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        cand.join(sh_a, F.col("id_new") == F.col("_ia"))
+        .join(sh_b, F.col("id_corpus") == F.col("_ib"))
+        .select(
+            "id_new",
+            "id_corpus",
+            (inter.cast("double") / union.cast("double")).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

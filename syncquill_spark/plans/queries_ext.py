@@ -142,6 +142,42 @@ WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: odd doc_ids play the incoming snapshot, even
+    doc_ids the existing corpus; emit near-dups of new against corpus
+    (banded MinHash candidates, exact-Jaccard verified)."""
+    from syncquill_spark.operators.dedup import minhash_lsh_pairs_against
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    new_side = documents.filter(F.col("doc_id") % 2 == 1)
+    corpus = documents.filter(F.col("doc_id") % 2 == 0)
+    return minhash_lsh_pairs_against(
+        new_side, corpus, k=3, n_perm=_N_PERM, bands=_BANDS, threshold=0.2
+    )
+
+
+def _minhash_incremental_sql() -> str:
+    # Same signature/band pipeline as _minhash_sql; only the candidate
+    # join changes: new-side x corpus-side instead of the a<b self-join.
+    base = _minhash_sql()
+    assert "AND a.doc_id < b.doc_id" in base and "c.id_a, c.id_b," in base, (
+        "_minhash_sql changed shape; update _minhash_incremental_sql"
+    )
+    return base.replace(
+        """cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)""",
+        """cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key
+   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+)""",
+    ).replace("c.id_a, c.id_b,", "c.id_a AS id_new, c.id_b AS id_corpus,")
+
+
 # ---------------------------------------------------------------------------
 # Dedup: SimHash fingerprints
 # ---------------------------------------------------------------------------
@@ -1580,6 +1616,52 @@ GROUP BY doc_id
 """
 
 
+_N_SHARDS = 8
+
+
+def q_curation_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global permutation into training shards: one
+    hash-partitioned shuffle + per-shard sort, no global sort."""
+    from syncquill_spark.operators.curation import deterministic_shuffle
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return deterministic_shuffle(documents, _N_SHARDS).select("doc_id", "shard", "pos")
+
+
+def _curation_shuffle_sql() -> str:
+    h = _H60.format(x="'shuffle-v1:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM (SELECT doc_id, {h} AS h, ({h}) % {_N_SHARDS} AS shard FROM documents) t
+"""
+
+
+_BLOCKED_SOURCES = ("src1", "src3", "src5", "src7")
+
+
+def q_curation_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain blocklist: broadcast anti-join — the corpus never
+    shuffles."""
+    from syncquill_spark.operators.curation import filter_blocklist
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    blocked = spark.createDataFrame(
+        [(s,) for s in _BLOCKED_SOURCES], "source string"
+    )
+    return filter_blocklist(documents, blocked).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _curation_blocklist_sql() -> str:
+    blocked = ", ".join(f"'{s}'" for s in _BLOCKED_SOURCES)
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE source NOT IN ({blocked})
+"""
+
+
 _STRATA_FRACTIONS = {"en": 0.1, "de": 0.5, "es": 0.25, "fr": 0.75, "zh": 1.0}
 
 
@@ -1699,6 +1781,7 @@ FROM qt
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1733,6 +1816,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_hash_split": q_curation_hash_split,
     "curation_decontaminate": q_curation_decontaminate,
     "curation_sample_stratified": q_curation_sample_stratified,
+    "curation_shuffle": q_curation_shuffle,
+    "curation_blocklist": q_curation_blocklist,
     "curation_boilerplate": q_curation_boilerplate,
     "curation_redact_pii": q_curation_redact_pii,
     "curation_pack_sequences": q_curation_pack_sequences,
@@ -1742,6 +1827,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLES: dict[str, str | None] = {
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_incremental": _minhash_incremental_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_embedding_cosine": _embedding_neardup_sql(),
@@ -1776,6 +1862,8 @@ EXT_ORACLES: dict[str, str | None] = {
     "curation_hash_split": _CURATION_HASH_SPLIT_SQL,
     "curation_decontaminate": _decontaminate_sql(),
     "curation_sample_stratified": _sample_stratified_sql(),
+    "curation_shuffle": _curation_shuffle_sql(),
+    "curation_blocklist": _curation_blocklist_sql(),
     "curation_boilerplate": _boilerplate_sql(),
     "curation_redact_pii": _curation_redact_sql(),
     "curation_pack_sequences": _curation_pack_sql(),

@@ -207,3 +207,40 @@ def test_decontaminate_flags_only_leaky_docs(spark):
     )
     out = {r.doc_id: r.n_contaminated_ngrams for r in decontaminate(train, evald, k=5).collect()}
     assert out == {2: 1}  # one shared 5-gram; eval doc itself not reported
+
+
+# ---------------------------------------------------------------------------
+# deterministic_shuffle / filter_blocklist
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_shuffle_is_a_permutation(spark):
+    from syncquill_spark.operators.curation import deterministic_shuffle
+
+    df = _docs(spark, [(i, "x", "en") for i in range(200)])
+    out = deterministic_shuffle(df, 4).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n
+    # reproducible
+    again = {(r.doc_id): (r.shard, r.pos) for r in deterministic_shuffle(df, 4).collect()}
+    assert {(r.doc_id): (r.shard, r.pos) for r in out} == again
+    # a different salt is a different permutation
+    other = {(r.doc_id): (r.shard, r.pos) for r in deterministic_shuffle(df, 4, salt="epoch-2").collect()}
+    assert other != again
+
+
+def test_filter_blocklist_drops_only_blocked(spark):
+    from syncquill_spark.operators.curation import filter_blocklist
+
+    df = spark.createDataFrame(
+        [(1, "a", "spam.com"), (2, "b", "good.org"), (3, "c", "spam.com")],
+        "doc_id long, text string, source string",
+    )
+    blocked = spark.createDataFrame([("spam.com",), ("other.net",)], "source string")
+    kept = sorted(r.doc_id for r in filter_blocklist(df, blocked).collect())
+    assert kept == [2]

@@ -253,3 +253,24 @@ def test_simhash_matches_pure_python(spark, texts):
 
     for i, t in enumerate(texts):
         assert got[i] == py_simhash(t), f"doc {i}: {t!r}"
+
+
+def test_minhash_incremental_cross_corpus_only(spark):
+    from syncquill_spark.operators.dedup import minhash_lsh_pairs_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    new_side = spark.createDataFrame(
+        [(11, near), (12, "entirely different words about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base.replace("quick", "rapid")), (3, "unrelated corpus text")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_new, r.id_corpus): r.jac for r in minhash_lsh_pairs_against(
+        new_side, corpus, threshold=0.3
+    ).collect()}
+    assert (11, 1) in out  # near-dup of corpus doc found
+    assert all(k[0] in (11, 12) and k[1] in (1, 2, 3) for k in out)  # only cross pairs
+    assert (12, 3) not in out  # dissimilar pair absent
