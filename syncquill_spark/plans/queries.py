@@ -1140,6 +1140,247 @@ GROUP BY c_nationkey % 5
 """
 
 
+_REV_DEC = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))"
+
+
+def _revenue_col() -> "F.Column":
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).cast("decimal(38,4)")
+
+
+def q_join_small_qty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shape: revenue from lines whose quantity is below 20%
+    of the part's average quantity, for one brand. The correlated
+    aggregate subquery is a pre-aggregated (partkey, sum, cnt) frame
+    joined back to the lines; the 0.2*avg comparison is the integer
+    cross-multiplication 5*qty*cnt < sum — exact on every engine, no
+    float average at the threshold."""
+    part, lineitem = load_tables(spark, sf_dir, "part", "lineitem")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    lines = lineitem.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = lines.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sum"),
+        F.count(F.lit(1)).alias("_cnt"),
+    ).withColumnRenamed("l_partkey", "_pk")
+    return (
+        lines.join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("_cnt")
+            < F.col("_sum")
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+_JOIN_SMALL_QTY_PARTS_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       COUNT(*) AS n_small_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+             COUNT(*) AS c
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#11'
+      GROUP BY l_partkey) t ON pk = l_partkey
+WHERE p_brand = 'Brand#11'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * c < s
+"""
+
+
+def q_join_lonely_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape (reshaped onto this fixture's columns):
+    suppliers with a RETURNED line on a multi-supplier order where no
+    OTHER supplier's line on that order was returned — the classic
+    EXISTS + NOT EXISTS pair, both as distinct-key semi/anti joins so
+    no row ever duplicates."""
+    supplier, lineitem = load_tables(spark, sf_dir, "supplier", "lineitem")
+    sl = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    rl = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    other_sl = sl.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    other_rl = rl.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    exists_other = (F.col("l_orderkey") == F.col("_ok")) & (
+        F.col("l_suppkey") != F.col("_sk")
+    )
+    return (
+        rl.join(other_sl, exists_other, "left_semi")
+        .join(other_rl, exists_other, "left_anti")
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_JOIN_LONELY_RETURNED_SQL = """
+WITH sl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+rl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+       WHERE l_returnflag = 'R')
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM rl
+JOIN supplier ON s_suppkey = rl.l_suppkey
+WHERE EXISTS (SELECT 1 FROM sl
+              WHERE sl.l_orderkey = rl.l_orderkey
+                AND sl.l_suppkey <> rl.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM rl r2
+                  WHERE r2.l_orderkey = rl.l_orderkey
+                    AND r2.l_suppkey <> rl.l_suppkey)
+GROUP BY s_suppkey, s_name
+"""
+
+
+def q_join_disjunctive_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand x size x quantity envelopes). Catalyst
+    extracts the common l_partkey = p_partkey equi-condition, pushes
+    the per-side conjuncts into the scans, and broadcasts the filtered
+    part side."""
+    part, lineitem = load_tables(spark, sf_dir, "part", "lineitem")
+    cases = (
+        ("Brand#11", 1, 15, 1, 11),
+        ("Brand#12", 1, 25, 10, 20),
+        ("Brand#13", 1, 35, 20, 30),
+    )
+    cond = None
+    for brand, smin, smax, qmin, qmax in cases:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .filter(cond)
+        .agg(
+            F.sum(_revenue_col()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_JOIN_DISJUNCTIVE_PROMO_SQL = f"""
+SELECT CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_join_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape: shipping revenue between two nations by
+    direction and year. The 25-row nation dim joins twice under
+    different aliases (supplier side / customer side) — both
+    broadcast; the symmetric pair filter keeps both directions."""
+    nation, customer, supplier, orders, lineitem = load_tables(
+        spark, sf_dir, "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1k"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2k"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(_revenue_col()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_JOIN_NATION_TRADE_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q_window_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape: supplier(s) with the maximum quarterly revenue.
+    The scalar MAX is a one-row broadcast joined back; revenue stays
+    decimal through the equality comparison so ties are exact, and
+    only the final projection casts to double."""
+    supplier, lineitem = load_tables(spark, sf_dir, "supplier", "lineitem")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue_col()).alias("_rev"))
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_WINDOW_TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REV_DEC}) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_diff_keyed": q_sync_diff_keyed,
     "sync_diff_positional": q_sync_diff_positional,
@@ -1172,6 +1413,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_customer_distribution": q_agg_customer_distribution,
     "join_large_orders": q_join_large_orders,
     "setop_idle_rich_customers": q_setop_idle_rich_customers,
+    "join_small_qty_parts": q_join_small_qty_parts,
+    "join_lonely_returned_supplier": q_join_lonely_returned_supplier,
+    "join_disjunctive_promo": q_join_disjunctive_promo,
+    "join_nation_trade": q_join_nation_trade,
+    "window_top_supplier": q_window_top_supplier,
 }
 
 ORACLES: dict[str, str] = {
@@ -1206,4 +1452,9 @@ ORACLES: dict[str, str] = {
     "agg_customer_distribution": _AGG_CUSTOMER_DISTRIBUTION_SQL,
     "join_large_orders": _JOIN_LARGE_ORDERS_SQL,
     "setop_idle_rich_customers": _SETOP_IDLE_RICH_SQL,
+    "join_small_qty_parts": _JOIN_SMALL_QTY_PARTS_SQL,
+    "join_lonely_returned_supplier": _JOIN_LONELY_RETURNED_SQL,
+    "join_disjunctive_promo": _JOIN_DISJUNCTIVE_PROMO_SQL,
+    "join_nation_trade": _JOIN_NATION_TRADE_SQL,
+    "window_top_supplier": _WINDOW_TOP_SUPPLIER_SQL,
 }
