@@ -1122,6 +1122,44 @@ GROUP BY 1, 2
 """
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in dynamic-gap session windows (F.session_window) per
+    user; the same plan runs under readStream with a watermark. The
+    custom applyInPandasWithState sessionizer is the other primitive
+    for these semantics (events_sessionization)."""
+    from syncquill_spark.streaming.windows import session_window_stats
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    return session_window_stats(events, gap="30 minutes")
+
+
+# Gaps-and-islands twin of F.session_window: a NEW session starts when
+# the gap since the previous event is >= 30 min (session windows are
+# end-exclusive: an event at exactly last_ts + gap falls outside).
+_EVENTS_SESSION_WINDOW_SQL = """
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
 _SLIDE_US = 300 * 10**6  # 5-minute slide
 _WIDTH_US = 600 * 10**6  # 10-minute windows -> each event in 2 windows
 
@@ -1805,6 +1843,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_binned_range": q_join_binned_range,
     "agg_rollup_orders": q_agg_rollup_orders,
     "events_tumbling_window": q_events_tumbling_window,
+    "events_session_window": q_events_session_window,
     "events_sliding_window": q_events_sliding_window,
     "funnel_click_purchase": q_funnel_click_purchase,
     "agg_distinct_users_exact": q_agg_distinct_users_exact,
@@ -1851,6 +1890,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "join_binned_range": _JOIN_BINNED_RANGE_SQL,
     "agg_rollup_orders": _AGG_ROLLUP_ORDERS_SQL,
     "events_tumbling_window": _EVENTS_TUMBLING_WINDOW_SQL,
+    "events_session_window": _EVENTS_SESSION_WINDOW_SQL,
     "events_sliding_window": _EVENTS_SLIDING_WINDOW_SQL,
     "funnel_click_purchase": _FUNNEL_SQL,
     "agg_distinct_users_exact": _AGG_DISTINCT_USERS_SQL,

@@ -187,6 +187,46 @@ def stream_stream_funnel(
     )
 
 
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-user dynamic-gap sessions via the BUILT-IN
+    ``F.session_window`` (vs streaming/sessionize.py's custom
+    applyInPandasWithState operator — same semantics, two primitives).
+    A session extends while consecutive events are < gap apart; the
+    window is [first_ts, last_ts + gap), end-exclusive.
+
+    Batch and streaming share this plan: pass ``watermark`` under a
+    readStream source and state is evicted once event time passes
+    session_end + watermark. Session merging is Spark-native (partial
+    sessions merge across partitions/batches) — one shuffle on user_id.
+
+    Output: (user_id, session_start_us, n_events, sum_value) with
+    session_start as epoch-MICROS int64 (the fixture's native
+    precision) and the value sum in decimal until the final cast.
+    """
+    df = with_event_time(events)
+    if watermark is not None:
+        df = df.withWatermark("event_time", watermark)
+    return (
+        df.groupBy(
+            F.col("user_id"), F.session_window("event_time", gap).alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("win.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> list:

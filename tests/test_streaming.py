@@ -242,3 +242,41 @@ def test_stream_static_enrich_matches_batch_twin(spark, sf_dir):
         r["c_mktsegment"]: (r["n_events"], round(r["sum_value"], 2)) for r in rows
     }
     assert as_map(got) == as_map(batch)
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir):
+    """Built-in session_window agg: streaming over the full backlog ==
+    the batch plan (session merging across micro-batches works)."""
+    from syncquill_spark.streaming.windows import session_window_stats
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        session_window_stats(stream, watermark="1 hour"),
+        "s_win",
+        output_mode="complete",
+    )
+    batch = session_window_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).collect()
+    key = lambda r: (r["user_id"], r["session_start_us"])
+    got_map = {key(r): (r["n_events"], round(r["sum_value"], 2)) for r in got}
+    batch_map = {key(r): (r["n_events"], round(r["sum_value"], 2)) for r in batch}
+    assert got_map == batch_map
+
+
+def test_session_window_agrees_with_custom_sessionizer(spark, sf_dir):
+    """Two primitives, one semantics: F.session_window sessions ==
+    applyInPandasWithState/gaps-and-islands sessions (same 30-min gap)."""
+    from syncquill_spark.streaming.sessionize import sessionize_batch
+    from syncquill_spark.streaming.windows import session_window_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    built_in = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in session_window_stats(events).collect()
+    }
+    custom = {
+        (r["user_id"], r["session_start"] // 1000): r["n_events"]
+        for r in sessionize_batch(events).collect()
+    }
+    assert built_in == custom
