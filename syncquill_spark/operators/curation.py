@@ -183,7 +183,9 @@ def filter_blocklist(
     """Drop rows whose ``col`` appears in the blocklist frame (domain /
     source-level takedowns, spam lists). Blocklists are small next to
     the corpus, so this is a broadcast anti-join — the corpus never
-    shuffles. ``blocked`` must have a column named ``col``."""
+    shuffles. ``blocked`` must have a column named ``col``. Rows where
+    ``col`` is NULL are KEPT (a NULL source matches no blocklist
+    entry — anti-join semantics, unlike SQL NOT IN)."""
     return df.join(F.broadcast(blocked.select(col).distinct()), col, "left_anti")
 
 

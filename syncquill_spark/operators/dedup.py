@@ -426,6 +426,12 @@ def simhash_near_pairs(
     Output: (id_a, id_b, hamming) with id_a < id_b, hamming as int.
     """
     n_bands = bands if bands is not None else max_hamming + 1
+    # pigeonhole: with <= max_hamming differing bits and > max_hamming
+    # bands, some band must be identical; fewer bands silently lose
+    # the full-recall guarantee
+    assert n_bands > max_hamming, (
+        f"bands={n_bands} must exceed max_hamming={max_hamming} for full recall"
+    )
     fp = simhash_fingerprints(df, id_col, text_col, bits)
     layout = simhash_band_layout(bits, n_bands)
     keyed = (

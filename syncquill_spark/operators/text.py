@@ -159,6 +159,8 @@ def repetition_signals(
             "n_tokens",
             "max_tok_freq",
             F.coalesce("max_bigram_freq", F.lit(0).cast("long")).alias("max_bigram_freq"),
+            F.coalesce("_dup_bi", F.lit(0).cast("long")).alias("dup_bigrams"),
+            F.coalesce("_tot_bi", F.lit(0).cast("long")).alias("total_bigrams"),
             F.coalesce(
                 F.col("_dup_bi").cast("double") / F.col("_tot_bi").cast("double"),
                 F.lit(0.0),
@@ -197,7 +199,8 @@ def quality_rules(
     reps = repetition_signals(df, text_col, id_col).select(
         id_col,
         "max_tok_freq",
-        "dup_bigram_frac",
+        "dup_bigrams",
+        "total_bigrams",
         "is_repetitive",
     )
     j = feats.join(reps, id_col)
@@ -205,7 +208,7 @@ def quality_rules(
     rule_cpt = F.col("n_chars_computed") <= max_chars_per_token * F.col("n_tokens")
     rule_uniq = 100 * F.col("n_unique_tokens") >= min_uniq_pct * F.col("n_tokens")
     rule_rep = F.col("is_repetitive") == 0
-    rule_dupbi = F.col("dup_bigram_frac") * 100 <= F.lit(float(max_dup_bigram_pct))
+    rule_dupbi = 100 * F.col("dup_bigrams") <= max_dup_bigram_pct * F.col("total_bigrams")
     as_flag = lambda c: F.when(c, 1).otherwise(0).cast("long")
     return j.select(
         F.col(id_col),

@@ -159,23 +159,25 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_incremental_sql() -> str:
     # Same signature/band pipeline as _minhash_sql; only the candidate
     # join changes: new-side x corpus-side instead of the a<b self-join.
+    # Each replace target must appear exactly once or the patch is
+    # stale — fail at import, not as a confusing audit-time mismatch.
     base = _minhash_sql()
-    assert "AND a.doc_id < b.doc_id" in base and "c.id_a, c.id_b," in base, (
-        "_minhash_sql changed shape; update _minhash_incremental_sql"
-    )
-    return base.replace(
-        """cand AS (
+    cand_old = """cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)""",
-        """cand AS (
+)"""
+    cand_new = """cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.key = b.key
    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-)""",
-    ).replace("c.id_a, c.id_b,", "c.id_a AS id_new, c.id_b AS id_corpus,")
+)"""
+    sel_old, sel_new = "c.id_a, c.id_b,", "c.id_a AS id_new, c.id_b AS id_corpus,"
+    assert base.count(cand_old) == 1 and base.count(sel_old) == 1, (
+        "_minhash_sql changed shape; update _minhash_incremental_sql"
+    )
+    return base.replace(cand_old, cand_new).replace(sel_old, sel_new)
 
 
 # ---------------------------------------------------------------------------
@@ -859,6 +861,8 @@ SELECT ua.doc_id,
        CAST(nt AS BIGINT) AS n_tokens,
        CAST(mt AS BIGINT) AS max_tok_freq,
        CAST(coalesce(mb, 0) AS BIGINT) AS max_bigram_freq,
+       CAST(coalesce(db, 0) AS BIGINT) AS dup_bigrams,
+       CAST(coalesce(tb, 0) AS BIGINT) AS total_bigrams,
        coalesce(CAST(db AS DOUBLE) / CAST(tb AS DOUBLE), 0.0) AS dup_bigram_frac,
        CAST(CASE WHEN mt * 5 > nt THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
 FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
@@ -897,8 +901,8 @@ r AS (SELECT f.doc_id,
              CASE WHEN nc <= 12 * ntt THEN 1 ELSE 0 END AS p_cpt,
              CASE WHEN 100 * nu >= 30 * ntt THEN 1 ELSE 0 END AS p_uniq,
              CASE WHEN mt * 5 > nt THEN 0 ELSE 1 END AS p_rep,
-             CASE WHEN coalesce(CAST(db AS DOUBLE) / CAST(tb AS DOUBLE), 0.0) * 100
-                       <= 60.0 THEN 1 ELSE 0 END AS p_dupbi
+             CASE WHEN 100 * coalesce(db, 0) <= 60 * coalesce(tb, 0)
+                  THEN 1 ELSE 0 END AS p_dupbi
       FROM f
       JOIN ua ON f.doc_id = ua.doc_id
       LEFT JOIN ba ON f.doc_id = ba.doc_id)
@@ -1134,13 +1138,16 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Gaps-and-islands twin of F.session_window: a NEW session starts when
-# the gap since the previous event is >= 30 min (session windows are
-# end-exclusive: an event at exactly last_ts + gap falls outside).
+# the gap since the previous event EXCEEDS 30 min. The boundary is
+# inclusive — an event at exactly last_ts + gap still extends the
+# session (Spark merges sessions when next_start <= prev_end, end =
+# last + gap; verified empirically in
+# tests/test_streaming.py::test_session_gap_boundary_is_inclusive).
 _EVENTS_SESSION_WINDOW_SQL = """
 WITH m AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
@@ -1587,12 +1594,13 @@ _DECONTAM_LEAK_MOD = 97   # doc_id % 97 == 3 train docs get a leaked eval text
 def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word
     5-gram with the "benchmark" subset (doc_id % 100 == 0), with the
-    count of overlapping grams. The fixture corpus has no natural
-    5-gram overlap (verified — the un-seeded check returns 0 rows), so
-    leakage is SEEDED deterministically: train docs with
-    doc_id % 97 == 3 get the text of eval doc (doc_id % 5)*100
-    appended, and the operator must flag exactly those docs. One
-    equi-join on the gram — never doc x doc."""
+    count of overlapping grams. Leakage is additionally SEEDED
+    deterministically (train docs with doc_id % 97 == 3 get the text
+    of eval doc (doc_id % 5)*100 appended) so the flagged set is
+    non-empty at every scale factor; naturally-overlapping docs (the
+    fixture has some at sf0.001/sf0.1, none at sf0.01) are flagged
+    too, as they should be. One equi-join on the gram — never
+    doc x doc."""
     from syncquill_spark.operators.curation import decontaminate
 
     (documents,) = load_tables(spark, sf_dir, "documents")
@@ -1623,8 +1631,10 @@ def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decontaminate_sql() -> str:
-    grams = _shingles_sql(k=_DECONTAM_K)
-    grams_c = _shingles_sql(src="ctext", k=_DECONTAM_K)
+    # lower() to match text._tokens (the operator case-folds before
+    # shingling; the dedup-family shinglers do not)
+    grams = _shingles_sql(src="lower(text)", k=_DECONTAM_K)
+    grams_c = _shingles_sql(src="lower(ctext)", k=_DECONTAM_K)
     return f"""
 WITH eval_texts AS (
   SELECT doc_id // {_DECONTAM_EVAL_MOD} AS ek, text AS etext
@@ -1694,9 +1704,11 @@ def q_curation_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _curation_blocklist_sql() -> str:
     blocked = ", ".join(f"'{s}'" for s in _BLOCKED_SOURCES)
+    # IS NULL arm: the anti-join keeps NULL-source rows (NULL matches
+    # no blocklist entry), while bare NOT IN would drop them
     return f"""
 SELECT doc_id, lang, source, n_chars
-FROM documents WHERE source NOT IN ({blocked})
+FROM documents WHERE source IS NULL OR source NOT IN ({blocked})
 """
 
 

@@ -70,6 +70,14 @@ class SheetGridReader(DataSourceReader):
         self._data_rows = _load_grid(self.path)[1:]
         self.n_rows = len(self._data_rows)
 
+    def __getstate__(self):
+        # The reader object itself is pickled into EVERY task; without
+        # this, each task would receive the whole grid alongside its
+        # partition's slice. Only the partitions carry rows.
+        state = self.__dict__.copy()
+        state["_data_rows"] = None
+        return state
+
     def partitions(self):
         n = max(1, min(self.num_partitions, self.n_rows or 1))
         step = math.ceil(self.n_rows / n) if self.n_rows else 1

@@ -35,8 +35,11 @@ def sessionize_batch(events: DataFrame, gap_nanos: int = GAP_NANOS) -> DataFrame
     """Batch sessionization via window functions.
 
     A session starts where the gap from the previous event of the same
-    user exceeds gap_nanos; session_id is the running count of starts
-    (1-based). Deterministic tie-break (ts, event_id) makes the
+    user EXCEEDS gap_nanos (boundary-inclusive: an event at exactly
+    last_ts + gap still extends the session — verified to match
+    ``F.session_window``'s merge rule, which merges when next_start <=
+    prev_end with end = last + gap); session_id is the running count of
+    starts (1-based). Deterministic tie-break (ts, event_id) makes the
     numbering reproducible cross-engine.
     """
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -195,8 +195,11 @@ def session_window_stats(
     """Per-user dynamic-gap sessions via the BUILT-IN
     ``F.session_window`` (vs streaming/sessionize.py's custom
     applyInPandasWithState operator — same semantics, two primitives).
-    A session extends while consecutive events are < gap apart; the
-    window is [first_ts, last_ts + gap), end-exclusive.
+    A session extends while consecutive events are <= gap apart
+    (boundary-inclusive: Spark merges sessions when next_start <=
+    prev_end with end = last + gap — empirically pinned by
+    tests/test_streaming.py::test_session_gap_boundary_is_inclusive);
+    a new session starts only when the gap is strictly exceeded.
 
     Batch and streaming share this plan: pass ``watermark`` under a
     readStream source and state is evicted once event time passes

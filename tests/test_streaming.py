@@ -280,3 +280,25 @@ def test_session_window_agrees_with_custom_sessionizer(spark, sf_dir):
         for r in sessionize_batch(events).collect()
     }
     assert built_in == custom
+
+
+def test_session_gap_boundary_is_inclusive(spark):
+    """An event at EXACTLY last_ts + gap extends the session (Spark
+    merges when next_start <= prev_end); a new session needs the gap
+    strictly exceeded. Both primitives agree on the boundary."""
+    from syncquill_spark.streaming.sessionize import GAP_NANOS, sessionize_batch
+    from syncquill_spark.streaming.windows import session_window_stats
+
+    t0 = 1_700_000_000_000_000_000  # aligned epoch nanos
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0 + GAP_NANOS, 7, "click", 1.0, "{}"),  # exactly gap: merges
+        (3, t0 + 3 * GAP_NANOS + 1_000, 7, "click", 1.0, "{}"),  # > gap: new
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+    custom = sessionize_batch(events).collect()
+    built_in = session_window_stats(events).collect()
+    assert sorted(r.n_events for r in custom) == [1, 2]
+    assert sorted(r.n_events for r in built_in) == [1, 2]
