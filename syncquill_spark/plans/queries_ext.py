@@ -1126,6 +1126,63 @@ GROUP BY 1, 2
 """
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history: each user's event_type observation
+    stream collapsed into versioned [valid_from, valid_to) rows —
+    the warehouse-side complement of the sync engine's point-in-time
+    change sets. One shuffle + two window passes."""
+    from syncquill_spark.operators.scd2 import scd2_history
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    # micros, not nanos: DuckDB truncates TIMESTAMP(NANOS) to micro
+    # precision, so the oracle can only see epoch_us (same convention
+    # as events_sessionization)
+    hist = scd2_history(
+        events.withColumn("ts_us", F.expr("ts div 1000")),
+        key_col="user_id",
+        order_col="ts_us",
+        tracked_cols=["event_type"],
+        tie_cols=["event_id"],
+    )
+    # -1 sentinel for the open-ended current version: a nullable int64
+    # column round-trips through pandas as float64, which cannot hold
+    # nanosecond timestamps exactly (the operator itself keeps NULL)
+    return hist.withColumn(
+        "valid_to", F.coalesce("valid_to", F.lit(-1).cast("long"))
+    )
+
+
+_CDC_SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts, event_type FROM events
+),
+m AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM o
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+v AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM m
+),
+g AS (
+  SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+         MIN(ts) AS valid_from, COUNT(*) AS n_obs
+  FROM v GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, version, valid_from,
+       coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+                CAST(-1 AS BIGINT)) AS valid_to,
+       n_obs
+FROM g
+"""
+
+
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in dynamic-gap session windows (F.session_window) per
     user; the same plan runs under readStream with a watermark. The
@@ -1856,6 +1913,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_rollup_orders": q_agg_rollup_orders,
     "events_tumbling_window": q_events_tumbling_window,
     "events_session_window": q_events_session_window,
+    "cdc_scd2_history": q_cdc_scd2_history,
     "events_sliding_window": q_events_sliding_window,
     "funnel_click_purchase": q_funnel_click_purchase,
     "agg_distinct_users_exact": q_agg_distinct_users_exact,
@@ -1903,6 +1961,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "agg_rollup_orders": _AGG_ROLLUP_ORDERS_SQL,
     "events_tumbling_window": _EVENTS_TUMBLING_WINDOW_SQL,
     "events_session_window": _EVENTS_SESSION_WINDOW_SQL,
+    "cdc_scd2_history": _CDC_SCD2_SQL,
     "events_sliding_window": _EVENTS_SLIDING_WINDOW_SQL,
     "funnel_click_purchase": _FUNNEL_SQL,
     "agg_distinct_users_exact": _AGG_DISTINCT_USERS_SQL,
