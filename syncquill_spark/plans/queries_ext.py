@@ -1183,6 +1183,88 @@ FROM g
 """
 
 
+_Z_BITS = 10
+
+
+def q_storage_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (user bucket, value bucket): the
+    sort key a layout job uses before writing parquet so zone maps
+    prune on either dimension. Pure codegen bit arithmetic."""
+    from syncquill_spark.functions.zorder import zorder_key
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    u = F.col("user_id") % 1024
+    v = (F.col("value").cast("decimal(18,2)") * 100).cast("long") % 1024
+    return events.select(
+        "event_id",
+        u.cast("long").alias("u_bucket"),
+        v.alias("v_bucket"),
+        zorder_key([u, v], bits=_Z_BITS).alias("zkey"),
+    )
+
+
+def _zorder_sql() -> str:
+    from syncquill_spark.functions.zorder import zorder_key_sql
+
+    u = "(user_id % 1024)"
+    v = "(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 1024)"
+    return f"""
+SELECT event_id,
+       CAST({u} AS BIGINT) AS u_bucket,
+       CAST({v} AS BIGINT) AS v_bucket,
+       {zorder_key_sql([u, v], bits=_Z_BITS)} AS zkey
+FROM events
+"""
+
+
+_IVM_CUTOFF = "1997-01-01"
+
+
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-priority orders rollup is
+    maintained from a change feed (inserts = post-cutoff orders,
+    deletes = pre-cutoff orders with o_orderkey % 10 == 3) WITHOUT
+    rescanning the base facts. The oracle recomputes the final state
+    directly — incremental-equals-recompute IS the invariant under
+    test. Decimal accumulation makes the update exactly associative."""
+    from syncquill_spark.operators.incremental import (
+        incremental_agg_update,
+        snapshot_agg,
+    )
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+    old = orders.filter(F.col("o_orderdate") < cutoff)
+    base = snapshot_agg(old, ["o_orderpriority"], ["o_totalprice"])
+    inserts = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        F.lit("I").alias("op"), "o_orderpriority", "o_totalprice"
+    )
+    deletes = old.filter(F.col("o_orderkey") % 10 == 3).select(
+        F.lit("D").alias("op"), "o_orderpriority", "o_totalprice"
+    )
+    updated = incremental_agg_update(
+        base,
+        inserts.unionByName(deletes),
+        ["o_orderpriority"],
+        ["o_totalprice"],
+    )
+    return updated.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        "n_rows",
+    )
+
+
+_CDC_INCREMENTAL_AGG_SQL = f"""
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_rows
+FROM orders
+WHERE NOT (o_orderdate < TIMESTAMP '{_IVM_CUTOFF}' AND o_orderkey % 10 = 3)
+GROUP BY o_orderpriority
+"""
+
+
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in dynamic-gap session windows (F.session_window) per
     user; the same plan runs under readStream with a watermark. The
@@ -1914,6 +1996,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_window": q_events_tumbling_window,
     "events_session_window": q_events_session_window,
     "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_incremental_agg": q_cdc_incremental_agg,
+    "storage_zorder_key": q_storage_zorder_key,
     "events_sliding_window": q_events_sliding_window,
     "funnel_click_purchase": q_funnel_click_purchase,
     "agg_distinct_users_exact": q_agg_distinct_users_exact,
@@ -1962,6 +2046,8 @@ EXT_ORACLES: dict[str, str | None] = {
     "events_tumbling_window": _EVENTS_TUMBLING_WINDOW_SQL,
     "events_session_window": _EVENTS_SESSION_WINDOW_SQL,
     "cdc_scd2_history": _CDC_SCD2_SQL,
+    "cdc_incremental_agg": _CDC_INCREMENTAL_AGG_SQL,
+    "storage_zorder_key": _zorder_sql(),
     "events_sliding_window": _EVENTS_SLIDING_WINDOW_SQL,
     "funnel_click_purchase": _FUNNEL_SQL,
     "agg_distinct_users_exact": _AGG_DISTINCT_USERS_SQL,
