@@ -85,6 +85,7 @@ def main() -> None:
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -54,13 +54,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # Larger JIT code cache: a long session compiles one generated
-        # class per distinct plan; when the default ~240m cache fills,
-        # the JVM silently stops JIT-compiling and whole-stage-codegen
-        # queries run interpreted (measured ~10x on fold-heavy plans
-        # late in a 60-query benchmark run).
+        # class per distinct plan; when the cache fills, the JVM
+        # silently stops JIT-compiling and whole-stage-codegen queries
+        # run interpreted (measured ~10x on fold-heavy plans late in a
+        # benchmark run — recurred at 512m once the registry passed 80
+        # plans, so 1g + explicit flushing headroom).
         .config(
             "spark.driver.extraJavaOptions",
-            "-Djava.net.preferIPv4Stack=true -XX:ReservedCodeCacheSize=512m",
+            "-Djava.net.preferIPv4Stack=true -XX:ReservedCodeCacheSize=1g"
+            " -XX:+UseCodeCacheFlushing",
         )
     )
     if extra_conf:
