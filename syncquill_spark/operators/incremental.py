@@ -15,6 +15,13 @@ aggregate on the group key. The base FACTS are never read — only the
 materialized aggregate, which is |groups| not |rows|. SUM columns must
 be decimal-accumulated for the update to be exactly associative
 (float sums would drift from the recomputed truth).
+
+The merge join is sort-merge by necessity: Spark's broadcast hash join
+does not support FULL OUTER (needed because groups can appear on
+either side only). Both inputs are group-cardinality aggregates, so
+the SMJ shuffles |groups| + |changed groups| rows, not facts — the
+explain_audit "sort-merge only" flag on cdc_incremental_agg is this,
+and it is the right plan.
 """
 
 from __future__ import annotations
