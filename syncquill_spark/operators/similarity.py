@@ -402,3 +402,41 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select(query_id_col, "neighbor_id", "rk")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean vector: (label, centroid array<double>, n_vecs).
+
+    Class centroids for embedding spaces (cluster summaries, nearest-
+    centroid classification, per-class drift monitoring). The mean is
+    a cross-row float reduction, so components are LLOYD_SCALE-
+    quantized to int64 first (floor(x*S + 0.5)) and summed as exact
+    integers — order-independent, hence engine-exact — then divided
+    back once (same determinism trick as the Lloyd refinement above).
+
+    Scale shape: posexplode -> one (label, dim) groupBy with map-side
+    combine (shuffle rows = |labels| x dim, independent of corpus
+    size) -> per-label array reassembly ordered by dim.
+    """
+    pos = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("_p", "_x")
+    )
+    q = F.floor(F.col("_x").cast("double") * LLOYD_SCALE + F.lit(0.5)).cast("long")
+    per_dim = (
+        pos.withColumn("_q", q)
+        .groupBy(label_col, "_p")
+        .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_m", F.col("_s").cast("double") / (F.col("_n") * F.lit(float(LLOYD_SCALE)))
+        )
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_m"))), lambda s: s["_m"]
+        ).alias("centroid"),
+        F.max("_n").alias("n_vecs"),
+    )

@@ -221,6 +221,71 @@ def quality_rules(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set (Lucene idf form) — retrieval-quality scoring for
+    corpus curation (e.g. up-weighting documents relevant to a topic
+    mix). Output: (doc_id, bm25, n_matched) for docs matching >= 1
+    term.
+
+    Scale shape: tf is the inverted-index groupBy restricted to the
+    query terms (the explode filters BEFORE the shuffle, so the
+    aggregate carries |docs| x |query| rows at most); df and the
+    corpus stats (N, total length) are one tiny broadcast each.
+
+    Determinism: every per-(doc, term) score is pure per-row IEEE
+    arithmetic (ln, mul, div — exactly specified). The only cross-row
+    float reduction, the per-doc term sum, is made associative by
+    rounding each term's score to DECIMAL(18,9) first — summing <=
+    |query| exact decimals is order-independent, so the result is
+    engine-exact (ties at the 9th decimal of an ln-valued score do
+    not occur in practice).
+    """
+    toks = _tokens(text_col)
+    tok = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").cast("long").alias("_total_len"),
+    )
+    qtok = tok.filter(F.col("term").isin(*query_terms))
+    tf = qtok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    rel_len = (
+        F.col("_dl").cast("double")
+        * F.col("_n_docs").cast("double")
+        / F.col("_total_len").cast("double")
+    )
+    score = (
+        idf
+        * (F.col("_tf") * (k1 + 1.0))
+        / (F.col("_tf") + k1 * (1.0 - b) + k1 * b * rel_len)
+    )
+    return (
+        joined.withColumn("_s", F.round(score, 9).cast("decimal(18,9)"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_s").cast("double").alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate: word-chunks of
     <=4 chars count one subword each (ceil(len/4)), punctuation runs

@@ -917,6 +917,77 @@ FROM r
 """
 
 
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids with scaled-int exact means; the
+    (label, dim) shuffle is corpus-size independent."""
+    from syncquill_spark.operators.similarity import label_centroids
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    return label_centroids(embeddings)
+
+
+_EMBEDDING_LABEL_CENTROIDS_SQL = """
+WITH p AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+d AS (
+  SELECT label, pos, SUM(q) AS s, COUNT(*) AS n
+  FROM p GROUP BY label, pos
+)
+SELECT label,
+       list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS centroid,
+       MAX(n) AS n_vecs
+FROM d GROUP BY label
+"""
+
+
+_BM25_TERMS = ("spark", "hash", "merge", "window")
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 against a fixed query term set; per-term scores are
+    per-row IEEE math, the per-doc sum is decimal-rounded so the one
+    cross-row float reduction is order-independent."""
+    from syncquill_spark.operators.text import bm25_scores
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return bm25_scores(documents, _BM25_TERMS)
+
+
+def _bm25_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = 1.2, 0.75
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({terms}) GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * (1.0 - {b})
+              + {k1} * {b} * (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                              / CAST(total_len AS DOUBLE))),
+           9) AS DECIMAL(18,9)) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25, COUNT(*) AS n_matched
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     return token_counts(documents)
@@ -1569,6 +1640,56 @@ FROM events GROUP BY event_type
 """
 
 
+_PCT_ACC = 1000  # GK sketch accuracy: rank error <= n / accuracy
+
+
+def q_agg_quantiles_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx with its Greenwald-Khanna guarantee verified
+    IN-PLAN: the sketch promises a value whose rank is within
+    n/accuracy of the target rank. The query computes the returned
+    value's exact rank interval from per-value counts (one small
+    groupBy + running sum) and emits the bound check as a column; the
+    oracle recomputes group sizes and asserts TRUE. Same pattern as
+    the HLL bound check — the approximate answer itself is not
+    hash-comparable, its advertised guarantee is."""
+    from pyspark.sql.window import Window
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    cnt = lineitem.groupBy("l_linestatus", "l_quantity").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy("l_linestatus").orderBy("l_quantity")
+    cum = cnt.withColumn(
+        "_cum_le", F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    approx = lineitem.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_quantity", 0.5, _PCT_ACC).alias("_p50"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    j = approx.join(
+        cum,
+        (approx["l_linestatus"] == cum["l_linestatus"])
+        & (F.col("_p50") == F.col("l_quantity")),
+    )
+    target = 0.5 * F.col("n_lines").cast("double")
+    err = F.col("n_lines").cast("double") / _PCT_ACC
+    within = (
+        ((F.col("_cum_le") - F.col("_c")).cast("double") < target + err)
+        & (F.col("_cum_le").cast("double") >= target - err)
+    )
+    return j.select(
+        approx["l_linestatus"].alias("l_linestatus"),
+        "n_lines",
+        within.alias("within_bound"),
+    )
+
+
+_AGG_QUANTILES_APPROX_SQL = """
+SELECT l_linestatus, COUNT(*) AS n_lines, TRUE AS within_bound
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming applyInPandasWithState sessionizer
     (streaming/sessionize.py): 30-min-gap sessions per user. Session
@@ -1983,6 +2104,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "text_quality_rules": q_text_quality_rules,
+    "text_bm25": q_text_bm25,
+    "embedding_label_centroids": q_embedding_label_centroids,
     "text_token_counts": q_text_token_counts,
     "text_term_stats": q_text_term_stats,
     "text_readability": q_text_readability,
@@ -1998,6 +2121,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_incremental_agg": q_cdc_incremental_agg,
     "storage_zorder_key": q_storage_zorder_key,
+    "agg_quantiles_approx_check": q_agg_quantiles_approx_check,
     "events_sliding_window": q_events_sliding_window,
     "funnel_click_purchase": q_funnel_click_purchase,
     "agg_distinct_users_exact": q_agg_distinct_users_exact,
@@ -2033,6 +2157,8 @@ EXT_ORACLES: dict[str, str | None] = {
     "text_quality": _quality_sql(),
     "text_repetition": _repetition_sql(),
     "text_quality_rules": _quality_rules_sql(),
+    "text_bm25": _bm25_sql(),
+    "embedding_label_centroids": _EMBEDDING_LABEL_CENTROIDS_SQL,
     "text_token_counts": _token_counts_sql(),
     "text_term_stats": _term_stats_sql(),
     "text_readability": _readability_sql(),
@@ -2048,6 +2174,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "cdc_scd2_history": _CDC_SCD2_SQL,
     "cdc_incremental_agg": _CDC_INCREMENTAL_AGG_SQL,
     "storage_zorder_key": _zorder_sql(),
+    "agg_quantiles_approx_check": _AGG_QUANTILES_APPROX_SQL,
     "events_sliding_window": _EVENTS_SLIDING_WINDOW_SQL,
     "funnel_click_purchase": _FUNNEL_SQL,
     "agg_distinct_users_exact": _AGG_DISTINCT_USERS_SQL,

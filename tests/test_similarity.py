@@ -180,3 +180,19 @@ def test_ivf_full_probe_equals_brute_force(spark, embeddings):
     ivf = ivf_topk(embeddings, queries, k=5, n_cells=8, nprobe=8)
     exact = brute_force_topk(embeddings, queries, k=5)
     assert {tuple(r) for r in ivf.collect()} == {tuple(r) for r in exact.collect()}
+
+
+def test_label_centroids_exact_means(spark):
+    from syncquill_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0]),
+            (2, 0, [3.0, 6.0]),
+            (3, 1, [5.0, 5.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = {r.label: r for r in label_centroids(df).collect()}
+    assert out[0].centroid == [2.0, 4.0] and out[0].n_vecs == 2
+    assert out[1].centroid == [5.0, 5.0] and out[1].n_vecs == 1

@@ -84,3 +84,20 @@ def test_quality_rules_flags(spark):
         "doc_id", "pass_length", "pass_chars_per_token", "pass_uniq_ratio",
         "pass_not_repetitive", "pass_dup_bigrams", "keep",
     }
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from syncquill_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark is fast"),
+            (2, "spark is a word here once with lots of other words padding it"),
+            (3, "nothing relevant at all"),
+        ],
+        DOCS,
+    )
+    out = {r.doc_id: r for r in bm25_scores(df, ("spark",)).collect()}
+    assert set(out) == {1, 2}  # non-matching doc absent
+    assert out[1].bm25 > out[2].bm25  # higher tf, shorter doc wins
+    assert out[1].n_matched == 1
