@@ -302,3 +302,41 @@ def test_session_gap_boundary_is_inclusive(spark):
     built_in = session_window_stats(events).collect()
     assert sorted(r.n_events for r in custom) == [1, 2]
     assert sorted(r.n_events for r in built_in) == [1, 2]
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """transformWithStateInPandas running totals: the last emitted row
+    per user over the finite backlog == the plain batch aggregate.
+    Skipped where the state-v2 protobuf dependency is absent (this
+    sandbox); the guard path is covered below either way."""
+    from syncquill_spark.streaming.stateful import (
+        running_totals_stream,
+        state_v2_available,
+    )
+
+    if not state_v2_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_totals_stream(read_events_stream(spark, sf_dir))
+        pytest.skip("state-v2 needs the protobuf package; guard verified")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        running_totals_stream(stream), "rt", output_mode="update"
+    )
+    # keep the final (largest n_events) row per user
+    last = {}
+    for r in got:
+        if r.user_id not in last or r.n_events > last[r.user_id].n_events:
+            last[r.user_id] = r
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    )
+    want = {r.user_id: (r.n, round(r.sv, 2)) for r in batch}
+    have = {u: (r.n_events, round(r.sum_value, 2)) for u, r in last.items()}
+    assert have == want
