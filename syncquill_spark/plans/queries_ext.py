@@ -1759,6 +1759,71 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id
 """
 
 
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame moving aggregate: trailing-3-event mean value per
+    user (rowsBetween(-2, 0)). The mean is one division of an exact
+    decimal frame-sum by the frame count — engine-exact. Also emits
+    lag/lead deltas, covering the offset-function surface."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    frame = w.rowsBetween(-2, 0)
+    dec_v = F.col("value").cast("decimal(18,2)")
+    return events.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(dec_v).over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame).cast("double")
+        ).alias("moving_avg"),
+        (dec_v - F.lag(dec_v, 1).over(w)).cast("double").alias("delta_prev"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+_WINDOW_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+         / CAST(COUNT(*) OVER f AS DOUBLE) AS moving_avg,
+       CAST(CAST(value AS DECIMAL(18,2))
+            - lag(CAST(value AS DECIMAL(18,2)), 1) OVER w AS DOUBLE)
+           AS delta_prev,
+       lead(event_type, 1) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+       f AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL bag semantics: per-customer order-priority
+    multiset minus the urgent multiset — duplicates preserved
+    (exceptAll keeps max(count_left - count_right, 0) copies, unlike
+    EXCEPT's set semantics). Counted per priority for a compact,
+    duplicate-sensitive result."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    left = orders.select("o_custkey", "o_orderpriority")
+    right = orders.filter(F.col("o_totalprice") > 100000).select(
+        "o_custkey", "o_orderpriority"
+    )
+    return (
+        left.exceptAll(right)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_remaining"))
+    )
+
+
+_SETOP_EXCEPT_ALL_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_remaining
+FROM (
+  SELECT o_custkey, o_orderpriority FROM orders
+  EXCEPT ALL
+  SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 100000
+) t
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2106,6 +2171,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_rules": q_text_quality_rules,
     "text_bm25": q_text_bm25,
     "embedding_label_centroids": q_embedding_label_centroids,
+    "window_moving_avg": q_window_moving_avg,
+    "setop_except_all": q_setop_except_all,
     "text_token_counts": q_text_token_counts,
     "text_term_stats": q_text_term_stats,
     "text_readability": q_text_readability,
@@ -2159,6 +2226,8 @@ EXT_ORACLES: dict[str, str | None] = {
     "text_quality_rules": _quality_rules_sql(),
     "text_bm25": _bm25_sql(),
     "embedding_label_centroids": _EMBEDDING_LABEL_CENTROIDS_SQL,
+    "window_moving_avg": _WINDOW_MOVING_AVG_SQL,
+    "setop_except_all": _SETOP_EXCEPT_ALL_SQL,
     "text_token_counts": _token_counts_sql(),
     "text_term_stats": _term_stats_sql(),
     "text_readability": _readability_sql(),
