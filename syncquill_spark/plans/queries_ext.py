@@ -2115,12 +2115,18 @@ FROM t
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column with
     integer-only audit stats (L1 mass, extremes, zero count) — the
-    4x-compression first rung under the ANN indexes. Projection only."""
+    4x-compression first rung under the ANN indexes. Projection only.
+    The quantized array is staged in its own projection: interpreted
+    higher-order expressions re-evaluate per reference, and the four
+    stats reference it four times (measured ~2x on this query)."""
     from syncquill_spark.functions.vectors import quantize_int8
 
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
-    q = quantize_int8(F.col("embedding"))
-    return embeddings.select(
+    staged = embeddings.select(
+        "vec_id", quantize_int8(F.col("embedding")).alias("_q")
+    )
+    q = F.col("_q")
+    return staged.select(
         "vec_id",
         F.aggregate(
             q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
