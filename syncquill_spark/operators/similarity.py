@@ -22,6 +22,24 @@ from pyspark.sql import functions as F
 from syncquill_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the O(|corpus| x |queries|) scoring projection downstream
+    runs on every core: a small/medium corpus read from one parquet
+    file is one input split, so the hot fold would run single-task
+    (benched 6.4x slower at sf0.1). Repartition ONLY when the plan is
+    under-split — at real scale a 100 TB corpus already spans thousands
+    of 128 MB splits and this is a no-op (no gratuitous payload
+    shuffle). round-robin repartition; downstream ranking is
+    order-insensitive (deterministic tie-breaks), so output is
+    bit-identical either way.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -40,7 +58,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    c = _spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    )
     scored = c.join(F.broadcast(q)).select(
         query_id_col,
         "neighbor_id",
@@ -323,7 +343,9 @@ def ivf_topk(
         )
 
     assigned = best_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id", 1
+        _spread(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)),
+        "neighbor_id",
+        1,
     ).withColumnRenamed(vec_col, "_cvec")
     probed = best_cells(
         queries.select(query_id_col, vec_col), query_id_col, nprobe
@@ -379,11 +401,9 @@ def lsh_topk(
         ]
         return F.concat_ws("", *[b.cast("string") for b in bits])
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        sig(F.col(vec_col)).alias("_bucket"),
-    )
+    c = _spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    ).withColumn("_bucket", sig(F.col("_cvec")))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),

@@ -11,7 +11,34 @@ from syncquill_spark.plans.queries import ORACLES as _CORE_ORACLES
 from syncquill_spark.plans.queries import load_tables
 from syncquill_spark.plans.queries_ext import EXT_QUERIES, EXT_ORACLES
 
-QUERIES = {**_CORE_QUERIES, **EXT_QUERIES}
-ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
+_ALL_QUERIES = {**_CORE_QUERIES, **EXT_QUERIES}
+_ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
+
+# The driver's per-round correctness gate verifies the FIRST 50 registry
+# entries in dict order. Rounds 1-2 green-lit 50 entries; the remaining 38
+# (verified locally with the identical oracle protocol via
+# tools/verify_local.py) never received a driver-green CORRECTNESS row.
+# Lead with those 38 so round 3's window covers them; the rest keep their
+# prior order (they already have green rows in CORRECTNESS_r01/r02).
+_PRIORITY = [
+    "text_quality_rules", "text_bm25", "embedding_label_centroids",
+    "window_moving_avg", "setop_except_all", "text_token_counts",
+    "text_term_stats", "text_readability", "text_sentences_udtf",
+    "text_fingerprint", "multimodal_media_stats", "join_asof_signup",
+    "join_range_shipments", "join_binned_range", "agg_rollup_orders",
+    "events_tumbling_window", "events_session_window", "cdc_scd2_history",
+    "cdc_incremental_agg", "storage_zorder_key", "agg_quantiles_approx_check",
+    "events_sliding_window", "funnel_click_purchase",
+    "agg_distinct_users_exact", "agg_distinct_users_approx",
+    "events_sessionization", "window_running_total", "join_events_customers",
+    "pipeline_corpus_curation", "curation_hash_split",
+    "curation_decontaminate", "curation_sample_stratified",
+    "curation_shuffle", "curation_blocklist", "curation_boilerplate",
+    "curation_redact_pii", "curation_pack_sequences", "embedding_quantize",
+]
+
+_ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]
+QUERIES = {k: _ALL_QUERIES[k] for k in _ORDER}
+ORACLES = {k: _ALL_ORACLES.get(k) for k in _ORDER}
 
 __all__ = ["QUERIES", "ORACLES", "load_tables"]
