@@ -35,23 +35,27 @@ def main() -> None:
     # Warm the JVM/session so the first query doesn't pay startup cost:
     # touch the parquet reader, one shuffle (join + groupBy), and
     # whole-stage codegen once, on the smallest table (region, 5 rows).
-    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
-    (
-        warm.join(warm.selectExpr("r_regionkey as k"), warm["r_regionkey"] == F.col("k"))
-        .groupBy("r_name")
-        .count()
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
-    # ... and the diff-shaped path (full-outer join + stack unpivot),
-    # which the first headline query hits: 5 rows through the same
-    # operators compiles the same generated classes.
-    QUERIES["sync_diff_keyed"](
-        spark, sf_dir
-    ).limit(5).write.format("noop").mode("overwrite").save()
+    try:
+        warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+        (
+            warm.join(warm.selectExpr("r_regionkey as k"), warm["r_regionkey"] == F.col("k"))
+            .groupBy("r_name")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        # ... and the diff-shaped path (full-outer join + stack unpivot),
+        # which the first headline query hits: 5 rows through the same
+        # operators compiles the same generated classes.
+        QUERIES["sync_diff_keyed"](
+            spark, sf_dir
+        ).limit(5).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+        print(f"bench: warmup failed (continuing): {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for i, name in enumerate(HEADLINE):
         fn = QUERIES.get(name)
         if fn is None:
@@ -75,22 +79,31 @@ def main() -> None:
         t0 = time.time()
         # foreach-noop action: executes the full plan, returns nothing
         # to the driver (no collect bottleneck in the measurement).
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Fault-isolated: one broken query must not destroy the round's
+        # entire timing record (round 3 lost ALL data to one analysis
+        # error) — failures are reported per-query and the summary line
+        # always prints.
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        summary["n_errors"] = len(errors)
+        summary["errors"] = errors
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -424,6 +424,36 @@ def lsh_topk(
     )
 
 
+def label_centroid_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact per-(label, dimension) centroid statistics:
+    (label, pos, sum_q, n_vecs) — all integers.
+
+    Components are LLOYD_SCALE-quantized to int64 (floor(x*S + 0.5))
+    and summed as exact integers, so the result is order-independent
+    and engine-exact (same determinism trick as the Lloyd refinement
+    above). This all-scalar, all-integer frame is the cross-engine
+    CHECKED shape: the repo's hash-robustness policy (plans/queries.py)
+    bans both raw doubles and array columns from checked outputs, and
+    the mean (one division) is recoverable as sum_q / (n_vecs * S).
+
+    Scale shape: posexplode -> one (label, dim) groupBy with map-side
+    combine; shuffle rows = |labels| x dim, independent of corpus size.
+    """
+    pos = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "_x")
+    )
+    q = F.floor(F.col("_x").cast("double") * LLOYD_SCALE + F.lit(0.5)).cast("long")
+    return (
+        pos.withColumn("_q", q)
+        .groupBy(label_col, "pos")
+        .agg(F.sum("_q").alias("sum_q"), F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
 def label_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -432,31 +462,18 @@ def label_centroids(
     """Per-label mean vector: (label, centroid array<double>, n_vecs).
 
     Class centroids for embedding spaces (cluster summaries, nearest-
-    centroid classification, per-class drift monitoring). The mean is
-    a cross-row float reduction, so components are LLOYD_SCALE-
-    quantized to int64 first (floor(x*S + 0.5)) and summed as exact
-    integers — order-independent, hence engine-exact — then divided
-    back once (same determinism trick as the Lloyd refinement above).
-
-    Scale shape: posexplode -> one (label, dim) groupBy with map-side
-    combine (shuffle rows = |labels| x dim, independent of corpus
-    size) -> per-label array reassembly ordered by dim.
+    centroid classification, per-class drift monitoring). Built on
+    label_centroid_stats (exact integer sums), divided back once and
+    reassembled per label ordered by dimension.
     """
-    pos = df.select(
-        F.col(label_col), F.posexplode(F.col(vec_col)).alias("_p", "_x")
-    )
-    q = F.floor(F.col("_x").cast("double") * LLOYD_SCALE + F.lit(0.5)).cast("long")
-    per_dim = (
-        pos.withColumn("_q", q)
-        .groupBy(label_col, "_p")
-        .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_m", F.col("_s").cast("double") / (F.col("_n") * F.lit(float(LLOYD_SCALE)))
-        )
+    per_dim = label_centroid_stats(df, vec_col, label_col).withColumn(
+        "_m",
+        F.col("sum_q").cast("double") / (F.col("n_vecs") * F.lit(float(LLOYD_SCALE))),
     )
     return per_dim.groupBy(label_col).agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("_p", "_m"))), lambda s: s["_m"]
+            F.array_sort(F.collect_list(F.struct(F.col("pos").alias("_p"), "_m"))),
+            lambda s: s["_m"],
         ).alias("centroid"),
-        F.max("_n").alias("n_vecs"),
+        F.max("n_vecs").alias("n_vecs"),
     )

@@ -12,7 +12,11 @@ Hash-robustness policy (cross-engine value identity):
   counts are integers, everything else is strings/ints;
 - doubles may be *compared/ordered* freely (same parquet bits in both
   engines) — they just don't appear in output columns;
-- timestamps are projected via date_format/strftime to fixed patterns.
+- timestamps are projected via date_format/strftime to fixed patterns;
+- no ARRAY (or other nested) columns in any checked output: the
+  driver's canonicalizer sorts a pandas frame by every column and dies
+  on unhashable list cells — emit per-element rows (e.g. (label, pos,
+  sum_q)) or a deterministic string projection instead.
 
 Sync-fixture queries derive a deterministic "mutated" source table from
 ``customer``/``supplier`` with pure SQL-expressible transforms, so the
@@ -29,13 +33,22 @@ from pyspark.sql import functions as F
 
 from syncquill_spark.operators.apply import apply_changes
 from syncquill_spark.operators.diff import diff_keyed, diff_positional
+from syncquill_spark.sources.events import normalize_event_ts
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
-    # default; read it as epoch-nanos LongType (portable integer math).
+    # events.parquet stores TIMESTAMP(NANOS); depending on the pyspark
+    # runtime it decodes as epoch-nanos long (<=4.0 + legacy conf) or
+    # TIMESTAMP_NTZ (>=4.1, conf dropped). normalize_event_ts absorbs
+    # the drift so downstream code always sees epoch-nanos LongType.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+    out = []
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n == "events":
+            df = normalize_event_ts(df)
+        out.append(df)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -918,12 +918,20 @@ FROM r
 
 
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroids with scaled-int exact means; the
-    (label, dim) shuffle is corpus-size independent."""
-    from syncquill_spark.operators.similarity import label_centroids
+    """Per-label, per-dimension centroid stats with scaled-int exact
+    sums; the (label, dim) shuffle is corpus-size independent.
+
+    Checked output is the all-integer per-dim frame (label, pos,
+    sum_q, n_vecs): the driver's canonicalizer pandas-sorts every
+    column, so array-typed cells (the assembled centroid) are banned
+    from checked outputs — label_centroids reassembles the arrays for
+    API users, from exactly these stats."""
+    from syncquill_spark.operators.similarity import label_centroid_stats
 
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
-    return label_centroids(embeddings)
+    return label_centroid_stats(embeddings).select(
+        "label", "pos", "sum_q", "n_vecs"
+    )
 
 
 _EMBEDDING_LABEL_CENTROIDS_SQL = """
@@ -933,15 +941,9 @@ WITH p AS (
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
               AS BIGINT) AS q
   FROM embeddings
-),
-d AS (
-  SELECT label, pos, SUM(q) AS s, COUNT(*) AS n
-  FROM p GROUP BY label, pos
 )
-SELECT label,
-       list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS centroid,
-       MAX(n) AS n_vecs
-FROM d GROUP BY label
+SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n_vecs
+FROM p GROUP BY label, pos
 """
 
 

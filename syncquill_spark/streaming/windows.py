@@ -15,12 +15,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from syncquill_spark.sources.events import normalize_event_ts
+
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-stream over the events parquet (schema pinned from a batch
-    read — required by readStream; file sources replay incrementally)."""
+    read — required by readStream; file sources replay incrementally).
+    ts is normalized to epoch-nanos long whatever the runtime decoded
+    (see sources/events.py — pyspark 4.1 dropped nanosAsLong)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # File streams need a DIRECTORY; events.parquet is a single file,
     # so stream the sf dir with a glob filter selecting just it.
@@ -30,7 +34,7 @@ def read_events_stream(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(sf_dir)
+    return normalize_event_ts(reader.parquet(sf_dir))
 
 
 def with_event_time(events: DataFrame) -> DataFrame:

@@ -196,3 +196,26 @@ def test_label_centroids_exact_means(spark):
     out = {r.label: r for r in label_centroids(df).collect()}
     assert out[0].centroid == [2.0, 4.0] and out[0].n_vecs == 2
     assert out[1].centroid == [5.0, 5.0] and out[1].n_vecs == 1
+
+
+def test_label_centroid_stats_all_integer_scalars(spark):
+    """The checked shape: per-(label, pos) exact integer sums, no
+    array or double columns (driver canonicalizer requirement)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from syncquill_spark.operators.similarity import label_centroid_stats
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0]), (2, 0, [3.0, 6.0]), (3, 1, [5.0, 5.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    stats = label_centroid_stats(df)
+    for f in stats.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, DoubleType)), f
+    got = {(r.label, r.pos): (r.sum_q, r.n_vecs) for r in stats.collect()}
+    assert got == {
+        (0, 0): (4_000_000, 2),
+        (0, 1): (8_000_000, 2),
+        (1, 0): (5_000_000, 1),
+        (1, 1): (5_000_000, 1),
+    }

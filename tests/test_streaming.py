@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from syncquill_spark.operators import normalize_strings
 from syncquill_spark.sources import ParquetTable
+from syncquill_spark.sources.events import normalize_event_ts
 from syncquill_spark.streaming import (
     incremental_sync,
     read_events_stream,
@@ -164,7 +165,7 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_dir):
     )
     got = run_available_now(sessionize_stream(stream), "t_sessions")
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     batch = sessionize_batch(events).collect()
     batch_keys = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
@@ -256,7 +257,7 @@ def test_session_window_stream_matches_batch(spark, sf_dir):
         output_mode="complete",
     )
     batch = session_window_stats(
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     ).collect()
     key = lambda r: (r["user_id"], r["session_start_us"])
     got_map = {key(r): (r["n_events"], round(r["sum_value"], 2)) for r in got}
@@ -270,7 +271,7 @@ def test_session_window_agrees_with_custom_sessionizer(spark, sf_dir):
     from syncquill_spark.streaming.sessionize import sessionize_batch
     from syncquill_spark.streaming.windows import session_window_stats
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     built_in = {
         (r["user_id"], r["session_start_us"]): r["n_events"]
         for r in session_window_stats(events).collect()
