@@ -66,16 +66,21 @@ def main() -> None:
         # up into executor-memory pressure that taxes UNRELATED later
         # queries with GC/spill (measured: 3x total-time inflation).
         spark.catalog.clearCache()
-        # Periodic forced GC: Spark's ContextCleaner frees broadcast
-        # blocks / shuffle state only when the DRIVER JVM garbage-
-        # collects, and a large heap may not GC for the whole run — in
-        # local mode that accumulation sits in the one JVM doing all
-        # the work and inflated this benchmark ~3x with erratic 10-80s
-        # outliers (measured; total fell 326s -> 90s with this line).
-        # On a real cluster the cleaner strategy is the same but the
-        # state is spread across executors.
-        if i % 5 == 0:
-            spark.sparkContext._jvm.System.gc()
+        # Forced GC before EVERY query: Spark's ContextCleaner frees
+        # broadcast blocks / shuffle state only when the DRIVER JVM
+        # garbage-collects, and a large heap may not GC for the whole
+        # run — in local mode that accumulation sits in the one JVM
+        # doing all the work and inflated this benchmark ~3x with
+        # erratic 10-80s outliers (measured; total fell 326s -> 90s).
+        # Per-query (not i%5) so no query pays a mid-measurement full
+        # GC for its predecessors' garbage — with the %5 cadence a
+        # single query could read 2-3x its isolated time depending on
+        # where it landed in the cycle (observed: dedup_embedding_
+        # cosine 8.4s in-run vs 3.2s isolated). The GC runs BEFORE t0,
+        # so it is not counted in any query's time. On a real cluster
+        # the cleaner strategy is the same but the state is spread
+        # across executors.
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         # foreach-noop action: executes the full plan, returns nothing
         # to the driver (no collect bottleneck in the measurement).

@@ -33,9 +33,28 @@ def _spread(df: DataFrame) -> DataFrame:
     order-insensitive (deterministic tie-breaks), so output is
     bit-identical either way.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    # Target: at least the session's shuffle width; defaultParallelism
+    # alone under-counts on a dynamically-allocated cluster (it sees
+    # only executors registered at plan time).
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200") or 200)
+    try:
+        target = max(target, spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect client: no sparkContext
+        pass
+    try:
+        # Exact split count. Cheap in classic Spark (physical planning
+        # of a scan+project); unsupported under Spark Connect.
+        n_splits = df.rdd.getNumPartitions()
+    except Exception:
+        try:
+            # Connect fallback: file count lower-bounds the split count
+            # (a >maxPartitionBytes file yields several splits, so this
+            # can trigger a redundant — but harmless — repartition).
+            n_splits = len(df.inputFiles())
+        except Exception:
+            n_splits = 0  # unknown source: spread unconditionally
+    if n_splits < target:
         return df.repartition(target)
     return df
 

@@ -15,12 +15,16 @@ _ALL_QUERIES = {**_CORE_QUERIES, **EXT_QUERIES}
 _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 
 # The driver's per-round correctness gate verifies the FIRST 50 registry
-# entries in dict order. Rounds 1-2 green-lit 50 entries; the remaining 38
-# (verified locally with the identical oracle protocol via
-# tools/verify_local.py) never received a driver-green CORRECTNESS row.
-# Lead with those 38 so round 3's window covers them; the rest keep their
-# prior order (they already have green rows in CORRECTNESS_r01/r02).
+# entries in dict order. Policy (round-3 review): any query whose physical
+# plan changed this round MUST sit inside the window, so modified plans
+# always get a driver-green row in the same round they change. Round 4
+# leads with the five perf-touched queries (dedup_clusters round-pacing,
+# similarity_topk_* _spread), then the 38 that first entered the window
+# in round 3 (7 of which were red there and are fixed this round); the
+# rest keep their prior order (green rows in CORRECTNESS_r01/r02).
 _PRIORITY = [
+    "dedup_clusters", "similarity_topk_cosine", "similarity_topk_lsh",
+    "similarity_topk_ivf", "similarity_topk_ivf_refined",
     "text_quality_rules", "text_bm25", "embedding_label_centroids",
     "window_moving_avg", "setop_except_all", "text_token_counts",
     "text_term_stats", "text_readability", "text_sentences_udtf",

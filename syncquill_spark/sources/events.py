@@ -25,6 +25,13 @@ additionally pins the session tz to UTC for downstream date_format
 determinism.
 
 Works identically on batch and streaming DataFrames (pure projection).
+
+Scale note: a predicate on the DERIVED epoch-nanos column cannot push
+down into the parquet scan (Spark will not invert the arithmetic). At
+100 TB an events table is date-partitioned, so time-range pruning
+happens on the partition column (whole-directory pruning) regardless;
+for fine-grained residual filters, filter on the raw timestamp column
+BEFORE normalize_event_ts when reading a pre-4.1-incompatible layout.
 """
 
 from __future__ import annotations
