@@ -161,20 +161,30 @@ def embedding_near_dup_pairs(
     # verification from the small unit-normalized frame. Verification
     # on unit vectors needs ONE array fold per pair (dot >= threshold)
     # instead of three (dot + two norms).
-    keyed = corpus.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        band_key(F.col(vec_col), bi).alias("key"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select(id_col, F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    #
+    # _spread: the 16 interpreted plane-folds per vector are the hot
+    # compute; an under-split corpus (one parquet file = one task)
+    # would run them on a single core. persist: `keyed` feeds BOTH
+    # sides of the self-join — unpersisted, the folds run twice.
+    src = _spread(corpus.select(F.col(id_col), F.col(vec_col)))
+    keyed = (
+        src.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            band_key(F.col(vec_col), bi).alias("key"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("_b"),
+        )
+        .select(id_col, F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = keyed.select(
         F.col("_band").alias("_ba"), F.col("_key").alias("_ka"),
         F.col(id_col).alias("id_a"),
@@ -195,7 +205,7 @@ def embedding_near_dup_pairs(
     # l2_norm(vec) directly would re-fold the whole vector PER ELEMENT
     # (O(d^2)/vector) once CollapseProject inlines it.
     unit = (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(F.col(vec_col)).alias("_nrm"))
+        src.select(F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(F.col(vec_col)).alias("_nrm"))
         .select(
             F.col(id_col),
             F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_nrm")).alias("_u"),
@@ -495,4 +505,121 @@ def label_centroids(
             lambda s: s["_m"],
         ).alias("centroid"),
         F.max("n_vecs").alias("n_vecs"),
+    )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """k-NN majority-vote label prediction — the classification
+    application of the similarity stack (auto-labeling a small curated
+    query set from a labeled corpus, e.g. topic/quality propagation in
+    a training-data pipeline).
+
+    Neighbors come from brute_force_topk (exact, broadcast queries, no
+    corpus shuffle); labels re-attach by neighbor id; the winning label
+    per query is the one with the most votes among the k neighbors,
+    ties broken by best (lowest) neighbor rank, then smallest label —
+    fully deterministic, int-only output.
+
+    Scale shape: the only shuffles are the skinny (query_id,
+    neighbor_id, rk) frames — k rows per query; corpus labels join by
+    equi-key. Output: (query_id, predicted_label, n_votes).
+    """
+    nn = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    labeled = nn.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(label_col)),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy(query_id_col, label_col).agg(
+        F.count(F.lit(1)).alias("n_votes"), F.min("rk").alias("_best_rk")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("n_votes").desc(), F.col("_best_rk").asc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            query_id_col,
+            F.col(label_col).alias("predicted_label"),
+            "n_votes",
+        )
+    )
+
+
+def assign_nearest_centroid(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Assign every vector to its nearest label centroid (squared-L2);
+    nearest-centroid classification / cluster-coherence audit: the
+    output says, for each vector, which label's mean it actually sits
+    closest to.
+
+    Determinism: centroid means are exact rationals sum_q/(n*S) from
+    label_centroid_stats, materialized as doubles identically in any
+    engine (single int64->double division); the distance is a LEFT
+    fold over dimension order (zip_with + aggregate), so both engines
+    accumulate in the same order and produce bit-identical doubles —
+    argmin (ties -> smallest label) is then engine-exact.
+
+    Scale shape: the centroid table is |labels| rows — broadcast; the
+    corpus never shuffles (one projection + broadcast join + window
+    over |labels| rows per vector... the argmin is a groupBy on
+    id_col, shuffling |corpus| x |labels| skinny (id, label, dist)
+    rows; for large label spaces switch to a min_by aggregation,
+    which this uses, keeping one row per vector after the map-side
+    combine).
+
+    Output: (vec_id, nearest_label) — ints only, hash-stable.
+    """
+    stats = label_centroid_stats(corpus, vec_col=vec_col, label_col=label_col)
+    centroids = stats.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos").alias("_p"),
+                        (
+                            F.col("sum_q").cast("double")
+                            / (F.col("n_vecs") * F.lit(float(LLOYD_SCALE)))
+                        ).alias("_m"),
+                    )
+                )
+            ),
+            lambda s: s["_m"],
+        ).alias("_c")
+    ).select(F.col(label_col).alias("_clabel"), "_c")
+    scored = corpus.select(F.col(id_col), F.col(vec_col).alias("_v")).join(
+        F.broadcast(centroids)
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_v"),
+            F.col("_c"),
+            lambda x, m: (x.cast("double") - m) * (x.cast("double") - m),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        scored.select(F.col(id_col), F.col("_clabel"), d2.alias("_d2"))
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.col("_clabel"), F.struct(F.col("_d2"), F.col("_clabel"))
+            ).alias("nearest_label")
+        )
     )

@@ -23,6 +23,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # in round 3 (7 of which were red there and are fixed this round); the
 # rest keep their prior order (green rows in CORRECTNESS_r01/r02).
 _PRIORITY = [
+    "similarity_knn_classify", "embedding_nearest_centroid",
     "dedup_clusters", "similarity_topk_cosine", "similarity_topk_lsh",
     "similarity_topk_ivf", "similarity_topk_ivf_refined",
     "text_quality_rules", "text_bm25", "embedding_label_centroids",

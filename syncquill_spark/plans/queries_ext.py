@@ -2161,7 +2161,108 @@ FROM qt
 """
 
 
+def q_similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling: the held-out query vectors
+    (vec_id % _QUERY_MOD == 0) get labels propagated from their 5
+    nearest labeled corpus neighbors (corpus = everything else, so a
+    query never votes for itself). Broadcast queries, no corpus
+    shuffle; int-only deterministic output."""
+    from syncquill_spark.operators.similarity import knn_classify
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = embeddings.filter(F.col("vec_id") % _QUERY_MOD != 0)
+    return knn_classify(corpus, queries, k=5)
+
+
+_SIMILARITY_KNN_CLASSIFY_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+         list_reduce(list_transform(range(1, len(c.embedding) + 1),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(range(1, len(q.qv) + 1),
+                i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(range(1, len(c.embedding) + 1),
+                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)))
+         AS score
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id % {_QUERY_MOD} != 0
+),
+nn AS (
+  SELECT query_id, neighbor_id, label, rk FROM (
+    SELECT query_id, neighbor_id, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM scored) t
+  WHERE rk <= 5
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS n_votes, MIN(rk) AS best_rk
+  FROM nn GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, n_votes FROM (
+  SELECT query_id, label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, best_rk ASC, label ASC) AS rn
+  FROM votes) t
+WHERE rn = 1
+"""
+
+
+def q_embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment: which label's (exact-int-mean)
+    centroid each vector actually sits closest to — cluster-coherence
+    audit over the embeddings table. Centroids broadcast; corpus never
+    shuffles payloads."""
+    from syncquill_spark.operators.similarity import assign_nearest_centroid
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    return assign_nearest_centroid(embeddings)
+
+
+_EMBEDDING_NEAREST_CENTROID_SQL = """
+WITH p AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+d AS (
+  SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
+  FROM p GROUP BY label, pos
+),
+c AS (
+  SELECT label, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS cm
+  FROM d GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, c.label,
+         list_reduce(list_transform(range(1, len(e.embedding) + 1),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - cm[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - cm[i])),
+             (a, b) -> a + b) AS d2
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, label AS nearest_label FROM (
+  SELECT vec_id, label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, label ASC) AS rn
+  FROM scored) t
+WHERE rn = 1
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "similarity_knn_classify": q_similarity_knn_classify,
+    "embedding_nearest_centroid": q_embedding_nearest_centroid,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
@@ -2217,6 +2318,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str | None] = {
+    "similarity_knn_classify": _SIMILARITY_KNN_CLASSIFY_SQL,
+    "embedding_nearest_centroid": _EMBEDDING_NEAREST_CENTROID_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_incremental": _minhash_incremental_sql(),

@@ -58,13 +58,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # Larger JIT code cache: a long session compiles one generated
         # class per distinct plan; when the cache fills, the JVM
-        # silently stops JIT-compiling and whole-stage-codegen queries
-        # run interpreted (measured ~10x on fold-heavy plans late in a
-        # benchmark run — recurred at 512m once the registry passed 80
-        # plans, so 1g + explicit flushing headroom).
+        # silently stops JIT-compiling (or flushing evicts + forces
+        # recompiles) and whole-stage-codegen queries run interpreted
+        # (measured ~10x on fold-heavy plans late in a benchmark run —
+        # recurred at 512m past 80 plans, then AGAIN at 1g past ~88
+        # plans: fold-heavy late-run queries read 2.5x their isolated
+        # time, e.g. dedup_embedding_cosine 8.0s in-run vs 3.2s
+        # isolated; 2g restored 3.4s in-run). Size this with the plan
+        # count of the longest-lived session.
         .config(
             "spark.driver.extraJavaOptions",
-            "-Djava.net.preferIPv4Stack=true -XX:ReservedCodeCacheSize=1g"
+            "-Djava.net.preferIPv4Stack=true -XX:ReservedCodeCacheSize=2g"
             " -XX:+UseCodeCacheFlushing",
         )
     )

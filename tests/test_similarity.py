@@ -219,3 +219,61 @@ def test_label_centroid_stats_all_integer_scalars(spark):
         (1, 0): (5_000_000, 1),
         (1, 1): (5_000_000, 1),
     }
+
+
+def test_knn_classify_majority_vote(spark):
+    from syncquill_spark.operators.similarity import knn_classify
+
+    # corpus: three vectors near +x labeled 1, two near +y labeled 2
+    corpus = spark.createDataFrame(
+        [
+            (1, 1, [1.0, 0.0]),
+            (2, 1, [0.9, 0.1]),
+            (3, 1, [0.8, 0.05]),
+            (4, 2, [0.0, 1.0]),
+            (5, 2, [0.1, 0.9]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (200, [0.05, 1.0])],
+        "query_id long, embedding array<double>",
+    )
+    out = {r.query_id: (r.predicted_label, r.n_votes) for r in
+           knn_classify(corpus, queries, k=3).collect()}
+    # query 100: 3 nearest are the +x cluster -> label 1 with 3 votes
+    assert out[100] == (1, 3)
+    # query 200: 2 nearest are +y (label 2), 3rd is +x -> label 2 wins 2-1
+    assert out[200] == (2, 2)
+
+
+def test_knn_classify_tie_breaks_on_best_rank(spark):
+    from syncquill_spark.operators.similarity import knn_classify
+
+    # k=2 with one neighbor of each label: tie on votes (1-1) ->
+    # winner is the label of the CLOSER neighbor (best rank)
+    corpus = spark.createDataFrame(
+        [(1, 7, [1.0, 0.0]), (2, 3, [0.7, 0.7])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.1])], "query_id long, embedding array<double>"
+    )
+    out = knn_classify(corpus, queries, k=2).collect()
+    assert len(out) == 1
+    assert out[0].predicted_label == 7 and out[0].n_votes == 1
+
+
+def test_assign_nearest_centroid_recovers_tight_clusters(spark):
+    from syncquill_spark.operators.similarity import assign_nearest_centroid
+
+    # two tight clusters -> every vector is nearest its own label's mean
+    rows = [
+        (1, 0, [0.0, 0.0]), (2, 0, [0.2, 0.0]), (3, 0, [0.0, 0.2]),
+        (4, 1, [5.0, 5.0]), (5, 1, [5.2, 5.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {r.vec_id: r.nearest_label for r in assign_nearest_centroid(df).collect()}
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
