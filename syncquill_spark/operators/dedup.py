@@ -106,7 +106,20 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         *( ["_band"] if length_band else [] ),
         F.size("_sh").alias("_n"),
-        F.explode("_sh").alias("_s"),
+        F.explode("_sh").alias("_s_raw"),
+    ).select(
+        # Join on the shingle's 64-bit hash, not the string: the
+        # equi-join shuffle then carries fixed 8-byte keys instead of
+        # arbitrary-length k-grams (at 100 TB the candidate shuffle is
+        # the dominant byte volume). Counts are unchanged unless two
+        # DISTINCT shingles of a joined pair collide in 64 bits
+        # (P ~ n^2/2^64 — vanishing, and the DuckDB oracle, which joins
+        # on the strings, would flag it at test scale).
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        *( ["_band"] if length_band else [] ),
+        "_n",
+        F.xxhash64("_s_raw").alias("_s"),
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
     block = list(block_cols) + (["_band"] if length_band else [])
     a = sh.select(
