@@ -24,6 +24,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # rest keep their prior order (green rows in CORRECTNESS_r01/r02).
 _PRIORITY = [
     "similarity_knn_classify", "embedding_nearest_centroid",
+    "multimodal_features",
     "dedup_clusters", "similarity_topk_cosine", "similarity_topk_lsh",
     "similarity_topk_ivf", "similarity_topk_ivf_refined",
     "text_quality_rules", "text_bm25", "embedding_label_centroids",

@@ -1058,6 +1058,51 @@ FROM documents
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas feature-extraction path, oracle-checked end to
+    end: Arrow batches -> per-payload stub featurizer -> per-dim rows.
+    The codec stub is a deterministic md5 keystream (real deployments
+    swap the stub body for an image decode; the Spark plumbing —
+    schema, batching, explode shape — is exactly what runs here), so
+    DuckDB can recompute every feature byte from the same md5. Output
+    is all-integer (media_id, pos, byte_val): feature component i is
+    digest_byte[i % 16] / 255, so byte_val = round(f * 255) recovers
+    the exact byte."""
+    from syncquill_spark.operators.multimodal import extract_features
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    media = attach_media_metadata(
+        documents.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        ),
+        modality="text-bytes",
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("pos", "_f")
+    ).select(
+        "media_id",
+        "pos",
+        F.floor(F.col("_f") * 255 + F.lit(0.5)).cast("long").alias("byte_val"),
+    )
+
+
+_MULTIMODAL_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS h FROM documents
+),
+p AS (
+  SELECT unnest(range(0, 8)) AS pos
+)
+SELECT m.media_id, p.pos,
+       CAST((strpos('0123456789abcdef', substr(m.h, 2 * p.pos + 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(m.h, 2 * p.pos + 2, 1)) - 1)
+            AS BIGINT) AS byte_val
+FROM m CROSS JOIN p
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join, range join, rollup, event windows, running totals
 # ---------------------------------------------------------------------------
@@ -2263,6 +2308,7 @@ WHERE rn = 1
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_knn_classify": q_similarity_knn_classify,
     "embedding_nearest_centroid": q_embedding_nearest_centroid,
+    "multimodal_features": q_multimodal_features,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
@@ -2320,6 +2366,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLES: dict[str, str | None] = {
     "similarity_knn_classify": _SIMILARITY_KNN_CLASSIFY_SQL,
     "embedding_nearest_centroid": _EMBEDDING_NEAREST_CENTROID_SQL,
+    "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_incremental": _minhash_incremental_sql(),
