@@ -16,6 +16,13 @@ pathological chain. Each round is one shuffle (join on node) + one
 groupBy min; lineage is cut per round with localCheckpoint so plans
 don't grow unboundedly (the standard iterative-algorithm discipline on
 Spark — same pattern as GraphFrames' internal CC).
+
+Production note: localCheckpoint stores blocks on executors
+(non-replicated) — fast, but a lost executor aborts the job instead of
+recomputing. For multi-hour 100 TB dedup jobs prefer reliable
+checkpointing (spark.sparkContext.setCheckpointDir to durable storage,
+then .checkpoint()) at the cost of one write+read per round; the
+algorithm is unchanged.
 """
 
 from __future__ import annotations

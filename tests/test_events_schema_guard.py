@@ -58,3 +58,30 @@ def test_normalize_event_ts_is_tz_independent(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", prev)
     utc = normalize_event_ts(raw).select(F.min("ts")).first()[0]
     assert shifted == utc
+
+
+def test_normalize_event_ts_roundtrips_arbitrary_micros(spark):
+    """Property: for ANY microsecond-resolution wall-clock instant, the
+    NTZ -> epoch-nanos conversion equals Python's own epoch math. Runs
+    a spread of hand-picked boundary instants (epoch, leap days, DST
+    transitions in other zones, far future) through one Spark job."""
+    import datetime as dt
+
+    cases = [
+        dt.datetime(1970, 1, 1, 0, 0, 0),
+        dt.datetime(1970, 1, 1, 0, 0, 0, 1),
+        dt.datetime(1999, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(2000, 2, 29, 12, 0, 0, 500000),
+        dt.datetime(2024, 3, 10, 2, 30, 0),   # nonexistent in US/Eastern
+        dt.datetime(2024, 11, 3, 1, 30, 0),   # ambiguous in US/Eastern
+        dt.datetime(2038, 1, 19, 3, 14, 8),   # past 32-bit rollover
+        dt.datetime(2099, 12, 31, 23, 59, 59, 123456),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, ts timestamp_ntz"
+    )
+    got = {r.i: r.ts for r in normalize_event_ts(df).collect()}
+    epoch = dt.datetime(1970, 1, 1)
+    for i, c in enumerate(cases):
+        micros = (c - epoch) // dt.timedelta(microseconds=1)
+        assert got[i] == micros * 1000, (i, c, got[i])
