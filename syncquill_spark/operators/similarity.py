@@ -349,8 +349,14 @@ def ivf_topk(
                 F.transform(F.col("_mv"), lambda x: x / F.col("_mnrm")),
             ).alias("_ucv_new"),
         )
-        cents = cents.join(new_cents, "cell_id", "left").select(
-            "cell_id", F.coalesce("_ucv_new", "_ucv").alias("_ucv")
+        # persist: `cents` is n_cells rows but its lineage is a full
+        # corpus assignment pass; it is consumed by the NEXT iteration
+        # AND broadcast twice downstream (corpus assign + query probe)
+        # — unpersisted, each consumer re-runs the whole Lloyd subtree.
+        cents = (
+            cents.join(new_cents, "cell_id", "left")
+            .select("cell_id", F.coalesce("_ucv_new", "_ucv").alias("_ucv"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
     def best_cells(side: DataFrame, side_id: str, n: int) -> DataFrame:
