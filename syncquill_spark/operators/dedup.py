@@ -225,9 +225,15 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
-    ).select(id_col, F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    buckets = (
+        sigs.select(
+            F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+        )
+        .select(id_col, F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+        # feeds BOTH self-join sides; unpersisted, the n_perm-min
+        # signature aggregation runs twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     left = buckets.select(
         F.col("_band").alias("_lb"), F.col("_key").alias("_lk"),
@@ -331,10 +337,16 @@ def minhash_lsh_pairs_against(
         )
         for bi in range(bands)
     ]
-    buckets = sigs.select(
-        F.col(id_col), "_side", F.explode(F.array(*band_structs)).alias("_b")
-    ).select(
-        id_col, "_side", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
+    buckets = (
+        sigs.select(
+            F.col(id_col), "_side", F.explode(F.array(*band_structs)).alias("_b")
+        )
+        .select(
+            id_col, "_side", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
+        )
+        # feeds both filtered join sides; unpersisted, the signature
+        # aggregation over the tagged union runs twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     left = buckets.filter(F.col("_side") == "n").select(
         F.col("_band").alias("_lb"), F.col("_key").alias("_lk"),

@@ -18,15 +18,19 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # entries in dict order. Policy (round-3 review): any query whose physical
 # plan changed this round MUST sit inside the window, so modified plans
 # always get a driver-green row in the same round they change. Round 4
-# leads with the five perf-touched queries (dedup_clusters round-pacing,
-# similarity_topk_* _spread), then the 38 that first entered the window
-# in round 3 (7 of which were red there and are fixed this round); the
-# rest keep their prior order (green rows in CORRECTNESS_r01/r02).
+# leads with its three NEW queries, then every query whose plan round 4
+# touched (clusters edge build, _spread/persists in similarity, hashed
+# shingle keys + bucket persists in the dedup family), then the 38 that
+# first entered the window in round 3 (7 of which were red there and are
+# fixed this round); the rest keep their prior order (green rows in
+# CORRECTNESS_r01/r02).
 _PRIORITY = [
     "similarity_knn_classify", "embedding_nearest_centroid",
     "multimodal_features",
     "dedup_clusters", "similarity_topk_cosine", "similarity_topk_lsh",
     "similarity_topk_ivf", "similarity_topk_ivf_refined",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_incremental",
+    "dedup_embedding_cosine",
     "text_quality_rules", "text_bm25", "embedding_label_centroids",
     "window_moving_avg", "setop_except_all", "text_token_counts",
     "text_term_stats", "text_readability", "text_sentences_udtf",
