@@ -72,18 +72,51 @@ def table_from_uri(uri: str) -> Table:
 
 def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="PySpark-native table sync engine")
-    p.add_argument("action", choices=["sync", "upsert"])
+    p.add_argument("action", choices=["sync", "upsert", "query", "queries"])
+    p.add_argument("name", nargs="?", help="query name (for the `query` action)")
     p.add_argument("--source", help="source table URI (env: SYNC_SOURCE)")
     p.add_argument("--target", help="target table URI (env: SYNC_TARGET)")
     p.add_argument("--key", default="slno")
     p.add_argument("--mode", choices=["keyed", "positional"], default="keyed")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="fixture dir for the `query` action (env: SPARK_GRAFT_SF_DIR)",
+    )
+    p.add_argument("--limit", type=int, default=20, help="rows to show for `query`")
+    p.add_argument(
+        "--out", help="optional parquet path: write the full query result there"
+    )
     return p.parse_args(argv)
 
 
 def main(argv: list[str] | None = None) -> int:
     _load_dotenv()  # .env before env resolution (syncquill.py:219-224)
     args = parse_arguments(argv)
+    if args.action == "queries":
+        from syncquill_spark.plans import QUERIES
+
+        for name in QUERIES:
+            print(name)
+        return 0
+    if args.action == "query":
+        from syncquill_spark.plans import QUERIES
+
+        if not args.name or args.name not in QUERIES:
+            print(
+                f"unknown query {args.name!r}; run `queries` to list all",
+                file=sys.stderr,
+            )
+            return 2
+        spark = get_spark("syncquill-spark-cli")
+        df = QUERIES[args.name](spark, args.sf_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
     source = table_from_uri(_resolve(args.source, "SYNC_SOURCE"))
     target = table_from_uri(_resolve(args.target, "SYNC_TARGET"))
     spark = get_spark("syncquill-spark-cli")

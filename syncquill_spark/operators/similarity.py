@@ -108,29 +108,19 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
-def embedding_near_dup_pairs(
-    corpus: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.35,
-    bands: int = 4,
-    planes_per_band: int = 4,
-    dim: int = 64,
+def _banded_keys(
+    src: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    planes_per_band: int,
+    dim: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup over a vector
-    column): banded random-hyperplane blocking + exact cosine verify.
-
-    Each vector gets `bands` bucket keys (one per band, each the sign
-    pattern of `planes_per_band` hyperplane dots); a pair is a
-    candidate if ANY band key matches (OR-construction — recall
-    1-(1-p^r)^b for per-plane agreement p). Candidates self-join on
-    (band, key) only — never the O(n^2) pair space — then exact cosine
-    >= threshold verifies. Hyperplanes are md5-derived (deterministic,
-    reproducible in any engine); all math is codegen built-ins folding
-    left-to-right, so scores are bit-identical to the DuckDB oracle.
-
-    Output: (id_a, id_b) int pairs with id_a < id_b, hash-stable.
-    """
+    """(id, *extra_cols, _band, _key) — one row per (vector, band); the
+    key is the sign pattern of the band's md5-derived hyperplane dots.
+    Persisted: every caller feeds it to at least two join sides, and
+    the interpreted plane folds are the hot compute."""
     planes = [
         _hyperplane(dim, b * planes_per_band + p)
         for b in range(bands)
@@ -156,20 +146,10 @@ def embedding_near_dup_pairs(
             bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
-    # Bucket self-join carries IDS ONLY (the candidate shuffle is two
-    # ints per row, not two embedding payloads); vectors re-attach for
-    # verification from the small unit-normalized frame. Verification
-    # on unit vectors needs ONE array fold per pair (dot >= threshold)
-    # instead of three (dot + two norms).
-    #
-    # _spread: the 16 interpreted plane-folds per vector are the hot
-    # compute; an under-split corpus (one parquet file = one task)
-    # would run them on a single core. persist: `keyed` feeds BOTH
-    # sides of the self-join — unpersisted, the folds run twice.
-    src = _spread(corpus.select(F.col(id_col), F.col(vec_col)))
-    keyed = (
+    return (
         src.select(
             F.col(id_col),
+            *[F.col(c) for c in extra_cols],
             F.explode(
                 F.array(
                     *[
@@ -182,9 +162,71 @@ def embedding_near_dup_pairs(
                 )
             ).alias("_b"),
         )
-        .select(id_col, F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+        .select(
+            id_col,
+            *extra_cols,
+            F.col("_b.band").alias("_band"),
+            F.col("_b.key").alias("_key"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def _unit_vectors(
+    src: DataFrame, id_col: str, vec_col: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, *extra_cols, _u): unit-normalized vectors, persisted for
+    re-attachment to candidate pairs (one dot fold per pair instead of
+    dot + two norms). Norm in its own projection: a lambda referencing
+    l2_norm(vec) directly would re-fold the vector PER ELEMENT once
+    CollapseProject inlines it."""
+    return (
+        src.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.col(vec_col).alias("_v"),
+            l2_norm(F.col(vec_col)).alias("_nrm"),
+        )
+        .select(
+            F.col(id_col),
+            *extra_cols,
+            F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_nrm")).alias("_u"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup over a vector
+    column): banded random-hyperplane blocking + exact cosine verify.
+
+    Each vector gets `bands` bucket keys (one per band, each the sign
+    pattern of `planes_per_band` hyperplane dots); a pair is a
+    candidate if ANY band key matches (OR-construction — recall
+    1-(1-p^r)^b for per-plane agreement p). Candidates self-join on
+    (band, key) only — never the O(n^2) pair space — then exact cosine
+    >= threshold verifies. Hyperplanes are md5-derived (deterministic,
+    reproducible in any engine); all math is codegen built-ins folding
+    left-to-right, so scores are bit-identical to the DuckDB oracle.
+
+    Output: (id_a, id_b) int pairs with id_a < id_b, hash-stable.
+    """
+    # Bucket self-join carries IDS ONLY (the candidate shuffle is two
+    # ints per row, not two embedding payloads); vectors re-attach for
+    # verification from the small unit-normalized frame.
+    # _spread: the interpreted plane-folds are the hot compute; an
+    # under-split corpus (one parquet file = one task) would run them
+    # on a single core.
+    src = _spread(corpus.select(F.col(id_col), F.col(vec_col)))
+    keyed = _banded_keys(src, id_col, vec_col, bands, planes_per_band, dim)
     a = keyed.select(
         F.col("_band").alias("_ba"), F.col("_key").alias("_ka"),
         F.col(id_col).alias("id_a"),
@@ -201,17 +243,7 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # norm in its own projection + persist: a lambda that referenced
-    # l2_norm(vec) directly would re-fold the whole vector PER ELEMENT
-    # (O(d^2)/vector) once CollapseProject inlines it.
-    unit = (
-        src.select(F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(F.col(vec_col)).alias("_nrm"))
-        .select(
-            F.col(id_col),
-            F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_nrm")).alias("_u"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    unit = _unit_vectors(src, id_col, vec_col)
     u_a = unit.select(F.col(id_col).alias("_ia"), F.col("_u").alias("_ua"))
     u_b = unit.select(F.col(id_col).alias("_ib"), F.col("_u").alias("_ub"))
     return (
@@ -219,6 +251,74 @@ def embedding_near_dup_pairs(
         .join(u_b, F.col("id_b") == F.col("_ib"))
         .filter(dot(F.col("_ua"), F.col("_ub")) >= threshold)
         .select("id_a", "id_b")
+    )
+
+
+def embedding_near_dup_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Incremental (cross-corpus) embedding near-dup: NEW vectors whose
+    band keys collide with the EXISTING corpus, verified by exact
+    cosine — the ingest-time vector-dedup shape (a fresh batch of
+    embeddings checked against everything already kept; only the new
+    side is small). No corpus self-pairs, no new self-pairs.
+
+    Same blocking machinery as embedding_near_dup_pairs (md5-derived
+    hyperplanes, sign-pattern band keys, ids-only candidate shuffle)
+    but the bucket join is new-side x corpus-side only. Band keys and
+    unit vectors are computed over the TAGGED UNION in one pass (one
+    generated plan, one persist — two per-side plans compiled the same
+    16-fold expression tree twice and doubled plan-compile latency);
+    a production pipeline instead persists the corpus's band keys as
+    an index and computes only the new side per batch — the join
+    shape (equi-join on (band, key)) is identical.
+
+    Output: (id_new, id_corpus) int pairs, hash-stable.
+    """
+    tagged = _spread(
+        new.select(F.col(id_col), F.col(vec_col), F.lit("n").alias("_side")).unionByName(
+            corpus.select(F.col(id_col), F.col(vec_col), F.lit("c").alias("_side"))
+        )
+    )
+    keyed = _banded_keys(
+        tagged, id_col, vec_col, bands, planes_per_band, dim, extra_cols=("_side",)
+    )
+    left = keyed.filter(F.col("_side") == "n").select(
+        F.col("_band").alias("_lb"), F.col("_key").alias("_lk"),
+        F.col(id_col).alias("id_new"),
+    )
+    right = keyed.filter(F.col("_side") == "c").select(
+        F.col("_band").alias("_rb"), F.col("_key").alias("_rk"),
+        F.col(id_col).alias("id_corpus"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left["_lb"] == right["_rb"]) & (left["_lk"] == right["_rk"])
+            & (left["id_new"] != right["id_corpus"]),
+        )
+        .select("id_new", "id_corpus")
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+    unit = _unit_vectors(tagged, id_col, vec_col, extra_cols=("_side",))
+    u_n = unit.filter(F.col("_side") == "n").select(
+        F.col(id_col).alias("_ia"), F.col("_u").alias("_ua")
+    )
+    u_c = unit.filter(F.col("_side") == "c").select(
+        F.col(id_col).alias("_ib"), F.col("_u").alias("_ub")
+    )
+    return (
+        cand.join(u_n, F.col("id_new") == F.col("_ia"))
+        .join(u_c, F.col("id_corpus") == F.col("_ib"))
+        .filter(dot(F.col("_ua"), F.col("_ub")) >= threshold)
+        .select("id_new", "id_corpus")
     )
 
 

@@ -766,6 +766,74 @@ WHERE {unit_dot} >= {_NEARDUP_THRESHOLD}
 """
 
 
+def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time vector dedup: 'new' embeddings (vec_id % 7 == 0)
+    checked against the existing corpus (the rest) — band-bucket
+    equi-join new x corpus only, exact cosine verify."""
+    from syncquill_spark.operators.similarity import embedding_near_dup_against
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    new = embeddings.filter(F.col("vec_id") % 7 == 0)
+    corpus = embeddings.filter(F.col("vec_id") % 7 != 0)
+    return embedding_near_dup_against(
+        new,
+        corpus,
+        threshold=_NEARDUP_THRESHOLD,
+        bands=_NEARDUP_BANDS,
+        planes_per_band=_NEARDUP_R,
+        dim=_NEARDUP_DIM,
+    )
+
+
+def _embedding_neardup_incremental_sql() -> str:
+    """Oracle twin of q_dedup_embedding_incremental: identical
+    hyperplane literals, band keys per side, new x corpus bucket join,
+    unit-dot verify."""
+    band_selects = []
+    for bi in range(_NEARDUP_BANDS):
+        bits = []
+        for p in range(_NEARDUP_R):
+            plane = _hyperplane(_NEARDUP_DIM, bi * _NEARDUP_R + p)
+            bits.append(
+                f"CASE WHEN {_plane_dot_sql(plane)} >= 0 THEN '1' ELSE '0' END"
+            )
+        key = " || ".join(bits)
+        band_selects.append(
+            f"SELECT vec_id, {bi} AS band, {key} AS key FROM embeddings"
+        )
+    keyed = "\nUNION ALL\n".join(band_selects)
+    d = _NEARDUP_DIM
+    sq_norm = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    unit_dot = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> ua.u[i] * ub.u[i]), (a, b) -> a + b)"
+    )
+    return f"""
+WITH keyed AS (
+{keyed}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_new, b.vec_id AS id_corpus
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key
+   AND a.vec_id % 7 = 0 AND b.vec_id % 7 != 0
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+  FROM (SELECT vec_id, embedding, sqrt({sq_norm}) AS nrm FROM embeddings)
+)
+SELECT cand.id_new, cand.id_corpus
+FROM cand
+JOIN unit ua ON cand.id_new = ua.vec_id
+JOIN unit ub ON cand.id_corpus = ub.vec_id
+WHERE {unit_dot} >= {_NEARDUP_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2309,6 +2377,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_knn_classify": q_similarity_knn_classify,
     "embedding_nearest_centroid": q_embedding_nearest_centroid,
     "multimodal_features": q_multimodal_features,
+    "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
@@ -2367,6 +2436,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "similarity_knn_classify": _SIMILARITY_KNN_CLASSIFY_SQL,
     "embedding_nearest_centroid": _EMBEDDING_NEAREST_CENTROID_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+    "dedup_embedding_incremental": _embedding_neardup_incremental_sql(),
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_incremental": _minhash_incremental_sql(),

@@ -277,3 +277,30 @@ def test_assign_nearest_centroid_recovers_tight_clusters(spark):
     )
     out = {r.vec_id: r.nearest_label for r in assign_nearest_centroid(df).collect()}
     assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+
+
+def test_embedding_near_dup_against_finds_cross_side_only(spark):
+    """Incremental variant: pairs are new x corpus only — a planted
+    near-dup inside the corpus must NOT pair, a new vector matching a
+    corpus vector must."""
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import embedding_near_dup_against
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(10, 64))
+    corpus_rows = [(100 + i, base[i].tolist()) for i in range(10)]
+    corpus_rows.append((150, base[0].tolist()))  # corpus-internal dup: ignored
+    new_rows = [
+        (200, base[1].tolist()),                    # dups corpus 101
+        (201, rng.normal(size=64).tolist()),        # fresh
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_new, r.id_corpus)
+        for r in embedding_near_dup_against(new, corpus, threshold=0.95).collect()
+    }
+    assert (200, 101) in got
+    assert all(idn in (200, 201) for idn, _ in got)  # left side is always new
+    assert (100, 150) not in got and (150, 100) not in got
