@@ -12,6 +12,7 @@ partitioned executor-side reads.
 """
 
 from syncquill_spark.sources.base import Table
+from syncquill_spark.sources.bucketed import read_table, write_bucketed
 from syncquill_spark.sources.parquet import ParquetTable
 from syncquill_spark.sources.sheets import SheetsTable
 from syncquill_spark.sources.bigquery import BigQueryTable
