@@ -1,0 +1,60 @@
+"""Plan-quality regression net: the physical properties PLANS.md audits
+(pushdown, pruning, broadcast) asserted in pytest so a refactor that
+silently loses one fails CI, not a later round's plan audit.
+
+Asserts on explain("formatted") of the pre-execution plan — stable
+under AQE (which rewrites at runtime but keeps these markers in the
+initial plan)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from syncquill_spark.plans import QUERIES
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """join_shipping_priority filters on scan columns (dates, segment);
+    at 100 TB those predicates must hit the parquet reader, not a
+    post-scan Filter only."""
+    plan = _plan(QUERIES["join_shipping_priority"](spark, sf_dir))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), f"no pushed filters:\n{plan[:1500]}"
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    """join_revenue_by_nation joins facts to the tiny nation dim — the
+    dim side must broadcast (no fact shuffle for the dim attach)."""
+    plan = _plan(QUERIES["join_revenue_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:1500]
+
+
+def test_column_pruning_on_wide_table(spark, sf_dir):
+    """agg_pricing_summary touches a handful of lineitem's 16 columns;
+    the scan's ReadSchema must not materialize the rest."""
+    plan = _plan(QUERIES["agg_pricing_summary"](spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan[:1500]
+    widest = max(len([c for c in s.split(",") if c.strip()]) for s in schemas)
+    assert widest <= 8, f"scan reads {widest} columns of lineitem:\n{schemas}"
+
+
+def test_topk_corpus_side_never_broadcasts(spark, sf_dir):
+    """brute-force top-k must broadcast the QUERY set and stream the
+    corpus; a flipped join would broadcast the (at scale, 100 TB)
+    corpus. The plan's broadcast exchange must be on the small side."""
+    plan = _plan(QUERIES["similarity_topk_cosine"](spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan[:1500]
+    # the corpus scan feeds a shuffle/spread, not the broadcast: the
+    # broadcast subtree must contain the query-side filter (vec_id % 100)
+    bc = plan[plan.index("BroadcastExchange"):]
+    assert "% 100" in bc.split("ReadSchema", 2)[0] or "% 100" in plan, plan[:1500]

@@ -31,6 +31,17 @@ def frame_fingerprint(df) -> tuple[int, list[str], str, object]:
     return len(rows), cols, h, rows[:3]
 
 
+def driver_canonicalize(df) -> None:
+    """Replicate the ROUND DRIVER's canonicalization (pandas sort_values
+    over every column) so its failure modes surface HERE, not in the
+    round artifact: list/array cells raise `unhashable type: 'list'`
+    inside pandas — exactly the crash that cost embedding_label_centroids
+    its round-3 CORRECTNESS row. Raises on any frame the driver's
+    harness would choke on."""
+    cols = sorted(df.columns)
+    df[cols].sort_values(by=cols)  # raises TypeError on unsortable cells
+
+
 def _norm(v):
     if v is None:
         return "<null>"
@@ -81,6 +92,13 @@ def main() -> int:
             duck_pdf = con.execute(oracle).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        try:
+            driver_canonicalize(spark_pdf)
+            driver_canonicalize(duck_pdf)
+        except Exception as e:
+            print(f"FAIL {name}: driver-canonicalizer hazard: {type(e).__name__}: {e}")
             failures.append(name)
             continue
         sn, sc, sh, ss = frame_fingerprint(spark_pdf)
