@@ -834,6 +834,46 @@ WHERE {unit_dot} >= {_NEARDUP_THRESHOLD}
 """
 
 
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling snapshot: per-column null and exact distinct
+    counts in ONE corpus pass (the data-quality health check every
+    ingest pipeline runs before training). Multiple exact distinct
+    aggregates compile to a single expand + aggregate — one job, no
+    per-column scans; at 100 TB swap countDistinct for
+    approx_count_distinct per column for fixed-size state."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+    row = documents.agg(*aggs)
+    stack = ", ".join(f"'{c}', _nn_{c}, _nd_{c}" for c in _PROFILE_COLS)
+    return row.selectExpr(
+        "_n",
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS (col_name, _nn, n_distinct)",
+    ).select(
+        "col_name",
+        F.col("_n").alias("n_rows"),
+        (F.col("_n") - F.col("_nn")).alias("n_nulls"),
+        "n_distinct",
+    )
+
+
+def _profile_documents_sql() -> str:
+    stats = ", ".join(
+        f"COUNT({c}) AS nn_{c}, COUNT(DISTINCT {c}) AS nd_{c}" for c in _PROFILE_COLS
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, n AS n_rows, n - nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct FROM s"
+        for c in _PROFILE_COLS
+    )
+    return f"WITH s AS (SELECT COUNT(*) AS n, {stats} FROM documents)\n{selects}"
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2378,6 +2418,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_nearest_centroid": q_embedding_nearest_centroid,
     "multimodal_features": q_multimodal_features,
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
+    "profile_documents": q_profile_documents,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
@@ -2437,6 +2478,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "embedding_nearest_centroid": _EMBEDDING_NEAREST_CENTROID_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "dedup_embedding_incremental": _embedding_neardup_incremental_sql(),
+    "profile_documents": _profile_documents_sql(),
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_incremental": _minhash_incremental_sql(),

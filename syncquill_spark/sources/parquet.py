@@ -35,6 +35,39 @@ class ParquetTable(Table):
         df.write.mode("append").parquet(self.path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    min_files: int = 1,
+) -> int:
+    """Coalesce a small-file parquet directory into ~target-size files.
+
+    The small-file problem is the silent killer of long-lived ingest
+    layouts: a stream or per-batch append leaves thousands of KB-scale
+    files, and every downstream scan pays per-file open/footer cost and
+    loses row-group-level skipping. Compaction reads the table once and
+    rewrites it as max(ceil(bytes / target), min_files) files via the
+    atomic staging-swap overwrite (readers never see a partial table).
+
+    Returns the number of files written. Run it from a maintenance job
+    keyed on file-count/size heuristics, not on every write.
+    """
+    import math
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    ) if os.path.isdir(path) else os.path.getsize(path)
+    n_files = max(min_files, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    table = ParquetTable(path)
+    table.overwrite(df.repartition(n_files))
+    return n_files
+
+
 class PartitionedParquetTable(ParquetTable):
     """Hive-layout parquet table partitioned on low-cardinality columns
     (e.g. lang, date) — the 100 TB layout rule: a filter on a partition

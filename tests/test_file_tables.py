@@ -40,3 +40,23 @@ def test_csv_source_syncs_into_parquet_target(spark, tmp_path):
     post = {r["slno"]: (r["name"], r["amount"]) for r in tgt.read(spark).collect()}
     assert set(post) == {1, 2, 4}
     assert post[1] == ("a", 9.9)
+
+
+def test_compact_parquet_coalesces_small_files(spark, tmp_path):
+    from syncquill_spark.sources.parquet import compact_parquet
+
+    path = str(tmp_path / "frag.pq")
+    # 20 appends -> >= 20 small files
+    for i in range(20):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode("append").parquet(path)
+    import os
+
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 20
+
+    n_target = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_target == 1 and n_after == 1
+    # data intact
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(200))
