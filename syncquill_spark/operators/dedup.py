@@ -18,7 +18,7 @@ hashes are md5-derived so DuckDB oracles reproduce them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark.storagelevel import StorageLevel
@@ -57,6 +57,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     length_band: int | None = 64,
     length_col: str = "n_chars",
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact k-shingle Jaccard near-dup pairs within blocking buckets.
 
@@ -69,28 +70,41 @@ def ngram_jaccard_pairs(
     from exact integer set sizes (cross-engine stable).
 
     Physical strategy: a set-similarity join, NOT a bucket cross-join.
-    Explode (doc, shingle), equi-join on (block, shingle), and count
-    matches per pair — the intersection size. Pairs sharing zero
-    shingles (jac = 0, the overwhelming majority of each bucket's
-    O(c^2) pair space) never materialize, and the per-match work is one
-    hash-join probe instead of an array_intersect over full documents.
-    Union size follows from |A| + |B| - |A∩B|. Measured 9x faster than
-    the array_intersect cross-join form at sf0.1 (with the zip_with
-    shingler in functions.hashing), identical output.
+    Shingles are 64-bit-hashed so the equi-join shuffle carries fixed
+    8-byte keys instead of arbitrary-length k-grams (jac unchanged
+    unless two distinct shingles of one joined pair collide in 64 bits
+    -- vanishing, and the string-joining DuckDB oracle would flag it).
+
+    ``prefix_filter`` (default; the AllPairs/PPJoin principle): give
+    shingles a global total order (ascending corpus frequency, hash as
+    tie-break) and join each doc on only its FIRST
+    p = n - ceil(t*n) + 1 shingles in that order. Complete for the
+    threshold: for any pair with jac >= t, the smallest common shingle
+    sits in BOTH prefixes (if it missed A's prefix, all p of A's
+    prefix shingles would be smaller-and-not-shared, so
+    overlap <= n_a - p = ceil(t*n_a) - 1 < ceil(t*n_a) <= overlap --
+    contradiction). This is the 100 TB answer to hub shingles:
+    ultra-frequent k-grams sort LAST and never enter a prefix, so the
+    hot-bucket candidate blowup of a naive shingle join disappears.
+    Candidates verify with exact array-intersect Jaccard from the
+    persisted per-doc hash arrays -- output identical to the
+    exhaustive form (asserted in tests).
+
+    ``prefix_filter=False``: every shingle joins and the intersection
+    size is counted directly from join matches (no verify pass) --
+    fewer stages; fine when no shingle is hot.
 
     Band-edge recall: candidate pairs span ADJACENT length bands too
-    (|band_a - band_b| <= 1), so near-dups straddling a band boundary
-    (e.g. 63 vs 66 chars at band 64) are not missed. Implemented as an
-    equi-join still: the a-side emits its shingles under band keys
-    {band-1, band, band+1} while the b-side keeps its single band key,
-    so every qualifying pair matches under EXACTLY one key (the b
-    side's band) and the per-pair intersection count stays exact. Cost:
-    the a-side explode is 3x — bounded, and only on one side.
+    (|band_a - band_b| <= 1): the a-side emits its (prefix) shingles
+    under band keys {band-1, band, band+1} while the b-side keeps its
+    single band key, so every qualifying pair matches under exactly
+    one key. Cost: the a-side explode is 3x -- bounded, one side only.
     """
     # tokens in their own projection: the regex split runs once per row
     # (word_shingles_from_tokens references it k+1 times; inlined, the
     # interpreted evaluator would re-split per reference).
-    sh = df.select(
+    band_cols = ["_band"] if length_band else []
+    base = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         *( [ (F.col(length_col) / length_band).cast("long").alias("_band") ]
@@ -99,30 +113,43 @@ def ngram_jaccard_pairs(
     ).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        *( ["_band"] if length_band else [] ),
-        F.array_distinct(word_shingles_from_tokens(F.col("_toks"), k)).alias("_sh"),
-    ).select(
+        *band_cols,
+        F.array_distinct(
+            F.transform(
+                word_shingles_from_tokens(F.col("_toks"), k),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("_sh"),
+    ).withColumn("_n", F.size("_sh")).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = base.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        *( ["_band"] if length_band else [] ),
-        F.size("_sh").alias("_n"),
-        F.explode("_sh").alias("_s_raw"),
-    ).select(
-        # Join on the shingle's 64-bit hash, not the string: the
-        # equi-join shuffle then carries fixed 8-byte keys instead of
-        # arbitrary-length k-grams (at 100 TB the candidate shuffle is
-        # the dominant byte volume). Counts are unchanged unless two
-        # DISTINCT shingles of a joined pair collide in 64 bits
-        # (P ~ n^2/2^64 — vanishing, and the DuckDB oracle, which joins
-        # on the strings, would flag it at test scale).
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        *( ["_band"] if length_band else [] ),
+        *band_cols,
         "_n",
-        F.xxhash64("_s_raw").alias("_s"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
-    block = list(block_cols) + (["_band"] if length_band else [])
-    a = sh.select(
+        F.explode("_sh").alias("_s"),
+    )
+    block = list(block_cols) + band_cols
+
+    if prefix_filter:
+        freq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
+        by_rarity = Window.partitionBy(id_col).orderBy(
+            F.col("_f").asc(), F.col("_s").asc()
+        )
+        p = (
+            F.col("_n")
+            - F.ceil(F.lit(float(threshold)) * F.col("_n")).cast("long")
+            + F.lit(1)
+        )
+        join_side = (
+            sh.join(freq, "_s")
+            .withColumn("_rn", F.row_number().over(by_rarity))
+            .filter(F.col("_rn") <= p)
+            .select(F.col(id_col), *[F.col(c) for c in block], "_s")
+        )
+    else:
+        join_side = sh
+
+    a = join_side.select(
         *[F.col(c).alias(f"_l_{c}") for c in block_cols],
         *(
             [
@@ -137,18 +164,46 @@ def ngram_jaccard_pairs(
         ),
         F.col("_s").alias("_ls"),
         F.col(id_col).alias("id_a"),
-        F.col("_n").alias("_na"),
+        *([] if prefix_filter else [F.col("_n").alias("_na")]),
     )
-    b = sh.select(
+    b = join_side.select(
         *[F.col(c).alias(f"_r_{c}") for c in block],
         F.col("_s").alias("_rs"),
         F.col(id_col).alias("id_b"),
-        F.col("_n").alias("_nb"),
+        *([] if prefix_filter else [F.col("_n").alias("_nb")]),
     )
     cond = (
         [a[f"_l_{c}"] == b[f"_r_{c}"] for c in block]
         + [a["_ls"] == b["_rs"], a["id_a"] < b["id_b"]]
     )
+
+    if prefix_filter:
+        cand = (
+            a.join(b, cond).select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+        )
+        sh_a = base.select(
+            F.col(id_col).alias("_ia"), F.col("_sh").alias("_sh_a"),
+            F.col("_n").alias("_na"),
+        )
+        sh_b = base.select(
+            F.col(id_col).alias("_ib"), F.col("_sh").alias("_sh_b"),
+            F.col("_n").alias("_nb"),
+        )
+        inter_sz = F.size(F.array_intersect("_sh_a", "_sh_b"))
+        return (
+            cand.join(sh_a, F.col("id_a") == F.col("_ia"))
+            .join(sh_b, F.col("id_b") == F.col("_ib"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    inter_sz.cast("double")
+                    / (F.col("_na") + F.col("_nb") - inter_sz).cast("double")
+                ).alias("jac"),
+            )
+            .filter(F.col("jac") >= threshold)
+        )
+
     inter = F.count(F.lit(1))
     return (
         a.join(b, cond)
@@ -164,6 +219,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jac") >= threshold)
     )
+
 
 
 def minhash_lsh_pairs(

@@ -274,3 +274,54 @@ def test_minhash_incremental_cross_corpus_only(spark):
     assert (11, 1) in out  # near-dup of corpus doc found
     assert all(k[0] in (11, 12) and k[1] in (1, 2, 3) for k in out)  # only cross pairs
     assert (12, 3) not in out  # dissimilar pair absent
+
+
+def test_prefix_filter_equals_exhaustive(spark, sf_dir):
+    """The AllPairs prefix filter must be a pure candidate-pruning: the
+    output pair set is identical to the exhaustive shingle join at
+    every threshold."""
+    from syncquill_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.2, 0.6):
+        fast = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        full = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=False
+            ).collect()
+        }
+        assert fast == full
+
+
+def test_prefix_filter_skips_hub_shingles(spark):
+    """A shingle shared by EVERY doc (boilerplate header) must not
+    drive candidates: with the filter, docs whose only overlap is the
+    hub shingle never pair, yet true near-dups still do."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.dedup import ngram_jaccard_pairs
+
+    hub = "common header line"
+    rows = [
+        (1, f"{hub} alpha beta gamma delta epsilon", "en", 40),
+        (2, f"{hub} alpha beta gamma delta zeta", "en", 40),      # near-dup of 1
+        (3, f"{hub} one two three four five", "en", 40),
+        (4, f"{hub} six seven eight nine ten", "en", 40),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, k=3, threshold=0.4, block_cols=("lang",), length_band=64
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert (3, 4) not in got and (1, 3) not in got
