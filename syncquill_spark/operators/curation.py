@@ -141,6 +141,39 @@ def stratified_sample(
     return df.filter(h < thresh)
 
 
+def exact_k_per_stratum(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "evalset-v1",
+) -> DataFrame:
+    """Deterministic EXACTLY-k rows per stratum — eval/holdout-set
+    construction ("500 docs per language, same 500 every run").
+
+    Rank each stratum's rows by the salted 60-bit id hash (id as
+    tie-break) and keep rank <= k: membership depends only on
+    (salt, id, the stratum's population), never on partitioning or run
+    order. Unlike the fraction-based stratified_sample this guarantees
+    the exact count even for small or skewed strata.
+
+    Scale shape: one shuffle on the stratum column; per-stratum state
+    is a bounded top-k (window over the stratum). For strata too big
+    for one partition's sort, pre-filter with a generous hash-threshold
+    (deterministic_sample at ~3k/|stratum|) and rank the survivors —
+    same result, bounded sort.
+    """
+    h = portable_hash60(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     n_shards: int,

@@ -27,7 +27,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 _PRIORITY = [
     "similarity_knn_classify", "embedding_nearest_centroid",
     "multimodal_features", "dedup_embedding_incremental",
-    "profile_documents",
+    "profile_documents", "curation_eval_k_per_lang",
     "dedup_clusters", "similarity_topk_cosine", "similarity_topk_lsh",
     "similarity_topk_ivf", "similarity_topk_ivf_refined",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_incremental",
@@ -45,10 +45,10 @@ _PRIORITY = [
     "pipeline_corpus_curation", "curation_hash_split",
     "curation_decontaminate", "curation_sample_stratified",
     "curation_shuffle", "curation_blocklist", "curation_boilerplate",
-    # embedding_quantize / curation_pack_sequences: green in the r03
-    # window and untouched since — they yield their slots so the window
-    # stays at exactly 50 entries with every round-4-modified plan inside.
-    "curation_redact_pii",
+    # embedding_quantize / curation_pack_sequences / curation_redact_pii:
+    # green in the r03 window and untouched since — they yield their
+    # slots so the window stays at exactly 50 entries with every
+    # round-4-modified plan inside.
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

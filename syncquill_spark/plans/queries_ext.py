@@ -2219,6 +2219,32 @@ WHERE ({h}) % 1000000 < CASE lang {case} ELSE 0 END
 """
 
 
+_EVAL_K = 20
+
+
+def q_curation_eval_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k eval set per language: hash-ranked
+    top-20 doc ids per lang — the holdout-construction twin of the
+    fraction-based stratified sample (exact counts even for small
+    strata). Output is (lang, doc_id) ints/strings only."""
+    from syncquill_spark.operators.curation import exact_k_per_stratum
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return exact_k_per_stratum(documents, k=_EVAL_K).select("lang", "doc_id")
+
+
+def _eval_k_per_lang_sql() -> str:
+    h = _H60.format(x="'evalset-v1:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY ({h}) ASC, doc_id ASC) AS rk
+  FROM documents) t
+WHERE rk <= {_EVAL_K}
+"""
+
+
 def q_curation_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate k-grams: word 3-grams appearing in >= 2
     distinct documents. Per-doc-distinct explode -> one map-side-
@@ -2419,6 +2445,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "profile_documents": q_profile_documents,
+    "curation_eval_k_per_lang": q_curation_eval_k_per_lang,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
@@ -2479,6 +2506,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "dedup_embedding_incremental": _embedding_neardup_incremental_sql(),
     "profile_documents": _profile_documents_sql(),
+    "curation_eval_k_per_lang": _eval_k_per_lang_sql(),
     "dedup_ngram_jaccard": _DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_incremental": _minhash_incremental_sql(),

@@ -244,3 +244,28 @@ def test_filter_blocklist_drops_only_blocked(spark):
     blocked = spark.createDataFrame([("spam.com",), ("other.net",)], "source string")
     kept = sorted(r.doc_id for r in filter_blocklist(df, blocked).collect())
     assert kept == [2]
+
+
+def test_exact_k_per_stratum_counts_and_determinism(spark, sf_dir):
+    from syncquill_spark.operators.curation import exact_k_per_stratum
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 5
+    out = exact_k_per_stratum(docs, k=k)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    pop = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(k, pop[lang]), (lang, n, pop[lang])
+    # deterministic: same rows again, and under a different partitioning
+    again = {tuple(r) for r in
+             exact_k_per_stratum(docs.repartition(13), k=k)
+             .select("lang", "doc_id").collect()}
+    first = {tuple(r) for r in out.select("lang", "doc_id").collect()}
+    assert first == again
+    # different salt -> (almost surely) different membership
+    other = {tuple(r) for r in
+             exact_k_per_stratum(docs, k=k, salt="other")
+             .select("lang", "doc_id").collect()}
+    assert first != other
