@@ -36,24 +36,37 @@ def _spread(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     # Target: at least the session's shuffle width; defaultParallelism
     # alone under-counts on a dynamically-allocated cluster (it sees
-    # only executors registered at plan time).
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200") or 200)
+    # only executors registered at plan time). The conf may hold a
+    # non-numeric value on some runtimes (e.g. "auto") — fall back to
+    # the stock 200 rather than crash every similarity operator.
+    try:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200") or 200)
+    except (TypeError, ValueError):
+        target = 200
     try:
         target = max(target, spark.sparkContext.defaultParallelism)
     except Exception:  # Spark Connect client: no sparkContext
         pass
     try:
-        # Exact split count. Cheap in classic Spark (physical planning
-        # of a scan+project); unsupported under Spark Connect.
+        # First probe: file count. Listing is already cached on the
+        # scan relation (no job, no physical planning) and it LOWER-
+        # bounds the split count, so `>= target` here proves the scan
+        # is well-split without touching the RDD path.
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    try:
+        # Few/no files: confirm with the exact split count before
+        # paying a repartition (a handful of >maxPartitionBytes files
+        # still yields many splits). Cheap in classic Spark (physical
+        # planning of a scan+project); unsupported under Spark Connect,
+        # where the file-count verdict above stands (worst case: a
+        # redundant — but harmless — repartition).
         n_splits = df.rdd.getNumPartitions()
     except Exception:
-        try:
-            # Connect fallback: file count lower-bounds the split count
-            # (a >maxPartitionBytes file yields several splits, so this
-            # can trigger a redundant — but harmless — repartition).
-            n_splits = len(df.inputFiles())
-        except Exception:
-            n_splits = 0  # unknown source: spread unconditionally
+        n_splits = n_files
     if n_splits < target:
         return df.repartition(target)
     return df
@@ -108,7 +121,25 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
-def _banded_keys(
+def _plane_matrix(bands: int, planes_per_band: int, dim: int):
+    """All `bands * planes_per_band` hyperplanes as ONE nested-array
+    literal (array<array<double>>). A single Literal node instead of
+    one 64-element CreateArray per plane: the per-plane formulation
+    built a ~16x64-node expression tree whose Catalyst analysis +
+    optimization + codegen dominated the whole query at fixture scale
+    (measured: ~40% of dedup_embedding_incremental's wall time was
+    plan handling, not data). Values are identical — only the literal
+    representation changed."""
+    return F.lit(
+        [
+            _hyperplane(dim, b * planes_per_band + p)
+            for b in range(bands)
+            for p in range(planes_per_band)
+        ]
+    )
+
+
+def _sig_frame(
     src: DataFrame,
     id_col: str,
     vec_col: str,
@@ -117,80 +148,68 @@ def _banded_keys(
     dim: int,
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, *extra_cols, _band, _key) — one row per (vector, band); the
-    key is the sign pattern of the band's md5-derived hyperplane dots.
-    Persisted: every caller feeds it to at least two join sides, and
-    the interpreted plane folds are the hot compute."""
-    planes = [
-        _hyperplane(dim, b * planes_per_band + p)
-        for b in range(bands)
-        for p in range(planes_per_band)
-    ]
+    """(id, *extra_cols, _u, _bk) — per vector, its unit-normalized
+    form and its `bands` band keys (struct<band,key>, key = sign
+    pattern of the band's md5-derived hyperplane dots) — computed in
+    ONE pass over the source and persisted ONCE.
 
-    def band_key(vec, bi: int):
-        # NOTE: the lambda fold runs interpreted, but an explicit
-        # 64-term element_at sum chain is ~7x WORSE (giant expression
-        # trees choke optimizer + codegen) — measured, don't revisit.
-        bits = []
-        for p in range(planes_per_band):
-            plane = planes[bi * planes_per_band + p]
-            d = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(x) for x in plane]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
+    The previous split (a persisted band-key frame + a persisted
+    unit-vector frame) scanned the source twice and ran the plane
+    folds and the norm fold in separate cached plans; fusing them
+    halves the scan count and drops one cache. Callers explode `_bk`
+    AFTER the cache, so the candidate bucket join still shuffles only
+    (id, band, key) — never the vector payload.
 
-    return (
-        src.select(
-            F.col(id_col),
-            *[F.col(c) for c in extra_cols],
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            band_key(F.col(vec_col), bi).alias("key"),
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("_b"),
-        )
-        .select(
-            id_col,
-            *extra_cols,
-            F.col("_b.band").alias("_band"),
-            F.col("_b.key").alias("_key"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    All dots fold left-to-right over dimension order (zip_with +
+    aggregate, same accumulation order as the per-plane form), so band
+    keys and verify scores stay bit-identical to the DuckDB oracle.
+
+    Persist lifecycle: scoped to the returned plan; callers that run
+    many operators in one session reclaim it with
+    ``spark.catalog.clearCache()`` (the bench does this per query).
+
+    NOTE: the lambda folds run interpreted, but an explicit 64-term
+    element_at sum chain is ~7x WORSE (giant expression trees choke
+    optimizer + codegen) — measured, don't revisit.
+    """
+    mat = _plane_matrix(bands, planes_per_band, dim)
+    vec = F.col(vec_col)
+    dots = F.transform(
+        mat,
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
-
-
-def _unit_vectors(
-    src: DataFrame, id_col: str, vec_col: str, extra_cols: tuple[str, ...] = ()
-) -> DataFrame:
-    """(id, *extra_cols, _u): unit-normalized vectors, persisted for
-    re-attachment to candidate pairs (one dot fold per pair instead of
-    dot + two norms). Norm in its own projection: a lambda referencing
-    l2_norm(vec) directly would re-fold the vector PER ELEMENT once
-    CollapseProject inlines it."""
+    bits = F.transform(
+        dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.alias("band"),
+            F.array_join(
+                F.slice(bits, bi * planes_per_band + 1, planes_per_band), ""
+            ).alias("key"),
+        ),
+    )
+    # Norm in its own projection: a lambda referencing l2_norm(vec)
+    # directly would re-fold the vector PER ELEMENT once
+    # CollapseProject inlines it.
     return (
         src.select(
             F.col(id_col),
             *[F.col(c) for c in extra_cols],
             F.col(vec_col).alias("_v"),
             l2_norm(F.col(vec_col)).alias("_nrm"),
+            keys.alias("_bk"),
         )
         .select(
             F.col(id_col),
             *extra_cols,
             F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_nrm")).alias("_u"),
+            "_bk",
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -221,12 +240,18 @@ def embedding_near_dup_pairs(
     """
     # Bucket self-join carries IDS ONLY (the candidate shuffle is two
     # ints per row, not two embedding payloads); vectors re-attach for
-    # verification from the small unit-normalized frame.
+    # verification from the same persisted frame (_bk exploded after
+    # the cache).
     # _spread: the interpreted plane-folds are the hot compute; an
     # under-split corpus (one parquet file = one task) would run them
     # on a single core.
     src = _spread(corpus.select(F.col(id_col), F.col(vec_col)))
-    keyed = _banded_keys(src, id_col, vec_col, bands, planes_per_band, dim)
+    base = _sig_frame(src, id_col, vec_col, bands, planes_per_band, dim)
+    keyed = base.select(F.col(id_col), F.explode("_bk").alias("_b")).select(
+        id_col,
+        F.col("_b.band").alias("_band"),
+        F.col("_b.key").alias("_key"),
+    )
     a = keyed.select(
         F.col("_band").alias("_ba"), F.col("_key").alias("_ka"),
         F.col(id_col).alias("id_a"),
@@ -243,9 +268,8 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    unit = _unit_vectors(src, id_col, vec_col)
-    u_a = unit.select(F.col(id_col).alias("_ia"), F.col("_u").alias("_ua"))
-    u_b = unit.select(F.col(id_col).alias("_ib"), F.col("_u").alias("_ub"))
+    u_a = base.select(F.col(id_col).alias("_ia"), F.col("_u").alias("_ua"))
+    u_b = base.select(F.col(id_col).alias("_ib"), F.col("_u").alias("_ub"))
     return (
         cand.join(u_a, F.col("id_a") == F.col("_ia"))
         .join(u_b, F.col("id_b") == F.col("_ib"))
@@ -272,13 +296,14 @@ def embedding_near_dup_against(
 
     Same blocking machinery as embedding_near_dup_pairs (md5-derived
     hyperplanes, sign-pattern band keys, ids-only candidate shuffle)
-    but the bucket join is new-side x corpus-side only. Band keys and
-    unit vectors are computed over the TAGGED UNION in one pass (one
-    generated plan, one persist — two per-side plans compiled the same
-    16-fold expression tree twice and doubled plan-compile latency);
-    a production pipeline instead persists the corpus's band keys as
-    an index and computes only the new side per batch — the join
-    shape (equi-join on (band, key)) is identical.
+    but the bucket join is new-side x corpus-side only. Band keys AND
+    unit vectors are computed over the TAGGED UNION in one fused pass
+    (one generated plan, one persist — separate per-side or per-frame
+    plans compiled the same 16-fold expression tree several times and
+    doubled plan-compile latency); a production pipeline instead
+    persists the corpus's band keys as an index and computes only the
+    new side per batch — the join shape (equi-join on (band, key)) is
+    identical.
 
     Output: (id_new, id_corpus) int pairs, hash-stable.
     """
@@ -287,9 +312,23 @@ def embedding_near_dup_against(
             corpus.select(F.col(id_col), F.col(vec_col), F.lit("c").alias("_side"))
         )
     )
-    keyed = _banded_keys(
+    base = _sig_frame(
         tagged, id_col, vec_col, bands, planes_per_band, dim, extra_cols=("_side",)
     )
+    keyed = base.select(
+        F.col(id_col), F.col("_side"), F.explode("_bk").alias("_b")
+    ).select(
+        id_col,
+        "_side",
+        F.col("_b.band").alias("_band"),
+        F.col("_b.key").alias("_key"),
+    )
+    # The ingest premise — a bounded new batch against an unbounded
+    # corpus — makes every new-side frame legitimately broadcastable:
+    # with explicit hints, the corpus side NEVER exchanges (its band
+    # keys stream through a broadcast-hash join; its unit vectors
+    # stream through the final verify join). The only shuffle left is
+    # the candidate-id dropDuplicates — skinny int pairs.
     left = keyed.filter(F.col("_side") == "n").select(
         F.col("_band").alias("_lb"), F.col("_key").alias("_lk"),
         F.col(id_col).alias("id_new"),
@@ -299,24 +338,25 @@ def embedding_near_dup_against(
         F.col(id_col).alias("id_corpus"),
     )
     cand = (
-        left.join(
-            right,
+        right.join(
+            F.broadcast(left),
             (left["_lb"] == right["_rb"]) & (left["_lk"] == right["_rk"])
             & (left["id_new"] != right["id_corpus"]),
         )
         .select("id_new", "id_corpus")
         .dropDuplicates(["id_new", "id_corpus"])
     )
-    unit = _unit_vectors(tagged, id_col, vec_col, extra_cols=("_side",))
-    u_n = unit.filter(F.col("_side") == "n").select(
+    u_n = base.filter(F.col("_side") == "n").select(
         F.col(id_col).alias("_ia"), F.col("_u").alias("_ua")
     )
-    u_c = unit.filter(F.col("_side") == "c").select(
+    u_c = base.filter(F.col("_side") == "c").select(
         F.col(id_col).alias("_ib"), F.col("_u").alias("_ub")
     )
+    # candidates (with the new-side vector attached) are new-batch-
+    # bounded too -> broadcast them INTO the corpus unit-vector side.
+    cand_n = cand.join(F.broadcast(u_n), F.col("id_new") == F.col("_ia"))
     return (
-        cand.join(u_n, F.col("id_new") == F.col("_ia"))
-        .join(u_c, F.col("id_corpus") == F.col("_ib"))
+        u_c.join(F.broadcast(cand_n), F.col("id_corpus") == F.col("_ib"))
         .filter(dot(F.col("_ua"), F.col("_ub")) >= threshold)
         .select("id_new", "id_corpus")
     )
@@ -453,11 +493,20 @@ def ivf_topk(
         # corpus assignment pass; it is consumed by the NEXT iteration
         # AND broadcast twice downstream (corpus assign + query probe)
         # — unpersisted, each consumer re-runs the whole Lloyd subtree.
+        # Materialize eagerly (count on n_cells rows) so the previous
+        # iteration's cache can be RELEASED immediately: without this,
+        # n_iter cached frames accumulated per call (and the lazy
+        # persist could be computed concurrently by its first two
+        # consumers).
+        prev_cents = cents
         cents = (
             cents.join(new_cents, "cell_id", "left")
             .select("cell_id", F.coalesce("_ucv_new", "_ucv").alias("_ucv"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        cents.count()
+        if prev_cents.is_cached:
+            prev_cents.unpersist()
 
     def best_cells(side: DataFrame, side_id: str, n: int) -> DataFrame:
         """Per row of `side`: its `n` highest-dot cells (ties → lower
@@ -515,26 +564,26 @@ def lsh_topk(
     re-rank within candidates. Recall < 1 by construction (rows-only
     check; brute_force_topk is the oracle-checked baseline).
     """
-    planes = [_hyperplane(dim, p) for p in range(n_planes)]
+    # One nested-array literal for all planes + one transform fold —
+    # same values as the per-plane formulation, ~n_planes x smaller
+    # expression tree (see _plane_matrix).
+    mat = _plane_matrix(1, n_planes, dim)
 
     def sig(vec):
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in plane]),
-                        lambda a, b: a.cast("double") * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            for plane in planes
-        ]
-        return F.concat_ws("", *[b.cast("string") for b in bits])
+        dots = F.transform(
+            mat,
+            lambda p: F.aggregate(
+                F.zip_with(vec, p, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return F.array_join(
+            F.transform(
+                dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
+            ),
+            "",
+        )
 
     c = _spread(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
