@@ -147,6 +147,8 @@ def exact_k_per_stratum(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = "evalset-v1",
+    prefilter_factor: int = 100,
+    margin: int | None = None,
 ) -> DataFrame:
     """Deterministic EXACTLY-k rows per stratum — eval/holdout-set
     construction ("500 docs per language, same 500 every run").
@@ -157,21 +159,83 @@ def exact_k_per_stratum(
     order. Unlike the fraction-based stratified_sample this guarantees
     the exact count even for small or skewed strata.
 
-    Scale shape: one shuffle on the stratum column; per-stratum state
-    is a bounded top-k (window over the stratum). For strata too big
-    for one partition's sort, pre-filter with a generous hash-threshold
-    (deterministic_sample at ~3k/|stratum|) and rank the survivors —
-    same result, bounded sort.
+    Scale shape — the dominant-stratum sort is bounded AUTOMATICALLY:
+    a naive window over the stratum pushes a 100 TB corpus's biggest
+    language through ONE partition's sort. Instead, any stratum whose
+    row count exceeds ``prefilter_factor * k`` is pre-filtered to the
+    rows with h <= t, t sized for ~(3k + 64) expected survivors, and
+    only the survivors are ranked. The result is IDENTICAL, not
+    approximate:
+
+    - the pre-filter keeps EVERY row with h <= t, so whenever at least
+      k rows survive, the k smallest (h, id) overall are all among the
+      survivors and the ranked prefix is exactly the naive answer;
+    - strata where fewer than k survive (vanishing by Chernoff —
+      P[Binom(n, m/n) < k] with mean m = 3k + 64 — but possible in
+      principle since h is a fixed hash, not randomness) fall back
+      in-plan to ranking ALL of that stratum's rows, restoring the
+      naive path for exactly those strata.
+
+    Plan shape: one skinny per-stratum count (map-side combined,
+    broadcast back), one window over small strata + big-stratum
+    survivors (each stratum's sort input is now min(|stratum|,
+    ~3k + 64) rows), and a normally-empty fallback branch. Set
+    ``prefilter_factor=0`` to disable and always rank whole strata.
+    ``margin`` overrides the expected-survivor target (tests use it to
+    force the fallback branch; production should keep the default).
     """
     h = portable_hash60(
         F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
     )
     w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
+    if prefilter_factor <= 0:
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+
+    if margin is None:
+        margin = 3 * k + 64  # expected survivors per pre-filtered stratum
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    with_cnt = df.join(F.broadcast(counts), strata_col).withColumn("_h", h)
+    big = F.col("_cnt") > F.lit(prefilter_factor) * F.lit(k)
+    # t ~= 2^60 * margin / cnt via double division; off-by-a-few from
+    # fp rounding is harmless — correctness needs only "all rows with
+    # _h <= t survive", which holds for whatever t this computes.
+    t = (F.floor(F.lit(float(1 << 60)) / F.col("_cnt")) * F.lit(margin)).cast("long")
+    survivors = with_cnt.filter(~big | (F.col("_h") <= t))
+
+    w_h = Window.partitionBy(strata_col).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
     )
+    # Fallback detection from an AGGREGATE (not a window over ranked):
+    # a big stratum whose survivors number < k — including ZERO, which
+    # a window over the survivor rows could never see. Normally empty;
+    # the branch exists for the guarantee, not the common path.
+    surv_counts = survivors.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("_n_surv")
+    )
+    failed = (
+        counts.join(surv_counts, strata_col, "left")
+        .filter(
+            (F.col("_cnt") > F.lit(prefilter_factor) * F.lit(k))
+            & (F.coalesce(F.col("_n_surv"), F.lit(0)) < k)
+        )
+        .select(strata_col)
+    )
+    ok = (
+        survivors.join(F.broadcast(failed), strata_col, "left_anti")
+        .withColumn("_rk", F.row_number().over(w_h))
+        .filter(F.col("_rk") <= k)
+    )
+    fb = (
+        with_cnt.join(F.broadcast(failed), strata_col, "left_semi")
+        .withColumn("_rk", F.row_number().over(w_h))
+        .filter(F.col("_rk") <= k)
+    )
+    keep = df.columns
+    return ok.select(*keep).unionByName(fb.select(*keep))
 
 
 def deterministic_shuffle(

@@ -269,3 +269,44 @@ def test_exact_k_per_stratum_counts_and_determinism(spark, sf_dir):
              exact_k_per_stratum(docs, k=k, salt="other")
              .select("lang", "doc_id").collect()}
     assert first != other
+
+
+def test_exact_k_prefilter_engages_on_dominant_stratum(spark):
+    """A stratum above prefilter_factor*k rows is hash-pre-filtered
+    before ranking; membership must be IDENTICAL to the naive
+    whole-stratum sort, and the plan must show the bounded path."""
+    from syncquill_spark.operators.curation import exact_k_per_stratum
+
+    rows = [(i, "en") for i in range(3000)] + [(100000 + i, "fr") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    k = 5
+    fast = exact_k_per_stratum(df, k=k)  # en: 3000 > 100*5 -> pre-filtered
+    naive = exact_k_per_stratum(df, k=k, prefilter_factor=0)
+    fast_rows = sorted(tuple(r) for r in fast.collect())
+    naive_rows = sorted(tuple(r) for r in naive.collect())
+    assert fast_rows == naive_rows
+    assert len([r for r in fast_rows if r[1] == "en"]) == k
+    assert len([r for r in fast_rows if r[1] == "fr"]) == k
+    # the pre-filtered plan carries the per-stratum count + hash filter
+    # (the bounded-sort path); the naive plan has neither
+    plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert "_cnt" in plan and "_h" in plan
+    naive_plan = naive._jdf.queryExecution().optimizedPlan().toString()
+    assert "_cnt" not in naive_plan
+
+
+def test_exact_k_prefilter_fallback_restores_naive_path(spark):
+    """margin=0 makes the hash threshold reject (almost) every row of
+    every big stratum — the in-plan fallback must detect the starved
+    strata (including zero-survivor ones) and re-rank them in full,
+    reproducing the naive answer exactly."""
+    from syncquill_spark.operators.curation import exact_k_per_stratum
+
+    rows = [(i, "en") for i in range(2000)] + [(100000 + i, "fr") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    k = 7
+    forced = exact_k_per_stratum(df, k=k, margin=0)
+    naive = exact_k_per_stratum(df, k=k, prefilter_factor=0)
+    assert sorted(tuple(r) for r in forced.collect()) == sorted(
+        tuple(r) for r in naive.collect()
+    )
