@@ -36,9 +36,12 @@ BEFORE normalize_event_ts when reading a pre-4.1-incompatible layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+#: nanoseconds per day — the event_date partition derivation constant.
+_DAY_NS = 86_400_000_000_000
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -74,4 +77,50 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         f"{pyspark.__version__}; normalize_event_ts knows LongType "
         "(legacy nanosAsLong) and TIMESTAMP[_NTZ] (native nanos decode). "
         "Extend syncquill_spark/sources/events.py for this runtime."
+    )
+
+
+def write_events_normalized(
+    spark: SparkSession, src_path: str, dest_path: str, col: str = "ts"
+) -> None:
+    """One-time layout rewrite: raw events (TIMESTAMP(NANOS) parquet) ->
+    a scan-friendly table with ``ts`` as a PLAIN epoch-nanos int64
+    column plus an ``event_date`` Hive partition column.
+
+    Why: a predicate on the DERIVED epoch-nanos projection of the raw
+    layout cannot push into the parquet scan (Spark will not invert
+    the timestamp arithmetic), so every time-range query reads every
+    row group. After this rewrite, ``ts`` is stored data — range
+    predicates reach the reader as PushedFilters (row-group skipping
+    via min/max stats) — and ``event_date`` prunes whole directories
+    before any file opens. This is the 100 TB events layout; run it
+    once per ingest batch, not per query.
+
+    ``event_date`` derives from ``ts`` with pure integer math
+    (floor-div by nanos-per-day -> date_from_unix_date), so the
+    partition value is timezone-independent and reproducible in any
+    engine.
+    """
+    df = normalize_event_ts(spark.read.parquet(src_path), col)
+    df = df.withColumn(
+        "event_date",
+        F.date_from_unix_date(F.expr(f"`{col}` div {_DAY_NS}").cast("int")),
+    )
+    df.write.mode("overwrite").partitionBy("event_date").parquet(dest_path)
+
+
+def filter_time_range(df: DataFrame, start_ns: int, end_ns: int, col: str = "ts") -> DataFrame:
+    """Half-open time-range filter [start_ns, end_ns) over a
+    normalized-layout events frame: emits BOTH the ``event_date``
+    partition predicate (directory pruning) and the fine-grained ``ts``
+    residual (row-group skipping + exact rows). Callers give only the
+    nanos range; the date bounds are derived driver-side with the same
+    integer math that wrote the partitions."""
+    start_day = start_ns // _DAY_NS
+    end_day = (end_ns - 1) // _DAY_NS
+    return df.filter(
+        (F.col("event_date") >= F.date_from_unix_date(F.lit(start_day)))
+        & (F.col("event_date") <= F.date_from_unix_date(F.lit(end_day)))
+        & (F.col(col) >= start_ns)
+        & (F.col(col) < end_ns)
     )

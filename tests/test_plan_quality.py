@@ -12,6 +12,8 @@ import contextlib
 import io
 import re
 
+from pyspark.sql import functions as F
+
 from syncquill_spark.plans import QUERIES
 
 
@@ -58,3 +60,39 @@ def test_topk_corpus_side_never_broadcasts(spark, sf_dir):
     # broadcast subtree must contain the query-side filter (vec_id % 100)
     bc = plan[plan.index("BroadcastExchange"):]
     assert "% 100" in bc.split("ReadSchema", 2)[0] or "% 100" in plan, plan[:1500]
+
+
+def test_events_normalized_layout_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """After write_events_normalized, a time-range query must (a) push
+    the ts range into the parquet reader (PushedFilters — row-group
+    skipping) and (b) prune event_date partitions (directory pruning)
+    — neither is possible on the raw layout's derived ts column. Rows
+    must match the raw-layout filter exactly."""
+    from syncquill_spark.sources.events import (
+        filter_time_range,
+        normalize_event_ts,
+        write_events_normalized,
+    )
+
+    dest = str(tmp_path / "events_norm")
+    write_events_normalized(spark, f"{sf_dir}/events.parquet", dest)
+    norm = spark.read.parquet(dest)
+
+    raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).first()
+    start, end = lo + (hi - lo) // 4, lo + (hi - lo) // 2
+
+    q = filter_time_range(norm, start, end)
+    plan = _plan(q)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("ts" in p for p in pushed), f"ts not pushed:\n{plan[:2000]}"
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), f"no partition pruning:\n{plan[:2000]}"
+
+    expect = sorted(
+        (r.event_id, r.ts)
+        for r in raw.filter((F.col("ts") >= start) & (F.col("ts") < end))
+        .select("event_id", "ts").collect()
+    )
+    got = sorted((r.event_id, r.ts) for r in q.select("event_id", "ts").collect())
+    assert got == expect and len(got) > 0
