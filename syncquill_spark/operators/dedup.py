@@ -92,7 +92,10 @@ def ngram_jaccard_pairs(
 
     ``prefix_filter=False``: every shingle joins and the intersection
     size is counted directly from join matches (no verify pass) --
-    fewer stages; fine when no shingle is hot.
+    fewer stages; fine when no shingle is hot. Both paths operate on
+    the 64-bit HASHED shingle sets (same xxhash64 projection above),
+    so `_n`, the intersection counts, and `jac` share the identical
+    vanishing-collision caveat -- not exact-string shingle counting.
 
     Band-edge recall: candidate pairs span ADJACENT length bands too
     (|band_a - band_b| <= 1): the a-side emits its (prefix) shingles

@@ -18,6 +18,12 @@ from syncquill_spark.sources.base import Table
 
 
 class ParquetTable(Table):
+    """NOTE: the atomic staging-swap in ``overwrite`` uses local-FS
+    rename (os.rename) — correct for the tested local/NFS layouts. On
+    object stores (s3://, gs://) a directory rename is not atomic;
+    production tables there should swap via a metastore pointer or a
+    table format (Delta/Iceberg) instead."""
+
     def __init__(self, path: str):
         self.path = path
 
@@ -52,17 +58,48 @@ def compact_parquet(
 
     Returns the number of files written. Run it from a maintenance job
     keyed on file-count/size heuristics, not on every write.
+
+    Sizing comes from Spark's own file index + Hadoop FileSystem status,
+    so any URI scheme Spark can read (file://, hdfs://, s3a://, ...)
+    sizes correctly — not just the local filesystem.
+
+    Refuses Hive-partitioned layouts: a flat rewrite would silently
+    demote partition directories to data columns and lose directory
+    pruning. Compact those per partition (or via
+    PartitionedParquetTable.overwrite, which preserves the layout).
     """
     import math
 
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if not f.startswith(("_", "."))
-    ) if os.path.isdir(path) else os.path.getsize(path)
-    n_files = max(min_files, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
+    files = df.inputFiles()
+
+    def _rel_segments(f: str) -> list[str]:
+        strip = lambda s: s.split("://", 1)[-1].lstrip("/")  # noqa: E731
+        root, ff = strip(path).rstrip("/"), strip(f)
+        if ff.startswith(root + "/"):
+            ff = ff[len(root) + 1 :]
+        return ff.split("/")
+
+    part_dirs = {
+        seg for f in files for seg in _rel_segments(f)[:-1] if "=" in seg
+    }
+    if part_dirs:
+        raise ValueError(
+            f"compact_parquet: {path} is Hive-partitioned "
+            f"({sorted(part_dirs)[:3]}...); a flat rewrite would drop the "
+            "partition layout. Compact each partition directory, or "
+            "rewrite through PartitionedParquetTable.overwrite."
+        )
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+
+    n_files = max(min_files, math.ceil(total / target_file_bytes))
     table = ParquetTable(path)
     table.overwrite(df.repartition(n_files))
     return n_files

@@ -60,3 +60,21 @@ def test_compact_parquet_coalesces_small_files(spark, tmp_path):
     # data intact
     got = sorted(r.id for r in spark.read.parquet(path).collect())
     assert got == list(range(200))
+
+
+def test_compact_parquet_refuses_partitioned_layout(spark, tmp_path):
+    """A flat compaction rewrite of a Hive-partitioned table would
+    demote partition dirs to data columns and lose pruning — the
+    operator must refuse, pointing at the partition-preserving path."""
+    import pytest
+
+    from syncquill_spark.sources.parquet import compact_parquet
+
+    path = str(tmp_path / "part_tbl")
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "fr"), (3, "c", "en")],
+        "id long, text string, lang string",
+    )
+    df.write.partitionBy("lang").parquet(path)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_parquet(spark, path)
