@@ -1,13 +1,21 @@
-"""Scaling probe: do the dedup-family operators scale ~linearly in
-corpus size, as SCALE.md claims?
+"""Scaling probe: do the dedup / similarity / clusters operator
+families scale ~linearly in corpus size, as SCALE.md claims?
 
-Builds m x replicas of the sf documents table (doc_ids shifted; every
-token suffixed with a per-replica tag so replicas are NOT near-dups of
-each other — cross-replica candidate pairs would otherwise grow
-quadratically and measure the duplicate structure, not the engine).
-Within each replica the near-dup structure mirrors the original, so
-pair counts and work should grow ~m; wall time growing ~m is the
-pass signal.
+Documents: m x replicas of the sf documents table (doc_ids shifted;
+every token suffixed with a per-replica tag so replicas are NOT
+near-dups of each other — cross-replica candidate pairs would
+otherwise grow quadratically and measure the duplicate structure, not
+the engine). Within each replica the near-dup structure mirrors the
+original, so pair counts and work should grow ~m.
+
+Embeddings: m x replicas with vec_ids shifted and each replica's
+vectors multiplied by a per-replica deterministic ±1 sign pattern —
+within-replica dots (hence near-dup/topk structure) are EXACTLY
+preserved (both sides flip identically), while cross-replica dots
+decorrelate even when the fixture's vectors share a strong mean
+component (a cyclic rotation does NOT decorrelate those — measured:
+pair count grew 16x at m=4). The top-k query set stays FIXED (the
+base replica's) while the corpus grows — the realistic serving shape.
 
 Usage: python tools/scale_probe.py [sf_dir] [m ...]
 Prints one line per (operator, m): seconds, output rows, rows/sec.
@@ -24,11 +32,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from syncquill_spark import get_spark  # noqa: E402
+from syncquill_spark.operators.clusters import connected_components  # noqa: E402
 from syncquill_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+)
+from syncquill_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
 )
 
 ID_OFFSET = 10_000_000
@@ -55,6 +70,43 @@ def scaled_corpus(spark, sf_dir: str, m: int) -> DataFrame:
     for rep in reps[1:]:
         out = out.unionByName(rep)
     return out.withColumn("n_chars", F.length("text"))
+
+
+def _signs(r: int, dim: int = 64) -> list[float]:
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"sp:{r}:{j}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
+        for j in range(dim)
+    ]
+
+
+def scaled_embeddings(spark, sf_dir: str, m: int) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reps = []
+    for r in range(m):
+        vec = (
+            F.col("embedding")
+            if r == 0
+            # per-replica sign flip: within-replica dots identical,
+            # cross-replica dots decorrelated (mean component killed)
+            else F.zip_with(
+                F.col("embedding"),
+                F.lit(_signs(r)),
+                lambda a, s: a.cast("double") * s,
+            )
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + r * ID_OFFSET).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    out = reps[0]
+    for rep in reps[1:]:
+        out = out.unionByName(rep)
+    return out
 
 
 def probe(name, fn, corpus) -> tuple[float, int]:
@@ -85,6 +137,36 @@ OPS = {
     "simhash_pairs": lambda c: simhash_near_pairs(c),
 }
 
+# clusters family: pairs + transitive closure (the full dedup_clusters
+# pipeline shape) over the scaled documents corpus
+CLUSTER_OPS = {
+    "dedup_clusters": lambda c: connected_components(
+        ngram_jaccard_pairs(
+            c, k=3, threshold=0.2, block_cols=("lang",), length_band=64
+        )
+    ),
+}
+
+# similarity family: fixed query set (the base replica's), growing corpus
+SIM_OPS = {
+    "topk_brute": lambda c, q: brute_force_topk(c, q, k=10),
+    "topk_lsh": lambda c, q: lsh_topk(c, q, k=10),
+    "topk_ivf": lambda c, q: ivf_topk(c, q, k=10, n_cells=16, nprobe=4),
+    # Probe parameterization, NOT the registry query's (0.35 / r=4):
+    # - threshold 0.55: at 0.35 random 64-dim pairs pass at ~2.8 sigma
+    #   (~0.25%), so OUTPUT is inherently quadratic in corpus size for
+    #   any corpus — a data property, not an engine property.
+    # - planes_per_band=12: SRP bucket count is 2^r per band, so
+    #   candidate volume grows O(n^2 / 2^r); r must scale with the
+    #   corpus (measured: r=4 = 16 buckets turned the probe
+    #   quadratic — 3.5s/13.8s/45.2s at 1x/4x/8x). The engine-scaling
+    #   signal needs buckets sized to the corpus, exactly as a 100 TB
+    #   deployment would choose r ~ log2(n) - log2(target_bucket).
+    "embed_neardup": lambda c, q: embedding_near_dup_pairs(
+        c, threshold=0.55, bands=4, planes_per_band=12
+    ),
+}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -93,7 +175,7 @@ def main() -> None:
     for m in ms:
         corpus = scaled_corpus(spark, sf_dir, m).persist()
         n_docs = corpus.count()
-        for name, fn in OPS.items():
+        for name, fn in {**OPS, **CLUSTER_OPS}.items():
             sec, rows = probe(name, fn, corpus)
             print(
                 f"{name} m={m} docs={n_docs} rows={rows} "
@@ -101,6 +183,21 @@ def main() -> None:
                 flush=True,
             )
         corpus.unpersist()
+
+        emb = scaled_embeddings(spark, sf_dir, m).persist()
+        n_vecs = emb.count()
+        queries = (
+            emb.filter((F.col("vec_id") % 40 == 0) & (F.col("vec_id") < ID_OFFSET))
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        for name, fn in SIM_OPS.items():
+            sec, rows = probe(name, lambda c, _fn=fn: _fn(c, queries), emb)
+            print(
+                f"{name} m={m} vecs={n_vecs} rows={rows} "
+                f"sec={sec:.2f} vecs_per_sec={n_vecs / sec:.0f}",
+                flush=True,
+            )
+        emb.unpersist()
 
 
 if __name__ == "__main__":
