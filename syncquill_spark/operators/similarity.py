@@ -9,15 +9,34 @@
   product. Hyperplanes are derived deterministically from md5 hashes so
   runs are reproducible (no RNG state).
 
-All math is built-in higher-order functions (zip_with/aggregate) —
-JVM codegen, no Python UDF, no Arrow transfer on the hot path.
+Numeric policy, two tiers:
+
+- The top-k family (brute force / IVF) scores with built-in
+  higher-order functions (zip_with/aggregate) folding left-to-right —
+  the identical accumulation order as the DuckDB oracles, so float
+  scores match bit-for-bit.
+- The SIGNATURE family (banded near-dup blocking + LSH buckets) runs
+  on SIG_SCALE-quantized int64 vectors: every dot is an exact integer
+  sum, which is order-INDEPENDENT — so determinism no longer depends
+  on accumulation order and the hot path can be an Arrow-batched
+  numpy int64 matmul (`pandas_udf`) instead of interpreted
+  per-element lambda folds. Spark's higher-order functions are
+  CodegenFallback (interpreted); profiling showed the 16-plane x
+  64-dim folds dominating every signature query (~2.3s just to
+  materialize 2000 rows' signatures at sf0.1), and at corpus scale
+  that interpreted per-element cost IS the bottleneck. The numpy
+  matmul runs at memory bandwidth, one Arrow batch at a time, and the
+  quantized integers reproduce exactly in any engine regardless of
+  summation order.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from syncquill_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
@@ -121,22 +140,119 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
-def _plane_matrix(bands: int, planes_per_band: int, dim: int):
-    """All `bands * planes_per_band` hyperplanes as ONE nested-array
-    literal (array<array<double>>). A single Literal node instead of
-    one 64-element CreateArray per plane: the per-plane formulation
-    built a ~16x64-node expression tree whose Catalyst analysis +
-    optimization + codegen dominated the whole query at fixture scale
-    (measured: ~40% of dedup_embedding_incremental's wall time was
-    plan handling, not data). Values are identical — only the literal
-    representation changed."""
-    return F.lit(
+#: Quantization scale for the signature family: vector components and
+#: hyperplane components become floor(x * SIG_SCALE + 0.5) int64, so
+#: every signature dot / squared norm is an EXACT integer sum —
+#: order-independent, hence bit-identical across engines and across
+#: any summation strategy (numpy matmul here, list_reduce in DuckDB).
+#: Range check at dim=64: |component| <= ~4 -> |q| <= 4e6; a dot term
+#: <= 4e12; a 64-term dot <= ~3e14; a squared norm <= ~1e15 — all far
+#: inside int64. (The price: blocking/verify operate on the quantized
+#: cosine, which differs from the true cosine by ~1e-6 — immaterial
+#: for near-dup semantics, and the oracle applies the same math.)
+SIG_SCALE = 1_000_000
+
+
+def _quantized_planes(bands: int, planes_per_band: int, dim: int):
+    """(bands*planes_per_band, dim) int64 matrix of SIG_SCALE-quantized
+    md5-derived hyperplanes. Quantized with the same float64 ops the
+    oracle uses (c * SIG_SCALE + 0.5, floor), so both engines hold the
+    identical integer planes."""
+    import numpy as np
+
+    planes = np.array(
         [
             _hyperplane(dim, b * planes_per_band + p)
             for b in range(bands)
             for p in range(planes_per_band)
-        ]
+        ],
+        dtype=np.float64,
     )
+    return np.floor(planes * float(SIG_SCALE) + 0.5).astype(np.int64)
+
+
+def _make_sig_udf(bands: int, planes_per_band: int, dim: int):
+    """Arrow-batched signature kernel: embedding -> struct(q, n2, keys).
+
+    - q:    SIG_SCALE-quantized int64 vector (feeds the exact-integer
+            verify dot downstream)
+    - n2:   sum(q_i^2) — exact int64 squared norm
+    - keys: one int64 per band; bit p of a band's key is the sign of
+            the quantized dot with plane p of that band (dot >= 0).
+
+    One numpy int64 matmul per Arrow batch replaces 16 interpreted
+    per-element lambda folds per row; the plan also shrinks from a
+    ~16x64-node literal expression tree (whose Catalyst handling
+    alone was ~40% of query wall time at fixture scale) to a single
+    UDF node."""
+    import numpy as np
+    import pandas as pd
+
+    pq = _quantized_planes(bands, planes_per_band, dim)  # (P, dim) int64
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    # NOTE: no type hints on `sig` — this module uses
+    # `from __future__ import annotations`, which stringifies hints,
+    # and pyspark cannot resolve 'pd.Series' strings at decoration
+    # time; the hint-less form takes the SCALAR eval path directly.
+    @pandas_udf("q array<bigint>, n2 bigint, keys array<bigint>")
+    def sig(v):
+        n = len(v)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "q": pd.Series([], dtype=object),
+                    "n2": pd.Series([], dtype="int64"),
+                    "keys": pd.Series([], dtype=object),
+                }
+            )
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in v])
+        q = np.floor(x * float(SIG_SCALE) + 0.5).astype(np.int64)
+        n2 = np.einsum("ij,ij->i", q, q)
+        bits = (q @ pq.T) >= 0  # (n, P) sign pattern
+        keys = bits.reshape(n, bands, planes_per_band).astype(np.int64) @ weights
+        return pd.DataFrame({"q": list(q), "n2": n2, "keys": list(keys)})
+
+    return sig
+
+
+@pandas_udf(LongType())  # DataType object: a DDL string would need an
+def _dotq(a, b):  #          active SparkContext to parse at import time
+    """Exact int64 dot of two quantized vectors (one numpy pass per
+    Arrow batch). Integer sum -> order-independent -> engine-exact."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="int64")
+    xa = np.stack([np.asarray(e, dtype=np.int64) for e in a])
+    xb = np.stack([np.asarray(e, dtype=np.int64) for e in b])
+    return pd.Series(np.einsum("ij,ij->i", xa, xb))
+
+
+def _q_cos_ge(dot_col: Column, n2a: Column, n2b: Column, threshold: float) -> Column:
+    """Quantized-cosine >= threshold, engine-deterministic: the int64
+    dot and squared norms are exact; each side of the comparison is
+    then a fixed, tiny IEEE-double expression (one cast each + one
+    multiply + one sqrt), identical in Spark and DuckDB. n2 > 0 guards
+    replace the old NaN-excludes-zero-vectors behavior explicitly.
+    (Casts happen BEFORE the n2 multiply: n2a*n2b can reach ~1e30,
+    which overflows int64 — and DuckDB raises on BIGINT overflow.)"""
+    return (
+        (n2a > 0)
+        & (n2b > 0)
+        & (
+            dot_col.cast("double")
+            >= F.lit(float(threshold)) * F.sqrt(n2a.cast("double") * n2b.cast("double"))
+        )
+    )
+
+
+def _q_cos_score(dot_col: Column, n2a: Column, n2b: Column) -> Column:
+    """Quantized cosine as a double score (for ranking): exact int64
+    dot over the exact-int norms, combined with a fixed 4-op IEEE
+    expression — deterministic across engines."""
+    return dot_col.cast("double") / F.sqrt(n2a.cast("double") * n2b.cast("double"))
 
 
 def _sig_frame(
@@ -148,68 +264,40 @@ def _sig_frame(
     dim: int,
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, *extra_cols, _u, _bk) — per vector, its unit-normalized
-    form and its `bands` band keys (struct<band,key>, key = sign
-    pattern of the band's md5-derived hyperplane dots) — computed in
-    ONE pass over the source and persisted ONCE.
+    """(id, *extra_cols, _q, _n2, _keys) — per vector: its quantized
+    int64 form, exact squared norm, and `bands` int64 band keys (bit p
+    = sign of the quantized dot with the band's plane p) — computed in
+    ONE Arrow-batched numpy pass over the source and persisted ONCE.
 
-    The previous split (a persisted band-key frame + a persisted
-    unit-vector frame) scanned the source twice and ran the plane
-    folds and the norm fold in separate cached plans; fusing them
-    halves the scan count and drops one cache. Callers explode `_bk`
-    AFTER the cache, so the candidate bucket join still shuffles only
-    (id, band, key) — never the vector payload.
+    Callers explode `_keys` AFTER the cache, so the candidate bucket
+    join still shuffles only (id, band-index, int64 key) — fixed-width
+    keys, never the vector payload. Integer band keys beat the old
+    sign-pattern strings as shuffle keys too (8 bytes vs 16-char
+    UTF8).
 
-    All dots fold left-to-right over dimension order (zip_with +
-    aggregate, same accumulation order as the per-plane form), so band
-    keys and verify scores stay bit-identical to the DuckDB oracle.
+    All signature math is exact int64 (see SIG_SCALE), so results are
+    bit-identical to the DuckDB oracle REGARDLESS of summation order —
+    which is what lets this be a numpy matmul instead of the previous
+    interpreted left-to-right lambda folds (those are CodegenFallback
+    in Spark and dominated every signature query's wall time).
 
     Persist lifecycle: scoped to the returned plan; callers that run
     many operators in one session reclaim it with
     ``spark.catalog.clearCache()`` (the bench does this per query).
-
-    NOTE: the lambda folds run interpreted, but an explicit 64-term
-    element_at sum chain is ~7x WORSE (giant expression trees choke
-    optimizer + codegen) — measured, don't revisit.
     """
-    mat = _plane_matrix(bands, planes_per_band, dim)
-    vec = F.col(vec_col)
-    dots = F.transform(
-        mat,
-        lambda p: F.aggregate(
-            F.zip_with(vec, p, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    bits = F.transform(
-        dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
-    )
-    keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bi: F.struct(
-            bi.alias("band"),
-            F.array_join(
-                F.slice(bits, bi * planes_per_band + 1, planes_per_band), ""
-            ).alias("key"),
-        ),
-    )
-    # Norm in its own projection: a lambda referencing l2_norm(vec)
-    # directly would re-fold the vector PER ELEMENT once
-    # CollapseProject inlines it.
+    sig = _make_sig_udf(bands, planes_per_band, dim)
     return (
         src.select(
             F.col(id_col),
             *[F.col(c) for c in extra_cols],
-            F.col(vec_col).alias("_v"),
-            l2_norm(F.col(vec_col)).alias("_nrm"),
-            keys.alias("_bk"),
+            sig(F.col(vec_col)).alias("_s"),
         )
         .select(
             F.col(id_col),
             *extra_cols,
-            F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_nrm")).alias("_u"),
-            "_bk",
+            F.col("_s.q").alias("_q"),
+            F.col("_s.n2").alias("_n2"),
+            F.col("_s.keys").alias("_keys"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -231,26 +319,25 @@ def embedding_near_dup_pairs(
     pattern of `planes_per_band` hyperplane dots); a pair is a
     candidate if ANY band key matches (OR-construction — recall
     1-(1-p^r)^b for per-plane agreement p). Candidates self-join on
-    (band, key) only — never the O(n^2) pair space — then exact cosine
-    >= threshold verifies. Hyperplanes are md5-derived (deterministic,
-    reproducible in any engine); all math is codegen built-ins folding
-    left-to-right, so scores are bit-identical to the DuckDB oracle.
+    (band, key) only — never the O(n^2) pair space — then the exact
+    quantized cosine >= threshold verifies. Hyperplanes are
+    md5-derived (deterministic, reproducible in any engine); all
+    signature math is exact int64 (SIG_SCALE), bit-identical to the
+    DuckDB oracle in any summation order.
 
     Output: (id_a, id_b) int pairs with id_a < id_b, hash-stable.
     """
     # Bucket self-join carries IDS ONLY (the candidate shuffle is two
-    # ints per row, not two embedding payloads); vectors re-attach for
-    # verification from the same persisted frame (_bk exploded after
-    # the cache).
-    # _spread: the interpreted plane-folds are the hot compute; an
-    # under-split corpus (one parquet file = one task) would run them
+    # ints per row, not two embedding payloads); quantized vectors
+    # re-attach for verification from the same persisted frame (_keys
+    # exploded after the cache).
+    # _spread: the Arrow signature kernel is the hot compute; an
+    # under-split corpus (one parquet file = one task) would run it
     # on a single core.
     src = _spread(corpus.select(F.col(id_col), F.col(vec_col)))
     base = _sig_frame(src, id_col, vec_col, bands, planes_per_band, dim)
-    keyed = base.select(F.col(id_col), F.explode("_bk").alias("_b")).select(
-        id_col,
-        F.col("_b.band").alias("_band"),
-        F.col("_b.key").alias("_key"),
+    keyed = base.select(
+        F.col(id_col), F.posexplode("_keys").alias("_band", "_key")
     )
     a = keyed.select(
         F.col("_band").alias("_ba"), F.col("_key").alias("_ka"),
@@ -268,12 +355,23 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    u_a = base.select(F.col(id_col).alias("_ia"), F.col("_u").alias("_ua"))
-    u_b = base.select(F.col(id_col).alias("_ib"), F.col("_u").alias("_ub"))
+    v_a = base.select(
+        F.col(id_col).alias("_ia"), F.col("_q").alias("_qa"), F.col("_n2").alias("_na")
+    )
+    v_b = base.select(
+        F.col(id_col).alias("_ib"), F.col("_q").alias("_qb"), F.col("_n2").alias("_nb")
+    )
     return (
-        cand.join(u_a, F.col("id_a") == F.col("_ia"))
-        .join(u_b, F.col("id_b") == F.col("_ib"))
-        .filter(dot(F.col("_ua"), F.col("_ub")) >= threshold)
+        cand.join(v_a, F.col("id_a") == F.col("_ia"))
+        .join(v_b, F.col("id_b") == F.col("_ib"))
+        .filter(
+            _q_cos_ge(
+                _dotq(F.col("_qa"), F.col("_qb")),
+                F.col("_na"),
+                F.col("_nb"),
+                threshold,
+            )
+        )
         .select("id_a", "id_b")
     )
 
@@ -295,15 +393,13 @@ def embedding_near_dup_against(
     side is small). No corpus self-pairs, no new self-pairs.
 
     Same blocking machinery as embedding_near_dup_pairs (md5-derived
-    hyperplanes, sign-pattern band keys, ids-only candidate shuffle)
-    but the bucket join is new-side x corpus-side only. Band keys AND
-    unit vectors are computed over the TAGGED UNION in one fused pass
-    (one generated plan, one persist — separate per-side or per-frame
-    plans compiled the same 16-fold expression tree several times and
-    doubled plan-compile latency); a production pipeline instead
-    persists the corpus's band keys as an index and computes only the
-    new side per batch — the join shape (equi-join on (band, key)) is
-    identical.
+    hyperplanes, int64 band keys, ids-only candidate shuffle) but the
+    bucket join is new-side x corpus-side only. Signatures for BOTH
+    sides are computed over the TAGGED UNION in one fused Arrow pass
+    (one generated plan, one persist); a production pipeline instead
+    persists the corpus's signature frame as an index and computes
+    only the new side per batch — the join shape (equi-join on
+    (band, key)) is identical.
 
     Output: (id_new, id_corpus) int pairs, hash-stable.
     """
@@ -316,12 +412,7 @@ def embedding_near_dup_against(
         tagged, id_col, vec_col, bands, planes_per_band, dim, extra_cols=("_side",)
     )
     keyed = base.select(
-        F.col(id_col), F.col("_side"), F.explode("_bk").alias("_b")
-    ).select(
-        id_col,
-        "_side",
-        F.col("_b.band").alias("_band"),
-        F.col("_b.key").alias("_key"),
+        F.col(id_col), F.col("_side"), F.posexplode("_keys").alias("_band", "_key")
     )
     # The ingest premise — a bounded new batch against an unbounded
     # corpus — makes every new-side frame legitimately broadcastable:
@@ -346,18 +437,25 @@ def embedding_near_dup_against(
         .select("id_new", "id_corpus")
         .dropDuplicates(["id_new", "id_corpus"])
     )
-    u_n = base.filter(F.col("_side") == "n").select(
-        F.col(id_col).alias("_ia"), F.col("_u").alias("_ua")
+    v_n = base.filter(F.col("_side") == "n").select(
+        F.col(id_col).alias("_ia"), F.col("_q").alias("_qa"), F.col("_n2").alias("_na")
     )
-    u_c = base.filter(F.col("_side") == "c").select(
-        F.col(id_col).alias("_ib"), F.col("_u").alias("_ub")
+    v_c = base.filter(F.col("_side") == "c").select(
+        F.col(id_col).alias("_ib"), F.col("_q").alias("_qb"), F.col("_n2").alias("_nb")
     )
     # candidates (with the new-side vector attached) are new-batch-
-    # bounded too -> broadcast them INTO the corpus unit-vector side.
-    cand_n = cand.join(F.broadcast(u_n), F.col("id_new") == F.col("_ia"))
+    # bounded too -> broadcast them INTO the corpus signature side.
+    cand_n = cand.join(F.broadcast(v_n), F.col("id_new") == F.col("_ia"))
     return (
-        u_c.join(F.broadcast(cand_n), F.col("id_corpus") == F.col("_ib"))
-        .filter(dot(F.col("_ua"), F.col("_ub")) >= threshold)
+        v_c.join(F.broadcast(cand_n), F.col("id_corpus") == F.col("_ib"))
+        .filter(
+            _q_cos_ge(
+                _dotq(F.col("_qa"), F.col("_qb")),
+                F.col("_na"),
+                F.col("_nb"),
+                threshold,
+            )
+        )
         .select("id_new", "id_corpus")
     )
 
@@ -561,42 +659,62 @@ def lsh_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign bucket join + exact
-    re-rank within candidates. Recall < 1 by construction (rows-only
-    check; brute_force_topk is the oracle-checked baseline).
+    re-rank within candidates. Approximate vs brute force in RECALL,
+    but fully deterministic: buckets and scores use the exact-int64
+    quantized signature math (SIG_SCALE), so the candidate set and the
+    (score desc, id asc) ranking reproduce bit-for-bit in any engine.
+
+    Ranking uses the QUANTIZED cosine (differs from the true cosine by
+    ~1e-6; brute_force_topk remains the exact-float baseline).
     """
-    # One nested-array literal for all planes + one transform fold —
-    # same values as the per-plane formulation, ~n_planes x smaller
-    # expression tree (see _plane_matrix).
-    mat = _plane_matrix(1, n_planes, dim)
-
-    def sig(vec):
-        dots = F.transform(
-            mat,
-            lambda p: F.aggregate(
-                F.zip_with(vec, p, lambda a, b: a.cast("double") * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        return F.array_join(
-            F.transform(
-                dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
-            ),
-            "",
-        )
-
-    c = _spread(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
-    ).withColumn("_bucket", sig(F.col("_cvec")))
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        sig(F.col(vec_col)).alias("_bucket"),
+    # Signatures go through the PERSISTED _sig_frame on both sides.
+    # Beyond the scan dedup, the cache is a predicate-pushdown
+    # BARRIER, and that matters for Python UDF plans: without it,
+    # Catalyst pushes the n2 > 0 filter (and the inferred
+    # isnotnull(join key)) below the signature projection and
+    # DUPLICATES the ArrowEvalPython node — the kernel then runs
+    # TWICE per side (observed in the executed plan; ~2x the
+    # signature cost). The persisted frame evaluates the kernel once;
+    # filters apply to the cached rows. At production scale the
+    # corpus signature frame is a precomputed index table anyway.
+    base_c = _sig_frame(
+        _spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+            )
+        ),
+        "neighbor_id",
+        "_cv",
+        1,
+        n_planes,
+        dim,
+    )
+    c = base_c.filter(F.col("_n2") > 0).select(
+        "neighbor_id",
+        F.col("_q").alias("_qc"),
+        F.col("_n2").alias("_nc"),
+        F.element_at("_keys", 1).alias("_bucket"),
+    )
+    base_q = _sig_frame(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")),
+        query_id_col,
+        "_qv",
+        1,
+        n_planes,
+        dim,
+    )
+    q = base_q.filter(F.col("_n2") > 0).select(
+        query_id_col,
+        F.col("_q").alias("_qq"),
+        F.col("_n2").alias("_nq"),
+        F.element_at("_keys", 1).alias("_bucket"),
     )
     scored = c.join(F.broadcast(q), "_bucket").select(
         query_id_col,
         "neighbor_id",
-        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_score"),
+        _q_cos_score(
+            _dotq(F.col("_qq"), F.col("_qc")), F.col("_nq"), F.col("_nc")
+        ).alias("_score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("_score").desc(), F.col("neighbor_id").asc()

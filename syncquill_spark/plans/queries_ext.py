@@ -24,6 +24,7 @@ from syncquill_spark.operators.dedup import (
 )
 from syncquill_spark.operators.multimodal import attach_media_metadata
 from syncquill_spark.operators.similarity import (
+    SIG_SCALE,
     _hyperplane,
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -318,36 +319,29 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_topk_sql() -> str:
-    """Oracle twin of q_similarity_topk_lsh: the SAME md5-derived
-    hyperplanes as SQL literals build the same sign-pattern bucket per
-    vector, the bucket equi-join yields the identical candidate set,
-    and the same left-fold double cosine + (score desc, id asc)
-    tie-break ranks them identically — an EXACT oracle for an
-    approximate ANN query (the approximation is in the recall vs
-    brute force, not in the result's determinism)."""
-    planes = [_hyperplane(64, p) for p in range(_LSH_PLANES)]
-    bucket = " || ".join(
-        f"CASE WHEN {_plane_dot_sql(plane)} >= 0 THEN '1' ELSE '0' END"
-        for plane in planes
-    )
+    """Oracle twin of q_similarity_topk_lsh: the SAME quantized
+    hyperplanes build the same int64 sign bucket per vector, the
+    bucket equi-join yields the identical candidate set, and the same
+    quantized cosine (exact int64 dot over exact int64 norms, one
+    fixed IEEE divide) + (score desc, id asc) tie-break ranks them
+    identically — an EXACT oracle for an approximate ANN query (the
+    approximation is in the recall vs brute force, not in the
+    result's determinism). The helpers live next to
+    _embedding_neardup_sql below."""
     d = 64
-    cos = (
-        f"list_reduce(list_transform(range(1, {d + 1}), "
-        f"i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), "
-        f"(a, b) -> a + b) "
-        f"/ (sqrt(list_reduce(list_transform(q.embedding, "
-        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) "
-        f"* sqrt(list_reduce(list_transform(c.embedding, "
-        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))"
+    score = (
+        f"CAST({_dotq_sql('q2.q', 'c.q', d)} AS DOUBLE) "
+        f"/ sqrt(CAST(q2.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE))"
     )
     return f"""
 WITH sig AS (
-  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+  SELECT vec_id, q, {_n2_sql()} AS n2, {_band_key_sql(0, _LSH_PLANES, d)} AS bucket
+  FROM (SELECT vec_id, {_qvec_sql()} AS q FROM embeddings)
 ),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS score
-  FROM sig c JOIN sig q ON c.bucket = q.bucket
-  WHERE q.vec_id % {_QUERY_MOD} = 0
+  SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id, {score} AS score
+  FROM sig c JOIN sig q2 ON c.bucket = q2.bucket
+  WHERE q2.vec_id % {_QUERY_MOD} = 0 AND c.n2 > 0 AND q2.n2 > 0
 )
 SELECT query_id, neighbor_id, rk FROM (
   SELECT query_id, neighbor_id,
@@ -709,60 +703,91 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_dot_sql(plane: list[float], vec: str = "embedding") -> str:
-    lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+def _qvec_sql(vec: str = "embedding") -> str:
+    """Quantize a float vector to SIG_SCALE int64 — the same float64
+    op sequence as the Spark-side numpy kernel (x * S + 0.5, floor),
+    so both engines hold identical integer vectors."""
     return (
-        f"list_reduce(list_transform(range(1, {len(plane) + 1}), "
-        f"i -> CAST({vec}[i] AS DOUBLE) * ({lits})[i]), (a, b) -> a + b)"
+        f"list_transform({vec}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {float(SIG_SCALE)} + 0.5) AS BIGINT))"
     )
+
+
+def _qplane(plane: list[float]) -> list[int]:
+    """SIG_SCALE-quantized integer hyperplane (same math as
+    similarity._quantized_planes: c * S + 0.5 in float64, floor)."""
+    import math
+
+    return [math.floor(c * float(SIG_SCALE) + 0.5) for c in plane]
+
+
+def _n2_sql(vec: str = "q") -> str:
+    """Exact int64 squared norm of a quantized vector."""
+    return f"list_reduce(list_transform({vec}, x -> x * x), (a, b) -> a + b)"
+
+
+def _dotq_sql(a: str, b: str, dim: int) -> str:
+    """Exact int64 dot of two quantized vectors (order-independent —
+    any fold order matches the Spark-side numpy matmul)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _band_key_sql(
+    band_idx: int, planes_per_band: int, dim: int, vec: str = "q"
+) -> str:
+    """Int64 band key: bit p set iff the quantized dot with the band's
+    plane p is >= 0 — mirrors the Spark kernel's sign-bits-to-int
+    packing bit for bit."""
+    terms = []
+    for p in range(planes_per_band):
+        qp = _qplane(_hyperplane(dim, band_idx * planes_per_band + p))
+        lits = "[" + ", ".join(str(c) for c in qp) + "]"
+        dot_p = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {vec}[i] * ({lits})[i]), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {dot_p} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def _embedding_neardup_sql() -> str:
     """Oracle twin of q_dedup_embedding_cosine: the SAME md5-derived
-    hyperplanes as SQL literals, the same banded sign-pattern blocking,
-    and the same unit-normalize-then-dot verify with left-fold double
-    math — bit-identical candidates/scores."""
-    band_selects = []
-    for bi in range(_NEARDUP_BANDS):
-        bits = []
-        for p in range(_NEARDUP_R):
-            plane = _hyperplane(_NEARDUP_DIM, bi * _NEARDUP_R + p)
-            bits.append(
-                f"CASE WHEN {_plane_dot_sql(plane)} >= 0 THEN '1' ELSE '0' END"
-            )
-        key = " || ".join(bits)
-        band_selects.append(
-            f"SELECT vec_id, {bi} AS band, {key} AS key FROM embeddings"
-        )
+    hyperplanes, quantized to the SAME int64 values, build the same
+    int64 band keys; the verify compares the exact integer dot against
+    threshold * sqrt(n2a * n2b) with the identical tiny IEEE-double
+    expression — bit-identical candidates and verdicts, independent of
+    summation order on either side."""
+    band_selects = [
+        f"SELECT vec_id, {bi} AS band, "
+        f"{_band_key_sql(bi, _NEARDUP_R, _NEARDUP_DIM)} AS key FROM qv"
+        for bi in range(_NEARDUP_BANDS)
+    ]
     keyed = "\nUNION ALL\n".join(band_selects)
-    d = _NEARDUP_DIM
-    sq_norm = (
-        f"list_reduce(list_transform(range(1, {d + 1}), "
-        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)"
-    )
-    unit_dot = (
-        f"list_reduce(list_transform(range(1, {d + 1}), "
-        f"i -> ua.u[i] * ub.u[i]), (a, b) -> a + b)"
+    verify = (
+        f"CAST({_dotq_sql('a.q', 'b.q', _NEARDUP_DIM)} AS DOUBLE) >= "
+        f"{_NEARDUP_THRESHOLD} * sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))"
     )
     return f"""
-WITH keyed AS (
+WITH qv AS (
+  SELECT vec_id, q, {_n2_sql()} AS n2
+  FROM (SELECT vec_id, {_qvec_sql()} AS q FROM embeddings)
+),
+keyed AS (
 {keyed}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM keyed a JOIN keyed b
     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-),
-unit AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
-  FROM (SELECT vec_id, embedding, sqrt({sq_norm}) AS nrm FROM embeddings)
 )
 SELECT cand.id_a, cand.id_b
 FROM cand
-JOIN unit ua ON cand.id_a = ua.vec_id
-JOIN unit ub ON cand.id_b = ub.vec_id
-WHERE {unit_dot} >= {_NEARDUP_THRESHOLD}
+JOIN qv a ON cand.id_a = a.vec_id
+JOIN qv b ON cand.id_b = b.vec_id
+WHERE a.n2 > 0 AND b.n2 > 0 AND {verify}
 """
 
 
@@ -787,32 +812,24 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _embedding_neardup_incremental_sql() -> str:
     """Oracle twin of q_dedup_embedding_incremental: identical
-    hyperplane literals, band keys per side, new x corpus bucket join,
-    unit-dot verify."""
-    band_selects = []
-    for bi in range(_NEARDUP_BANDS):
-        bits = []
-        for p in range(_NEARDUP_R):
-            plane = _hyperplane(_NEARDUP_DIM, bi * _NEARDUP_R + p)
-            bits.append(
-                f"CASE WHEN {_plane_dot_sql(plane)} >= 0 THEN '1' ELSE '0' END"
-            )
-        key = " || ".join(bits)
-        band_selects.append(
-            f"SELECT vec_id, {bi} AS band, {key} AS key FROM embeddings"
-        )
+    quantized hyperplanes, int64 band keys per side, new x corpus
+    bucket join, exact-integer dot verify."""
+    band_selects = [
+        f"SELECT vec_id, {bi} AS band, "
+        f"{_band_key_sql(bi, _NEARDUP_R, _NEARDUP_DIM)} AS key FROM qv"
+        for bi in range(_NEARDUP_BANDS)
+    ]
     keyed = "\nUNION ALL\n".join(band_selects)
-    d = _NEARDUP_DIM
-    sq_norm = (
-        f"list_reduce(list_transform(range(1, {d + 1}), "
-        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)"
-    )
-    unit_dot = (
-        f"list_reduce(list_transform(range(1, {d + 1}), "
-        f"i -> ua.u[i] * ub.u[i]), (a, b) -> a + b)"
+    verify = (
+        f"CAST({_dotq_sql('a.q', 'b.q', _NEARDUP_DIM)} AS DOUBLE) >= "
+        f"{_NEARDUP_THRESHOLD} * sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))"
     )
     return f"""
-WITH keyed AS (
+WITH qv AS (
+  SELECT vec_id, q, {_n2_sql()} AS n2
+  FROM (SELECT vec_id, {_qvec_sql()} AS q FROM embeddings)
+),
+keyed AS (
 {keyed}
 ),
 cand AS (
@@ -820,17 +837,12 @@ cand AS (
   FROM keyed a JOIN keyed b
     ON a.band = b.band AND a.key = b.key
    AND a.vec_id % 7 = 0 AND b.vec_id % 7 != 0
-),
-unit AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
-  FROM (SELECT vec_id, embedding, sqrt({sq_norm}) AS nrm FROM embeddings)
 )
 SELECT cand.id_new, cand.id_corpus
 FROM cand
-JOIN unit ua ON cand.id_new = ua.vec_id
-JOIN unit ub ON cand.id_corpus = ub.vec_id
-WHERE {unit_dot} >= {_NEARDUP_THRESHOLD}
+JOIN qv a ON cand.id_new = a.vec_id
+JOIN qv b ON cand.id_corpus = b.vec_id
+WHERE a.n2 > 0 AND b.n2 > 0 AND {verify}
 """
 
 
