@@ -15,40 +15,58 @@ _ALL_QUERIES = {**_CORE_QUERIES, **EXT_QUERIES}
 _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 
 # The driver's per-round correctness gate verifies the FIRST 50 registry
-# entries in dict order. Policy (round-3 review): any query whose physical
-# plan changed this round MUST sit inside the window, so modified plans
-# always get a driver-green row in the same round they change. Round 4
-# leads with its three NEW queries, then every query whose plan round 4
-# touched (clusters edge build, _spread/persists in similarity, hashed
-# shingle keys + bucket persists in the dedup family), then the 38 that
-# first entered the window in round 3 (7 of which were red there and are
-# fixed this round); the rest keep their prior order (green rows in
-# CORRECTNESS_r01/r02).
+# entries in dict order. Policy (round-3 review, extended round-4): any
+# query whose physical plan changed this round MUST sit inside the
+# window — and a change to a SHARED loader/helper counts as touching
+# every caller. Round 5 additionally executes the round-4 verdict's
+# staleness rotation: no query outside the window may have a last
+# driver-green row older than round 3.
+#
+# Round-5 window, in order:
+#  - the 6 queries whose plans round 5 changed: the quantized-int64
+#    signature family (dedup_embedding_cosine / _incremental,
+#    similarity_topk_lsh), the IVF persist-lifecycle change
+#    (similarity_topk_ivf / _refined), and curation_eval_k_per_lang
+#    (auto big-stratum pre-filter);
+#  - dedup_clusters (edge source shares the dedup plumbing; kept in
+#    conservatively) and the three other _spread callers
+#    (similarity_topk_cosine, similarity_knn_classify,
+#    embedding_nearest_centroid) — _spread's probe ORDER changed this
+#    round; the decision it makes is provably identical, in-window
+#    anyway per the shared-helper rule;
+#  - the 29 queries whose last driver-green row is r01/r02 (the TPC-H
+#    join/agg family, simhash, text scoring) — the stalest rows;
+#  - the five sync_* flagship rows (last driver-checked r03);
+#  - six more r03 rows: agg_pricing_summary, join_revenue_by_nation,
+#    window_topk_orders, setop_customers_without_orders,
+#    scalar_functions, json_events_extract (the round-4 verdict's
+#    shared-loader flag).
+# Left outside at staleness 2 (r03-green, untouched since, pure
+# projection arithmetic): dedup_exact, curation_redact_pii,
+# curation_pack_sequences, embedding_quantize. The r04-green rows
+# (new last round, untouched this round) rotate out at staleness 1.
 _PRIORITY = [
-    "similarity_knn_classify", "embedding_nearest_centroid",
-    "multimodal_features", "dedup_embedding_incremental",
-    "profile_documents", "curation_eval_k_per_lang",
-    "dedup_clusters", "similarity_topk_cosine", "similarity_topk_lsh",
-    "similarity_topk_ivf", "similarity_topk_ivf_refined",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_incremental",
-    "dedup_embedding_cosine",
-    "text_quality_rules", "text_bm25", "embedding_label_centroids",
-    "window_moving_avg", "setop_except_all", "text_token_counts",
-    "text_term_stats", "text_readability", "text_sentences_udtf",
-    "text_fingerprint", "multimodal_media_stats", "join_asof_signup",
-    "join_range_shipments", "join_binned_range", "agg_rollup_orders",
-    "events_tumbling_window", "events_session_window", "cdc_scd2_history",
-    "cdc_incremental_agg", "storage_zorder_key", "agg_quantiles_approx_check",
-    "events_sliding_window", "funnel_click_purchase",
-    "agg_distinct_users_exact", "agg_distinct_users_approx",
-    "events_sessionization", "window_running_total", "join_events_customers",
-    "pipeline_corpus_curation", "curation_hash_split",
-    "curation_decontaminate", "curation_sample_stratified",
-    "curation_shuffle", "curation_blocklist", "curation_boilerplate",
-    # embedding_quantize / curation_pack_sequences / curation_redact_pii:
-    # green in the r03 window and untouched since — they yield their
-    # slots so the window stays at exactly 50 entries with every
-    # round-4-modified plan inside.
+    "dedup_embedding_cosine", "dedup_embedding_incremental",
+    "similarity_topk_lsh", "similarity_topk_ivf",
+    "similarity_topk_ivf_refined", "curation_eval_k_per_lang",
+    "dedup_clusters", "similarity_topk_cosine", "similarity_knn_classify",
+    "embedding_nearest_centroid",
+    "text_token_stats", "subquery_exists_orders", "agg_cube_sales",
+    "agg_customer_balance_stats", "join_salted_revenue", "agg_status_sets",
+    "agg_pivot_status", "agg_grouping_sets", "agg_quantiles_status",
+    "setop_repeat_customers", "join_shipping_priority", "join_returned_items",
+    "agg_promo_revenue", "join_priority_lines", "agg_order_priority",
+    "agg_forecast_revenue", "agg_customer_distribution", "join_large_orders",
+    "setop_idle_rich_customers", "join_small_qty_parts",
+    "join_lonely_returned_supplier", "join_disjunctive_promo",
+    "join_nation_trade", "window_top_supplier", "dedup_simhash",
+    "dedup_simhash_pairs", "text_language_id", "text_quality",
+    "text_repetition",
+    "sync_diff_keyed", "sync_diff_positional", "sync_apply_keyed",
+    "sync_upsert", "sync_validate",
+    "agg_pricing_summary", "join_revenue_by_nation", "window_topk_orders",
+    "setop_customers_without_orders", "scalar_functions",
+    "json_events_extract",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]
