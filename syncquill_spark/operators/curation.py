@@ -411,3 +411,70 @@ def pack_sequences(
         F.col("n_tokens_bpeish").alias("n_tokens"),
         F.floor(cum_before / budget).cast("long").alias("pack_id"),
     )
+
+
+def domain_quota(
+    df: DataFrame,
+    quota: int,
+    domain_col: str = "source",
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap every domain at ``quota`` documents, keeping the best-ranked
+    — the domain-balancing step of a pretraining mix (a handful of
+    giant crawl domains must not drown the rest of the corpus).
+
+    ``order_by`` defines "best" (e.g. a quality signal descending);
+    the id column is always appended as the final tie-break so ranks
+    are total and engine-exact. Output adds ``quota_rank`` (1-based
+    within the domain); rows ranked past the quota are dropped.
+
+    Scale shape: one shuffle on the domain key + a per-domain window
+    rank. Spark plans row_number + the rank filter as WindowGroupLimit
+    (partial top-k BEFORE the exchange since Spark 3.5), so the
+    shuffle carries at most ``quota`` rows per domain per map
+    partition, not the whole domain — the same reason
+    exact_k_per_stratum's window is safe. For domains so hot that even
+    quota-per-map-partition rows hurt, pre-filter with a generous
+    order-statistic threshold first (see exact_k_per_stratum's
+    big-stratum pre-filter for the pattern).
+    """
+    order = list(order_by or []) + [F.col(id_col).asc()]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= quota)
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop corpus documents NEAR-duplicate to any held-out eval
+    document — fuzzy benchmark decontamination. `decontaminate` above
+    catches verbatim n-gram leakage; this catches paraphrased /
+    lightly-edited leakage the exact-gram join misses (the standard
+    practice for pretraining corpora: eval contamination checks use
+    n-gram Jaccard at a moderate threshold, not exact match).
+
+    Built on minhash_lsh_pairs_against (banded MinHash candidates,
+    corpus x eval only, exact-Jaccard verify >= threshold): candidate
+    generation is a band-bucket equi-join — the eval set never crosses
+    the O(|corpus| x |eval|) pair space. Returns the KEPT corpus rows
+    (anti-join on contaminated ids).
+    """
+    from syncquill_spark.operators.dedup import minhash_lsh_pairs_against
+
+    pairs = minhash_lsh_pairs_against(
+        corpus, eval_df, id_col=id_col, text_col=text_col,
+        k=k, n_perm=n_perm, bands=bands, threshold=threshold,
+    )
+    contaminated = pairs.select(F.col("id_new").alias(id_col)).distinct()
+    return corpus.join(contaminated, id_col, "left_anti")

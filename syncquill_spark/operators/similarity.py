@@ -460,6 +460,106 @@ def embedding_near_dup_against(
     )
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into cells via
+    deterministic centroids, then emit within-cell near-duplicate
+    pairs by quantized cosine >= threshold. Near-dups in meaning
+    cluster together, so restricting the pair search to cells turns
+    the O(n^2) corpus pair space into sum-over-cells O((n/c)^2) — the
+    published algorithm's exact structure (k-means cluster, then
+    pairwise within cluster; dedup keeps one doc per within-cell
+    duplicate group downstream, e.g. via clusters.dedup_keepers).
+
+    Cells use ivf_topk's deterministic index construction (the
+    n_cells corpus vectors with the smallest md5(id), unit-normalized;
+    max-cosine assignment with left-fold double dots) — reproducible
+    in any engine with no RNG state. The verify is the signature
+    family's exact-int64 quantized cosine.
+
+    Scale shape: centroids broadcast (no corpus shuffle to assign);
+    the pair join is an equi-join on cell_id carrying the quantized
+    vector payload — cell-local by construction, and the per-cell
+    quadratic cost is the algorithm's published shape, bounded by
+    choosing n_cells so n/c stays manageable (SemDeDup runs 50k
+    clusters at 100 TB scale; fat cells split under AQE).
+
+    Output: (id_a, id_b, cell_id) with id_a < id_b — ints only,
+    hash-stable.
+    """
+    hashed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    cents0 = hashed.orderBy("_h", id_col).limit(n_cells)
+    w_cells = Window.orderBy("_h", id_col)  # n_cells rows — single partition is fine
+    cents = (
+        cents0.withColumn("cell_id", F.row_number().over(w_cells))
+        .withColumn("_nrm", l2_norm(F.col("_cv")))
+        .select(
+            "cell_id",
+            F.transform(F.col("_cv"), lambda x: x.cast("double") / F.col("_nrm")).alias("_ucv"),
+        )
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("_cs").desc(), F.col("cell_id").asc()
+    )
+    assigned = (
+        _spread(corpus.select(F.col(id_col), F.col(vec_col)))
+        .join(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            "cell_id",
+            F.col(vec_col),
+            dot(F.col(vec_col), F.col("_ucv")).alias("_cs"),
+        )
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), "cell_id", F.col(vec_col))
+    )
+    # quantized form for the verify; bands/planes are irrelevant here
+    # (only q and n2 are consumed), so the cheapest kernel config.
+    sig = _make_sig_udf(1, 1, dim)
+    base = (
+        assigned.select(F.col(id_col), "cell_id", sig(F.col(vec_col)).alias("_s"))
+        .select(
+            F.col(id_col),
+            "cell_id",
+            F.col("_s.q").alias("_q"),
+            F.col("_s.n2").alias("_n2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = base.select(
+        F.col("cell_id").alias("_ca"), F.col(id_col).alias("id_a"),
+        F.col("_q").alias("_qa"), F.col("_n2").alias("_na"),
+    )
+    b = base.select(
+        F.col("cell_id").alias("_cb"), F.col(id_col).alias("id_b"),
+        F.col("_q").alias("_qb"), F.col("_n2").alias("_nb"),
+    )
+    return (
+        a.join(b, (a["_ca"] == b["_cb"]) & (a["id_a"] < b["id_b"]))
+        .filter(
+            _q_cos_ge(
+                _dotq(F.col("_qa"), F.col("_qb")),
+                F.col("_na"),
+                F.col("_nb"),
+                threshold,
+            )
+        )
+        .select("id_a", "id_b", F.col("_ca").alias("cell_id"))
+    )
+
+
 #: Centroid components are quantized to 1e-6 before averaging so the
 #: per-cell mean is an exact int64 sum — order-independent, hence
 #: bit-identical across engines (a double sum's value depends on

@@ -9,7 +9,7 @@ projection over the corpus, no shuffle, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from syncquill_spark.functions.hashing import rolling_fingerprint
@@ -342,3 +342,54 @@ def readability_scores(
         )
 
     return df.select(F.col(id_col), _score(F.col(text_col)).alias("readability"))
+
+
+def top_distinctive_terms(
+    df: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Most DISTINCTIVE terms per document by tf-idf-family scoring:
+    score = tf * N / df (term frequency x linear inverse document
+    frequency). Complements term_stats' top-by-frequency view: a
+    document's most frequent terms are usually corpus-wide stopwords;
+    its highest tf*N/df terms are what it is ABOUT (keyword
+    extraction / topic tagging over a training corpus).
+
+    Linear idf (N/df) instead of the textbook log(N/df), on purpose:
+    the score stays ONE IEEE division of two exact integers
+    (tf*N <= 2^53, df), which both engines compute bit-identically —
+    log() is not correctly-rounded-guaranteed across libm
+    implementations, so a log-idf ranking could flip near-ties
+    between engines. Ranking (score desc, term asc) is total.
+
+    Scale shape: same two map-side-combine aggregations as the
+    inverted-index build in term_stats (tok -> (doc,term) tf ->
+    term df), df broadcast back onto tf, WindowGroupLimit top-n per
+    doc. The corpus size N joins as a broadcast one-row aggregate —
+    no driver-side count.
+
+    Output: (doc_id, term, rk) — ints + term string, hash-stable.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_nd"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            (F.col("tf") * F.col("_nd")).cast("double") / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select(id_col, "term", "rk")
+    )

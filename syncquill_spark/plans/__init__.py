@@ -37,15 +37,20 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #  - the 29 queries whose last driver-green row is r01/r02 (the TPC-H
 #    join/agg family, simhash, text scoring) — the stalest rows;
 #  - the five sync_* flagship rows (last driver-checked r03);
-#  - six more r03 rows: agg_pricing_summary, join_revenue_by_nation,
-#    window_topk_orders, setop_customers_without_orders,
-#    scalar_functions, json_events_extract (the round-4 verdict's
-#    shared-loader flag).
-# Left outside at staleness 2 (r03-green, untouched since, pure
-# projection arithmetic): dedup_exact, curation_redact_pii,
-# curation_pack_sequences, embedding_quantize. The r04-green rows
-# (new last round, untouched this round) rotate out at staleness 1.
+#  - the four queries NEW this round (dedup_semantic_pairs,
+#    curation_fuzzy_decontaminate, curation_domain_quota,
+#    text_tfidf_terms) — new plans always enter the window;
+#  - two more r03 rows: agg_pricing_summary and json_events_extract
+#    (the round-4 verdict's shared-loader flag).
+# Left outside at staleness 2 (r03-green, untouched since):
+# dedup_exact, curation_redact_pii, curation_pack_sequences,
+# embedding_quantize, join_revenue_by_nation, window_topk_orders,
+# setop_customers_without_orders, scalar_functions — all pure
+# relational plans over untouched loaders. The r04-green rows (new
+# last round, untouched this round) rotate out at staleness 1.
 _PRIORITY = [
+    "dedup_semantic_pairs", "curation_fuzzy_decontaminate",
+    "curation_domain_quota", "text_tfidf_terms",
     "dedup_embedding_cosine", "dedup_embedding_incremental",
     "similarity_topk_lsh", "similarity_topk_ivf",
     "similarity_topk_ivf_refined", "curation_eval_k_per_lang",
@@ -64,9 +69,7 @@ _PRIORITY = [
     "text_repetition",
     "sync_diff_keyed", "sync_diff_positional", "sync_apply_keyed",
     "sync_upsert", "sync_validate",
-    "agg_pricing_summary", "join_revenue_by_nation", "window_topk_orders",
-    "setop_customers_without_orders", "scalar_functions",
-    "json_events_extract",
+    "agg_pricing_summary", "json_events_extract",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

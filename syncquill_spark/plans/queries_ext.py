@@ -2451,6 +2451,227 @@ WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-shaped): cell-partitioned embedding near-dups
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_CELLS = 16
+_SEMANTIC_THRESHOLD = 0.35
+
+
+def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup pairs: deterministic-cell partition of the
+    embedding space (ivf-style md5-sampled centroids), within-cell
+    pairs by exact quantized cosine — the SemDeDup pipeline shape
+    (cluster, then pairwise inside the cluster only)."""
+    from syncquill_spark.operators.similarity import semantic_dedup_pairs
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        embeddings, n_cells=_SEMANTIC_CELLS, threshold=_SEMANTIC_THRESHOLD
+    )
+
+
+def _semantic_pairs_sql() -> str:
+    """Oracle twin of q_dedup_semantic_pairs: same (md5, id)-ordered
+    centroid sample and left-fold double assignment dots as the IVF
+    oracle; same exact-int64 quantized-cosine verify as the signature
+    family's oracles."""
+    d = 64
+    sq_norm = (
+        "list_reduce(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+    )
+    dot_ucv = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> CAST(c.embedding[i] AS DOUBLE) * CAST(ct.ucv[i] AS DOUBLE)), "
+        f"(a, b) -> a + b)"
+    )
+    verify = (
+        f"CAST({_dotq_sql('x.q', 'y.q', d)} AS DOUBLE) >= "
+        f"{_SEMANTIC_THRESHOLD} * sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))"
+    )
+    return f"""
+WITH cents0 AS (
+  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings ORDER BY h, vec_id LIMIT {_SEMANTIC_CELLS}
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cell_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ucv
+  FROM (SELECT vec_id, embedding, h, sqrt({sq_norm}) AS nrm FROM cents0) t
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, ct.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                              ORDER BY {dot_ucv} DESC, ct.cell_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents ct) t WHERE rn = 1
+),
+qv AS (
+  SELECT vec_id, q, {_n2_sql()} AS n2
+  FROM (SELECT vec_id, {_qvec_sql()} AS q FROM embeddings)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell_id
+FROM assign a
+JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+JOIN qv x ON a.vec_id = x.vec_id
+JOIN qv y ON b.vec_id = y.vec_id
+WHERE x.n2 > 0 AND y.n2 > 0 AND {verify}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curation: fuzzy (near-dup) benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_FUZZY_EVAL_MOD = 17
+
+
+def q_curation_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination audit: documents with doc_id % 17 == 0
+    play the held-out eval set; corpus docs near-duplicate to any eval
+    doc (MinHash bands -> exact Jaccard >= 0.2) are contaminated.
+    Output: per-lang totals / kept / dropped — the summary a curation
+    run reports before shipping a corpus."""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    from syncquill_spark.operators.dedup import minhash_lsh_pairs_against
+
+    corpus = documents.filter(F.col("doc_id") % _FUZZY_EVAL_MOD != 0)
+    eval_df = documents.filter(F.col("doc_id") % _FUZZY_EVAL_MOD == 0)
+    pairs = minhash_lsh_pairs_against(
+        corpus, eval_df, k=3, n_perm=_N_PERM, bands=_BANDS, threshold=0.2
+    )
+    contaminated = (
+        pairs.select(F.col("id_new").alias("doc_id"))
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    return (
+        corpus.join(F.broadcast(contaminated), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            (F.count(F.lit(1)) - F.count("_c")).alias("n_kept"),
+            F.count("_c").alias("n_dropped"),
+        )
+    )
+
+
+def _fuzzy_decontaminate_sql() -> str:
+    """Oracle twin of q_curation_fuzzy_decontaminate: the minhash
+    pipeline of _minhash_sql with the candidate join re-aimed at
+    corpus x eval, wrapped in the per-lang keep/drop aggregation.
+    Patch-targets asserted so a reshape of _minhash_sql fails here at
+    import, not as an audit-time mismatch."""
+    base = _minhash_sql()
+    cand_old = """cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+    cand_new = f"""cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key
+   AND a.doc_id % {_FUZZY_EVAL_MOD} != 0 AND b.doc_id % {_FUZZY_EVAL_MOD} = 0
+)"""
+    assert base.count(cand_old) == 1, (
+        "_minhash_sql changed shape; update _fuzzy_decontaminate_sql"
+    )
+    pairs = base.replace(cand_old, cand_new)
+    return f"""
+WITH pairs AS ({pairs}),
+contaminated AS (SELECT DISTINCT id_a AS doc_id FROM pairs)
+SELECT d.lang,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE c.doc_id IS NULL) AS n_kept,
+       COUNT(*) FILTER (WHERE c.doc_id IS NOT NULL) AS n_dropped
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id % {_FUZZY_EVAL_MOD} != 0
+GROUP BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curation: per-domain quota (domain balancing)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_QUOTA = 40
+
+
+def q_curation_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap every source at 40 documents, keeping the
+    most lexically diverse (n_unique_tokens desc, doc_id tie-break) —
+    integer ordering keys, engine-exact ranks."""
+    from syncquill_spark.operators.curation import domain_quota
+    from syncquill_spark.operators.text import quality_features
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    feats = quality_features(documents).select("doc_id", "n_unique_tokens")
+    ranked = domain_quota(
+        documents.select("doc_id", "source").join(feats, "doc_id"),
+        quota=_DOMAIN_QUOTA,
+        domain_col="source",
+        order_by=[F.col("n_unique_tokens").desc()],
+    )
+    return ranked.select("source", "doc_id", "quota_rank")
+
+
+def _domain_quota_sql() -> str:
+    toks = _TOKS.format(src="text")
+    return f"""
+SELECT source, doc_id, quota_rank FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY len(list_distinct({toks})) DESC,
+                                     doc_id ASC) AS quota_rank
+  FROM documents) t
+WHERE quota_rank <= {_DOMAIN_QUOTA}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text: tf-idf-family distinctive terms per document
+# ---------------------------------------------------------------------------
+
+
+def q_text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 DISTINCTIVE terms per doc by tf * N / df (linear idf —
+    one IEEE divide of exact integers, engine-exact; see
+    top_distinctive_terms). Complements text_term_stats' frequency
+    ranking: frequent terms are corpus stopwords, distinctive terms
+    are the document's topic."""
+    from syncquill_spark.operators.text import top_distinctive_terms
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return top_distinctive_terms(documents, top_n=3)
+
+
+def _tfidf_terms_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS nd FROM documents)
+SELECT doc_id, term, rk FROM (
+  SELECT tf.doc_id, tf.term,
+         ROW_NUMBER() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY CAST(tf.tf * n.nd AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
+                      tf.term ASC) AS rk
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) t
+WHERE rk <= 3
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_knn_classify": q_similarity_knn_classify,
     "embedding_nearest_centroid": q_embedding_nearest_centroid,
@@ -2510,6 +2731,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_redact_pii": q_curation_redact_pii,
     "curation_pack_sequences": q_curation_pack_sequences,
     "embedding_quantize": q_embedding_quantize,
+    "dedup_semantic_pairs": q_dedup_semantic_pairs,
+    "curation_fuzzy_decontaminate": q_curation_fuzzy_decontaminate,
+    "curation_domain_quota": q_curation_domain_quota,
+    "text_tfidf_terms": q_text_tfidf_terms,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -2571,4 +2796,8 @@ EXT_ORACLES: dict[str, str | None] = {
     "curation_redact_pii": _curation_redact_sql(),
     "curation_pack_sequences": _curation_pack_sql(),
     "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
+    "dedup_semantic_pairs": _semantic_pairs_sql(),
+    "curation_fuzzy_decontaminate": _fuzzy_decontaminate_sql(),
+    "curation_domain_quota": _domain_quota_sql(),
+    "text_tfidf_terms": _tfidf_terms_sql(),
 }

@@ -310,3 +310,42 @@ def test_exact_k_prefilter_fallback_restores_naive_path(spark):
     assert sorted(tuple(r) for r in forced.collect()) == sorted(
         tuple(r) for r in naive.collect()
     )
+
+
+def test_domain_quota_caps_and_keeps_best(spark):
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.curation import domain_quota
+
+    rows = [(i, "a" if i < 6 else "b", i * 10) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = domain_quota(
+        df, quota=3, domain_col="source",
+        order_by=[F.col("score").desc()],
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append((r.quota_rank, r.doc_id))
+    assert len(by_src["a"]) == 3  # capped from 6
+    # best = highest score = highest doc_id within source a (5,4,3)
+    assert sorted(by_src["a"]) == [(1, 5), (2, 4), (3, 3)]
+    assert len(by_src["b"]) == 3  # under quota side intact
+
+
+def test_fuzzy_decontaminate_drops_near_dup_of_eval(spark):
+    """A corpus doc that is a lightly-edited copy of an eval doc is
+    dropped; an unrelated doc is kept (exact-gram decontaminate would
+    need a verbatim 5-gram -- this catches the paraphrase)."""
+    from syncquill_spark.operators.curation import fuzzy_decontaminate
+
+    eval_text = "the quick brown fox jumps over the lazy dog again and again"
+    near = eval_text.replace("lazy", "sleepy")  # high Jaccard, not verbatim
+    corpus = spark.createDataFrame(
+        [(1, near), (2, "completely unrelated words about spark clusters only")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    kept = {r.doc_id for r in fuzzy_decontaminate(
+        corpus, eval_df, k=3, n_perm=32, bands=16, threshold=0.3
+    ).collect()}
+    assert kept == {2}

@@ -304,3 +304,27 @@ def test_embedding_near_dup_against_finds_cross_side_only(spark):
     assert (200, 101) in got
     assert all(idn in (200, 201) for idn, _ in got)  # left side is always new
     assert (100, 150) not in got and (150, 100) not in got
+
+
+def test_semantic_dedup_pairs_finds_planted_within_cell_dups(spark):
+    """A vector and its tiny perturbation assign to the same cell
+    (identical argmax dot up to the perturbation) and verify as a
+    pair; unrelated near-orthogonal vectors never pair at 0.95."""
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 64))
+    rows = [(100 + i, base[i].tolist()) for i in range(30)]
+    rows.append((200, (base[3] + 1e-6 * base[4]).tolist()))  # ~ dup of 103
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_pairs(df, n_cells=4, threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (103, 200) in got
+    # every reported pair really clears the threshold per numpy
+    vecs = {vid: np.array(v) for vid, v in rows}
+    for ia, ib in got:
+        a, b = vecs[ia], vecs[ib]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.95 - 1e-4  # quantized cosine ~ true cosine

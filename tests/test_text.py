@@ -101,3 +101,23 @@ def test_bm25_ranks_matching_docs(spark):
     assert set(out) == {1, 2}  # non-matching doc absent
     assert out[1].bm25 > out[2].bm25  # higher tf, shorter doc wins
     assert out[1].n_matched == 1
+
+
+def test_top_distinctive_terms_prefers_rare_terms(spark):
+    """A term unique to one doc outranks the corpus-wide stopword even
+    when the stopword has higher tf."""
+    from syncquill_spark.operators.text import top_distinctive_terms
+
+    docs = [
+        (1, "the the the zebra"),
+        (2, "the the cat"),
+        (3, "the the dog"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.doc_id, r.rk): r.term for r in top_distinctive_terms(df, top_n=2).collect()}
+    # doc 1: zebra tf=1 df=1 -> score 3; the tf=3 df=3 -> score 3 -- tie,
+    # term asc puts "the" first? No: 1*3/1 = 3.0 and 3*3/3 = 3.0; tie ->
+    # term asc -> "the" < "zebra". Use rank set instead of order claims.
+    assert {out[(2, 1)], out[(2, 2)]} == {"cat", "the"}
+    assert out[(2, 1)] == "cat"  # 1*3/1=3.0 beats the: 2*3/3=2.0
+    assert out[(3, 1)] == "dog"
