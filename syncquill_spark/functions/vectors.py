@@ -1,11 +1,27 @@
-"""Vector expressions over array<float|double> columns — built-in
-higher-order functions only (zip_with/aggregate run in codegen; no
-Python, no UDF serialization on the similarity hot path)."""
+"""Vector expressions over array<float|double> columns.
+
+Two equivalent families, bit-identical by construction:
+
+- `dot` / `l2_norm` / `cosine_similarity`: built-in higher-order
+  functions (zip_with/aggregate). NOTE these are CodegenFallback in
+  Spark — they evaluate INTERPRETED, one lambda call per element —
+  so they are the right form only off the hot path (tiny frames,
+  centroid tables).
+- `dot_arrow` / `cosine_similarity_arrow`: Arrow-batched numpy
+  kernels that replay the SAME left-to-right fold — vectorized over
+  ROWS, sequential over DIMENSIONS — so every intermediate rounding
+  step matches the HOF fold (and DuckDB's list_reduce) bit for bit,
+  while running at numpy speed. Use these wherever the fold is per
+  corpus row. (A plain numpy dot/einsum would pairwise-sum and drift
+  in the last ulp — enough to flip near-tie rankings cross-engine.)
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -33,6 +49,74 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _stack_f64(series):
+    """(n, dim) float64 from an Arrow array column. float32 -> float64
+    widening is exact (same as the fold's x.cast('double'))."""
+    import numpy as np
+
+    return np.stack([np.asarray(e, dtype=np.float64) for e in series])
+
+
+@pandas_udf(DoubleType())
+def dot_arrow(a, b):
+    """Bit-identical Arrow replacement for `dot`: per-element product
+    then LEFT-TO-RIGHT accumulation (loop over dims, vectorized over
+    rows) — every rounding step matches the interpreted fold and
+    DuckDB's list_reduce. Arrays must be equal-length and null-free
+    (the fixture embeddings are)."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    xa, xb = _stack_f64(a), _stack_f64(b)
+    acc = np.zeros(len(a), dtype=np.float64)
+    for j in range(xa.shape[1]):
+        acc = acc + xa[:, j] * xb[:, j]
+    return pd.Series(acc)
+
+
+@pandas_udf(DoubleType())
+def cosine_similarity_arrow(a, b):
+    """Bit-identical Arrow replacement for `cosine_similarity`:
+    dot/(|a|*|b|) with all three folds replayed left-to-right and the
+    final sqrt/multiply/divide in the same order as the HOF form."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    xa, xb = _stack_f64(a), _stack_f64(b)
+    n = len(a)
+    d = np.zeros(n, dtype=np.float64)
+    na = np.zeros(n, dtype=np.float64)
+    nb = np.zeros(n, dtype=np.float64)
+    for j in range(xa.shape[1]):
+        ca, cb = xa[:, j], xb[:, j]
+        d = d + ca * cb
+        na = na + ca * ca
+        nb = nb + cb * cb
+    return pd.Series(d / (np.sqrt(na) * np.sqrt(nb)))
+
+
+@pandas_udf(DoubleType())
+def squared_l2_arrow(a, b):
+    """Bit-identical Arrow replacement for the squared-L2 fold
+    aggregate(zip_with(a, b, (x-m)*(x-m)), 0.0, +): per element one
+    subtract then one multiply, accumulated left-to-right."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    xa, xb = _stack_f64(a), _stack_f64(b)
+    acc = np.zeros(len(a), dtype=np.float64)
+    for j in range(xa.shape[1]):
+        t = xa[:, j] - xb[:, j]
+        acc = acc + t * t
+    return pd.Series(acc)
+
+
 def max_abs(a: Column) -> Column:
     return F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
 
@@ -56,10 +140,14 @@ def quantize_int8(a: Column) -> Column:
     )
 
 
-# Perf note (measured, don't revisit): unrolling a known-dim dot
-# product into an explicit element_at sum chain to escape interpreted
-# higher-order evaluation is ~7x SLOWER than the folds above — the
-# 64-term-per-plane expression trees (1000+ nodes/projection) choke
-# Catalyst optimization and codegen. The lambda folds are the right
-# form for array math; cut per-ROW work (normalize once, fewer folds
-# per pair) rather than per-ELEMENT overhead.
+# Perf notes (measured, don't revisit):
+# - Unrolling a known-dim dot into an explicit element_at sum chain to
+#   escape interpreted higher-order evaluation is ~7x SLOWER than the
+#   folds — 64-term expression trees (1000+ nodes/projection) choke
+#   Catalyst optimization and codegen.
+# - The right escape is the *_arrow kernels above: same fold order
+#   (bit-identical), numpy speed. Mind the Python-UDF plan hazard:
+#   a filter referencing a UDF output that Catalyst can push below
+#   the projection DUPLICATES the ArrowEvalPython node — keep UDF
+#   consumers above a cache barrier or out of pushable predicates
+#   (see operators/similarity.py::lsh_topk).

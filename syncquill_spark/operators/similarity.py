@@ -38,7 +38,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from syncquill_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from syncquill_spark.functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_arrow,
+    dot,
+    dot_arrow,
+    l2_norm,
+    squared_l2_arrow,
+)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -112,10 +119,14 @@ def brute_force_topk(
     c = _spread(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
     )
+    # Arrow fold kernel: bit-identical to the HOF cosine (same
+    # accumulation order) at numpy speed — the score feeds a ranking,
+    # so cross-engine bit-equality is load-bearing, and the per-pair
+    # interpreted fold was the whole query's hot loop.
     scored = c.join(F.broadcast(q)).select(
         query_id_col,
         "neighbor_id",
-        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_score"),
+        cosine_similarity_arrow(F.col("_qvec"), F.col("_cvec")).alias("_score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("_score").desc(), F.col("neighbor_id").asc()
@@ -519,7 +530,7 @@ def semantic_dedup_pairs(
             F.col(id_col),
             "cell_id",
             F.col(vec_col),
-            dot(F.col(vec_col), F.col("_ucv")).alias("_cs"),
+            dot_arrow(F.col(vec_col), F.col("_ucv")).alias("_cs"),
         )
         .withColumn("_rn", F.row_number().over(w_assign))
         .filter(F.col("_rn") == 1)
@@ -651,7 +662,14 @@ def ivf_topk(
         )
         assigned_u = (
             u.join(F.broadcast(cents))
-            .select(id_col, "cell_id", "_u", dot(F.col("_u"), F.col("_ucv")).alias("_cs"))
+            .select(
+                id_col,
+                "cell_id",
+                "_u",
+                # Arrow fold kernel — same left-to-right order as the
+                # HOF dot (bit-identical assignment, numpy speed)
+                dot_arrow(F.col("_u"), F.col("_ucv")).alias("_cs"),
+            )
             .withColumn("_rn", F.row_number().over(w_assign))
             .filter(F.col("_rn") == 1)
         )
@@ -713,7 +731,7 @@ def ivf_topk(
             side_id,
             "cell_id",
             F.col(vec_col).alias(vec_col),
-            dot(F.col(vec_col), F.col("_ucv")).alias("_cs"),
+            dot_arrow(F.col(vec_col), F.col("_ucv")).alias("_cs"),
         )
         w = Window.partitionBy(side_id).orderBy(
             F.col("_cs").desc(), F.col("cell_id").asc()
@@ -736,7 +754,7 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(probed), "cell_id").select(
         query_id_col,
         "neighbor_id",
-        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_score"),
+        cosine_similarity_arrow(F.col("_qvec"), F.col("_cvec")).alias("_score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("_score").desc(), F.col("neighbor_id").asc()
@@ -978,15 +996,10 @@ def assign_nearest_centroid(
     scored = corpus.select(F.col(id_col), F.col(vec_col).alias("_v")).join(
         F.broadcast(centroids)
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("_v"),
-            F.col("_c"),
-            lambda x, m: (x.cast("double") - m) * (x.cast("double") - m),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Arrow fold kernel — same (x-m)*(x-m) left-to-right accumulation
+    # as the HOF form, bit-identical, numpy speed on the hot
+    # (vector x label) scoring pass.
+    d2 = squared_l2_arrow(F.col("_v"), F.col("_c"))
     return (
         scored.select(F.col(id_col), F.col("_clabel"), d2.alias("_d2"))
         .groupBy(id_col)
