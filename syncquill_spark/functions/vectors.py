@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import ArrayType, DoubleType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -115,6 +115,29 @@ def squared_l2_arrow(a, b):
         t = xa[:, j] - xb[:, j]
         acc = acc + t * t
     return pd.Series(acc)
+
+
+@pandas_udf(ArrayType(DoubleType()))  # DataType object: a DDL string
+def unit_vector_arrow(a):  #     would need an active context at import
+    """Bit-identical Arrow replacement for the HOF unit-normalize
+    (transform(v, x -> x.cast/l2_norm(v))): the norm replays the
+    left-to-right sum-of-squares fold, then one IEEE sqrt and one
+    divide per element — the same rounding sequence as the expression
+    form. Zero vectors yield +-inf/nan components exactly as the
+    division does."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype=object)
+    xa = _stack_f64(a)
+    acc = np.zeros(len(a), dtype=np.float64)
+    for j in range(xa.shape[1]):
+        c = xa[:, j]
+        acc = acc + c * c
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = xa / np.sqrt(acc)[:, None]
+    return pd.Series(list(u))
 
 
 def max_abs(a: Column) -> Column:

@@ -45,6 +45,7 @@ from syncquill_spark.functions.vectors import (
     dot_arrow,
     l2_norm,
     squared_l2_arrow,
+    unit_vector_arrow,
 )
 
 
@@ -649,13 +650,18 @@ def ivf_topk(
     )
 
     if refine_iters > 0:
-        # unit corpus vectors once; reused by every Lloyd pass
+        # unit corpus vectors once; reused by every Lloyd pass.
+        # Arrow kernel: same norm-fold + per-element divide rounding
+        # as the HOF form (bit-identical), numpy speed per corpus row.
+        # PERSISTED: each Lloyd pass consumes _u twice (assignment dot
+        # + the per-cell mean explode) and every iteration re-reads it
+        # — uncached, the kernel re-evaluated per consumer (observed
+        # as a duplicated ArrowEvalPython), and the cache is also the
+        # pushdown barrier that keeps the eval on |corpus| rows
+        # instead of after the 16x broadcast-centroid replication.
         u = corpus.select(
-            F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(F.col(vec_col)).alias("_unrm")
-        ).select(
-            F.col(id_col),
-            F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_unrm")).alias("_u"),
-        )
+            F.col(id_col), unit_vector_arrow(F.col(vec_col)).alias("_u")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(refine_iters):
         w_assign = Window.partitionBy(id_col).orderBy(
             F.col("_cs").desc(), F.col("cell_id").asc()
