@@ -51,6 +51,15 @@ def main() -> None:
         QUERIES["sync_diff_keyed"](
             spark, sf_dir
         ).limit(5).write.format("noop").mode("overwrite").save()
+        # ... and one Arrow pandas_udf round-trip: the first Python-UDF
+        # stage of a session spawns the Python worker pool (32 procs on
+        # local[32]) — without this, whichever Arrow-kernel query runs
+        # first would be billed ~seconds of worker startup.
+        from syncquill_spark.functions.vectors import dot_arrow
+
+        spark.range(0, 32, 1, 32).selectExpr(
+            "array(cast(id as double)) as a", "array(cast(id as double)) as b"
+        ).select(dot_arrow("a", "b")).write.format("noop").mode("overwrite").save()
     except Exception as exc:  # noqa: BLE001 — warmup is best-effort
         print(f"bench: warmup failed (continuing): {exc}", file=sys.stderr)
 

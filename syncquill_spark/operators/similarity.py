@@ -11,10 +11,13 @@
 
 Numeric policy, two tiers:
 
-- The top-k family (brute force / IVF) scores with built-in
-  higher-order functions (zip_with/aggregate) folding left-to-right —
-  the identical accumulation order as the DuckDB oracles, so float
-  scores match bit-for-bit.
+- The top-k family (brute force / IVF) scores with float left-to-right
+  folds — the identical accumulation order as the DuckDB oracles, so
+  float scores match bit-for-bit. The folds execute as ORDER-PRESERVING
+  Arrow kernels (functions/vectors.py::dot_arrow and friends:
+  vectorized over rows, sequential over dims — every rounding step
+  identical to the HOF/list_reduce form), because Spark's built-in
+  higher-order functions are CodegenFallback and evaluate interpreted.
 - The SIGNATURE family (banded near-dup blocking + LSH buckets) runs
   on SIG_SCALE-quantized int64 vectors: every dot is an exact integer
   sum, which is order-INDEPENDENT — so determinism no longer depends
@@ -1014,4 +1017,42 @@ def assign_nearest_centroid(
                 F.col("_clabel"), F.struct(F.col("_d2"), F.col("_clabel"))
             ).alias("nearest_label")
         )
+    )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall audit of an ANN result against the exact baseline:
+    (query_id, n_exact, n_hits) per query — n_hits / n_exact is
+    recall@k, kept as two exact integers (the repo's checked-output
+    policy bans raw doubles; callers divide if they want the ratio).
+
+    The quality gate every ANN deployment runs after an index change:
+    both inputs are (query_id, neighbor_id[, rk]) frames, e.g.
+    lsh_topk / ivf_topk audited against brute_force_topk on a sampled
+    query set.
+
+    Scale shape: one left-semi equi-join on (query, neighbor) — skinny
+    int pairs only — plus two per-query count aggregations; nothing
+    touches vectors.
+    """
+    e = exact.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    h = (
+        exact.select(query_id_col, neighbor_col)
+        .join(
+            approx.select(query_id_col, neighbor_col),
+            [query_id_col, neighbor_col],
+            "left_semi",
+        )
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return e.join(h, query_id_col, "left").select(
+        query_id_col,
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
     )

@@ -328,3 +328,22 @@ def test_semantic_dedup_pairs_finds_planted_within_cell_dups(spark):
         a, b = vecs[ia], vecs[ib]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos >= 0.95 - 1e-4  # quantized cosine ~ true cosine
+
+
+def test_ann_recall_counts_hits(spark, embeddings):
+    """LSH recall vs brute force: rank-1 self is always in both, so
+    n_hits >= 1 per query; hits never exceed the exact set size."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.similarity import ann_recall, lsh_topk
+
+    queries = embeddings.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = lsh_topk(embeddings, queries, k=5)
+    rows = ann_recall(approx, exact).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact == 5
+        assert 1 <= r.n_hits <= r.n_exact
