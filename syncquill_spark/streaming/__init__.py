@@ -26,6 +26,10 @@ from syncquill_spark.streaming.sessionize import (
     sessionize_batch,
     sessionize_stream,
 )
+from syncquill_spark.streaming.vector_dedup import (
+    build_embedding_index,
+    stream_embedding_near_dups,
+)
 
 __all__ = [
     "enrich_with_dim",
@@ -36,4 +40,6 @@ __all__ = [
     "incremental_sync",
     "sessionize_batch",
     "sessionize_stream",
+    "build_embedding_index",
+    "stream_embedding_near_dups",
 ]

@@ -341,3 +341,46 @@ def test_transform_with_state_running_totals(spark, sf_dir):
     want = {r.user_id: (r.n, round(r.sv, 2)) for r in batch}
     have = {u: (r.n_events, round(r.sum_value, 2)) for u, r in last.items()}
     assert have == want
+
+
+def test_stream_embedding_near_dups_against_index(spark, tmp_path):
+    """Streamed vectors near-dup to an indexed corpus vector are
+    flagged; fresh vectors are not; corpus-internal dups never emit
+    (stream x corpus only)."""
+    import numpy as np
+
+    from syncquill_spark.streaming import (
+        build_embedding_index,
+        stream_embedding_near_dups,
+    )
+    from syncquill_spark.streaming.windows import run_available_now
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(12, 64))
+    corpus_rows = [(100 + i, base[i].tolist()) for i in range(12)]
+    corpus_rows.append((150, base[0].tolist()))  # corpus-internal dup
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    keys, vecs = build_embedding_index(corpus)
+
+    stream_dir = str(tmp_path / "stream_in")
+    spark.createDataFrame(
+        [
+            (200, (base[1] + 1e-6 * base[2]).tolist()),  # dups corpus 101
+            (201, rng.normal(size=64).tolist()),         # fresh
+        ],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(stream_dir)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(stream_dir)
+
+    out = run_available_now(
+        stream_embedding_near_dups(stream, keys, vecs, threshold=0.95),
+        "t_vec_dedup",
+    )
+    got = {(r.stream_id, r.corpus_id) for r in out}
+    assert (200, 101) in got
+    assert all(sid in (200, 201) for sid, _ in got)
+    assert (100, 150) not in got and (150, 100) not in got
