@@ -393,3 +393,48 @@ def top_distinctive_terms(
         .filter(F.col("rk") <= top_n)
         .select(id_col, "term", "rk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window prep step of a training/RAG pipeline (long docs
+    become model-sized pieces; the overlap preserves cross-boundary
+    context).
+
+    Chunk starts are 0, stride, 2*stride, ... (stride = chunk_tokens -
+    overlap) while start < n_tokens; the last chunk may be short. A
+    document always yields at least one chunk (whitespace split of any
+    string is non-empty).
+
+    Scale shape: one projection + one posexplode — no shuffle, no UDF;
+    output size is input size * (1 + overlap/stride). All slicing is
+    on the pre-split token array, so the regex split runs once per doc.
+
+    Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_t")).select(
+        F.col(id_col),
+        "_t",
+        F.sequence(
+            F.lit(0), F.greatest(F.size("_t") - 1, F.lit(0)), F.lit(stride)
+        ).alias("_starts"),
+    )
+    chunk = F.slice(F.col("_t"), F.col("_start") + 1, chunk_tokens)
+    return base.select(
+        F.col(id_col), F.posexplode("_starts").alias("chunk_id", "_start"), "_t"
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

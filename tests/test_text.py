@@ -121,3 +121,37 @@ def test_top_distinctive_terms_prefers_rare_terms(spark):
     assert {out[(2, 1)], out[(2, 2)]} == {"cat", "the"}
     assert out[(2, 1)] == "cat"  # 1*3/1=3.0 beats the: 2*3/3=2.0
     assert out[(3, 1)] == "dog"
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from syncquill_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "single")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    # doc 1: starts 0,3,6,9 -> 4 chunks; stride 3, window 4 => 1-token overlap
+    c = by_doc[1]
+    assert len(c) == 4
+    assert c[0].chunk_text == "w0 w1 w2 w3"
+    assert c[1].chunk_text == "w3 w4 w5 w6"          # overlaps w3
+    assert c[3].chunk_text == "w9" and c[3].n_chunk_tokens == 1
+    # every token appears in some chunk
+    covered = set()
+    for r in c.values():
+        covered.update(r.chunk_text.split())
+    assert covered == set(words.split())
+    # short doc -> exactly one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "single"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from syncquill_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
