@@ -96,3 +96,34 @@ def test_events_normalized_layout_pushdown_and_pruning(spark, sf_dir, tmp_path):
     )
     got = sorted((r.event_id, r.ts) for r in q.select("event_id", "ts").collect())
     assert got == expect and len(got) > 0
+
+
+def test_signature_kernel_evaluates_once_per_side(spark):
+    """Python-UDF plan hazard regression (see operators/similarity.py):
+    a filter referencing a UDF output that Catalyst pushes below the
+    projection DUPLICATES the ArrowEvalPython node. The persisted
+    signature frame is the barrier; this asserts the signature kernel
+    appears exactly once per side in the planned query (it ran twice
+    per side before the fix)."""
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(2)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=64).tolist()) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    # one signature frame (self-join both sides read the same cache)
+    plan = _plan(embedding_near_dup_pairs(df, threshold=0.9))
+    assert plan.count("sig(") == 1, f"duplicated signature eval:\n{plan[:3000]}"
+
+    queries = df.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # two signature frames (corpus + queries), each evaluated once
+    plan = _plan(lsh_topk(df, queries, k=3))
+    assert plan.count("sig(") == 2, f"duplicated signature eval:\n{plan[:3000]}"
