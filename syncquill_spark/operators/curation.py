@@ -478,3 +478,56 @@ def fuzzy_decontaminate(
     )
     contaminated = pairs.select(F.col("id_new").alias(id_col)).distinct()
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    salt: str = "split-v1",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """hash_split, but near-duplicate CLUSTERS never straddle splits.
+
+    The standard leakage pitfall with per-document splitting: a
+    near-duplicate of a test document lands in train and the eval is
+    contaminated by construction. Here every document is assigned by
+    the hash of its duplicate-cluster id (the cluster's min doc id,
+    from connected components over near-dup ``pairs``); singletons
+    (docs in no pair) group by their own id, which IS their cluster id
+    under the same min-label definition — so the whole corpus is
+    effectively split at cluster granularity with one rule.
+
+    Determinism: same salt/bucket math as hash_split, keyed on the
+    cluster id — membership depends only on (salt, cluster), stable
+    under re-runs, corpus growth that doesn't merge clusters, and any
+    partitioning.
+
+    Scale shape: connected components over the pairs (bounded,
+    O(diameter) cycles) + one left equi-join of the corpus against the
+    cluster map (cluster map is near-dup-sized, typically a small
+    fraction of the corpus and broadcastable) + the usual shuffle-free
+    split projection.
+
+    Output: df plus ``cluster_id``, ``bucket``, ``split`` columns.
+    """
+    from syncquill_spark.operators.clusters import connected_components
+
+    comp = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("comp").alias("_comp")
+    )
+    joined = df.join(F.broadcast(comp), id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("_comp"), F.col(id_col))
+    ).drop("_comp")
+    bucket = (
+        portable_hash60(
+            F.concat_ws(":", F.lit(salt), F.col("cluster_id").cast("string"))
+        )
+        % n_buckets
+    )
+    expr = None
+    for name, upper in splits:
+        cond = bucket < upper
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return joined.withColumn("bucket", bucket.cast("long")).withColumn("split", expr)

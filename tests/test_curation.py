@@ -349,3 +349,28 @@ def test_fuzzy_decontaminate_drops_near_dup_of_eval(spark):
         corpus, eval_df, k=3, n_perm=32, bands=16, threshold=0.3
     ).collect()}
     assert kept == {2}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster gets the same split; the
+    assignment matches hash_split's bucket math keyed on the cluster
+    id; singletons split by their own id."""
+    from syncquill_spark.operators.curation import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    # clusters: {1,2,3} (chain) and {7,8}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert {by_id[i].cluster_id for i in (1, 2, 3)} == {1}
+    assert {by_id[i].split for i in (1, 2, 3)} == {by_id[1].split}
+    assert {by_id[i].cluster_id for i in (7, 8)} == {7}
+    assert {by_id[i].split for i in (7, 8)} == {by_id[7].split}
+    # singletons agree with plain hash_split on their own id
+    plain = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    for i in (0, 5, 11, 19):
+        assert by_id[i].cluster_id == i and by_id[i].split == plain[i]
