@@ -347,3 +347,52 @@ def test_ann_recall_counts_hits(spark, embeddings):
     for r in rows:
         assert r.n_exact == 5
         assert 1 <= r.n_hits <= r.n_exact
+
+
+def test_signature_kernel_matches_pure_python_reference(spark):
+    """The Arrow signature kernel's (q, n2, keys) must equal a pure
+    Python/math.floor reference computed from the same spec — the
+    exactness claim the DuckDB oracles rely on, proven against an
+    independent third implementation."""
+    import math
+
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import (
+        SIG_SCALE,
+        _hyperplane,
+        _make_sig_udf,
+    )
+
+    bands, r, dim = 4, 4, 16
+    rng = np.random.default_rng(17)
+    rows = [(i, (rng.normal(size=dim) * (1 + i % 3)).tolist()) for i in range(40)]
+    rows.append((99, [0.0] * dim))  # zero vector edge
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sig = _make_sig_udf(bands, r, dim)
+    got = {
+        row["vec_id"]: row
+        for row in df.select("vec_id", sig("embedding").alias("s"))
+        .select("vec_id", "s.q", "s.n2", "s.keys")
+        .collect()
+    }
+
+    planes = [
+        [math.floor(c * float(SIG_SCALE) + 0.5) for c in _hyperplane(dim, i)]
+        for i in range(bands * r)
+    ]
+    for vid, vec in rows:
+        q = [math.floor(float(x) * float(SIG_SCALE) + 0.5) for x in vec]
+        n2 = sum(c * c for c in q)
+        keys = []
+        for b in range(bands):
+            key = 0
+            for p in range(r):
+                d = sum(qc * pc for qc, pc in zip(q, planes[b * r + p]))
+                if d >= 0:
+                    key |= 1 << p
+            keys.append(key)
+        row = got[vid]
+        assert list(row["q"]) == q, f"q mismatch vec {vid}"
+        assert row["n2"] == n2
+        assert list(row["keys"]) == keys, f"keys mismatch vec {vid}"
