@@ -396,3 +396,58 @@ def test_signature_kernel_matches_pure_python_reference(spark):
         assert list(row["q"]) == q, f"q mismatch vec {vid}"
         assert row["n2"] == n2
         assert list(row["keys"]) == keys, f"keys mismatch vec {vid}"
+
+
+def test_arrow_fold_kernels_bit_identical_to_hof_folds(spark):
+    """dot_arrow / cosine_similarity_arrow / squared_l2_arrow /
+    unit_vector_arrow must equal the interpreted higher-order-function
+    folds EXACTLY (==, not approx) on random data — the
+    order-preserving-fold guarantee that lets the kernels replace the
+    HOF forms without touching any oracle."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_arrow,
+        dot,
+        dot_arrow,
+        l2_norm,
+        squared_l2_arrow,
+        unit_vector_arrow,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (i, (rng.normal(size=33) * 10 ** (i % 5 - 2)).tolist(),
+         rng.normal(size=33).tolist())
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    sl2_hof = F.aggregate(
+        F.zip_with(
+            F.col("a"), F.col("b"),
+            lambda x, m: (x.cast("double") - m) * (x.cast("double") - m),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    unit_hof = F.transform(
+        F.col("a"), lambda x: x.cast("double") / l2_norm(F.col("a"))
+    )
+    out = df.select(
+        dot(F.col("a"), F.col("b")).alias("d1"),
+        dot_arrow(F.col("a"), F.col("b")).alias("d2"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("c1"),
+        cosine_similarity_arrow(F.col("a"), F.col("b")).alias("c2"),
+        sl2_hof.alias("s1"),
+        squared_l2_arrow(F.col("a"), F.col("b")).alias("s2"),
+        unit_hof.alias("u1"),
+        unit_vector_arrow(F.col("a")).alias("u2"),
+    ).collect()
+    for r in out:
+        assert r.d1 == r.d2
+        assert r.c1 == r.c2
+        assert r.s1 == r.s2
+        assert list(r.u1) == list(r.u2)
