@@ -61,6 +61,10 @@ def table_from_uri(uri: str) -> Table:
         from syncquill_spark.sources.files import JsonTable
 
         return JsonTable(rest)
+    if scheme == "orc":
+        from syncquill_spark.sources.files import OrcTable
+
+        return OrcTable(rest)
     if scheme == "bq":
         dataset, _, table = rest.partition(".")
         return BigQueryTable(dataset, table)

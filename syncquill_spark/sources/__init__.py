@@ -17,6 +17,6 @@ from syncquill_spark.sources.parquet import ParquetTable
 from syncquill_spark.sources.sheets import SheetsTable
 from syncquill_spark.sources.bigquery import BigQueryTable
 from syncquill_spark.sources.sheetgrid_datasource import SheetGridDataSource
-from syncquill_spark.sources.files import CsvTable, JsonTable
+from syncquill_spark.sources.files import CsvTable, JsonTable, OrcTable
 
-__all__ = ["Table", "ParquetTable", "SheetsTable", "BigQueryTable", "SheetGridDataSource", "CsvTable", "JsonTable"]
+__all__ = ["Table", "ParquetTable", "SheetsTable", "BigQueryTable", "SheetGridDataSource", "CsvTable", "JsonTable", "OrcTable"]

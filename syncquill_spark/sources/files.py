@@ -58,3 +58,13 @@ class JsonTable(_SwappedFileTable):
     """JSON-lines with Spark's schema inference on read."""
 
     fmt = "json"
+
+
+class OrcTable(_SwappedFileTable):
+    """ORC with native column pruning / predicate pushdown — the other
+    splittable columnar format Spark ships a vectorized reader for.
+    Parquet stays the repo's primary analytical format; OrcTable is the
+    interchange endpoint for warehouses that standardized on ORC
+    (Hive-lineage stacks), with the same atomic staging-swap write."""
+
+    fmt = "orc"

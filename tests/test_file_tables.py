@@ -78,3 +78,26 @@ def test_compact_parquet_refuses_partitioned_layout(spark, tmp_path):
     df.write.partitionBy("lang").parquet(path)
     with pytest.raises(ValueError, match="Hive-partitioned"):
         compact_parquet(spark, path)
+
+
+def test_orc_table_roundtrip_and_sync(spark, tmp_path):
+    """OrcTable: typed roundtrip, atomic overwrite, and a full keyed
+    sync ORC -> parquet (cross-format endpoints share the Table
+    contract)."""
+    from syncquill_spark.engine import sync
+    from syncquill_spark.sources import OrcTable, ParquetTable
+
+    src = OrcTable(str(tmp_path / "src.orc"))
+    tgt = ParquetTable(str(tmp_path / "tgt.pq"))
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, amount double"
+    )
+    src.overwrite(df)
+    assert src.read(spark).schema == df.schema  # types survive (not CSV strings)
+    tgt.overwrite(spark.createDataFrame([(1, "a", 1.5)], df.schema))
+    res = sync(spark, src, tgt, key="id")
+    got = {(r.id, r.name, float(r.amount)) for r in tgt.read(spark).collect()}
+    assert got == {(1, "a", 1.5), (2, "b", 2.5)}
+    # atomic overwrite replaces content
+    src.overwrite(spark.createDataFrame([(9, "z", 0.0)], df.schema))
+    assert [r.id for r in src.read(spark).collect()] == [9]
