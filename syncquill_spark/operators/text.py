@@ -2,9 +2,13 @@
 
 Language ID (stopword-overlap heuristic), quality scoring
 (length/punct/stopword/repetition signals), token counting (whitespace
-+ BPE-ish subword estimate), and document fingerprinting (order-
-sensitive rolling hash). All built-in expressions — each runs as one
-projection over the corpus, no shuffle, no UDF.
++ BPE-ish subword estimate), document fingerprinting (order-sensitive
+rolling hash), BM25 / term stats / tf-idf distinctive terms (the
+inverted-index aggregations), overlapping token-window chunking, and
+Arrow-batched readability scoring. Everything is built-in expressions
+except the readability pandas_udf; the per-doc scorers are single
+projections, the term-level operators are two map-side-combined
+aggregations (shuffle bounded by vocabulary, not text size).
 """
 
 from __future__ import annotations
