@@ -132,3 +132,29 @@ def dedup_keepers(
     return connected_components(pairs, src, dst).select(
         F.col("node"), F.col("comp").alias("keeper")
     )
+
+
+def apply_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Dedup a corpus in one call: resolve near-dup ``pairs`` to
+    clusters and keep exactly one document per cluster (the min id),
+    dropping the other members. Documents in no pair pass through
+    untouched.
+
+    Scale shape: the drop list is (cluster members - keepers) — sized
+    by the duplicate count, not the corpus — applied with one
+    left-anti equi-join; the corpus is scanned once and never
+    shuffles its payload (anti-join streams against the skinny id
+    set, broadcast when small enough for AQE).
+    """
+    drops = (
+        dedup_keepers(pairs, src, dst)
+        .filter(F.col("node") != F.col("keeper"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drops, id_col, "left_anti")

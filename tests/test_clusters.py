@@ -30,3 +30,15 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iter=1)
+
+
+def test_apply_dedup_keeps_one_per_cluster(spark):
+    from syncquill_spark.operators.clusters import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "doc_id long, text string"
+    )
+    # clusters {1,2,3} and {5,6}; 0,4,7 singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in apply_dedup(docs, pairs).collect())
+    assert kept == [0, 1, 4, 5, 7]  # min id survives each cluster
