@@ -127,3 +127,21 @@ def test_signature_kernel_evaluates_once_per_side(spark):
     # two signature frames (corpus + queries), each evaluated once
     plan = _plan(lsh_topk(df, queries, k=3))
     assert plan.count("sig(") == 2, f"duplicated signature eval:\n{plan[:3000]}"
+
+
+def test_domain_quota_plans_partial_topk_below_exchange(spark):
+    """domain_quota's docstring claims WindowGroupLimit pushes the
+    per-domain top-k BELOW the shuffle (partial mode) — assert both
+    window-group-limit phases are planned."""
+    from syncquill_spark.operators.curation import domain_quota
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", i * 7 % 13) for i in range(50)],
+        "doc_id long, source string, score long",
+    )
+    plan = _plan(
+        domain_quota(df, quota=5, domain_col="source",
+                     order_by=[F.col("score").desc()])
+    )
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "Partial" in plan and "Final" in plan
