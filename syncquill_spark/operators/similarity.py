@@ -203,6 +203,8 @@ def _make_sig_udf(bands: int, planes_per_band: int, dim: int):
     import numpy as np
     import pandas as pd
 
+    if not 1 <= planes_per_band <= 62:
+        raise ValueError("planes_per_band must fit an int64 band key (1..62)")
     pq = _quantized_planes(bands, planes_per_band, dim)  # (P, dim) int64
     weights = 1 << np.arange(planes_per_band, dtype=np.int64)
 
