@@ -155,3 +155,47 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_matches_duckdb_twin(spark, sf_dir):
+    """chunk_documents vs an independent DuckDB implementation of the
+    same spec over the documents fixture — registry-grade verification
+    ahead of next round's window slot."""
+    import duckdb
+
+    from syncquill_spark.operators.text import chunk_documents
+
+    chunk_tokens, overlap = 32, 8
+    stride = chunk_tokens - overlap
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(
+            docs, chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    expect = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, t, UNNEST(range(0, greatest(len(t) - 1, 0) + 1, {stride})) AS start
+  FROM base
+)
+SELECT doc_id, CAST(start / {stride} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(t, start + 1, start + {chunk_tokens})) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(t, start + 1, start + {chunk_tokens}), ' ') AS chunk_text
+FROM chunks
+""").fetchall()
+    )
+    assert len(got) > len(
+        {d for d, _, _, _ in got}
+    ), "fixture should produce multi-chunk docs"
+    assert got == expect
