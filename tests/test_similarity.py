@@ -451,3 +451,55 @@ def test_arrow_fold_kernels_bit_identical_to_hof_folds(spark):
         assert r.c1 == r.c2
         assert r.s1 == r.s2
         assert list(r.u1) == list(r.u2)
+
+
+def test_ann_recall_matches_duckdb_twin(spark, sf_dir):
+    """ann_recall(lsh, brute) vs DuckDB computing the same recall join
+    over the two REGISTRY oracles — registry-grade verification of the
+    composition ahead of next round's window slot."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.similarity import ann_recall, lsh_topk
+    from syncquill_spark.plans.queries_ext import (
+        _SIMILARITY_TOPK_SQL,
+        _TOPK,
+        _QUERY_MOD,
+        _LSH_PLANES,
+        _lsh_topk_sql,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = __import__(
+        "syncquill_spark.operators.similarity", fromlist=["brute_force_topk"]
+    ).brute_force_topk(emb, queries, k=_TOPK)
+    approx = lsh_topk(emb, queries, k=_TOPK, n_planes=_LSH_PLANES)
+    got = sorted(
+        (r.query_id, r.n_exact, r.n_hits) for r in ann_recall(approx, exact).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    expect = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+WITH exact AS ({_SIMILARITY_TOPK_SQL}),
+approx AS ({_lsh_topk_sql()}),
+e AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id),
+h AS (
+  SELECT x.query_id, COUNT(*) AS n_hits
+  FROM exact x SEMI JOIN approx a
+    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+  GROUP BY x.query_id
+)
+SELECT e.query_id, e.n_exact, COALESCE(h.n_hits, 0) AS n_hits
+FROM e LEFT JOIN h ON e.query_id = h.query_id
+""").fetchall()
+    )
+    assert got == expect and len(got) > 0
