@@ -61,11 +61,15 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # No checkpoint for the initial labels: their lineage is one
+    # distinct over the already-checkpointed edges (bounded), they are
+    # consumed once (the first cycle), and every later `labels` is a
+    # projection of that cycle's checkpoint — skipping the bootstrap
+    # materialization saves one job per CC call.
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     comp_type = labels.schema["comp"].dataType
