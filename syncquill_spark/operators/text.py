@@ -442,3 +442,41 @@ def chunk_documents(
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def dedup_segments_within_doc(
+    df: DataFrame,
+    delimiter: str = "\n",
+    text_col: str = "text",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Remove duplicate SEGMENTS (lines/paragraphs) inside each
+    document, keeping the first occurrence in order — the intra-doc
+    half of dedup (navigation bars, repeated footers, scraped-page
+    boilerplate duplicated within one page), complementing the
+    corpus-level pair operators.
+
+    Pure projection (split -> order-preserving distinct -> rejoin), no
+    shuffle, no UDF: per-segment first-occurrence filtering uses the
+    position-of-first-equal-segment identity (array_position returns
+    the FIRST index), which is O(s^2) in segments per doc — fine for
+    page-sized documents; audit columns report segment counts so a
+    pipeline can quantify what was removed.
+
+    The split lands in its OWN projection before the filter lambda
+    references it (the repo's standing HOF rule: interpreted
+    evaluation has no subexpression sharing, so an inlined split
+    would re-run per segment).
+    """
+    with_segs = df.withColumn("_segs", F.split(F.col(text_col), F.lit(delimiter)))
+    kept = F.filter(
+        F.col("_segs"),
+        lambda s, i: F.array_position(F.col("_segs"), s) == i + F.lit(1),
+    )
+    return (
+        with_segs.select("*", kept.alias("_kept"))
+        .withColumn("n_segments", F.size("_segs").cast("long"))
+        .withColumn("n_unique_segments", F.size("_kept").cast("long"))
+        .withColumn(out_col, F.array_join(F.col("_kept"), delimiter))
+        .drop("_segs", "_kept")
+    )

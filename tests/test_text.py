@@ -199,3 +199,21 @@ FROM chunks
         {d for d, _, _, _ in got}
     ), "fixture should produce multi-chunk docs"
     assert got == expect
+
+
+def test_dedup_segments_within_doc(spark):
+    from syncquill_spark.operators.text import dedup_segments_within_doc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nbody one\nheader\nbody two\nheader"),
+            (2, "no dups here\nat all"),
+            (3, "x\nx\nx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_segments_within_doc(docs).collect()}
+    assert out[1].text_deduped == "header\nbody one\nbody two"
+    assert (out[1].n_segments, out[1].n_unique_segments) == (5, 3)
+    assert out[2].text_deduped == "no dups here\nat all"
+    assert out[3].text_deduped == "x" and out[3].n_unique_segments == 1
