@@ -30,6 +30,10 @@ from syncquill_spark.streaming.vector_dedup import (
     build_embedding_index,
     stream_embedding_near_dups,
 )
+from syncquill_spark.streaming.text_dedup import (
+    build_text_hash_index,
+    stream_drop_seen_text,
+)
 
 __all__ = [
     "enrich_with_dim",
@@ -42,4 +46,6 @@ __all__ = [
     "sessionize_stream",
     "build_embedding_index",
     "stream_embedding_near_dups",
+    "build_text_hash_index",
+    "stream_drop_seen_text",
 ]

@@ -384,3 +384,27 @@ def test_stream_embedding_near_dups_against_index(spark, tmp_path):
     assert (200, 101) in got
     assert all(sid in (200, 201) for sid, _ in got)
     assert (100, 150) not in got and (150, 100) not in got
+
+
+def test_stream_drop_seen_text(spark, tmp_path):
+    """Streamed docs whose exact text already exists in the corpus are
+    dropped; fresh docs pass through with their columns intact."""
+    from syncquill_spark.streaming import (
+        build_text_hash_index,
+        stream_drop_seen_text,
+    )
+    from syncquill_spark.streaming.windows import run_available_now
+
+    corpus = spark.createDataFrame(
+        [(1, "already kept text"), (2, "another kept one")],
+        "doc_id long, text string",
+    )
+    index = build_text_hash_index(corpus)
+    stream_dir = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [(10, "already kept text"), (11, "genuinely new text")],
+        "doc_id long, text string",
+    ).write.parquet(stream_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(stream_dir)
+    out = run_available_now(stream_drop_seen_text(stream, index), "t_text_dedup")
+    assert [(r.doc_id, r.text) for r in out] == [(11, "genuinely new text")]
