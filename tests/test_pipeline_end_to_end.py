@@ -1,0 +1,87 @@
+"""End-to-end training-data pipeline over the documents fixture: the
+operators compose into the full curation flow a pretraining corpus
+actually runs — each stage's output feeds the next, and the invariants
+that matter (no duplicate texts, no contaminated docs, clusters never
+straddle splits, packs respect the budget) hold on the final result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_full_curation_pipeline(spark, sf_dir):
+    from syncquill_spark.operators.clusters import apply_dedup
+    from syncquill_spark.operators.curation import (
+        fuzzy_decontaminate,
+        leakage_safe_split,
+        pack_sequences,
+    )
+    from syncquill_spark.operators.dedup import ngram_jaccard_pairs
+    from syncquill_spark.operators.text import quality_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality gate (Gopher/C4-style envelope)
+    keep_ids = quality_rules(docs, min_tokens=5).filter(F.col("keep") == 1).select("doc_id")
+    quality_kept = docs.join(keep_ids, "doc_id")
+    n1 = quality_kept.count()
+    assert 0 < n1 <= n0
+
+    # 2. exact dedup (drop later copies of identical text)
+    exact_kept = (
+        quality_kept.groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .join(quality_kept, "doc_id")
+    )
+    n2 = exact_kept.count()
+    assert 0 < n2 <= n1
+    # invariant: all remaining texts distinct
+    assert exact_kept.select("text").distinct().count() == n2
+
+    # 3. near-dup cluster dedup (one doc per jaccard cluster)
+    pairs = ngram_jaccard_pairs(
+        exact_kept, k=3, threshold=0.2, block_cols=("lang",), length_band=64
+    )
+    deduped = apply_dedup(exact_kept, pairs)
+    n3 = deduped.count()
+    assert 0 < n3 <= n2
+
+    # 4. fuzzy decontamination vs a held-out eval set
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = deduped.filter(F.col("doc_id") % 17 != 0)
+    clean = fuzzy_decontaminate(corpus, eval_df, threshold=0.2)
+    n4 = clean.count()
+    assert 0 < n4 <= n3
+
+    # 5. leakage-safe split: clusters of the CLEAN corpus stay together
+    clean_pairs = ngram_jaccard_pairs(
+        clean, k=3, threshold=0.2, block_cols=("lang",), length_band=64
+    )
+    split = leakage_safe_split(clean, clean_pairs)
+    assert split.count() == n4
+    straddle = (
+        split.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
+    names = {r.split for r in split.select("split").distinct().collect()}
+    assert names <= {"train", "val", "test"} and "train" in names
+
+    # 6. pack the train split into fixed token budgets
+    train = split.filter(F.col("split") == "train").select("doc_id", "lang", "text")
+    packs = pack_sequences(train, budget=512, stratify_col="lang")
+    assert packs.count() == train.count()
+    # invariant: a pack only exceeds the budget by (at most) its last
+    # doc's tokens (contiguous cumsum packing admits one straddler)
+    over = (
+        packs.groupBy("lang", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .filter(F.col("tot") - F.col("mx") >= 512)
+        .count()
+    )
+    assert over == 0
