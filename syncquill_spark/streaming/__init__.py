@@ -32,7 +32,9 @@ from syncquill_spark.streaming.vector_dedup import (
 )
 from syncquill_spark.streaming.text_dedup import (
     build_text_hash_index,
+    build_text_minhash_index,
     stream_drop_seen_text,
+    stream_text_near_dups,
 )
 
 __all__ = [
@@ -48,4 +50,6 @@ __all__ = [
     "stream_embedding_near_dups",
     "build_text_hash_index",
     "stream_drop_seen_text",
+    "build_text_minhash_index",
+    "stream_text_near_dups",
 ]

@@ -32,3 +32,112 @@ def stream_drop_seen_text(
     concern — this operator is the stream-vs-corpus gate.)"""
     hashed = stream.withColumn("_text_sha", F.sha2(F.col(text_col), 256))
     return hashed.join(index, "_text_sha", "left_anti").drop("_text_sha")
+
+
+def build_text_minhash_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 32,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """One-time corpus MinHash index for streaming fuzzy dedup:
+    (keys, shingles) where keys = (corpus_id, band, key) band buckets
+    and shingles = (corpus_id, shingle array) for the exact-Jaccard
+    verify. Same signature math as the batch operators
+    (md5-derived permutations over 60-bit shingle hashes), computed in
+    the per-ROW array form (array_min over the permuted hash array) —
+    identical values to the batch groupBy-min form, and the same form
+    the stream side uses, so parity is by construction."""
+    keyed, sh = _row_minhash(corpus, id_col, text_col, k, n_perm, bands)
+    return (
+        keyed.withColumnRenamed(id_col, "corpus_id"),
+        sh.select(F.col(id_col).alias("corpus_id"), F.col("_sh").alias("_sh_c")),
+    )
+
+
+def _row_minhash(
+    df: DataFrame, id_col: str, text_col: str, k: int, n_perm: int, bands: int
+):
+    """Per-row MinHash band keys, aggregation-free (streaming-safe):
+    (keyed=(id, band, key) one row per band, sh=(id, _sh)). Shingles
+    and their hashes each land in their OWN projection per the repo's
+    HOF rule (no interpreted subexpression sharing)."""
+    from syncquill_spark.functions.hashing import (
+        minhash_from_hashes,
+        shingle_hashes,
+        word_shingles,
+    )
+
+    assert n_perm % bands == 0, "bands must divide n_perm"
+    r = n_perm // bands
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k=k).alias("_sh")
+    )
+    sig = (
+        sh.select(id_col, "_sh", shingle_hashes(F.col("_sh")).alias("_h"))
+        .select(id_col, "_sh", minhash_from_hashes(F.col("_h"), n_perm).alias("_sig"))
+    )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("_sig"), bi * r + 1, r),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    keyed = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(
+        id_col,
+        F.col("_b.band").alias("_band"),
+        F.col("_b.key").alias("_key"),
+    )
+    return keyed, sh
+
+
+def stream_text_near_dups(
+    stream: DataFrame,
+    index_keys: DataFrame,
+    index_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(stream_id, corpus_id, jac) fuzzy matches: streamed documents
+    whose MinHash bands collide with the corpus index, verified by
+    exact Jaccard >= threshold — the fuzzy sibling of
+    stream_drop_seen_text and the text sibling of
+    stream_embedding_near_dups.
+
+    The stream side computes its shingles + signature per ROW (no
+    aggregation, no state store); candidates come from the
+    stream-static (band, key) equi-join; the verify joins the corpus
+    shingle arrays back by id. Matches repeat per colliding band —
+    dedupe per batch downstream (same contract as the vector
+    variant)."""
+    keyed, sh = _row_minhash(stream, id_col, text_col, k, n_perm, bands)
+    s_keys = keyed.withColumnRenamed(id_col, "stream_id")
+    s_sh = sh.select(F.col(id_col).alias("stream_id"), F.col("_sh").alias("_sh_s"))
+    cand = s_keys.join(index_keys, ["_band", "_key"]).select("stream_id", "corpus_id")
+    inter = F.size(F.array_intersect("_sh_s", "_sh_c"))
+    union = F.size(F.array_union("_sh_s", "_sh_c"))
+    return (
+        cand.join(s_sh, "stream_id")
+        .join(index_shingles, "corpus_id")
+        .select(
+            "stream_id",
+            "corpus_id",
+            (inter.cast("double") / union.cast("double")).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )

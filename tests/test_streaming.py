@@ -408,3 +408,41 @@ def test_stream_drop_seen_text(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(stream_dir)
     out = run_available_now(stream_drop_seen_text(stream, index), "t_text_dedup")
     assert [(r.doc_id, r.text) for r in out] == [(11, "genuinely new text")]
+
+
+def test_stream_text_near_dups_matches_batch_operator(spark, tmp_path, sf_dir):
+    """Streaming fuzzy text dedup vs the BATCH cross-corpus operator on
+    identical data: the (new doc, corpus doc) pair sets must agree
+    exactly (same shingles, same md5 permutations, same bands, same
+    exact-Jaccard verify)."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.dedup import minhash_lsh_pairs_against
+    from syncquill_spark.streaming import (
+        build_text_minhash_index,
+        stream_text_near_dups,
+    )
+    from syncquill_spark.streaming.windows import run_available_now
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new_side = docs.filter(F.col("doc_id") % 2 == 1)
+
+    expect = {
+        (r.id_new, r.id_corpus)
+        for r in minhash_lsh_pairs_against(
+            new_side, corpus, k=3, n_perm=32, bands=8, threshold=0.2
+        ).collect()
+    }
+    assert expect, "fixture should contain cross-side near-dups"
+
+    keys, shingles = build_text_minhash_index(corpus)
+    stream_dir = str(tmp_path / "newdocs")
+    new_side.select("doc_id", "text").write.parquet(stream_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(stream_dir)
+    out = run_available_now(
+        stream_text_near_dups(stream, keys, shingles, threshold=0.2),
+        "t_text_neardup",
+    )
+    got = {(r.stream_id, r.corpus_id) for r in out}
+    assert got == expect
