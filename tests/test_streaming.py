@@ -446,3 +446,54 @@ def test_stream_text_near_dups_matches_batch_operator(spark, tmp_path, sf_dir):
     )
     got = {(r.stream_id, r.corpus_id) for r in out}
     assert got == expect
+
+
+def test_ingest_gate_composition_on_stream(spark, tmp_path):
+    """The projection-only curation operators compose directly on a
+    readStream with no adaptation: quality filter -> PII redaction ->
+    exact-dedup gate, per microbatch, no state store. (quality_rules'
+    aggregation-based signals are the batch path; the streaming gate
+    uses the projection-only feature envelope.)"""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.curation import redact_pii
+    from syncquill_spark.operators.text import quality_features
+    from syncquill_spark.streaming import (
+        build_text_hash_index,
+        stream_drop_seen_text,
+    )
+    from syncquill_spark.streaming.windows import run_available_now
+
+    corpus = spark.createDataFrame(
+        [(1, "this exact document text was already kept before today")],
+        "doc_id long, text string",
+    )
+    index = build_text_hash_index(corpus)
+
+    good = "a genuinely new document with plenty of distinct words and contact me at someone@example.com for details"
+    stream_dir = str(tmp_path / "gate_in")
+    spark.createDataFrame(
+        [
+            (10, "this exact document text was already kept before today"),  # dup
+            (11, good),                                                      # keep
+            (12, "spam spam spam spam spam spam spam spam"),                 # low quality
+        ],
+        "doc_id long, text string",
+    ).write.parquet(stream_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(stream_dir)
+
+    feats = quality_features(stream)  # projection-only -> streaming-safe
+    gated = (
+        stream.join(
+            feats.filter(
+                (F.col("n_tokens") >= 5) & (F.col("uniq_ratio") >= 0.5)
+            ).select("doc_id"),
+            "doc_id",
+        )
+    )
+    redacted = redact_pii(gated)
+    out = run_available_now(
+        stream_drop_seen_text(redacted, index), "t_ingest_gate"
+    )
+    assert [r.doc_id for r in out] == [11]
+    assert "<EMAIL>" in out[0].text_redacted and out[0].n_emails == 1
