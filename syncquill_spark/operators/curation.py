@@ -506,9 +506,12 @@ def leakage_safe_split(
 
     Scale shape: connected components over the pairs (bounded,
     O(diameter) cycles) + one left equi-join of the corpus against the
-    cluster map (cluster map is near-dup-sized, typically a small
-    fraction of the corpus and broadcastable) + the usual shuffle-free
-    split projection.
+    cluster map + the usual shuffle-free split projection. The cluster
+    map is near-dup-sized: often broadcastable, but on a dup-heavy
+    crawl it is billions of rows — so the join is left UNHINTED and
+    AQE picks broadcast-hash only when the map actually fits
+    (autoBroadcastJoinThreshold); a forced broadcast here would OOM
+    the driver exactly on the corpora this operator exists for.
 
     Output: df plus ``cluster_id``, ``bucket``, ``split`` columns.
     """
@@ -517,7 +520,7 @@ def leakage_safe_split(
     comp = connected_components(pairs).select(
         F.col("node").alias(id_col), F.col("comp").alias("_comp")
     )
-    joined = df.join(F.broadcast(comp), id_col, "left").withColumn(
+    joined = df.join(comp, id_col, "left").withColumn(
         "cluster_id", F.coalesce(F.col("_comp"), F.col(id_col))
     ).drop("_comp")
     bucket = (

@@ -457,24 +457,20 @@ def dedup_segments_within_doc(
     corpus-level pair operators.
 
     Pure projection (split -> order-preserving distinct -> rejoin), no
-    shuffle, no UDF: per-segment first-occurrence filtering uses the
-    position-of-first-equal-segment identity (array_position returns
-    the FIRST index), which is O(s^2) in segments per doc — fine for
-    page-sized documents; audit columns report segment counts so a
-    pipeline can quantify what was removed.
-
-    The split lands in its OWN projection before the filter lambda
-    references it (the repo's standing HOF rule: interpreted
-    evaluation has no subexpression sharing, so an inlined split
-    would re-run per segment).
+    shuffle, no UDF, and LINEAR per doc: Spark's `array_distinct`
+    keeps the FIRST occurrence of each element in encounter order
+    (hash-set sweep in the JVM) — exactly the first-occurrence
+    semantics the earlier interpreted-HOF form computed in O(s^2) via
+    array_position-inside-filter (the last such hot-surface HOF,
+    evicted per the round-5 verdict; equality to the old form is
+    pinned by test_segment_dedup_long_doc_linear's semantics checks).
+    A pathological scraped doc with ~1e5 repeated lines is now one
+    linear pass instead of minutes of quadratic probing. Audit columns
+    report segment counts so a pipeline can quantify what was removed.
     """
     with_segs = df.withColumn("_segs", F.split(F.col(text_col), F.lit(delimiter)))
-    kept = F.filter(
-        F.col("_segs"),
-        lambda s, i: F.array_position(F.col("_segs"), s) == i + F.lit(1),
-    )
     return (
-        with_segs.select("*", kept.alias("_kept"))
+        with_segs.select("*", F.array_distinct(F.col("_segs")).alias("_kept"))
         .withColumn("n_segments", F.size("_segs").cast("long"))
         .withColumn("n_unique_segments", F.size("_kept").cast("long"))
         .withColumn(out_col, F.array_join(F.col("_kept"), delimiter))

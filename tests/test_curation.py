@@ -433,3 +433,36 @@ FROM (SELECT doc_id, cluster_id, {h} % 100 AS bucket FROM assigned) t
     assert got == expect and len(got) > 0
     # clusters really exist in the fixture (the test is not vacuous)
     assert any(c != d for d, c, _, _ in got)
+
+
+def test_leakage_safe_split_cluster_map_join_is_unhinted(spark):
+    """Round-5 verdict #4: the corpus x cluster-map join must carry NO
+    forced broadcast hint — the map is sized by the near-duplicate
+    population and can be billions of rows on a dup-heavy crawl. With
+    autoBroadcastJoinThreshold disabled, an unhinted join plans as
+    SortMergeJoin; any surviving BroadcastExchange would prove a hint."""
+    import contextlib
+    import io
+
+    from syncquill_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = leakage_safe_split(docs, pairs)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastExchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan, plan[:2000]
+        # identical semantics to the hinted form: clusters still cohere
+        by_id = {r.doc_id: r for r in out.collect()}
+        assert {by_id[i].cluster_id for i in (1, 2, 3)} == {1}
+        assert {by_id[i].split for i in (7, 8)} == {by_id[7].split}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
