@@ -419,6 +419,8 @@ def domain_quota(
     domain_col: str = "source",
     order_by: list | None = None,
     id_col: str = "doc_id",
+    prefilter_factor: int = 100,
+    n_salt: int = 32,
 ) -> DataFrame:
     """Cap every domain at ``quota`` documents, keeping the best-ranked
     — the domain-balancing step of a pretraining mix (a handful of
@@ -434,17 +436,55 @@ def domain_quota(
     (partial top-k BEFORE the exchange since Spark 3.5), so the
     shuffle carries at most ``quota`` rows per domain per map
     partition, not the whole domain — the same reason
-    exact_k_per_stratum's window is safe. For domains so hot that even
-    quota-per-map-partition rows hurt, pre-filter with a generous
-    order-statistic threshold first (see exact_k_per_stratum's
-    big-stratum pre-filter for the pattern).
+    exact_k_per_stratum's window is safe.
+
+    Hot-domain path (auto-engaged, like exact_k_per_stratum's
+    big-stratum pre-filter): a domain with rows > ``prefilter_factor *
+    quota`` would still push all its surviving rows through ONE
+    partition's final sort. Such domains are routed through a
+    two-stage EXACT top-k instead (the salted-aggregation pattern,
+    operators/skew.py): stage 1 ranks within (domain, id-hash bucket)
+    over ``n_salt`` sub-partitions and keeps each bucket's top
+    ``quota``; stage 2 ranks the <= n_salt * quota survivors. This is
+    identity-preserving, not approximate — every true top-``quota``
+    row ranks <= quota inside its own bucket (its bucket competitors
+    are a subset of its domain competitors), so stage 1 never drops a
+    winner, and the final window over survivors assigns the same
+    ranks the single window would. Cold domains keep the one-window
+    plan; both branches union to one frame. ``prefilter_factor=0``
+    disables the split and always uses the single window.
     """
     order = list(order_by or []) + [F.col(id_col).asc()]
     w = Window.partitionBy(domain_col).orderBy(*order)
-    return (
-        df.withColumn("quota_rank", F.row_number().over(w))
-        .filter(F.col("quota_rank") <= quota)
+
+    def rank(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("quota_rank", F.row_number().over(w))
+            .filter(F.col("quota_rank") <= quota)
+        )
+
+    if prefilter_factor <= 0:
+        return rank(df)
+
+    hot = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > F.lit(prefilter_factor) * F.lit(quota))
+        .select(domain_col)
     )
+    cold_rows = df.join(F.broadcast(hot), domain_col, "left_anti")
+    hot_rows = df.join(F.broadcast(hot), domain_col, "left_semi")
+    # routing-only bucket key: per-row deterministic, never in output,
+    # so Spark's native hash is fine (no cross-engine portability need)
+    w1 = Window.partitionBy(
+        domain_col, F.pmod(F.hash(F.col(id_col)), F.lit(n_salt))
+    ).orderBy(*order)
+    survivors = (
+        hot_rows.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= quota)
+        .drop("_r1")
+    )
+    return rank(cold_rows).unionByName(rank(survivors))
 
 
 def fuzzy_decontaminate(

@@ -9,6 +9,23 @@
   product. Hyperplanes are derived deterministically from md5 hashes so
   runs are reproducible (no RNG state).
 
+Index-change gate: every approximate index (LSH planes/bands, IVF
+n_cells/nprobe, Lloyd iterations) trades recall for speed, and a
+parameter change can silently crater recall. The recommended gate is
+`ann_recall` on a sampled query set — run the approximate index and
+`brute_force_topk` over the same queries, and diff them:
+
+    queries = corpus.sample(...).select("vec_id", "embedding")
+    exact  = brute_force_topk(corpus, queries, k=10)
+    approx = ivf_topk(corpus, queries, k=10, n_cells=4096, nprobe=64)
+    audit  = ann_recall(approx, exact)   # (query_id, n_exact, n_hits)
+    recall = audit.agg(F.sum("n_hits") / F.sum("n_exact"))
+
+Cost is |sample| brute-force scans (broadcast queries, corpus never
+shuffles) + a skinny pair semi-join — cheap enough to run on every
+index rebuild. Registered as `similarity_ann_recall` (oracle-checked
+LSH-vs-brute composition).
+
 Numeric policy, two tiers:
 
 - The top-k family (brute force / IVF) scores with float left-to-right

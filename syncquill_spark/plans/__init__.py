@@ -18,58 +18,54 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # entries in dict order. Policy (round-3 review, extended round-4): any
 # query whose physical plan changed this round MUST sit inside the
 # window — and a change to a SHARED loader/helper counts as touching
-# every caller. Round 5 additionally executes the round-4 verdict's
-# staleness rotation: no query outside the window may have a last
-# driver-green row older than round 3.
+# every caller. Staleness rotation (round-4 verdict, executed every
+# round since): no query outside the window may end the round with a
+# last driver-green row more than 2 rounds old.
 #
-# Round-5 window, in order:
-#  - the 6 queries whose plans round 5 changed: the quantized-int64
-#    signature family (dedup_embedding_cosine / _incremental,
-#    similarity_topk_lsh), the IVF persist-lifecycle change
-#    (similarity_topk_ivf / _refined), and curation_eval_k_per_lang
-#    (auto big-stratum pre-filter);
-#  - dedup_clusters (edge source shares the dedup plumbing; kept in
-#    conservatively) and the three other _spread callers
-#    (similarity_topk_cosine, similarity_knn_classify,
-#    embedding_nearest_centroid) — _spread's probe ORDER changed this
-#    round; the decision it makes is provably identical, in-window
-#    anyway per the shared-helper rule;
-#  - the 29 queries whose last driver-green row is r01/r02 (the TPC-H
-#    join/agg family, simhash, text scoring) — the stalest rows;
-#  - the five sync_* flagship rows (last driver-checked r03);
-#  - the four queries NEW this round (dedup_semantic_pairs,
-#    curation_fuzzy_decontaminate, curation_domain_quota,
-#    text_tfidf_terms) — new plans always enter the window;
-#  - two more r03 rows: agg_pricing_summary and json_events_extract
-#    (the round-4 verdict's shared-loader flag).
-# Left outside at staleness 2 (r03-green, untouched since):
-# dedup_exact, curation_redact_pii, curation_pack_sequences,
-# embedding_quantize, join_revenue_by_nation, window_topk_orders,
-# setop_customers_without_orders, scalar_functions — all pure
-# relational plans over untouched loaders. The r04-green rows (new
-# last round, untouched this round) rotate out at staleness 1.
+# Round-6 window, in order:
+#  - the 4 queries NEW this round (similarity_ann_recall,
+#    text_chunk_documents, curation_leakage_split, text_segment_dedup)
+#    — each promoted from a pytest DuckDB twin to a registry oracle
+#    per the round-5 verdict's #1; new plans always enter the window;
+#  - the 8 rows whose last driver-green is r03 (staleness 2 — the
+#    round-5 verdict's #2 names them as mandatory leads):
+#    dedup_exact, curation_redact_pii, curation_pack_sequences,
+#    embedding_quantize, join_revenue_by_nation, window_topk_orders,
+#    setop_customers_without_orders, scalar_functions;
+#  - curation_fuzzy_decontaminate (r05-green, plan profiled this
+#    round per verdict #3) and curation_domain_quota (r05-green, plan
+#    CHANGED this round: hot-domain two-stage top-k auto-engage);
+#  - 36 of the 40 rows whose last driver-green is r04 (the stalest
+#    remaining tier), including dedup_incremental / dedup_minhash_lsh
+#    (share the MinHash plumbing the fuzzy-decontaminate tuning may
+#    touch).
+# Left outside at staleness 2 (r04-green, untouched this round):
+# window_moving_avg, setop_except_all, multimodal_media_stats,
+# curation_boilerplate — pure projections/aggregations over untouched
+# loaders; they MUST lead the r07 window. The 48 other r05-green rows
+# rotate out at staleness 1.
 _PRIORITY = [
-    "dedup_semantic_pairs", "curation_fuzzy_decontaminate",
-    "curation_domain_quota", "text_tfidf_terms",
-    "dedup_embedding_cosine", "dedup_embedding_incremental",
-    "similarity_topk_lsh", "similarity_topk_ivf",
-    "similarity_topk_ivf_refined", "curation_eval_k_per_lang",
-    "dedup_clusters", "similarity_topk_cosine", "similarity_knn_classify",
-    "embedding_nearest_centroid",
-    "text_token_stats", "subquery_exists_orders", "agg_cube_sales",
-    "agg_customer_balance_stats", "join_salted_revenue", "agg_status_sets",
-    "agg_pivot_status", "agg_grouping_sets", "agg_quantiles_status",
-    "setop_repeat_customers", "join_shipping_priority", "join_returned_items",
-    "agg_promo_revenue", "join_priority_lines", "agg_order_priority",
-    "agg_forecast_revenue", "agg_customer_distribution", "join_large_orders",
-    "setop_idle_rich_customers", "join_small_qty_parts",
-    "join_lonely_returned_supplier", "join_disjunctive_promo",
-    "join_nation_trade", "window_top_supplier", "dedup_simhash",
-    "dedup_simhash_pairs", "text_language_id", "text_quality",
-    "text_repetition",
-    "sync_diff_keyed", "sync_diff_positional", "sync_apply_keyed",
-    "sync_upsert", "sync_validate",
-    "agg_pricing_summary", "json_events_extract",
+    "similarity_ann_recall", "text_chunk_documents",
+    "curation_leakage_split", "text_segment_dedup",
+    "dedup_exact", "curation_redact_pii", "curation_pack_sequences",
+    "embedding_quantize", "join_revenue_by_nation", "window_topk_orders",
+    "setop_customers_without_orders", "scalar_functions",
+    "curation_fuzzy_decontaminate", "curation_domain_quota",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "multimodal_features", "profile_documents",
+    "text_quality_rules", "text_bm25", "embedding_label_centroids",
+    "text_token_counts", "text_term_stats", "text_readability",
+    "text_sentences_udtf", "text_fingerprint",
+    "join_asof_signup", "join_range_shipments", "join_binned_range",
+    "agg_rollup_orders", "events_tumbling_window", "events_session_window",
+    "cdc_scd2_history", "cdc_incremental_agg", "storage_zorder_key",
+    "agg_quantiles_approx_check", "events_sliding_window",
+    "funnel_click_purchase", "agg_distinct_users_exact",
+    "agg_distinct_users_approx", "events_sessionization",
+    "window_running_total", "join_events_customers",
+    "pipeline_corpus_curation", "curation_hash_split",
+    "curation_decontaminate", "curation_sample_stratified",
+    "curation_shuffle", "curation_blocklist",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

@@ -2672,6 +2672,193 @@ WHERE rk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Similarity: ANN recall audit (approx vs exact baseline)
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the LSH index against the brute-force
+    baseline — the quality gate an ANN deployment runs after every
+    index change. Output is (query_id, n_exact, n_hits) as exact
+    integers (callers divide for the ratio; the checked-output policy
+    bans raw doubles). Composition of two registry queries
+    (similarity_topk_lsh, similarity_topk_cosine) through ann_recall's
+    skinny (query, neighbor) semi-join — nothing here touches vectors."""
+    from syncquill_spark.operators.similarity import ann_recall
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=_TOPK)
+    approx = lsh_topk(embeddings, queries, k=_TOPK, n_planes=_LSH_PLANES, dim=64)
+    return ann_recall(approx, exact)
+
+
+def _ann_recall_sql() -> str:
+    """Oracle twin of q_similarity_ann_recall: the two existing topk
+    oracles joined by the same semi-join + count shape (mirrors
+    tests/test_similarity.py's pre-registration twin)."""
+    return f"""
+WITH exact AS ({_SIMILARITY_TOPK_SQL}),
+approx AS ({_lsh_topk_sql()}),
+e AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id),
+h AS (
+  SELECT x.query_id, COUNT(*) AS n_hits
+  FROM exact x SEMI JOIN approx a
+    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+  GROUP BY x.query_id
+)
+SELECT e.query_id, e.n_exact, COALESCE(h.n_hits, 0) AS n_hits
+FROM e LEFT JOIN h ON e.query_id = h.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text: document chunking (context-window prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
+
+
+def q_text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document — the RAG /
+    training context prep step (long docs to model-sized pieces,
+    overlap preserving cross-boundary context). Pure projection +
+    posexplode, no shuffle."""
+    from syncquill_spark.operators.text import chunk_documents
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    out = chunk_documents(
+        documents, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+def _chunk_documents_sql() -> str:
+    stride = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS.format(src="text")} AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, t,
+         UNNEST(range(0, greatest(len(t) - 1, 0) + 1, {stride})) AS start
+  FROM base
+)
+SELECT doc_id, CAST(start / {stride} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(t, start + 1, start + {_CHUNK_TOKENS})) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(t, start + 1, start + {_CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM chunks
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curation: leakage-safe split (cluster-granular train/val/test)
+# ---------------------------------------------------------------------------
+
+
+def q_curation_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_split at near-duplicate-CLUSTER granularity: connected
+    components over the n-gram Jaccard pairs, every doc assigned by
+    the hash of its cluster id (singletons by their own id) — so a
+    near-dup of a test doc can never land in train. Same pair
+    parameters as dedup_ngram_jaccard."""
+    from syncquill_spark.operators.curation import leakage_safe_split
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        documents, k=3, threshold=0.2, block_cols=("lang",), length_band=64
+    )
+    return leakage_safe_split(documents, pairs).select(
+        "doc_id", "cluster_id", "bucket", "split"
+    )
+
+
+def _leakage_split_sql() -> str:
+    """Oracle twin: recursive-CTE connected components over the
+    ngram-Jaccard pairs oracle + the hash_split md5 bucket math keyed
+    on the cluster id (mirrors tests/test_curation.py's twin)."""
+    h = _H60.format(x="'split-v1:' || CAST(cluster_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE pairs AS (
+{_DEDUP_NGRAM_JACCARD_SQL}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (SELECT u AS doc_id, MIN(v) AS comp FROM reach GROUP BY u),
+assigned AS (
+  SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+)
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < 96 THEN 'train'
+            WHEN bucket < 98 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id, {h} % 100 AS bucket FROM assigned) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text: intra-document segment dedup
+# ---------------------------------------------------------------------------
+
+
+def q_text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving removal of duplicate segments inside each
+    document. The fixture's text has no newlines, so the registry form
+    segments on single spaces (word granularity) — the fixture's heavy
+    word repetition exercises the first-occurrence semantics hard
+    (every doc shrinks). Linear per doc via array_distinct; pure
+    projection, no shuffle."""
+    from syncquill_spark.operators.text import dedup_segments_within_doc
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return dedup_segments_within_doc(documents, delimiter=" ").select(
+        "doc_id", "n_segments", "n_unique_segments", "text_deduped"
+    )
+
+
+_SEGMENT_DEDUP_SQL = """
+WITH segs AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS seg,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+firsts AS (
+  SELECT doc_id, seg, MIN(pos) AS pos FROM segs GROUP BY doc_id, seg
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_unique_segments,
+         string_agg(seg, ' ' ORDER BY pos) AS text_deduped
+  FROM firsts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_segments,
+       a.n_unique_segments,
+       a.text_deduped
+FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_knn_classify": q_similarity_knn_classify,
     "embedding_nearest_centroid": q_embedding_nearest_centroid,
@@ -2735,6 +2922,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_fuzzy_decontaminate": q_curation_fuzzy_decontaminate,
     "curation_domain_quota": q_curation_domain_quota,
     "text_tfidf_terms": q_text_tfidf_terms,
+    "similarity_ann_recall": q_similarity_ann_recall,
+    "text_chunk_documents": q_text_chunk_documents,
+    "curation_leakage_split": q_curation_leakage_split,
+    "text_segment_dedup": q_text_segment_dedup,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -2800,4 +2991,8 @@ EXT_ORACLES: dict[str, str | None] = {
     "curation_fuzzy_decontaminate": _fuzzy_decontaminate_sql(),
     "curation_domain_quota": _domain_quota_sql(),
     "text_tfidf_terms": _tfidf_terms_sql(),
+    "similarity_ann_recall": _ann_recall_sql(),
+    "text_chunk_documents": _chunk_documents_sql(),
+    "curation_leakage_split": _leakage_split_sql(),
+    "text_segment_dedup": _SEGMENT_DEDUP_SQL,
 }

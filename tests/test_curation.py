@@ -332,6 +332,31 @@ def test_domain_quota_caps_and_keeps_best(spark):
     assert len(by_src["b"]) == 3  # under quota side intact
 
 
+def test_domain_quota_hot_domain_two_stage_is_identity(spark):
+    """The auto-engaged hot-domain path (two-stage salted top-k) must
+    return EXACTLY the single-window result — same rows, same
+    quota_rank values — including under heavy ties, where only the
+    id tie-break orders rows. prefilter_factor=1 forces every domain
+    hot; factor=0 is the plain reference."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.curation import domain_quota
+
+    # 400 rows, 2 domains, scores with many ties (i % 7)
+    rows = [(i, f"d{i % 2}", (i * 3) % 7) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    kw = dict(quota=10, domain_col="source", order_by=[F.col("score").desc()])
+    ref = sorted(
+        (r.source, r.quota_rank, r.doc_id)
+        for r in domain_quota(df, prefilter_factor=0, **kw).collect()
+    )
+    hot = sorted(
+        (r.source, r.quota_rank, r.doc_id)
+        for r in domain_quota(df, prefilter_factor=1, n_salt=8, **kw).collect()
+    )
+    assert hot == ref and len(ref) == 20
+
+
 def test_fuzzy_decontaminate_drops_near_dup_of_eval(spark):
     """A corpus doc that is a lightly-edited copy of an eval doc is
     dropped; an unrelated doc is kept (exact-gram decontaminate would

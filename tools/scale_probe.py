@@ -17,8 +17,10 @@ component (a cyclic rotation does NOT decorrelate those — measured:
 pair count grew 16x at m=4). The top-k query set stays FIXED (the
 base replica's) while the corpus grows — the realistic serving shape.
 
-Usage: python tools/scale_probe.py [sf_dir] [m ...]
+Usage: python tools/scale_probe.py [sf_dir] [m ...] [--families=a,b]
 Prints one line per (operator, m): seconds, output rows, rows/sec.
+Families: docs (dedup pair emitters), clusters, curation, sim;
+default all.
 """
 
 from __future__ import annotations
@@ -147,6 +149,69 @@ CLUSTER_OPS = {
     ),
 }
 
+# curation family (round-6 verdict #7): the most expensive un-probed
+# paths — fuzzy benchmark decontamination, the leakage-safe split, and
+# the composed curation pipeline. Eval set / split logic stay FIXED
+# (the base replica's) while the corpus grows — the realistic shape: a
+# benchmark suite doesn't grow with the crawl.
+def _fuzzy_decontam(c: DataFrame) -> DataFrame:
+    from syncquill_spark.operators.curation import fuzzy_decontaminate
+
+    corpus = c.filter((F.col("doc_id") >= ID_OFFSET) | (F.col("doc_id") % 17 != 0))
+    eval_df = c.filter((F.col("doc_id") < ID_OFFSET) & (F.col("doc_id") % 17 == 0))
+    return fuzzy_decontaminate(
+        corpus, eval_df, k=3, n_perm=32, bands=8, threshold=0.2
+    )
+
+
+def _leakage_split(c: DataFrame) -> DataFrame:
+    from syncquill_spark.operators.curation import leakage_safe_split
+
+    pairs = ngram_jaccard_pairs(
+        c, k=3, threshold=0.2, block_cols=("lang",), length_band=64
+    )
+    return leakage_safe_split(c, pairs)
+
+
+def _pipeline(c: DataFrame) -> DataFrame:
+    # same composition as the registry's pipeline_corpus_curation:
+    # exact dedup -> quality filter -> language ID -> per-lang stats
+    from pyspark.sql import Window
+
+    from syncquill_spark.operators.text import (
+        language_id,
+        quality_filter,
+        token_counts,
+    )
+
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    keep = (
+        c.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text")
+    )
+    curated = keep.join(quality_filter(keep), "doc_id")
+    stats = (
+        language_id(curated)
+        .join(token_counts(curated), "doc_id")
+        .join(
+            curated.select("doc_id", F.length("text").cast("long").alias("n_chars")),
+            "doc_id",
+        )
+    )
+    return stats.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_bpeish").alias("total_tokens_bpeish"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+CURATION_OPS = {
+    "fuzzy_decontam": _fuzzy_decontam,
+    "leakage_split": _leakage_split,
+    "curation_pipeline": _pipeline,
+}
+
 # similarity family: fixed query set (the base replica's), growing corpus
 SIM_OPS = {
     "topk_brute": lambda c, q: brute_force_topk(c, q, k=10),
@@ -169,13 +234,27 @@ SIM_OPS = {
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    ms = [int(a) for a in sys.argv[2:]] or [1, 2, 4]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    fam_args = [a for a in sys.argv[1:] if a.startswith("--families=")]
+    families = (
+        set(fam_args[-1].split("=", 1)[1].split(","))
+        if fam_args
+        else {"docs", "clusters", "curation", "sim"}
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    ms = [int(a) for a in args[1:]] or [1, 2, 4]
     spark = get_spark("scale-probe")
+    doc_ops: dict = {}
+    if "docs" in families:
+        doc_ops.update(OPS)
+    if "clusters" in families:
+        doc_ops.update(CLUSTER_OPS)
+    if "curation" in families:
+        doc_ops.update(CURATION_OPS)
     for m in ms:
         corpus = scaled_corpus(spark, sf_dir, m).persist()
         n_docs = corpus.count()
-        for name, fn in {**OPS, **CLUSTER_OPS}.items():
+        for name, fn in doc_ops.items():
             sec, rows = probe(name, fn, corpus)
             print(
                 f"{name} m={m} docs={n_docs} rows={rows} "
@@ -184,6 +263,8 @@ def main() -> None:
             )
         corpus.unpersist()
 
+        if "sim" not in families:
+            continue
         emb = scaled_embeddings(spark, sf_dir, m).persist()
         n_vecs = emb.count()
         queries = (
