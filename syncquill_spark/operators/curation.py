@@ -487,6 +487,55 @@ def domain_quota(
     return rank(cold_rows).unionByName(rank(survivors))
 
 
+def target_mix(
+    df: DataFrame,
+    targets: dict[str, int],
+    stratify_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Compose a training mix with EXACT per-stratum document counts —
+    the step that applies a tuned domain/language weighting (e.g.
+    DoReMi-style weights resolved to counts) to a curated corpus:
+    ``targets`` maps stratum value -> how many documents of it the mix
+    gets. Strata absent from ``targets`` are excluded.
+
+    Selection within a stratum is by salted-hash rank (id tie-break),
+    the same determinism contract as exact_k_per_stratum: membership
+    depends only on (salt, id, the stratum's population) — stable
+    across runs, partitionings, and engines, and a smaller target is
+    always a PREFIX of a larger one (shrinking a domain's weight never
+    rotates which documents represent it, so ablation runs share
+    documents by construction).
+
+    Output: df's columns + ``mix_rank`` (1-based within the stratum).
+
+    Scale shape: the targets map rides into the plan as a literal
+    map-lookup (no join); one window shuffle on the stratum key. The
+    rank filter is a conjunction with the LITERAL max target, which
+    Spark plans as WindowGroupLimit — partial top-max(k) below the
+    exchange — then the per-stratum target applies exactly. For
+    single-stratum targets far past the WindowGroupLimit sweet spot,
+    route through exact_k_per_stratum's big-stratum pre-filter per
+    stratum and union.
+    """
+    if not targets:
+        raise ValueError("targets must name at least one stratum")
+    max_k = max(targets.values())
+    tmap = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    h = portable_hash60(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(stratify_col).orderBy(h.asc(), F.col(id_col).asc())
+    tgt = tmap.getItem(F.col(stratify_col))
+    return (
+        df.withColumn("mix_rank", F.row_number().over(w))
+        .filter((F.col("mix_rank") <= F.lit(max_k)) & (F.col("mix_rank") <= tgt))
+    )
+
+
 def fuzzy_decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -1394,6 +1394,106 @@ WHERE r = (SELECT MAX(r) FROM rev)
 """
 
 
+def q_join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape: one nation's share of a region's delivered
+    revenue per order year. nation joins twice (customer side pins the
+    region, supplier side attributes the revenue) — both broadcast.
+    Numerator and denominator are emitted as exact-decimal sums cast
+    to double (no division: decimal division scale rules differ across
+    engines; the consumer divides)."""
+    region, nation, customer, supplier, orders, lineitem = load_tables(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    rev = _revenue_col()
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("n_name") == "NATION_5", rev)
+                .otherwise(F.lit(0).cast("decimal(38,4)"))
+            ).cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_JOIN_MARKET_SHARE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_5' THEN {_REV_DEC}
+                ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS nation_revenue,
+       CAST(SUM({_REV_DEC}) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY o_year
+"""
+
+
+def q_join_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shape: profit by supplier nation and order year for a
+    part-name-filtered product line. The fixture has no partsupp
+    table, so supply cost is proxied by p_retailprice * l_quantity
+    (same join/rollup shape; documented deviation). All amounts are
+    single-scale decimal(38,4) sums — profit is an exact decimal
+    subtraction before the one double cast."""
+    nation, supplier, part, orders, lineitem = load_tables(
+        spark, sf_dir, "nation", "supplier", "part", "orders", "lineitem"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = _revenue_col()
+    cost = (dec("p_retailprice") * dec("l_quantity")).cast("decimal(38,4)")
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_name").contains("widget"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(rev - cost).cast("double").alias("profit"),
+            F.sum(rev).cast("double").alias("gross_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_JOIN_PRODUCT_PROFIT_SQL = f"""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV_DEC}
+                - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS profit,
+       CAST(SUM({_REV_DEC}) AS DOUBLE) AS gross_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_diff_keyed": q_sync_diff_keyed,
     "sync_diff_positional": q_sync_diff_positional,
@@ -1431,6 +1531,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_disjunctive_promo": q_join_disjunctive_promo,
     "join_nation_trade": q_join_nation_trade,
     "window_top_supplier": q_window_top_supplier,
+    "join_market_share": q_join_market_share,
+    "join_product_profit": q_join_product_profit,
 }
 
 ORACLES: dict[str, str] = {
@@ -1470,4 +1572,6 @@ ORACLES: dict[str, str] = {
     "join_disjunctive_promo": _JOIN_DISJUNCTIVE_PROMO_SQL,
     "join_nation_trade": _JOIN_NATION_TRADE_SQL,
     "window_top_supplier": _WINDOW_TOP_SUPPLIER_SQL,
+    "join_market_share": _JOIN_MARKET_SHARE_SQL,
+    "join_product_profit": _JOIN_PRODUCT_PROFIT_SQL,
 }

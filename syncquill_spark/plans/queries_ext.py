@@ -2673,6 +2673,39 @@ WHERE rk <= 3
 
 
 # ---------------------------------------------------------------------------
+# Curation: target mixture (exact per-stratum counts)
+# ---------------------------------------------------------------------------
+
+_MIX_TARGETS = {"en": 150, "zh": 60, "es": 60, "de": 50, "fr": 40}
+
+
+def q_curation_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition: apply a per-language document budget
+    (DoReMi-style weights resolved to counts) with exact, deterministic
+    membership — a smaller budget is always a prefix of a larger one,
+    so ablation mixes share documents by construction."""
+    from syncquill_spark.operators.curation import target_mix
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return target_mix(documents, _MIX_TARGETS).select("doc_id", "lang", "mix_rank")
+
+
+def _target_mix_sql() -> str:
+    h = _H60.format(x="'mix-v1:' || CAST(doc_id AS VARCHAR)")
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS.items()
+    )
+    return f"""
+SELECT doc_id, lang, mix_rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {h} ASC, doc_id ASC) AS mix_rank
+  FROM documents) t
+WHERE mix_rank <= CASE lang {case} ELSE 0 END
+"""
+
+
+# ---------------------------------------------------------------------------
 # Similarity: ANN recall audit (approx vs exact baseline)
 # ---------------------------------------------------------------------------
 
@@ -2926,6 +2959,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunk_documents": q_text_chunk_documents,
     "curation_leakage_split": q_curation_leakage_split,
     "text_segment_dedup": q_text_segment_dedup,
+    "curation_target_mix": q_curation_target_mix,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -2995,4 +3029,5 @@ EXT_ORACLES: dict[str, str | None] = {
     "text_chunk_documents": _chunk_documents_sql(),
     "curation_leakage_split": _leakage_split_sql(),
     "text_segment_dedup": _SEGMENT_DEDUP_SQL,
+    "curation_target_mix": _target_mix_sql(),
 }

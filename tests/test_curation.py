@@ -491,3 +491,30 @@ def test_leakage_safe_split_cluster_map_join_is_unhinted(spark):
         assert {by_id[i].split for i in (7, 8)} == {by_id[7].split}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_target_mix_exact_counts_and_prefix_property(spark):
+    """target_mix delivers exactly the per-stratum budget (capped by
+    the stratum's population), drops strata absent from the targets,
+    and a smaller budget is a PREFIX of a larger one — ablation mixes
+    share documents by construction."""
+    import pytest
+
+    from syncquill_spark.operators.curation import target_mix
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]  # 60 en, 30 de
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = target_mix(df, {"en": 10, "de": 40}).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["en"]) == 10       # exact budget
+    assert len(by_lang["de"]) == 30       # capped by population
+    assert set(by_lang) == {"en", "de"}   # nothing else sneaks in
+    # absent stratum is excluded entirely
+    out2 = target_mix(df, {"en": 5}).collect()
+    assert {r.lang for r in out2} == {"en"} and len(out2) == 5
+    # prefix property: the 5-doc en mix is inside the 10-doc en mix
+    assert {r.doc_id for r in out2} <= by_lang["en"]
+    with pytest.raises(ValueError):
+        target_mix(df, {})
