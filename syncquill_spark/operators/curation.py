@@ -536,6 +536,71 @@ def target_mix(
     )
 
 
+def target_mix_tokens(
+    df: DataFrame,
+    token_budgets: dict[str, int],
+    stratify_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """target_mix with per-stratum TOKEN budgets instead of document
+    counts — the unit training mixes are actually specified in. Docs
+    rank by the same salted hash (same prefix property: a smaller
+    budget selects a prefix of a larger one); a doc is kept while the
+    cumulative token count BEFORE it is under the stratum's budget, so
+    the boundary document may overflow the budget but a document is
+    never split (pack_sequences' convention). Strata absent from
+    ``token_budgets`` are excluded.
+
+    Output: (id, stratum, n_tokens, mix_rank) — skinny; re-join on the
+    id to materialize payloads.
+
+    Scale shape: one token-count aggregation (bpe-ish estimate, shared
+    with pack_sequences) + one window cumsum per stratum. The cumsum
+    cannot WindowGroupLimit (the cutoff is data-dependent), so a
+    stratum's full ranked membership flows through its window
+    partition; for a corpus whose strata dwarf their budgets, bound
+    the window input first with a generous doc-count pre-filter —
+    target_mix at k = budget / conservative_min_doc_tokens — which is
+    exact for the same prefix reason.
+    """
+    if not token_budgets:
+        raise ValueError("token_budgets must name at least one stratum")
+    toks = token_counts(df, text_col=text_col, id_col=id_col).select(
+        id_col, "n_tokens_bpeish"
+    )
+    bmap = F.create_map(
+        *[F.lit(x) for kv in token_budgets.items() for x in kv]
+    )
+    h = portable_hash60(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(stratify_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = (
+        df.select(id_col, stratify_col)
+        .join(toks, id_col)
+        .withColumn("mix_rank", F.row_number().over(w))
+        .withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum("n_tokens_bpeish").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
+    return ranked.filter(
+        F.col("_cum_before") < bmap.getItem(F.col(stratify_col))
+    ).select(
+        id_col,
+        stratify_col,
+        F.col("n_tokens_bpeish").alias("n_tokens"),
+        "mix_rank",
+    )
+
+
 def fuzzy_decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

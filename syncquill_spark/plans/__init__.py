@@ -29,8 +29,9 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    the round-5 verdict's #1), join_market_share / join_product_profit
 #    (TPC-H Q8/Q9 shapes — partsupp absent from the fixtures, supply
 #    cost proxied by p_retailprice*l_quantity, documented), and
-#    curation_target_mix (exact per-stratum mix budgets); new plans
-#    always enter the window;
+#    curation_target_mix / curation_target_mix_tokens (exact
+#    per-stratum mix budgets in docs and tokens); new plans always
+#    enter the window;
 #  - the 8 rows whose last driver-green is r03 (staleness 2 — the
 #    round-5 verdict's #2 names them as mandatory leads):
 #    dedup_exact, curation_redact_pii, curation_pack_sequences,
@@ -39,20 +40,21 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #  - curation_fuzzy_decontaminate (r05-green, plan profiled this
 #    round per verdict #3) and curation_domain_quota (r05-green, plan
 #    CHANGED this round: hot-domain two-stage top-k auto-engage);
-#  - 33 of the 40 rows whose last driver-green is r04 (the stalest
+#  - 32 of the 40 rows whose last driver-green is r04 (the stalest
 #    remaining tier), including dedup_incremental / dedup_minhash_lsh
 #    (share the MinHash plumbing the fuzzy-decontaminate tuning may
 #    touch).
 # Left outside at staleness 2 (r04-green, untouched this round):
 # window_moving_avg, setop_except_all, multimodal_media_stats,
 # curation_boilerplate, curation_blocklist, curation_shuffle,
-# curation_sample_stratified — pure projections/aggregations over
-# untouched loaders; they MUST lead the r07 window. The 48 other
-# r05-green rows rotate out at staleness 1.
+# curation_sample_stratified, curation_decontaminate — pure
+# projections/aggregations over untouched loaders; they MUST lead the
+# r07 window. The 48 other r05-green rows rotate out at staleness 1.
 _PRIORITY = [
     "similarity_ann_recall", "text_chunk_documents",
     "curation_leakage_split", "text_segment_dedup",
     "join_market_share", "join_product_profit", "curation_target_mix",
+    "curation_target_mix_tokens",
     "dedup_exact", "curation_redact_pii", "curation_pack_sequences",
     "embedding_quantize", "join_revenue_by_nation", "window_topk_orders",
     "setop_customers_without_orders", "scalar_functions",
@@ -70,7 +72,6 @@ _PRIORITY = [
     "agg_distinct_users_approx", "events_sessionization",
     "window_running_total", "join_events_customers",
     "pipeline_corpus_curation", "curation_hash_split",
-    "curation_decontaminate",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

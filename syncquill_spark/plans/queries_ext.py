@@ -2705,6 +2705,48 @@ WHERE mix_rank <= CASE lang {case} ELSE 0 END
 """
 
 
+_MIX_TOKEN_BUDGETS = {"en": 9000, "zh": 3000, "de": 2500}
+
+
+def q_curation_target_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition in the unit mixes are actually
+    specified in — TOKENS per stratum: same salted-hash prefix
+    determinism as curation_target_mix, cut by running token budget
+    (boundary doc may overflow, docs never split). es/fr absent from
+    the budgets -> excluded entirely."""
+    from syncquill_spark.operators.curation import target_mix_tokens
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return target_mix_tokens(documents, _MIX_TOKEN_BUDGETS)
+
+
+def _target_mix_tokens_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    h = _H60.format(x="'mix-v1:' || CAST(doc_id AS VARCHAR)")
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_TOKEN_BUDGETS.items())
+    return f"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         CAST(list_sum(list_transform({toks},
+             t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens,
+         {h} AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY h ASC, doc_id ASC) AS mix_rank,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY h ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cum_before
+  FROM tk
+)
+SELECT doc_id, lang, n_tokens, mix_rank FROM ranked
+WHERE cum_before < CASE lang {case} ELSE 0 END
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity: ANN recall audit (approx vs exact baseline)
 # ---------------------------------------------------------------------------
@@ -2960,6 +3002,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_leakage_split": q_curation_leakage_split,
     "text_segment_dedup": q_text_segment_dedup,
     "curation_target_mix": q_curation_target_mix,
+    "curation_target_mix_tokens": q_curation_target_mix_tokens,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3030,4 +3073,5 @@ EXT_ORACLES: dict[str, str | None] = {
     "curation_leakage_split": _leakage_split_sql(),
     "text_segment_dedup": _SEGMENT_DEDUP_SQL,
     "curation_target_mix": _target_mix_sql(),
+    "curation_target_mix_tokens": _target_mix_tokens_sql(),
 }

@@ -518,3 +518,29 @@ def test_target_mix_exact_counts_and_prefix_property(spark):
     assert {r.doc_id for r in out2} <= by_lang["en"]
     with pytest.raises(ValueError):
         target_mix(df, {})
+
+
+def test_target_mix_tokens_budget_and_overflow(spark):
+    """Token-budget mix: docs kept while cumulative tokens BEFORE them
+    are under budget (boundary doc overflows rather than splitting —
+    pack_sequences' convention); absent strata excluded; smaller
+    budget is a prefix of a larger one."""
+    import pytest
+
+    from syncquill_spark.operators.curation import target_mix_tokens
+
+    # each doc is 5 bpe-ish tokens ("aaaa " * 5)
+    rows = [(i, ("aaaa " * 5).strip(), "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = target_mix_tokens(df, {"en": 23}).collect()
+    assert {r.lang for r in out} == {"en"}
+    # budget 23, 5 tokens/doc: cum_before 0,5,10,15,20 < 23 -> 5 docs
+    # kept (25 tokens total: the boundary doc overflows, is kept whole)
+    assert len(out) == 5
+    assert sum(r.n_tokens for r in out) == 25
+    assert sorted(r.mix_rank for r in out) == [1, 2, 3, 4, 5]
+    # prefix property
+    small = {r.doc_id for r in target_mix_tokens(df, {"en": 11}).collect()}
+    assert small <= {r.doc_id for r in out} and len(small) == 3
+    with pytest.raises(ValueError):
+        target_mix_tokens(df, {})
