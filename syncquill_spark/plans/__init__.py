@@ -38,18 +38,21 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    embedding_quantize, join_revenue_by_nation, window_topk_orders,
 #    setop_customers_without_orders, scalar_functions;
 #  - curation_fuzzy_decontaminate (r05-green, plan profiled this
-#    round per verdict #3) and curation_domain_quota (r05-green, plan
-#    CHANGED this round: hot-domain two-stage top-k auto-engage);
-#  - 32 of the 40 rows whose last driver-green is r04 (the stalest
+#    round per verdict #3), curation_domain_quota (r05-green, plan
+#    CHANGED: hot-domain two-stage top-k auto-engage), and
+#    dedup_clusters (r05-green, plan CHANGED: the CC convergence
+#    probe now detects a one-step fixpoint mid-cycle);
+#  - 31 of the 40 rows whose last driver-green is r04 (the stalest
 #    remaining tier), including dedup_incremental / dedup_minhash_lsh
 #    (share the MinHash plumbing the fuzzy-decontaminate tuning may
 #    touch).
 # Left outside at staleness 2 (r04-green, untouched this round):
 # window_moving_avg, setop_except_all, multimodal_media_stats,
 # curation_boilerplate, curation_blocklist, curation_shuffle,
-# curation_sample_stratified, curation_decontaminate — pure
-# projections/aggregations over untouched loaders; they MUST lead the
-# r07 window. The 48 other r05-green rows rotate out at staleness 1.
+# curation_sample_stratified, curation_decontaminate,
+# curation_hash_split — pure projections/aggregations over untouched
+# loaders; they MUST lead the r07 window. The 47 other r05-green rows
+# rotate out at staleness 1.
 _PRIORITY = [
     "similarity_ann_recall", "text_chunk_documents",
     "curation_leakage_split", "text_segment_dedup",
@@ -59,6 +62,7 @@ _PRIORITY = [
     "embedding_quantize", "join_revenue_by_nation", "window_topk_orders",
     "setop_customers_without_orders", "scalar_functions",
     "curation_fuzzy_decontaminate", "curation_domain_quota",
+    "dedup_clusters",
     "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "multimodal_features", "profile_documents",
     "text_quality_rules", "text_bm25", "embedding_label_centroids",
@@ -71,7 +75,7 @@ _PRIORITY = [
     "funnel_click_purchase", "agg_distinct_users_exact",
     "agg_distinct_users_approx", "events_sessionization",
     "window_running_total", "join_events_customers",
-    "pipeline_corpus_curation", "curation_hash_split",
+    "pipeline_corpus_curation",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]
