@@ -1494,6 +1494,252 @@ GROUP BY n_name, o_year
 """
 
 
+# Derived partsupp: the fixtures carry no partsupp table, so the four
+# TPC-H shapes that need one (Q2/Q11/Q16/Q20) derive an equivalent
+# relation from lineitem — supply cost proxied by the MIN extended
+# price ever charged for the (part, supplier) pair, availability by
+# the total quantity moved. One groupBy on fixed-width int keys with
+# map-side combine; exact decimal aggregates (min/sum are order-
+# independent), so every downstream comparison is engine-stable.
+_PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _derived_partsupp(lineitem: DataFrame) -> DataFrame:
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(dec("l_extendedprice")).alias("ps_supplycost"),
+        F.sum(dec("l_quantity")).alias("ps_availqty"),
+    )
+
+
+def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape: per part (of one size class, in one region),
+    the minimum-cost supplier — the correlated-MIN-subquery shape,
+    planned as a per-part window rank over the derived partsupp
+    (row_number + rk=1 filters plan as WindowGroupLimit: partial
+    top-1 below the exchange). Dims broadcast; ties break on
+    ps_suppkey for a total order."""
+    region, nation, supplier, part, lineitem = load_tables(
+        spark, sf_dir, "region", "nation", "supplier", "part", "lineitem"
+    )
+    ps = _derived_partsupp(lineitem)
+    w = Window.partitionBy("ps_partkey").orderBy(
+        F.col("ps_supplycost").asc(), F.col("ps_suppkey").asc()
+    )
+    return (
+        ps.join(supplier, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .join(
+            F.broadcast(part.filter(F.col("p_size") == 5)),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("ps_supplycost").cast("double").alias("min_supplycost"),
+        )
+    )
+
+
+_JOIN_MIN_COST_SUPPLIER_SQL = f"""
+WITH ps AS ({_PS_SQL})
+SELECT p_partkey, p_name, s_name, n_name,
+       CAST(ps_supplycost AS DOUBLE) AS min_supplycost
+FROM (
+  SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, ps.ps_supplycost,
+         ROW_NUMBER() OVER (PARTITION BY ps.ps_partkey
+                            ORDER BY ps.ps_supplycost ASC,
+                                     ps.ps_suppkey ASC) AS rk
+  FROM ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  JOIN part p     ON ps.ps_partkey = p.p_partkey
+  WHERE r.r_name = 'EUROPE' AND p.p_size = 5) t
+WHERE rk = 1
+"""
+
+
+def q_agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shape: parts whose stock value within one nation
+    exceeds a fixed fraction of the nation's total stock value — the
+    group-aggregate-vs-global-threshold shape. The global total is a
+    one-row aggregate crossJoined (broadcast) back; both sides of the
+    comparison are exact decimals, so the cut is engine-stable."""
+    nation, supplier, lineitem = load_tables(
+        spark, sf_dir, "nation", "supplier", "lineitem"
+    )
+    ps = _derived_partsupp(lineitem)
+    value = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(38,4)")
+    scoped = (
+        ps.join(supplier, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_3")
+    )
+    per_part = scoped.groupBy("ps_partkey").agg(F.sum(value).alias("_v"))
+    total = per_part.agg(F.sum("_v").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_v")
+            > (F.col("_tot") * F.lit(0.0001).cast("decimal(10,6)")).cast(
+                "decimal(38,6)"
+            )
+        )
+        .select("ps_partkey", F.col("_v").cast("double").alias("stock_value"))
+    )
+
+
+_AGG_IMPORTANT_STOCK_SQL = f"""
+WITH ps AS ({_PS_SQL}),
+scoped AS (
+  SELECT ps_partkey,
+         CAST(ps_supplycost * ps_availqty AS DECIMAL(38,4)) AS v
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+per_part AS (SELECT ps_partkey, SUM(v) AS v FROM scoped GROUP BY ps_partkey)
+SELECT ps_partkey, CAST(v AS DOUBLE) AS stock_value
+FROM per_part
+WHERE v > CAST((SELECT SUM(v) FROM per_part)
+               * CAST(0.0001 AS DECIMAL(10,6)) AS DECIMAL(38,6))
+"""
+
+
+def q_agg_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shape: distinct-supplier counts per (brand, type,
+    size) with a NOT-IN supplier exclusion — the exclusion runs as a
+    broadcast anti-join on the skinny excluded-key set; the distinct
+    count shuffles (brand, type, size, suppkey) once, map-side
+    deduped."""
+    supplier, part, lineitem = load_tables(
+        spark, sf_dir, "supplier", "part", "lineitem"
+    )
+    ps = _derived_partsupp(lineitem)
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_ex")
+    )
+    return (
+        ps.join(
+            F.broadcast(part.filter(F.col("p_type") != "PROMO")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(excluded),
+            F.col("ps_suppkey") == F.col("_ex"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+_AGG_SUPPLIER_PART_TYPES_SQL = f"""
+WITH ps AS ({_PS_SQL})
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON ps_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_join_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shape: suppliers holding EXCESS stock of
+    name-filtered parts — availability > 0.5 x the quantity they
+    actually shipped in one year. EXISTS over an aggregated correlated
+    subquery, planned as a semi-join against the per-(part, supplier)
+    shipped aggregate; the 0.5 factor is an exact decimal so the
+    comparison is engine-stable. (Unlike Q20 no single nation is
+    pinned — the fixture's excess population is a handful of suppliers
+    spread across nations, and a pin would make the query vacuous at
+    small scale factors; n_name stays in the output.)"""
+    nation, supplier, part, lineitem = load_tables(
+        spark, sf_dir, "nation", "supplier", "part", "lineitem"
+    )
+    ps = _derived_partsupp(lineitem)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sh_partkey"),
+            F.col("l_suppkey").alias("sh_suppkey"),
+        )
+        .agg(F.sum(dec("l_quantity")).alias("sh_qty"))
+    )
+    excess = (
+        ps.join(
+            F.broadcast(part.filter(F.col("p_name").contains("red"))),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("sh_partkey"))
+            & (F.col("ps_suppkey") == F.col("sh_suppkey")),
+        )
+        .filter(
+            F.col("ps_availqty").cast("decimal(38,4)")
+            > (F.col("sh_qty") * F.lit(0.50).cast("decimal(10,2)")).cast(
+                "decimal(38,4)"
+            )
+        )
+        .select(F.col("ps_suppkey").alias("_k"))
+        .distinct()
+    )
+    return (
+        supplier.join(excess, F.col("s_suppkey") == F.col("_k"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_JOIN_EXCESS_INVENTORY_SQL = f"""
+WITH ps AS ({_PS_SQL}),
+shipped AS (
+  SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sh_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM ps
+  JOIN part ON ps_partkey = p_partkey
+  JOIN shipped ON ps_partkey = sh_partkey AND ps_suppkey = sh_suppkey
+  WHERE p_name LIKE '%red%'
+    AND CAST(ps_availqty AS DECIMAL(38,4))
+        > CAST(sh_qty * CAST(0.50 AS DECIMAL(10,2)) AS DECIMAL(38,4))
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_diff_keyed": q_sync_diff_keyed,
     "sync_diff_positional": q_sync_diff_positional,
@@ -1533,6 +1779,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_top_supplier": q_window_top_supplier,
     "join_market_share": q_join_market_share,
     "join_product_profit": q_join_product_profit,
+    "join_min_cost_supplier": q_join_min_cost_supplier,
+    "agg_important_stock": q_agg_important_stock,
+    "agg_supplier_part_types": q_agg_supplier_part_types,
+    "join_excess_inventory": q_join_excess_inventory,
 }
 
 ORACLES: dict[str, str] = {
@@ -1574,4 +1824,8 @@ ORACLES: dict[str, str] = {
     "window_top_supplier": _WINDOW_TOP_SUPPLIER_SQL,
     "join_market_share": _JOIN_MARKET_SHARE_SQL,
     "join_product_profit": _JOIN_PRODUCT_PROFIT_SQL,
+    "join_min_cost_supplier": _JOIN_MIN_COST_SUPPLIER_SQL,
+    "agg_important_stock": _AGG_IMPORTANT_STOCK_SQL,
+    "agg_supplier_part_types": _AGG_SUPPLIER_PART_TYPES_SQL,
+    "join_excess_inventory": _JOIN_EXCESS_INVENTORY_SQL,
 }
