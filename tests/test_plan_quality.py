@@ -145,3 +145,45 @@ def test_domain_quota_plans_partial_topk_below_exchange(spark):
     )
     assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
     assert "Partial" in plan and "Final" in plan
+
+
+def test_min_cost_supplier_plans_partial_top1(spark, sf_dir):
+    """join_min_cost_supplier's correlated-MIN is a row_number + rk=1
+    filter — must plan as WindowGroupLimit (partial top-1 BELOW the
+    exchange) so a hot part never funnels its whole supplier list
+    through one partition's sort; dims must broadcast."""
+    plan = _plan(QUERIES["join_min_cost_supplier"](spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "Partial" in plan and "Final" in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_target_mix_plans_partial_topk(spark):
+    """target_mix's rank filter carries a LITERAL max-target conjunct
+    precisely so Spark can plan WindowGroupLimit; the data-dependent
+    per-stratum cut applies after. A refactor that drops the literal
+    conjunct silently loses the partial top-k."""
+    from syncquill_spark.operators.curation import target_mix
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(90)],
+        "doc_id long, lang string",
+    )
+    plan = _plan(target_mix(df, {"en": 10, "de": 40}))
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+
+
+def test_market_share_broadcasts_all_dims(spark, sf_dir):
+    """join_market_share joins nation twice and region once — all
+    three dim attaches must broadcast (facts shuffle only on the
+    fact-fact join keys)."""
+    plan = _plan(QUERIES["join_market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2500]
+
+
+def test_important_stock_threshold_is_broadcast(spark, sf_dir):
+    """agg_important_stock compares per-part aggregates to a one-row
+    global total — the crossJoin side must be a broadcast (nested-loop
+    over a 1-row broadcast), never a shuffle."""
+    plan = _plan(QUERIES["agg_important_stock"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2500]
