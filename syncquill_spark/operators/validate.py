@@ -73,3 +73,41 @@ def validate_sync_frame(
             f"{row['_first_empty_col']}. Please ensure every cell is filled."
         )
     return df
+
+
+def referential_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    relation: str | None = None,
+) -> DataFrame:
+    """Referential-integrity audit for one FK edge: one row
+    (relation, n_children, n_orphans) where n_orphans counts child
+    rows whose key has no match in the parent (NULL keys count as
+    orphans — a NULL FK can't join and would silently drop from every
+    inner join downstream, which is exactly what the audit exists to
+    surface).
+
+    The data-quality gate a pipeline runs before training joins:
+    orphaned facts silently vanish from inner joins, skewing every
+    downstream aggregate. Scale shape: one left-anti equi-join on the
+    key (parent side is keys-only and deduped, so AQE broadcasts it
+    when it fits) + two counts — the child never shuffles payloads.
+    """
+    rel = relation or f"{child_key}->{parent_key}"
+    keys = parent.select(F.col(parent_key).alias("_pk")).dropDuplicates()
+    orphans = child.select(F.col(child_key).alias("_ck")).join(
+        keys, F.col("_ck") == F.col("_pk"), "left_anti"
+    )
+    n_children = child.select(F.count(F.lit(1)).alias("n"))
+    n_orphans = orphans.select(F.count(F.lit(1)).alias("n"))
+    return (
+        n_children.crossJoin(
+            n_orphans.withColumnRenamed("n", "n_orph")
+        ).select(
+            F.lit(rel).alias("relation"),
+            F.col("n").alias("n_children"),
+            F.col("n_orph").alias("n_orphans"),
+        )
+    )

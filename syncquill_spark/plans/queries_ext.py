@@ -2676,6 +2676,54 @@ WHERE rk <= 3
 # Curation: target mixture (exact per-stratum counts)
 # ---------------------------------------------------------------------------
 
+# FK edges of the fixture schema, child -> parent
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_profile_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the fixture
+    schema: (relation, n_children, n_orphans) per edge — the
+    data-quality gate a pipeline runs before training joins (orphaned
+    facts silently vanish from inner joins). Each edge is one
+    keys-only left-anti join; parents broadcast under AQE."""
+    from syncquill_spark.operators.validate import referential_orphans
+
+    tables = {}
+    for child, ck, parent, pk in _FK_EDGES:
+        for t in (child, parent):
+            if t not in tables:
+                (tables[t],) = load_tables(spark, sf_dir, t)
+    out = None
+    for child, ck, parent, pk in _FK_EDGES:
+        row = referential_orphans(
+            tables[child], tables[parent], ck, pk,
+            relation=f"{child}.{ck}->{parent}.{pk}",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _profile_referential_sql() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+SELECT '{child}.{ck}->{parent}.{pk}' AS relation,
+       (SELECT COUNT(*) FROM {child}) AS n_children,
+       (SELECT COUNT(*) FROM {child} c
+        WHERE c.{ck} IS NULL
+           OR NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}))
+         AS n_orphans""")
+    return "\nUNION ALL\n".join(parts)
+
+
 _MIX_TARGETS = {"en": 150, "zh": 60, "es": 60, "de": 50, "fr": 40}
 
 
@@ -3003,6 +3051,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_segment_dedup": q_text_segment_dedup,
     "curation_target_mix": q_curation_target_mix,
     "curation_target_mix_tokens": q_curation_target_mix_tokens,
+    "profile_referential": q_profile_referential,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3074,4 +3123,5 @@ EXT_ORACLES: dict[str, str | None] = {
     "text_segment_dedup": _SEGMENT_DEDUP_SQL,
     "curation_target_mix": _target_mix_sql(),
     "curation_target_mix_tokens": _target_mix_tokens_sql(),
+    "profile_referential": _profile_referential_sql(),
 }

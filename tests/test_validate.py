@@ -41,3 +41,21 @@ def test_empty_cell_names_column(spark):
 def test_typed_frame_passes(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/customer.parquet")
     assert validate_sync_frame(df, key="c_custkey") is df
+
+
+def test_referential_orphans_counts_and_null_keys(spark):
+    """Orphan audit: unmatched child keys count, NULL FKs count (they
+    silently vanish from every inner join — the audit's whole point),
+    and a clean edge reports zero."""
+    from syncquill_spark.operators.validate import referential_orphans
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None), (14, 2)],
+        "cid long, fk long",
+    )
+    (row,) = referential_orphans(child, parent, "fk", "pk").collect()
+    assert (row.relation, row.n_children, row.n_orphans) == ("fk->pk", 5, 2)
+    clean = spark.createDataFrame([(10, 1)], "cid long, fk long")
+    (row2,) = referential_orphans(clean, parent, "fk", "pk", relation="r").collect()
+    assert (row2.relation, row2.n_orphans) == ("r", 0)
