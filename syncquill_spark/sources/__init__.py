@@ -13,10 +13,10 @@ partitioned executor-side reads.
 
 from syncquill_spark.sources.base import Table
 from syncquill_spark.sources.bucketed import read_table, write_bucketed
-from syncquill_spark.sources.parquet import ParquetTable
+from syncquill_spark.sources.parquet import ParquetTable, VersionedParquetTable
 from syncquill_spark.sources.sheets import SheetsTable
 from syncquill_spark.sources.bigquery import BigQueryTable
 from syncquill_spark.sources.sheetgrid_datasource import SheetGridDataSource
 from syncquill_spark.sources.files import CsvTable, JsonTable, OrcTable
 
-__all__ = ["Table", "ParquetTable", "SheetsTable", "BigQueryTable", "SheetGridDataSource", "CsvTable", "JsonTable", "OrcTable"]
+__all__ = ["Table", "ParquetTable", "VersionedParquetTable", "SheetsTable", "BigQueryTable", "SheetGridDataSource", "CsvTable", "JsonTable", "OrcTable"]

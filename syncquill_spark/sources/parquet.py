@@ -128,3 +128,129 @@ class PartitionedParquetTable(ParquetTable):
 
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").partitionBy(*self.partition_cols).parquet(self.path)
+
+
+class VersionedParquetTable(Table):
+    """Snapshot-versioned parquet table: every overwrite/append creates
+    an immutable numbered version; a tiny JSON manifest holds the
+    current pointer. Gives plain parquet the three lakehouse
+    operations CDC pipelines actually need — time-travel reads
+    (``read_version``), O(1) rollback (``rollback`` flips the pointer,
+    no data moves), and audit (``versions``) — without a table-format
+    dependency.
+
+    Layout: ``<path>.__v{N}/`` per version + ``<path>.__manifest.json``
+    {"current": N, "versions": [...]}. The manifest update is an
+    ``os.replace`` of a temp file — atomic on POSIX — so readers see
+    the old or the new version, never a partial one. ``append`` builds
+    the new version by HARDLINKING the current version's data files
+    (O(#files) metadata ops, zero data copy; snapshots stay immutable
+    because parquet files are write-once) and then appending the new
+    rows as additional part files.
+
+    Same locality caveat as ParquetTable's atomic swap: hardlinks and
+    atomic replace are local/NFS semantics. On object stores use a
+    table format (Delta/Iceberg) — this class is the single-FS
+    equivalent of their manifest-pointer design, which is exactly why
+    the pointer flip, not a directory rename, is the commit point.
+
+    ``max_versions`` bounds retained snapshots (oldest pruned after
+    commit; the current and rollback targets within the window stay
+    readable).
+    """
+
+    def __init__(self, path: str, max_versions: int = 10):
+        if max_versions < 1:
+            raise ValueError("max_versions must be >= 1")
+        self.path = path
+        self.max_versions = max_versions
+
+    # -- manifest -----------------------------------------------------
+    def _manifest_path(self) -> str:
+        return f"{self.path}.__manifest.json"
+
+    def _load(self) -> dict:
+        import json
+
+        mp = self._manifest_path()
+        if not os.path.exists(mp):
+            return {"current": None, "versions": []}
+        with open(mp) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict) -> None:
+        import json
+
+        tmp = f"{self._manifest_path()}.tmp_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path())  # atomic pointer flip
+
+    def _vdir(self, n: int) -> str:
+        return f"{self.path}.__v{n}"
+
+    # -- Table contract ----------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        m = self._load()
+        if m["current"] is None:
+            raise FileNotFoundError(f"versioned table {self.path}: no versions yet")
+        return spark.read.parquet(self._vdir(m["current"]))
+
+    def overwrite(self, df: DataFrame) -> None:
+        m = self._load()
+        n = max([*m["versions"], 0]) + 1
+        df.write.mode("overwrite").parquet(self._vdir(n))
+        m["versions"].append(n)
+        m["current"] = n
+        self._commit(m)
+        self._prune(m)
+
+    def append(self, df: DataFrame) -> None:
+        m = self._load()
+        if m["current"] is None:
+            return self.overwrite(df)
+        n = max(m["versions"]) + 1
+        src, dst = self._vdir(m["current"]), self._vdir(n)
+        os.makedirs(dst)
+        for f in os.listdir(src):
+            if f.startswith((".", "_")):
+                continue  # skip _SUCCESS / hidden CRCs; data files only
+            os.link(os.path.join(src, f), os.path.join(dst, f))
+        df.write.mode("append").parquet(dst)
+        m["versions"].append(n)
+        m["current"] = n
+        self._commit(m)
+        self._prune(m)
+
+    # -- versioning surface ------------------------------------------
+    def versions(self) -> list[int]:
+        return list(self._load()["versions"])
+
+    def current_version(self) -> int | None:
+        return self._load()["current"]
+
+    def read_version(self, spark: SparkSession, n: int) -> DataFrame:
+        m = self._load()
+        if n not in m["versions"]:
+            raise ValueError(f"version {n} not in {m['versions']}")
+        return spark.read.parquet(self._vdir(n))
+
+    def rollback(self, n: int) -> None:
+        m = self._load()
+        if n not in m["versions"]:
+            raise ValueError(f"version {n} not in {m['versions']}")
+        m["current"] = n
+        self._commit(m)
+
+    def _prune(self, manifest: dict) -> None:
+        # retain the newest max_versions snapshots, but never delete
+        # the current pointer's target
+        keep = set(sorted(manifest["versions"])[-self.max_versions:])
+        keep.add(manifest["current"])
+        drop = [v for v in manifest["versions"] if v not in keep]
+        if not drop:
+            return
+        manifest["versions"] = [v for v in manifest["versions"] if v in keep]
+        self._commit(manifest)
+        for v in drop:
+            shutil.rmtree(self._vdir(v), ignore_errors=True)

@@ -1,0 +1,117 @@
+"""VersionedParquetTable: snapshot versions, time travel, O(1)
+rollback, hardlink append, retention pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from syncquill_spark.sources.parquet import VersionedParquetTable
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"r{i}") for i in ids], "id long, v string")
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_versioned_overwrite_and_time_travel(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "t"))
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)
+    t.overwrite(_df(spark, [1, 2]))
+    t.overwrite(_df(spark, [3, 4, 5]))
+    assert t.versions() == [1, 2] and t.current_version() == 2
+    assert _ids(t.read(spark)) == [3, 4, 5]
+    # time travel: the old snapshot is still fully readable
+    assert _ids(t.read_version(spark, 1)) == [1, 2]
+    with pytest.raises(ValueError):
+        t.read_version(spark, 99)
+
+
+def test_versioned_rollback_is_pointer_flip(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [1]))
+    t.overwrite(_df(spark, [2]))
+    t.rollback(1)
+    assert t.current_version() == 1
+    assert _ids(t.read(spark)) == [1]
+    # rollback is metadata-only: version 2's data is untouched
+    assert _ids(t.read_version(spark, 2)) == [2]
+    # a new overwrite from the rolled-back state becomes version 3
+    t.overwrite(_df(spark, [7]))
+    assert t.versions() == [1, 2, 3] and _ids(t.read(spark)) == [7]
+
+
+def test_versioned_append_hardlinks_previous_snapshot(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [1, 2]))
+    t.append(_df(spark, [3]))
+    assert _ids(t.read(spark)) == [1, 2, 3]
+    # the pre-append snapshot is immutable and still reads clean
+    assert _ids(t.read_version(spark, 1)) == [1, 2]
+    # data files are hardlinked, not copied: the shared parts have
+    # link count 2
+    v1 = str(tmp_path / "t.__v1")
+    data_files = [f for f in os.listdir(v1) if not f.startswith(("_", "."))]
+    assert data_files and all(
+        os.stat(os.path.join(v1, f)).st_nlink >= 2 for f in data_files
+    )
+    # append on an empty table degrades to overwrite
+    t2 = VersionedParquetTable(str(tmp_path / "t2"))
+    t2.append(_df(spark, [9]))
+    assert _ids(t2.read(spark)) == [9] and t2.versions() == [1]
+
+
+def test_versioned_retention_prunes_oldest(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "t"), max_versions=2)
+    for i in range(4):
+        t.overwrite(_df(spark, [i]))
+    assert t.versions() == [3, 4] and t.current_version() == 4
+    assert not os.path.exists(str(tmp_path / "t.__v1"))
+    assert _ids(t.read_version(spark, 3)) == [2]
+    # rollback target must be a retained version
+    with pytest.raises(ValueError):
+        t.rollback(1)
+
+
+def test_versioned_append_after_rollback_branches_from_target(spark, tmp_path):
+    """Rollback then append: the new version builds on the ROLLED-BACK
+    snapshot, not the abandoned newer one — the repair workflow (bad
+    load at v2, roll back to v1, resume appending)."""
+    t = VersionedParquetTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [1]))
+    t.overwrite(_df(spark, [2]))  # the bad load
+    t.rollback(1)
+    t.append(_df(spark, [5]))
+    assert t.current_version() == 3
+    assert _ids(t.read(spark)) == [1, 5]  # 2 is not in the lineage
+    assert _ids(t.read_version(spark, 2)) == [2]  # but still auditable
+
+
+def test_sync_engine_composes_with_versioned_target(spark, tmp_path):
+    """engine.sync against a VersionedParquetTable: the apply lands as
+    a new immutable snapshot, the pre-sync state stays readable, and a
+    bad sync is one rollback away — CDC with an undo button."""
+    from syncquill_spark.engine import sync
+    from syncquill_spark.sources import ParquetTable
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "slno long, name string"
+    ).write.parquet(src)
+    t = VersionedParquetTable(str(tmp_path / "tgt"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "x")], "slno long, name string")
+    )
+    sync(spark, ParquetTable(src), t)
+    assert t.versions() == [1, 2]
+    assert sorted(r.slno for r in t.read(spark).collect()) == [1, 2, 3]
+    # pre-sync state auditable; rollback restores it
+    t.rollback(1)
+    assert sorted((r.slno, r.name) for r in t.read(spark).collect()) == [
+        (1, "a"), (2, "x"),
+    ]
