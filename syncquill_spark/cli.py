@@ -3,7 +3,12 @@
 ``syncquill-spark sync|upsert --source ... --target ...`` with the
 reference's arg-over-env resolution (load_env_or_args, 158-161).
 Connectors are URI-selected: ``parquet:/path``, ``csv:/path``,
-``json:/path``, ``bq:dataset.table``, ``sheets:spreadsheet_id/range``.
+``json:/path``, ``orc:/path``, ``versioned:/path`` (snapshot-versioned
+parquet: every sync/upsert lands as a new immutable version),
+``bq:dataset.table``, ``sheets:spreadsheet_id/range``. The
+``versions`` / ``rollback --to N`` actions inspect and flip a
+versioned target's manifest pointer (metadata-only, no Spark
+session).
 """
 
 from __future__ import annotations
@@ -65,6 +70,10 @@ def table_from_uri(uri: str) -> Table:
         from syncquill_spark.sources.files import OrcTable
 
         return OrcTable(rest)
+    if scheme == "versioned":
+        from syncquill_spark.sources.parquet import VersionedParquetTable
+
+        return VersionedParquetTable(rest)
     if scheme == "bq":
         dataset, _, table = rest.partition(".")
         return BigQueryTable(dataset, table)
@@ -76,7 +85,10 @@ def table_from_uri(uri: str) -> Table:
 
 def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="PySpark-native table sync engine")
-    p.add_argument("action", choices=["sync", "upsert", "query", "queries"])
+    p.add_argument(
+        "action",
+        choices=["sync", "upsert", "query", "queries", "versions", "rollback"],
+    )
     p.add_argument("name", nargs="?", help="query name (for the `query` action)")
     p.add_argument("--source", help="source table URI (env: SYNC_SOURCE)")
     p.add_argument("--target", help="target table URI (env: SYNC_TARGET)")
@@ -91,6 +103,9 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--limit", type=int, default=20, help="rows to show for `query`")
     p.add_argument(
         "--out", help="optional parquet path: write the full query result there"
+    )
+    p.add_argument(
+        "--to", type=int, help="version number (for the `rollback` action)"
     )
     return p.parse_args(argv)
 
@@ -120,6 +135,27 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.out}")
         else:
             df.show(args.limit, truncate=False)
+        return 0
+    if args.action in ("versions", "rollback"):
+        from syncquill_spark.sources.parquet import VersionedParquetTable
+
+        t = table_from_uri(_resolve(args.target, "SYNC_TARGET"))
+        if not isinstance(t, VersionedParquetTable):
+            print(
+                f"{args.action} needs a versioned: target URI", file=sys.stderr
+            )
+            return 2
+        # manifest-only operations: no SparkSession startup
+        if args.action == "versions":
+            cur = t.current_version()
+            for v in t.versions():
+                print(f"v{v}{' *' if v == cur else ''}")
+            return 0
+        if args.to is None:
+            print("rollback needs --to <version>", file=sys.stderr)
+            return 2
+        t.rollback(args.to)
+        print(f"rolled back to v{args.to}")
         return 0
     source = table_from_uri(_resolve(args.source, "SYNC_SOURCE"))
     target = table_from_uri(_resolve(args.target, "SYNC_TARGET"))

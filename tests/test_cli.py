@@ -21,3 +21,31 @@ def test_cli_query_runs_and_shows(capsys, sf_dir):
 
     assert main(["query", "dedup_exact", "--sf-dir", sf_dir, "--limit", "3"]) == 0
     assert "keeper_doc_id" in capsys.readouterr().out
+
+
+def test_cli_versioned_sync_versions_rollback(spark, tmp_path, capsys):
+    """End-to-end CLI on a versioned target: sync lands as a snapshot,
+    `versions` lists them, `rollback --to` flips the pointer (no Spark
+    session needed for the metadata actions)."""
+    from syncquill_spark.cli import main
+    from syncquill_spark.sources.parquet import VersionedParquetTable
+
+    src = str(tmp_path / "src.pq")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "slno long, name string"
+    ).write.parquet(src)
+    tgt = str(tmp_path / "tgt")
+    VersionedParquetTable(tgt).overwrite(
+        spark.createDataFrame([(1, "a"), (2, "x")], "slno long, name string")
+    )
+
+    assert main(["sync", "--source", f"parquet:{src}", "--target", f"versioned:{tgt}"]) == 0
+    capsys.readouterr()
+    assert main(["versions", "--target", f"versioned:{tgt}"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == ["v1", "v2 *"]
+    assert main(["rollback", "--target", f"versioned:{tgt}", "--to", "1"]) == 0
+    assert VersionedParquetTable(tgt).current_version() == 1
+    # guard rails: non-versioned target / missing --to
+    assert main(["versions", "--target", f"parquet:{src}"]) == 2
+    assert main(["rollback", "--target", f"versioned:{tgt}"]) == 2
