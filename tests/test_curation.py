@@ -544,3 +544,44 @@ def test_target_mix_tokens_budget_and_overflow(spark):
     assert small <= {r.doc_id for r in out} and len(small) == 3
     with pytest.raises(ValueError):
         target_mix_tokens(df, {})
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10_000), min_size=5, max_size=60),
+    k_small=st.integers(min_value=1, max_value=5),
+    extra=st.integers(min_value=1, max_value=10),
+)
+def test_target_mix_prefix_property_holds_for_random_corpora(
+    spark, ids, k_small, extra
+):
+    """Property: for ANY corpus and budgets k < K, target_mix(k) is a
+    subset (prefix) of target_mix(K) per stratum, both are exactly
+    min(budget, |stratum|) rows, and membership is insensitive to the
+    input's partitioning."""
+    from syncquill_spark.operators.curation import target_mix
+
+    rows = [(i, "en" if i % 2 else "de") for i in sorted(ids)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    k_big = k_small + extra
+    small = {
+        (r.lang, r.doc_id) for r in target_mix(df, {"en": k_small, "de": k_small}).collect()
+    }
+    big = {
+        (r.lang, r.doc_id) for r in target_mix(df, {"en": k_big, "de": k_big}).collect()
+    }
+    assert small <= big
+    pop = {"en": sum(1 for _, l in rows if l == "en"),
+           "de": sum(1 for _, l in rows if l == "de")}
+    for lang in ("en", "de"):
+        assert sum(1 for l, _ in small if l == lang) == min(k_small, pop[lang])
+        assert sum(1 for l, _ in big if l == lang) == min(k_big, pop[lang])
+    # partitioning-insensitive: a repartitioned input selects the same set
+    again = {
+        (r.lang, r.doc_id)
+        for r in target_mix(df.repartition(7), {"en": k_big, "de": k_big}).collect()
+    }
+    assert again == big
