@@ -676,6 +676,53 @@ SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
 """
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the SimHash near-dup transitive
+    closure — the dedup AUDIT a curation run reports before applying
+    drops: how many 2-doc clusters vs giant boilerplate blobs, and how
+    many docs each size class would remove (n_dropped = clusters *
+    (size - 1), keep-one-per-cluster). Composes connected components
+    with a DIFFERENT pair source than dedup_clusters (SimHash bands vs
+    n-gram Jaccard), so the CC operator's contract is exercised across
+    emitters. Scale shape: CC is O(diameter) cycles over skinny edges;
+    the histogram is two tiny keyed aggregations."""
+    from syncquill_spark.operators.clusters import connected_components
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(
+        documents, bits=_SIMHASH_BITS, max_hamming=_SIMHASH_MAX_HAMMING
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).alias("n_dropped"),
+    )
+
+
+def _cluster_stats_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_simhash_pairs_sql()}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (SELECT u AS node, MIN(v) AS comp FROM reach GROUP BY u),
+sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM cc GROUP BY comp)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       COUNT(*) * (cluster_size - 1) AS n_dropped
+FROM sizes GROUP BY cluster_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup: embedding-cosine near-dup (banded SRP-LSH blocking + exact verify)
 # ---------------------------------------------------------------------------
@@ -3052,6 +3099,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_target_mix": q_curation_target_mix,
     "curation_target_mix_tokens": q_curation_target_mix_tokens,
     "profile_referential": q_profile_referential,
+    "dedup_cluster_stats": q_dedup_cluster_stats,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3124,4 +3172,5 @@ EXT_ORACLES: dict[str, str | None] = {
     "curation_target_mix": _target_mix_sql(),
     "curation_target_mix_tokens": _target_mix_tokens_sql(),
     "profile_referential": _profile_referential_sql(),
+    "dedup_cluster_stats": _cluster_stats_sql(),
 }
