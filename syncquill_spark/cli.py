@@ -87,7 +87,9 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="PySpark-native table sync engine")
     p.add_argument(
         "action",
-        choices=["sync", "upsert", "query", "queries", "versions", "rollback"],
+        choices=[
+            "sync", "upsert", "query", "queries", "sql", "versions", "rollback",
+        ],
     )
     p.add_argument("name", nargs="?", help="query name (for the `query` action)")
     p.add_argument("--source", help="source table URI (env: SYNC_SOURCE)")
@@ -118,6 +120,31 @@ def main(argv: list[str] | None = None) -> int:
 
         for name in QUERIES:
             print(name)
+        return 0
+    if args.action == "sql":
+        # ad-hoc ANSI SQL over the fixture tables: every table in
+        # --sf-dir is registered as a temp view (events normalized to
+        # epoch-nanos like every registry query sees it)
+        if not args.name:
+            print("sql needs a statement argument", file=sys.stderr)
+            return 2
+        import glob as _glob
+
+        from syncquill_spark.plans import load_tables
+
+        spark = get_spark("syncquill-spark-cli")
+        names = sorted(
+            os.path.basename(f)[: -len(".parquet")]
+            for f in _glob.glob(os.path.join(args.sf_dir, "*.parquet"))
+        )
+        for n, df in zip(names, load_tables(spark, args.sf_dir, *names)):
+            df.createOrReplaceTempView(n)
+        out = spark.sql(args.name)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            out.show(args.limit, truncate=False)
         return 0
     if args.action == "query":
         from syncquill_spark.plans import QUERIES

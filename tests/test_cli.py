@@ -49,3 +49,18 @@ def test_cli_versioned_sync_versions_rollback(spark, tmp_path, capsys):
     # guard rails: non-versioned target / missing --to
     assert main(["versions", "--target", f"parquet:{src}"]) == 2
     assert main(["rollback", "--target", f"versioned:{tgt}"]) == 2
+
+
+def test_cli_sql_over_fixture_views(spark, capsys):
+    """`sql` action: every fixture table is a temp view; an ad-hoc
+    statement runs and prints."""
+    from syncquill_spark.cli import main
+
+    rc = main([
+        "sql",
+        "SELECT COUNT(*) AS n FROM region",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    assert rc == 0
+    assert "5" in capsys.readouterr().out
+    assert main(["sql", "--sf-dir", "/root/testdata/sf0.001"]) == 2
