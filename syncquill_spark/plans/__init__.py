@@ -23,7 +23,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # last driver-green row more than 2 rounds old.
 #
 # Round-6 window, in order:
-#  - the 14 queries NEW this round: similarity_ann_recall,
+#  - the 15 queries NEW this round: similarity_ann_recall,
 #    text_chunk_documents, curation_leakage_split, text_segment_dedup
 #    (each promoted from a pytest DuckDB twin to a registry oracle per
 #    the round-5 verdict's #1), join_market_share / join_product_profit
@@ -35,7 +35,9 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    per-stratum mix budgets in docs and tokens), and
 #    profile_referential (FK-orphan audit over every fixture edge) and
 #    dedup_cluster_stats (cluster-size histogram: CC composed with the
-#    SimHash pair emitter); new plans always enter the window;
+#    SimHash pair emitter) and dedup_apply (keep-one-per-cluster over
+#    the MinHash pairs — the application step, formerly unit-only);
+#    new plans always enter the window;
 #  - the 8 rows whose last driver-green is r03 (staleness 2 — the
 #    round-5 verdict's #2 names them as mandatory leads):
 #    dedup_exact, curation_redact_pii, curation_pack_sequences,
@@ -46,7 +48,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    CHANGED: hot-domain two-stage top-k auto-engage), and
 #    dedup_clusters (r05-green, plan CHANGED: the CC convergence
 #    probe now detects a one-step fixpoint mid-cycle);
-#  - 25 of the 40 rows whose last driver-green is r04 (the stalest
+#  - 24 of the 40 rows whose last driver-green is r04 (the stalest
 #    remaining tier), including dedup_incremental / dedup_minhash_lsh
 #    (share the MinHash plumbing the fuzzy-decontaminate tuning may
 #    touch).
@@ -56,9 +58,9 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # curation_sample_stratified, curation_decontaminate,
 # curation_hash_split, storage_zorder_key, agg_quantiles_approx_check,
 # window_running_total, join_events_customers, events_sliding_window,
-# agg_distinct_users_approx — pure projections / windows /
-# aggregations over untouched loaders; they MUST lead the r07 window.
-# The 47 other r05-green rows rotate out at staleness 1.
+# agg_distinct_users_approx, events_sessionization — pure projections
+# / windows / aggregations over untouched loaders; they MUST lead the
+# r07 window. The 47 other r05-green rows rotate out at staleness 1.
 _PRIORITY = [
     "similarity_ann_recall", "text_chunk_documents",
     "curation_leakage_split", "text_segment_dedup",
@@ -66,6 +68,7 @@ _PRIORITY = [
     "curation_target_mix_tokens", "join_min_cost_supplier",
     "agg_important_stock", "agg_supplier_part_types",
     "join_excess_inventory", "profile_referential", "dedup_cluster_stats",
+    "dedup_apply",
     "dedup_exact", "curation_redact_pii", "curation_pack_sequences",
     "embedding_quantize", "join_revenue_by_nation", "window_topk_orders",
     "setop_customers_without_orders", "scalar_functions",
@@ -80,7 +83,6 @@ _PRIORITY = [
     "agg_rollup_orders", "events_tumbling_window", "events_session_window",
     "cdc_scd2_history", "cdc_incremental_agg",
     "funnel_click_purchase", "agg_distinct_users_exact",
-    "events_sessionization",
     "pipeline_corpus_curation",
 ]
 

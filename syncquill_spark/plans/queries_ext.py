@@ -676,6 +676,45 @@ SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
 """
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLICATION step of corpus dedup: resolve the MinHash
+    near-dup pairs to clusters and keep exactly one document per
+    cluster (the min id), passing untouched docs through — the
+    end-to-end "give me the deduped corpus" call (apply_dedup,
+    operators/clusters.py). Output is the kept (doc_id, lang) — the
+    drop list is sized by the duplicate count, applied with one
+    left-anti join; the corpus never shuffles payloads."""
+    from syncquill_spark.operators.clusters import apply_dedup
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        documents, k=3, n_perm=_N_PERM, bands=_BANDS, threshold=0.2
+    )
+    return apply_dedup(documents, pairs).select("doc_id", "lang")
+
+
+def _dedup_apply_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_sql()}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (SELECT u AS node, MIN(v) AS keeper FROM reach GROUP BY u),
+drops AS (SELECT node FROM cc WHERE node <> keeper)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM drops)
+"""
+
+
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram of the SimHash near-dup transitive
     closure — the dedup AUDIT a curation run reports before applying
@@ -3100,6 +3139,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_target_mix_tokens": q_curation_target_mix_tokens,
     "profile_referential": q_profile_referential,
     "dedup_cluster_stats": q_dedup_cluster_stats,
+    "dedup_apply": q_dedup_apply,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3173,4 +3213,5 @@ EXT_ORACLES: dict[str, str | None] = {
     "curation_target_mix_tokens": _target_mix_tokens_sql(),
     "profile_referential": _profile_referential_sql(),
     "dedup_cluster_stats": _cluster_stats_sql(),
+    "dedup_apply": _dedup_apply_sql(),
 }
