@@ -413,6 +413,78 @@ def pack_sequences(
     )
 
 
+def pack_sequences_ffd(
+    df: DataFrame,
+    budget: int,
+    stratify_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-fit-decreasing sequence packing — the higher-utilization
+    sibling of `pack_sequences` (contiguous cumsum packing wastes the
+    tail of every window; FFD places each doc, largest first, into the
+    first pack with room, the classic bin-packing heuristic with an
+    11/9·OPT + 1 guarantee).
+
+    FFD is inherently SEQUENTIAL per group (each placement depends on
+    all previous placements), so it cannot be a window expression —
+    this is the repo's grouped-map `applyInPandas` template: one Arrow
+    batch per stratum, the per-group loop in numpy-backed pandas, the
+    group key carried through. Determinism: docs are placed in
+    (n_tokens desc, id asc) order and bins probed first-fit in
+    creation order — no RNG, no partition-order dependence (each group
+    is processed whole).
+
+    Oversized docs (> budget) get their own pack, never split —
+    pack_sequences' convention. Output: (id, stratum, n_tokens,
+    pack_id) with pack ids dense from 0 per stratum.
+
+    Scale shape: one shuffle on the stratify key; per-group state is
+    the bin-remaining array (#packs ≈ Σtokens/budget). Shard giant
+    strata upstream by adding a hash-bucket column to the key, same
+    guidance as pack_sequences.
+    """
+    import pandas as pd
+
+    toks = token_counts(df, text_col=text_col, id_col=id_col).select(
+        id_col, "n_tokens_bpeish"
+    )
+    skinny = df.select(id_col, stratify_col).join(toks, id_col)
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens_bpeish", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []  # tokens left per pack
+        assigned = []
+        for t in pdf["n_tokens_bpeish"]:
+            for i, room in enumerate(remaining):
+                if t <= room:
+                    remaining[i] = room - t
+                    assigned.append(i)
+                    break
+            else:
+                remaining.append(max(budget - t, 0))
+                assigned.append(len(remaining) - 1)
+        pdf["pack_id"] = pd.Series(assigned, dtype="int64")
+        return pdf
+
+    out_schema = (
+        f"{id_col} long, {stratify_col} string, "
+        "n_tokens_bpeish long, pack_id long"
+    )
+    return (
+        skinny.groupBy(stratify_col)
+        .applyInPandas(pack, schema=out_schema)
+        .select(
+            id_col,
+            stratify_col,
+            F.col("n_tokens_bpeish").alias("n_tokens"),
+            "pack_id",
+        )
+    )
+
+
 def domain_quota(
     df: DataFrame,
     quota: int,

@@ -585,3 +585,62 @@ def test_target_mix_prefix_property_holds_for_random_corpora(
         for r in target_mix(df.repartition(7), {"en": k_big, "de": k_big}).collect()
     }
     assert again == big
+
+
+def test_pack_sequences_ffd_matches_reference_and_beats_cumsum(spark):
+    """FFD packing: matches a pure-Python first-fit-decreasing
+    reference exactly, never overfills a pack (except single oversize
+    docs), is partitioning-insensitive, and uses no more packs than
+    the contiguous cumsum packer on a fragmentation-prone input."""
+    from syncquill_spark.operators.curation import pack_sequences, pack_sequences_ffd
+
+    # token counts: "aaaa " * k -> k bpe-ish tokens
+    sizes = [7, 7, 7, 3, 3, 3, 3, 3, 1, 1] * 3
+    rows = [(i, ("aaaa " * s).strip(), "en") for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = pack_sequences_ffd(df, budget=10).collect()
+    got = {r.doc_id: (r.n_tokens, r.pack_id) for r in out}
+
+    # pure-Python FFD reference over the same (tokens desc, id) order
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+    remaining, expect = [], {}
+    for i in order:
+        t = sizes[i]
+        for b, room in enumerate(remaining):
+            if t <= room:
+                remaining[b] = room - t
+                expect[i] = b
+                break
+        else:
+            remaining.append(max(10 - t, 0))
+            expect[i] = len(remaining) - 1
+    assert {k: v[1] for k, v in got.items()} == expect
+    # no pack over budget
+    fill: dict = {}
+    for _, (t, p) in got.items():
+        fill[p] = fill.get(p, 0) + t
+    assert all(v <= 10 for v in fill.values())
+    # fewer-or-equal packs than the contiguous cumsum packer
+    cumsum_packs = {
+        r.pack_id for r in pack_sequences(df, budget=10, stratify_col="lang").collect()
+    }
+    assert len(fill) <= len(cumsum_packs)
+    # partitioning-insensitive
+    again = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences_ffd(df.repartition(5), budget=10).collect()
+    }
+    assert again == {k: v[1] for k, v in got.items()}
+
+
+def test_pack_sequences_ffd_oversize_doc_gets_own_pack(spark):
+    from syncquill_spark.operators.curation import pack_sequences_ffd
+
+    df = spark.createDataFrame(
+        [(1, "aaaa " * 30, "en"), (2, "aaaa", "en"), (3, "aaaa", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in pack_sequences_ffd(df, budget=10).collect()}
+    assert out[1].n_tokens == 30
+    # the oversize doc sits alone; the small docs share a different pack
+    assert out[2].pack_id == out[3].pack_id != out[1].pack_id
