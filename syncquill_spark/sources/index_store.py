@@ -1,0 +1,55 @@
+"""Persisted similarity/dedup indexes: the build-once / query-forever
+lifecycle the ingest-time operators assume.
+
+The index builders (`streaming/text_dedup.build_text_hash_index` /
+`build_text_minhash_index`, `streaming/vector_dedup.build_embedding_index`)
+return one or more DataFrames (band keys, shingle sets, quantized
+vectors). Within one job those persist in memory; ACROSS jobs — the
+real deployment: a nightly corpus pass builds the index, every ingest
+micro-batch for the next day joins against it — they must live in
+storage. An index here is a directory of parquet parts plus a
+manifest naming them, written via the same staging-swap atomicity as
+ParquetTable (readers see the old or the new index, never a mix of
+parts from different builds — joining band keys from build N with
+shingles from build N-1 would produce silently-wrong verifies).
+
+Scale shape: each part is written partitioned however the caller's
+frame is partitioned; band-key parts are skinny (id, band, key)
+tables that bucket-join against each batch; re-building is one corpus
+pass, reading is zero passes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_index(path: str, **parts: DataFrame) -> None:
+    """Write named DataFrame parts + manifest atomically (staging dir
+    + rename). At least one part required."""
+    if not parts:
+        raise ValueError("save_index needs at least one named part")
+    staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging)
+    for name, df in parts.items():
+        df.write.mode("overwrite").parquet(os.path.join(staging, name))
+    with open(os.path.join(staging, "_index_manifest.json"), "w") as fh:
+        json.dump({"parts": sorted(parts)}, fh)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def load_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Load every part named by the manifest as a DataFrame."""
+    with open(os.path.join(path, "_index_manifest.json")) as fh:
+        manifest = json.load(fh)
+    return {
+        name: spark.read.parquet(os.path.join(path, name))
+        for name in manifest["parts"]
+    }

@@ -1,0 +1,87 @@
+"""Persisted index lifecycle (sources/index_store.py): save/load
+round trip preserves dedup results exactly; writes are atomic."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from syncquill_spark.sources.index_store import load_index, save_index
+
+
+def test_minhash_index_round_trip_preserves_matches(spark, tmp_path, sf_dir):
+    """Build the corpus MinHash index, persist it, reload it, and run
+    the ingest-time fuzzy gate against both — identical match sets.
+    This is the nightly-build / per-batch-query deployment shape."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.streaming.text_dedup import (
+        build_text_minhash_index,
+        stream_text_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    keys, shingles = build_text_minhash_index(corpus)
+    idx_path = str(tmp_path / "minhash_idx")
+    save_index(idx_path, keys=keys, shingles=shingles)
+    loaded = load_index(spark, idx_path)
+    assert set(loaded) == {"keys", "shingles"}
+
+    def matches(k, s):
+        return sorted(
+            (r.stream_id, r.corpus_id)
+            for r in stream_text_near_dups(new_batch, k, s, threshold=0.2)
+            .select("stream_id", "corpus_id")
+            .dropDuplicates()
+            .collect()
+        )
+
+    fresh = matches(keys, shingles)
+    persisted = matches(loaded["keys"], loaded["shingles"])
+    assert fresh == persisted and len(fresh) > 0
+
+
+def test_embedding_index_round_trip(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.streaming.vector_dedup import (
+        build_embedding_index,
+        stream_embedding_near_dups,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    new_batch = emb.filter(F.col("vec_id") % 5 == 0)
+    built = build_embedding_index(corpus)
+    keys, vecs = built if isinstance(built, tuple) else (built, None)
+    idx_path = str(tmp_path / "emb_idx")
+    save_index(idx_path, keys=keys, vecs=vecs)
+    loaded = load_index(spark, idx_path)
+
+    def matches(k, v):
+        return sorted(
+            (r.stream_id, r.corpus_id)
+            for r in stream_embedding_near_dups(new_batch, k, v, threshold=0.3)
+            .select("stream_id", "corpus_id")
+            .dropDuplicates()
+            .collect()
+        )
+
+    assert matches(keys, vecs) == matches(loaded["keys"], loaded["vecs"])
+
+
+def test_save_index_atomic_overwrite_and_guards(spark, tmp_path):
+    df1 = spark.createDataFrame([(1,)], "x long")
+    df2 = spark.createDataFrame([(2,), (3,)], "x long")
+    p = str(tmp_path / "idx")
+    save_index(p, part=df1)
+    assert [r.x for r in load_index(spark, p)["part"].collect()] == [1]
+    save_index(p, part=df2)  # full replacement, no stale parts
+    assert sorted(r.x for r in load_index(spark, p)["part"].collect()) == [2, 3]
+    assert os.path.exists(os.path.join(p, "_index_manifest.json"))
+    with pytest.raises(ValueError):
+        save_index(str(tmp_path / "empty"))
