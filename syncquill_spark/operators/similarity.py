@@ -601,6 +601,26 @@ def semantic_dedup_pairs(
 LLOYD_SCALE = 1_000_000
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF centroid index: (cell_id, centroid) with unit
+    centroids — steps 1 (deterministic md5 sample) and the optional
+    spherical-Lloyd refinement of `ivf_topk`'s docstring, extracted so
+    the index can be built ONCE, persisted (`sources/index_store`),
+    and passed to any number of later `ivf_topk(..., centroids=...)`
+    query batches — the nightly-build / per-batch-query lifecycle.
+    Deterministic and engine-exact (see ivf_topk for the arithmetic
+    contract); n_cells rows, trivially broadcastable.
+    """
+    cents = _ivf_centroids(corpus, n_cells, refine_iters, id_col, vec_col)
+    return cents.select("cell_id", F.col("_ucv").alias("centroid"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -611,6 +631,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     refine_iters: int = 0,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the
     partition-and-probe scale path alongside `lsh_topk`.
@@ -651,8 +672,73 @@ def ivf_topk(
     iteration costs one broadcast assignment pass + one skinny
     (cell, pos) aggregation — no corpus shuffle.
 
+    ``centroids``: pass a prebuilt (cell_id, centroid) index
+    (`ivf_build_index`, possibly reloaded via `sources/index_store`)
+    to skip the build entirely — n_cells/refine_iters are then
+    ignored. Same results by construction (the index IS the build
+    output).
+
     Output: (query_id, neighbor_id, rk) — ints only, hash-stable.
     """
+    if centroids is not None:
+        cents = centroids.select(
+            "cell_id", F.col("centroid").alias("_ucv")
+        )
+    else:
+        cents = _ivf_centroids(corpus, n_cells, refine_iters, id_col, vec_col)
+
+    def best_cells(side: DataFrame, side_id: str, n: int) -> DataFrame:
+        """Per row of `side`: its `n` highest-dot cells (ties → lower
+        cell_id). Broadcast NL join against the tiny centroid table."""
+        scored = side.join(F.broadcast(cents)).select(
+            side_id,
+            "cell_id",
+            F.col(vec_col).alias(vec_col),
+            dot_arrow(F.col(vec_col), F.col("_ucv")).alias("_cs"),
+        )
+        w = Window.partitionBy(side_id).orderBy(
+            F.col("_cs").desc(), F.col("cell_id").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(side_id, "cell_id", vec_col)
+        )
+
+    assigned = best_cells(
+        _spread(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)),
+        "neighbor_id",
+        1,
+    ).withColumnRenamed(vec_col, "_cvec")
+    probed = best_cells(
+        queries.select(query_id_col, vec_col), query_id_col, nprobe
+    ).withColumnRenamed(vec_col, "_qvec")
+
+    scored = assigned.join(F.broadcast(probed), "cell_id").select(
+        query_id_col,
+        "neighbor_id",
+        cosine_similarity_arrow(F.col("_qvec"), F.col("_cvec")).alias("_score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", "rk")
+    )
+
+
+def _ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    refine_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(cell_id, _ucv) unit centroids — the build phase shared by
+    ivf_topk and ivf_build_index; arithmetic contract documented on
+    ivf_topk."""
     # Deterministic "sample without replacement": total order by
     # (md5(id), id), take n_cells. orderBy+limit is TakeOrdered — a
     # distributed partial top-k, not a global sort.
@@ -752,46 +838,7 @@ def ivf_topk(
         if prev_cents.is_cached:
             prev_cents.unpersist()
 
-    def best_cells(side: DataFrame, side_id: str, n: int) -> DataFrame:
-        """Per row of `side`: its `n` highest-dot cells (ties → lower
-        cell_id). Broadcast NL join against the tiny centroid table."""
-        scored = side.join(F.broadcast(cents)).select(
-            side_id,
-            "cell_id",
-            F.col(vec_col).alias(vec_col),
-            dot_arrow(F.col(vec_col), F.col("_ucv")).alias("_cs"),
-        )
-        w = Window.partitionBy(side_id).orderBy(
-            F.col("_cs").desc(), F.col("cell_id").asc()
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .select(side_id, "cell_id", vec_col)
-        )
-
-    assigned = best_cells(
-        _spread(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)),
-        "neighbor_id",
-        1,
-    ).withColumnRenamed(vec_col, "_cvec")
-    probed = best_cells(
-        queries.select(query_id_col, vec_col), query_id_col, nprobe
-    ).withColumnRenamed(vec_col, "_qvec")
-
-    scored = assigned.join(F.broadcast(probed), "cell_id").select(
-        query_id_col,
-        "neighbor_id",
-        cosine_similarity_arrow(F.col("_qvec"), F.col("_cvec")).alias("_score"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("_score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(query_id_col, "neighbor_id", "rk")
-    )
+    return cents
 
 
 def lsh_topk(

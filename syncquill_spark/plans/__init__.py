@@ -45,10 +45,13 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    setop_customers_without_orders, scalar_functions;
 #  - curation_fuzzy_decontaminate (r05-green, plan profiled this
 #    round per verdict #3), curation_domain_quota (r05-green, plan
-#    CHANGED: hot-domain two-stage top-k auto-engage), and
-#    dedup_clusters (r05-green, plan CHANGED: the CC convergence
-#    probe now detects a one-step fixpoint mid-cycle);
-#  - 24 of the 40 rows whose last driver-green is r04 (the stalest
+#    CHANGED: hot-domain two-stage top-k auto-engage), dedup_clusters
+#    (r05-green, plan CHANGED: the CC convergence probe now detects a
+#    one-step fixpoint mid-cycle), and similarity_topk_ivf /
+#    similarity_topk_ivf_refined (r05-green, build phase extracted to
+#    ivf_build_index for the persisted-index lifecycle — outputs
+#    hash-identical, in-window per the shared-helper rule);
+#  - 22 of the 40 rows whose last driver-green is r04 (the stalest
 #    remaining tier), including dedup_incremental / dedup_minhash_lsh
 #    (share the MinHash plumbing the fuzzy-decontaminate tuning may
 #    touch).
@@ -58,9 +61,10 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # curation_sample_stratified, curation_decontaminate,
 # curation_hash_split, storage_zorder_key, agg_quantiles_approx_check,
 # window_running_total, join_events_customers, events_sliding_window,
-# agg_distinct_users_approx, events_sessionization — pure projections
-# / windows / aggregations over untouched loaders; they MUST lead the
-# r07 window. The 47 other r05-green rows rotate out at staleness 1.
+# agg_distinct_users_approx, events_sessionization,
+# events_tumbling_window, events_session_window — pure projections /
+# windows / aggregations over untouched loaders; they MUST lead the
+# r07 window. The 45 other r05-green rows rotate out at staleness 1.
 _PRIORITY = [
     "similarity_ann_recall", "text_chunk_documents",
     "curation_leakage_split", "text_segment_dedup",
@@ -73,14 +77,14 @@ _PRIORITY = [
     "embedding_quantize", "join_revenue_by_nation", "window_topk_orders",
     "setop_customers_without_orders", "scalar_functions",
     "curation_fuzzy_decontaminate", "curation_domain_quota",
-    "dedup_clusters",
+    "dedup_clusters", "similarity_topk_ivf", "similarity_topk_ivf_refined",
     "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "multimodal_features", "profile_documents",
     "text_quality_rules", "text_bm25", "embedding_label_centroids",
     "text_token_counts", "text_term_stats", "text_readability",
     "text_sentences_udtf", "text_fingerprint",
     "join_asof_signup", "join_range_shipments", "join_binned_range",
-    "agg_rollup_orders", "events_tumbling_window", "events_session_window",
+    "agg_rollup_orders",
     "cdc_scd2_history", "cdc_incremental_agg",
     "funnel_click_purchase", "agg_distinct_users_exact",
     "pipeline_corpus_curation",

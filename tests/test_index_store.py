@@ -85,3 +85,29 @@ def test_save_index_atomic_overwrite_and_guards(spark, tmp_path):
     assert os.path.exists(os.path.join(p, "_index_manifest.json"))
     with pytest.raises(ValueError):
         save_index(str(tmp_path / "empty"))
+
+
+def test_ivf_index_round_trip_and_prebuilt_centroids(spark, tmp_path, sf_dir):
+    """ivf_build_index -> save -> load -> ivf_topk(centroids=loaded)
+    returns EXACTLY what the inline build returns (both refine
+    settings) — the ANN index's nightly-build lifecycle."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.similarity import ivf_build_index, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for refine in (0, 2):
+        idx = ivf_build_index(emb, n_cells=16, refine_iters=refine)
+        p = str(tmp_path / f"ivf_{refine}")
+        save_index(p, centroids=idx)
+        loaded = load_index(spark, p)["centroids"]
+        inline = sorted(
+            tuple(r) for r in ivf_topk(emb, queries, k=5, refine_iters=refine).collect()
+        )
+        from_index = sorted(
+            tuple(r) for r in ivf_topk(emb, queries, k=5, centroids=loaded).collect()
+        )
+        assert inline == from_index and len(inline) > 0
