@@ -23,7 +23,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # last driver-green row more than 2 rounds old.
 #
 # Round-6 window, in order:
-#  - the 15 queries NEW this round: similarity_ann_recall,
+#  - the 16 queries NEW this round: similarity_ann_recall,
 #    text_chunk_documents, curation_leakage_split, text_segment_dedup
 #    (each promoted from a pytest DuckDB twin to a registry oracle per
 #    the round-5 verdict's #1), join_market_share / join_product_profit
@@ -36,7 +36,9 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    profile_referential (FK-orphan audit over every fixture edge) and
 #    dedup_cluster_stats (cluster-size histogram: CC composed with the
 #    SimHash pair emitter) and dedup_apply (keep-one-per-cluster over
-#    the MinHash pairs — the application step, formerly unit-only);
+#    the MinHash pairs — the application step, formerly unit-only),
+#    and pipeline_training_mix (the capstone composition:
+#    fuzzy decontaminate -> exact dedup -> target mix -> accounting);
 #    new plans always enter the window;
 #  - the 8 rows whose last driver-green is r03 (staleness 2 — the
 #    round-5 verdict's #2 names them as mandatory leads):
@@ -51,7 +53,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    similarity_topk_ivf_refined (r05-green, build phase extracted to
 #    ivf_build_index for the persisted-index lifecycle — outputs
 #    hash-identical, in-window per the shared-helper rule);
-#  - 22 of the 40 rows whose last driver-green is r04 (the stalest
+#  - 21 of the 40 rows whose last driver-green is r04 (the stalest
 #    remaining tier), including dedup_incremental / dedup_minhash_lsh
 #    (share the MinHash plumbing the fuzzy-decontaminate tuning may
 #    touch).
@@ -62,9 +64,10 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # curation_hash_split, storage_zorder_key, agg_quantiles_approx_check,
 # window_running_total, join_events_customers, events_sliding_window,
 # agg_distinct_users_approx, events_sessionization,
-# events_tumbling_window, events_session_window — pure projections /
-# windows / aggregations over untouched loaders; they MUST lead the
-# r07 window. The 45 other r05-green rows rotate out at staleness 1.
+# events_tumbling_window, events_session_window, agg_rollup_orders —
+# pure projections / windows / aggregations over untouched loaders;
+# they MUST lead the r07 window. The 44 other r05-green rows rotate
+# out at staleness 1.
 _PRIORITY = [
     "similarity_ann_recall", "text_chunk_documents",
     "curation_leakage_split", "text_segment_dedup",
@@ -72,7 +75,7 @@ _PRIORITY = [
     "curation_target_mix_tokens", "join_min_cost_supplier",
     "agg_important_stock", "agg_supplier_part_types",
     "join_excess_inventory", "profile_referential", "dedup_cluster_stats",
-    "dedup_apply",
+    "dedup_apply", "pipeline_training_mix",
     "dedup_exact", "curation_redact_pii", "curation_pack_sequences",
     "embedding_quantize", "join_revenue_by_nation", "window_topk_orders",
     "setop_customers_without_orders", "scalar_functions",
@@ -84,7 +87,6 @@ _PRIORITY = [
     "text_token_counts", "text_term_stats", "text_readability",
     "text_sentences_udtf", "text_fingerprint",
     "join_asof_signup", "join_range_shipments", "join_binned_range",
-    "agg_rollup_orders",
     "cdc_scd2_history", "cdc_incremental_agg",
     "funnel_click_purchase", "agg_distinct_users_exact",
     "pipeline_corpus_curation",

@@ -2644,12 +2644,12 @@ def q_curation_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def _fuzzy_decontaminate_sql() -> str:
-    """Oracle twin of q_curation_fuzzy_decontaminate: the minhash
-    pipeline of _minhash_sql with the candidate join re-aimed at
-    corpus x eval, wrapped in the per-lang keep/drop aggregation.
-    Patch-targets asserted so a reshape of _minhash_sql fails here at
-    import, not as an audit-time mismatch."""
+def _fuzzy_pairs_sql() -> str:
+    """The corpus x eval MinHash pair pipeline: _minhash_sql with the
+    candidate join re-aimed at corpus (doc_id % 17 != 0) x eval
+    (% 17 == 0). Patch-targets asserted so a reshape of _minhash_sql
+    fails here at import, not as an audit-time mismatch. Shared by the
+    fuzzy-decontaminate oracle and the training-mix pipeline oracle."""
     base = _minhash_sql()
     cand_old = """cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2663,11 +2663,17 @@ def _fuzzy_decontaminate_sql() -> str:
    AND a.doc_id % {_FUZZY_EVAL_MOD} != 0 AND b.doc_id % {_FUZZY_EVAL_MOD} = 0
 )"""
     assert base.count(cand_old) == 1, (
-        "_minhash_sql changed shape; update _fuzzy_decontaminate_sql"
+        "_minhash_sql changed shape; update _fuzzy_pairs_sql"
     )
-    pairs = base.replace(cand_old, cand_new)
+    return base.replace(cand_old, cand_new)
+
+
+def _fuzzy_decontaminate_sql() -> str:
+    """Oracle twin of q_curation_fuzzy_decontaminate: the shared
+    corpus x eval pair pipeline wrapped in the per-lang keep/drop
+    aggregation."""
     return f"""
-WITH pairs AS ({pairs}),
+WITH pairs AS ({_fuzzy_pairs_sql()}),
 contaminated AS (SELECT DISTINCT id_a AS doc_id FROM pairs)
 SELECT d.lang,
        COUNT(*) AS n_total,
@@ -2676,6 +2682,82 @@ SELECT d.lang,
 FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
 WHERE d.doc_id % {_FUZZY_EVAL_MOD} != 0
 GROUP BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pipeline: full training-mix composition
+# ---------------------------------------------------------------------------
+
+_PIPE_MIX_TARGETS = {"en": 100, "zh": 40, "de": 30}
+
+
+def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pass, composed from this repo's
+    operators in production order: fuzzy benchmark decontamination
+    (MinHash corpus x eval, eval = doc_id % 17 == 0) -> exact dedup
+    (keep min doc_id per distinct text) -> target mixture (per-lang
+    document budgets, prefix-stable) -> per-lang doc + token
+    accounting. One declarative plan end to end — nothing
+    materializes between stages, and every stage reuses a registry
+    operator whose oracle twin composes into this query's oracle."""
+    from syncquill_spark.operators.curation import fuzzy_decontaminate, target_mix
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % _FUZZY_EVAL_MOD != 0)
+    eval_df = documents.filter(F.col("doc_id") % _FUZZY_EVAL_MOD == 0)
+    clean = fuzzy_decontaminate(
+        corpus, eval_df, k=3, n_perm=_N_PERM, bands=_BANDS, threshold=0.2
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    keep = (
+        clean.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    mixed = target_mix(keep, _PIPE_MIX_TARGETS)
+    toks = token_counts(mixed).select("doc_id", "n_tokens_bpeish")
+    return (
+        mixed.join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_bpeish").alias("total_tokens"),
+        )
+    )
+
+
+def _pipeline_training_mix_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    h = _H60.format(x="'mix-v1:' || CAST(doc_id AS VARCHAR)")
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _PIPE_MIX_TARGETS.items())
+    return f"""
+WITH pairs AS ({_fuzzy_pairs_sql()}),
+contaminated AS (SELECT DISTINCT id_a AS doc_id FROM pairs),
+clean AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d
+  WHERE d.doc_id % {_FUZZY_EVAL_MOD} != 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+keep AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM clean) t WHERE rn = 1
+),
+mix AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY {h} ASC, doc_id ASC) AS mix_rank
+    FROM keep) t
+  WHERE mix_rank <= CASE lang {case} ELSE 0 END
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(list_sum(list_transform({toks},
+           t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT)) AS BIGINT)
+         AS total_tokens
+FROM mix GROUP BY lang
 """
 
 
@@ -3140,6 +3222,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_referential": q_profile_referential,
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "dedup_apply": q_dedup_apply,
+    "pipeline_training_mix": q_pipeline_training_mix,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3214,4 +3297,5 @@ EXT_ORACLES: dict[str, str | None] = {
     "profile_referential": _profile_referential_sql(),
     "dedup_cluster_stats": _cluster_stats_sql(),
     "dedup_apply": _dedup_apply_sql(),
+    "pipeline_training_mix": _pipeline_training_mix_sql(),
 }
