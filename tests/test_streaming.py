@@ -497,3 +497,39 @@ def test_ingest_gate_composition_on_stream(spark, tmp_path):
     )
     assert [r.doc_id for r in out] == [11]
     assert "<EMAIL>" in out[0].text_redacted and out[0].n_emails == 1
+
+
+def test_quality_filter_one_code_path_batch_and_stream(spark, sf_dir, tmp_path):
+    """The text-quality gate is a stateless projection+filter, so the
+    SAME operator runs unchanged on a stream — batch and streaming
+    keep-sets must be identical (the repo's one-code-path / two-modes
+    contract, proven here for the quality stage like incremental_sync
+    proves it for diff/apply)."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_kept = {r.doc_id for r in quality_filter(docs).select("doc_id").collect()}
+
+    # the streaming file source needs a DIRECTORY; stage the single
+    # fixture file into one (fixtures are read-only — copy, not move)
+    import shutil
+
+    stage = tmp_path / "docs_stream"
+    stage.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", stage / "part-000.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(str(stage))
+    q = (
+        quality_filter(stream.select(docs.columns))
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("quality_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_kept = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM quality_stream").collect()
+    }
+    assert stream_kept == batch_kept and len(batch_kept) > 0
