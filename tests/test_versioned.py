@@ -154,3 +154,54 @@ def test_streaming_sync_versions_every_microbatch(spark, tmp_path):
     assert final == {"1", "2", "3"}
     # time travel: the pre-stream snapshot is intact
     assert {r.slno for r in t.read_version(spark, 1).collect()} == {"1"}
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("overwrite"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("append"), st.lists(st.integers(10, 19), min_size=1, max_size=2)),
+        st.tuples(st.just("rollback"), st.integers(0, 5)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=_ops)
+def test_versioned_table_matches_sequential_model(spark, tmp_path, ops):
+    """Model-based property: any sequence of overwrite/append/rollback
+    leaves the table reading exactly what a trivial in-memory model
+    says, and every retained snapshot stays immutable."""
+    import uuid as _uuid
+
+    t = VersionedParquetTable(str(tmp_path / f"t_{_uuid.uuid4().hex[:8]}"))
+    model_versions: dict[int, list[int]] = {}
+    current = None
+    next_v = 1
+    for op, arg in ops:
+        if op == "overwrite":
+            t.overwrite(_df(spark, arg))
+            model_versions[next_v] = sorted(arg)
+            current = next_v
+            next_v += 1
+        elif op == "append":
+            t.append(_df(spark, arg))
+            base = model_versions.get(current, [])
+            model_versions[next_v] = sorted(base + arg)
+            current = next_v
+            next_v += 1
+        else:  # rollback to the arg-th retained version if it exists
+            vs = t.versions()
+            if vs:
+                target = vs[arg % len(vs)]
+                t.rollback(target)
+                current = target
+    if current is None:
+        return
+    assert _ids(t.read(spark)) == model_versions[current]
+    # every retained snapshot still reads exactly its model content
+    for v in t.versions():
+        assert _ids(t.read_version(spark, v)) == model_versions[v]
