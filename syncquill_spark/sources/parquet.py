@@ -154,6 +154,15 @@ class VersionedParquetTable(Table):
     equivalent of their manifest-pointer design, which is exactly why
     the pointer flip, not a directory rename, is the commit point.
 
+    Concurrency contract: SINGLE WRITER, many readers. Readers are
+    always safe (they see a complete old or new manifest). Two
+    concurrent writers race the manifest's read-modify-write —
+    last-commit-wins and the loser's version is silently dropped from
+    the manifest (its directory orphans). Table formats solve this
+    with compare-and-swap on the pointer; on a single FS, serialize
+    writers (one sync job per table — the CDC deployment shape) or
+    front the commit with an external lock.
+
     ``max_versions`` bounds retained snapshots (oldest pruned after
     commit; the current and rollback targets within the window stay
     readable).
