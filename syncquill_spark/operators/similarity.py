@@ -838,6 +838,13 @@ def _ivf_centroids(
         if prev_cents.is_cached:
             prev_cents.unpersist()
 
+    if refine_iters > 0:
+        # the final cents frame is materialized in its own cache; the
+        # unit-vector frame's job is done — release it rather than
+        # letting a corpus-sized cache linger for the caller's session
+        # (an evicted cents partition would recompute through u's
+        # lineage, just slower — correctness unaffected)
+        u.unpersist()
     return cents
 
 
