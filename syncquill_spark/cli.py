@@ -8,7 +8,9 @@ parquet: every sync/upsert lands as a new immutable version),
 ``bq:dataset.table``, ``sheets:spreadsheet_id/range``. The
 ``versions`` / ``rollback --to N`` actions inspect and flip a
 versioned target's manifest pointer (metadata-only, no Spark
-session).
+session). ``ingest --source textdir:/dir|mediadir:/dir --out p``
+converts a raw text or media corpus to parquet; ``sql "<stmt>"``
+runs ad-hoc ANSI SQL over the fixture views.
 """
 
 from __future__ import annotations
@@ -88,7 +90,8 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "action",
         choices=[
-            "sync", "upsert", "query", "queries", "sql", "versions", "rollback",
+            "sync", "upsert", "query", "queries", "sql", "versions",
+            "rollback", "ingest",
         ],
     )
     p.add_argument("name", nargs="?", help="query name (for the `query` action)")
@@ -108,6 +111,11 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     )
     p.add_argument(
         "--to", type=int, help="version number (for the `rollback` action)"
+    )
+    p.add_argument("--glob", help="file glob for the `ingest` action")
+    p.add_argument(
+        "--per-line", action="store_true",
+        help="ingest one doc per LINE instead of per file (textdir only)",
     )
     return p.parse_args(argv)
 
@@ -162,6 +170,34 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.out}")
         else:
             df.show(args.limit, truncate=False)
+        return 0
+    if args.action == "ingest":
+        # raw-corpus -> parquet: textdir:/path (one doc per file, or
+        # --per-line) and mediadir:/path (binary payloads + metadata)
+        src = _resolve(args.source, "SYNC_SOURCE")
+        if not args.out:
+            print("ingest needs --out <parquet path>", file=sys.stderr)
+            return 2
+        scheme, _, rest = src.partition(":")
+        spark = get_spark("syncquill-spark-cli")
+        if scheme == "textdir":
+            from syncquill_spark.sources.text_files import read_text_dir
+
+            df = read_text_dir(
+                spark, rest, per_line=args.per_line, glob=args.glob
+            )
+        elif scheme == "mediadir":
+            from syncquill_spark.sources.media_files import read_media_dir
+
+            df = read_media_dir(spark, rest, glob=args.glob)
+        else:
+            print(
+                f"ingest supports textdir:/path or mediadir:/path, got {src!r}",
+                file=sys.stderr,
+            )
+            return 2
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"ingested {df.count()} rows -> {args.out}")
         return 0
     if args.action in ("versions", "rollback"):
         from syncquill_spark.sources.parquet import VersionedParquetTable

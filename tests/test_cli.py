@@ -64,3 +64,20 @@ def test_cli_sql_over_fixture_views(spark, capsys):
     assert rc == 0
     assert "5" in capsys.readouterr().out
     assert main(["sql", "--sf-dir", "/root/testdata/sf0.001"]) == 2
+
+
+def test_cli_ingest_textdir(spark, tmp_path, capsys):
+    from syncquill_spark.cli import main
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("doc one")
+    (d / "b.txt").write_text("doc two")
+    out = str(tmp_path / "docs.pq")
+    assert main(["ingest", "--source", f"textdir:{d}", "--out", out]) == 0
+    assert "2 rows" in capsys.readouterr().out
+    got = sorted(r.text for r in spark.read.parquet(out).collect())
+    assert got == ["doc one", "doc two"]
+    # guard rails
+    assert main(["ingest", "--source", f"textdir:{d}"]) == 2
+    assert main(["ingest", "--source", f"bogus:{d}", "--out", out]) == 2

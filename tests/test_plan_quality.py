@@ -187,3 +187,13 @@ def test_important_stock_threshold_is_broadcast(spark, sf_dir):
     over a 1-row broadcast), never a shuffle."""
     plan = _plan(QUERIES["agg_important_stock"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2500]
+
+
+def test_training_mix_pipeline_has_no_cartesian(spark, sf_dir):
+    """pipeline_training_mix chains four stages into one plan — no
+    stage may degrade to a cartesian product, and the eval-side
+    restriction must reach the scan as a pushed filter."""
+    plan = _plan(QUERIES["pipeline_training_mix"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2500]
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), plan[:2000]
