@@ -197,7 +197,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         df.write.mode("overwrite").parquet(args.out)
-        print(f"ingested {df.count()} rows -> {args.out}")
+        # count the WRITTEN table, not the source plan — a re-count of
+        # the source would re-scan (and for mediadir re-read payloads)
+        n = spark.read.parquet(args.out).count()
+        print(f"ingested {n} rows -> {args.out}")
         return 0
     if args.action in ("versions", "rollback"):
         from syncquill_spark.sources.parquet import VersionedParquetTable
