@@ -251,6 +251,30 @@ class VersionedParquetTable(Table):
         m["current"] = n
         self._commit(m)
 
+    def vacuum(self) -> list[int]:
+        """Remove version DIRECTORIES not referenced by the manifest —
+        the debris of a writer that crashed after writing data but
+        before the manifest commit (the commit point is the pointer
+        flip, so such a version was never visible). Returns the
+        version numbers removed. Safe to run any time under the
+        single-writer contract: an in-flight writer stages under a
+        different naming scheme (``.__staging_*``) and flips the
+        manifest before its ``__v{N}`` exists... more precisely, the
+        version dir exists BEFORE the flip, so only vacuum while no
+        write is in flight — same serialization rule as writes.
+        """
+        import glob as _glob
+        import re as _re
+
+        live = set(self._load()["versions"])
+        removed = []
+        for d in _glob.glob(f"{self.path}.__v*"):
+            m = _re.fullmatch(_re.escape(self.path) + r"\.__v(\d+)", d)
+            if m and int(m.group(1)) not in live:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(int(m.group(1)))
+        return sorted(removed)
+
     def _prune(self, manifest: dict) -> None:
         # retain the newest max_versions snapshots, but never delete
         # the current pointer's target

@@ -205,3 +205,22 @@ def test_versioned_table_matches_sequential_model(spark, tmp_path, ops):
     # every retained snapshot still reads exactly its model content
     for v in t.versions():
         assert _ids(t.read_version(spark, v)) == model_versions[v]
+
+
+def test_vacuum_removes_only_orphaned_versions(spark, tmp_path):
+    """A crash between data write and manifest commit leaves a version
+    directory the manifest never references; vacuum removes exactly
+    those and never a live snapshot."""
+    import shutil as _sh
+
+    t = VersionedParquetTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [1]))
+    t.overwrite(_df(spark, [2]))
+    # simulate the crashed writer: a data dir with no manifest entry
+    _sh.copytree(str(tmp_path / "t.__v2"), str(tmp_path / "t.__v9"))
+    assert t.vacuum() == [9]
+    assert not os.path.exists(str(tmp_path / "t.__v9"))
+    # live versions untouched, table still reads
+    assert t.versions() == [1, 2]
+    assert _ids(t.read(spark)) == [2] and _ids(t.read_version(spark, 1)) == [1]
+    assert t.vacuum() == []  # idempotent
