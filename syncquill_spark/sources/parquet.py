@@ -256,12 +256,11 @@ class VersionedParquetTable(Table):
         the debris of a writer that crashed after writing data but
         before the manifest commit (the commit point is the pointer
         flip, so such a version was never visible). Returns the
-        version numbers removed. Safe to run any time under the
-        single-writer contract: an in-flight writer stages under a
-        different naming scheme (``.__staging_*``) and flips the
-        manifest before its ``__v{N}`` exists... more precisely, the
-        version dir exists BEFORE the flip, so only vacuum while no
-        write is in flight — same serialization rule as writes.
+        version numbers removed. A writer creates its ``__v{N}``
+        directory BEFORE the manifest flip, so a vacuum racing an
+        in-flight write would delete the version being committed —
+        run it only while no write is in flight, the same
+        serialization rule the single-writer contract already imposes.
         """
         import glob as _glob
         import re as _re
