@@ -469,9 +469,18 @@ def pack_sequences_ffd(
         pdf["pack_id"] = pd.Series(assigned, dtype="int64")
         return pdf
 
-    out_schema = (
-        f"{id_col} long, {stratify_col} string, "
-        "n_tokens_bpeish long, pack_id long"
+    # Field types come from the input schema, not hardcoded long/string
+    # — a string id or an int stratum must not die on an Arrow schema
+    # mismatch inside the grouped map (ADVICE r06).
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField(stratify_col, df.schema[stratify_col].dataType),
+            T.StructField("n_tokens_bpeish", T.LongType()),
+            T.StructField("pack_id", T.LongType()),
+        ]
     )
     return (
         skinny.groupBy(stratify_col)

@@ -1,0 +1,77 @@
+"""Atomic directory replacement for staging-swap writers.
+
+``ParquetTable.overwrite`` and ``index_store.save_index`` both write a
+complete staging directory and then make it the live one. The naive
+swap (``rmtree(target)`` then ``rename(staging, target)``) leaves a
+window — as long as the rmtree of the OLD data — in which the target
+path does not exist at all, so a reader starting inside it fails with
+ENOENT. This module closes that window:
+
+- On Linux, ``renameat2(..., RENAME_EXCHANGE)`` swaps the two
+  directory entries in ONE atomic syscall: every point in time shows a
+  complete old or complete new directory. The old data (now at the
+  staging name) is removed afterwards, off the critical path.
+- Where the exchange is unavailable (non-Linux, old glibc,
+  cross-device staging), fall back to rename-aside: rename the old
+  dir to a trash name, rename staging in, rmtree the trash. The
+  not-exists window shrinks from O(#old files) unlinks to the gap
+  between two metadata-only renames.
+
+Readers mid-scan are safe in both paths on POSIX: files they already
+hold open survive the unlink until the handle closes. The remaining
+contract is the same single-WRITER rule every swap-based table here
+documents. Object stores have neither rename nor exchange — use a
+manifest-pointer table (``VersionedParquetTable`` locally,
+Delta/Iceberg on s3/gs) there.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import shutil
+import sys
+import uuid
+
+_AT_FDCWD = -100
+_RENAME_EXCHANGE = 2  # <linux/fs.h>
+
+
+def _exchange(a: str, b: str) -> bool:
+    """Atomically swap two paths via renameat2(RENAME_EXCHANGE).
+    Returns False (leaving both paths untouched) where unsupported."""
+    if sys.platform != "linux":
+        return False
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        renameat2 = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    renameat2.restype = ctypes.c_int
+    rc = renameat2(
+        ctypes.c_int(_AT_FDCWD),
+        os.fsencode(a),
+        ctypes.c_int(_AT_FDCWD),
+        os.fsencode(b),
+        ctypes.c_uint(_RENAME_EXCHANGE),
+    )
+    return rc == 0
+
+
+def atomic_replace_dir(staging: str, target: str) -> None:
+    """Make ``staging`` the directory at ``target``, removing whatever
+    was there. Atomic (readers see complete-old or complete-new, never
+    a missing path) whenever RENAME_EXCHANGE is available; elsewhere
+    the no-dir window is two back-to-back renames, documented above.
+    ``staging`` must be on the same filesystem as ``target``."""
+    if not os.path.exists(target):
+        os.rename(staging, target)
+        return
+    if _exchange(staging, target):
+        # old data now lives at the staging name; remove off-path
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    trash = f"{target}.__trash_{uuid.uuid4().hex[:8]}"
+    os.rename(target, trash)
+    os.rename(staging, target)
+    shutil.rmtree(trash, ignore_errors=True)

@@ -8,10 +8,13 @@ vectors). Within one job those persist in memory; ACROSS jobs — the
 real deployment: a nightly corpus pass builds the index, every ingest
 micro-batch for the next day joins against it — they must live in
 storage. An index here is a directory of parquet parts plus a
-manifest naming them, written via the same staging-swap atomicity as
-ParquetTable (readers see the old or the new index, never a mix of
-parts from different builds — joining band keys from build N with
-shingles from build N-1 would produce silently-wrong verifies).
+manifest naming them, swapped in via ``atomic_replace_dir`` — on
+Linux one renameat2(RENAME_EXCHANGE) syscall, so readers see the
+complete old or the complete new index, never a missing path and
+never a mix of parts from different builds (joining band keys from
+build N with shingles from build N-1 would produce silently-wrong
+verifies). Single writer, many readers — same contract as
+ParquetTable.
 
 Scale shape: each part is written partitioned however the caller's
 frame is partitioned; band-key parts are skinny (id, band, key)
@@ -23,15 +26,17 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from syncquill_spark.sources._atomic import atomic_replace_dir
+
 
 def save_index(path: str, **parts: DataFrame) -> None:
-    """Write named DataFrame parts + manifest atomically (staging dir
-    + rename). At least one part required."""
+    """Write named DataFrame parts + manifest, then swap the staging
+    dir in atomically (renameat2 exchange where available — see
+    sources/_atomic.py). At least one part required."""
     if not parts:
         raise ValueError("save_index needs at least one named part")
     staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
@@ -40,9 +45,7 @@ def save_index(path: str, **parts: DataFrame) -> None:
         df.write.mode("overwrite").parquet(os.path.join(staging, name))
     with open(os.path.join(staging, "_index_manifest.json"), "w") as fh:
         json.dump({"parts": sorted(parts)}, fh)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
+    atomic_replace_dir(staging, path)
 
 
 def load_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:

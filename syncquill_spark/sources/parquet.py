@@ -14,15 +14,20 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from syncquill_spark.sources._atomic import atomic_replace_dir
 from syncquill_spark.sources.base import Table
 
 
 class ParquetTable(Table):
-    """NOTE: the atomic staging-swap in ``overwrite`` uses local-FS
-    rename (os.rename) — correct for the tested local/NFS layouts. On
-    object stores (s3://, gs://) a directory rename is not atomic;
-    production tables there should swap via a metastore pointer or a
-    table format (Delta/Iceberg) instead."""
+    """NOTE: ``overwrite`` stages the new table then swaps it in with
+    ``atomic_replace_dir`` — on Linux one renameat2(RENAME_EXCHANGE)
+    syscall, so a reader at any instant sees the complete old or the
+    complete new directory (never a missing path, never a mix); on
+    other POSIX the window is two metadata renames (see _atomic.py).
+    Single WRITER, many readers. On object stores (s3://, gs://)
+    directory renames are not atomic at all; production tables there
+    should swap via a metastore pointer or a table format
+    (Delta/Iceberg) instead."""
 
     def __init__(self, path: str):
         self.path = path
@@ -33,9 +38,9 @@ class ParquetTable(Table):
     def overwrite(self, df: DataFrame) -> None:
         staging = f"{self.path}.__staging_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(staging)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path) if os.path.isdir(self.path) else os.remove(self.path)
-        os.rename(staging, self.path)
+        if os.path.exists(self.path) and not os.path.isdir(self.path):
+            os.remove(self.path)
+        atomic_replace_dir(staging, self.path)
 
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path)
@@ -122,9 +127,9 @@ class PartitionedParquetTable(ParquetTable):
     def overwrite(self, df: DataFrame) -> None:
         staging = f"{self.path}.__staging_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(staging)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path) if os.path.isdir(self.path) else os.remove(self.path)
-        os.rename(staging, self.path)
+        if os.path.exists(self.path) and not os.path.isdir(self.path):
+            os.remove(self.path)
+        atomic_replace_dir(staging, self.path)
 
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").partitionBy(*self.partition_cols).parquet(self.path)
@@ -220,6 +225,14 @@ class VersionedParquetTable(Table):
             return self.overwrite(df)
         n = max(m["versions"]) + 1
         src, dst = self._vdir(m["current"]), self._vdir(n)
+        if os.path.exists(dst):
+            # Debris of a writer that crashed after creating __v{n} but
+            # before the manifest flip: n > max(manifest versions), so
+            # the directory CANNOT be a committed snapshot — remove it
+            # rather than failing every subsequent append until a
+            # manual vacuum() (overwrite already self-heals via write
+            # mode; this is append's equivalent).
+            shutil.rmtree(dst)
         os.makedirs(dst)
         for f in os.listdir(src):
             if f.startswith((".", "_")):

@@ -15,8 +15,13 @@ Two layouts cover the common crawl-dump conventions:
   ids should ingest per-file and derive them downstream.
 
 Scale shape: the text source parallelizes by file (and by split for
-per-line mode); the whole ingestion is a projection — no shuffle.
-`pathGlobFilter` prunes at the directory listing, same as binaryFile.
+per-line mode); wholetext ingestion is a projection — no shuffle.
+Per-line mode adds ONE dropDuplicates shuffle on doc_id, because its
+ids hash the content: without it, a line repeated within a file
+yields several rows SHARING one id, and every downstream operator
+that tie-breaks or joins on doc_id (which is all of them) becomes
+nondeterministic. `pathGlobFilter` prunes at the directory listing,
+same as binaryFile.
 """
 
 from __future__ import annotations
@@ -39,9 +44,10 @@ def read_text_dir(
 
     ``per_line=False`` (default): one doc per file, id = hash of the
     file path. ``per_line=True``: one doc per line, id = hash of
-    (path, line content) — duplicate lines in one file collapse to one
-    id; run exact dedup downstream anyway (every corpus pipeline
-    does).
+    (path, line content) — a line repeated in one file collapses to
+    ONE ROW (ids are deduplicated here, so the unique-doc_id contract
+    downstream operators assume holds straight out of ingestion; the
+    cost is one skinny shuffle on the 60-bit id).
     """
     reader = spark.read.option("recursiveFileLookup", str(recursive).lower())
     if glob:
@@ -62,7 +68,7 @@ def read_text_dir(
             F.col("value").alias("text"),
         )
         id_src = F.concat_ws("\x00", F.col("source_path"), F.col("text"))
-    return keyed.select(
+    out = keyed.select(
         portable_hash60(
             F.concat_ws(":", F.lit(id_salt), id_src)
         ).alias("doc_id"),
@@ -70,3 +76,9 @@ def read_text_dir(
         "text",
         F.length("text").cast("long").alias("n_chars"),
     )
+    if per_line:
+        # equal doc_id => equal (salt, path, text) modulo a 60-bit
+        # collision, so dropping by id drops true repeats; rows are
+        # identical across the group, so which survives is immaterial
+        out = out.dropDuplicates(["doc_id"])
+    return out

@@ -83,3 +83,121 @@ def test_sample_frames_expansion(spark):
     # tiny payload: one (short) frame
     assert [r["frame_idx"] for r in by_id[2]] == [0]
     assert bytes(by_id[2][0]["frame"]) == b"tiny"
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (pure numpy): PPM/PGM + BMP
+# ---------------------------------------------------------------------------
+
+
+def _ppm_p6(w, h, pixels, header=b"P6\n%d %d\n255\n"):
+    return (header % (w, h)) + bytes(pixels)
+
+
+def test_decode_ppm_p6_known_pixels():
+    import numpy as np
+
+    from syncquill_spark.operators.multimodal import decode_ppm
+
+    # 2x2 RGB: red, green / blue, white
+    raster = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    img, maxval = decode_ppm(_ppm_p6(2, 2, raster))
+    assert maxval == 255 and img.shape == (2, 2, 3)
+    assert img.dtype == np.uint8
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+    assert img[1, 0].tolist() == [0, 0, 255]
+    assert img[1, 1].tolist() == [255, 255, 255]
+
+
+def test_decode_ppm_header_comments_and_whitespace():
+    from syncquill_spark.operators.multimodal import decode_ppm
+
+    payload = b"P6 # magic\n# a comment line\n  2\t1 # dims\n255\n" + bytes(
+        [1, 2, 3, 4, 5, 6]
+    )
+    img, maxval = decode_ppm(payload)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [1, 2, 3] and img[0, 1].tolist() == [4, 5, 6]
+
+
+def test_decode_ppm_p5_grayscale_and_16bit():
+    import numpy as np
+
+    from syncquill_spark.operators.multimodal import decode_ppm
+
+    img, maxval = decode_ppm(b"P5\n3 1\n255\n" + bytes([0, 128, 255]))
+    assert img.shape == (1, 3, 1) and img[0, 1, 0] == 128
+    # 16-bit samples are big-endian per spec
+    img16, maxval16 = decode_ppm(
+        b"P5\n2 1\n65535\n" + (1000).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+    )
+    assert maxval16 == 65535 and img16.dtype == np.uint16
+    assert img16[0, 0, 0] == 1000 and img16[0, 1, 0] == 65535
+
+
+def test_decode_ppm_rejects_malformed():
+    import pytest
+
+    from syncquill_spark.operators.multimodal import decode_ppm
+
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")  # ASCII ppm unsupported
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(5))  # raster too short
+    with pytest.raises(ValueError, match="header truncated"):
+        decode_ppm(b"P6\n2")
+
+
+def test_decode_bmp_24bit_bottom_up_with_padding():
+    from syncquill_spark.operators.multimodal import decode_bmp
+
+    # 2x2, 24bpp: stride = 2*3 padded to 8 bytes. BMP stores BGR,
+    # bottom-up: file row 0 is the image's BOTTOM row.
+    import struct
+
+    width, height, stride = 2, 2, 8
+    raster = (
+        bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"   # bottom: blue, green
+        + bytes([0, 0, 255, 255, 255, 255]) + b"\x00\x00"  # top: red, white
+    )
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(raster), 2835, 2835, 0, 0)
+    )
+    img, maxval = decode_bmp(header + raster)
+    assert img.shape == (2, 2, 3) and maxval == 255
+    assert img[0, 0].tolist() == [255, 0, 0]      # top-left red (RGB)
+    assert img[0, 1].tolist() == [255, 255, 255]  # top-right white
+    assert img[1, 0].tolist() == [0, 0, 255]      # bottom-left blue
+    assert img[1, 1].tolist() == [0, 255, 0]      # bottom-right green
+
+
+def test_decode_image_dispatch_and_unknown():
+    import pytest
+
+    from syncquill_spark.operators.multimodal import decode_image
+
+    img, _ = decode_image(_ppm_p6(1, 1, [9, 9, 9]))
+    assert img.shape == (1, 1, 3)
+    with pytest.raises(ValueError, match="no built-in codec"):
+        decode_image(b"\x89PNG\r\n...")
+
+
+def test_image_moments_real_decode_end_to_end(spark):
+    from syncquill_spark.operators.multimodal import image_moments
+
+    p6 = _ppm_p6(2, 2, [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    p5 = b"P5\n3 1\n255\n" + bytes([10, 20, 30])
+    df = spark.createDataFrame(
+        [(1, bytearray(p6)), (2, bytearray(p5))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in image_moments(df).collect()}
+    assert rows[1].width == 2 and rows[1].height == 2
+    assert (rows[1].r_sum, rows[1].g_sum, rows[1].b_sum) == (510, 510, 510)
+    assert rows[1].px_min == 0 and rows[1].px_max == 255
+    # grayscale reports its channel in all three sums
+    assert (rows[2].r_sum, rows[2].g_sum, rows[2].b_sum) == (60, 60, 60)
+    assert rows[2].width == 3 and rows[2].height == 1

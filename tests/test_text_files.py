@@ -46,3 +46,17 @@ def test_read_text_dir_per_line_and_downstream_compose(spark, tmp_path):
     df = read_text_dir(spark, root, per_line=True, glob="*.txt")
     feats = quality_features(df).collect()
     assert len(feats) == 3 and all(f.n_tokens >= 2 for f in feats)
+
+
+def test_read_text_dir_per_line_repeated_lines_collapse(spark, tmp_path):
+    """ADVICE r06: a line repeated within one file hashes to the same
+    doc_id; per-line ingestion must emit it ONCE so the unique-id
+    contract downstream operators assume holds from the first hop."""
+    from syncquill_spark.sources.text_files import read_text_dir
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "dup.txt").write_text("same line\nsame line\nother line\nsame line")
+    rows = read_text_dir(spark, str(d), per_line=True).collect()
+    assert sorted(r.text for r in rows) == ["other line", "same line"]
+    assert len({r.doc_id for r in rows}) == len(rows) == 2
