@@ -22,6 +22,40 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # round since): no query outside the window may end the round with a
 # last driver-green row more than 2 rounds old.
 #
+# Round-7 window, in order:
+#  - the 4 queries NEW this round (new plans always enter the window):
+#    storage_versioned_roundtrip + storage_index_roundtrip (the
+#    round-6 verdict's #2 — the versioned-table and persisted-index
+#    lifecycles round-trip through disk INSIDE a registry query whose
+#    oracle is the un-persisted plan's twin), multimodal_decode (real
+#    pure-numpy PPM codec under the gate — verdict #4), and
+#    curation_pack_ffd (the FFD packer's recursive-CTE oracle —
+#    verdict #5);
+#  - the 19 rows whose last driver-green is r04 (staleness 2 — the
+#    round-6 verdict names them as mandatory leads): window_moving_avg,
+#    setop_except_all, multimodal_media_stats, curation_boilerplate,
+#    curation_blocklist, curation_shuffle, curation_sample_stratified,
+#    curation_decontaminate, curation_hash_split, storage_zorder_key,
+#    agg_quantiles_approx_check, window_running_total,
+#    join_events_customers, events_sliding_window,
+#    agg_distinct_users_approx, events_sessionization,
+#    events_tumbling_window, events_session_window, agg_rollup_orders;
+#  - 27 of the 45 rows whose last driver-green is r05 (the stalest
+#    remaining tier): the five sync_* flagship rows (the reference's
+#    own surface), then the similarity/dedup/text families (the plans
+#    most often touched), then relational rows to fill.
+# Left outside at staleness 2 after this round (r05-green, untouched —
+# they MUST lead the r08 window): agg_pivot_status, agg_grouping_sets,
+# agg_quantiles_status, setop_repeat_customers, join_shipping_priority,
+# join_returned_items, agg_promo_revenue, join_priority_lines,
+# agg_order_priority, agg_forecast_revenue, agg_customer_distribution,
+# join_large_orders, setop_idle_rich_customers, join_small_qty_parts,
+# join_lonely_returned_supplier, join_disjunctive_promo,
+# join_nation_trade, window_top_supplier — all pure relational shapes
+# over untouched loaders. The 50 r06-green rows rotate out at
+# staleness 1.
+#
+# Round-6 window (for the record):
 # Round-6 window, in order:
 #  - the 16 queries NEW this round: similarity_ann_recall,
 #    text_chunk_documents, curation_leakage_split, text_segment_dedup
@@ -69,27 +103,34 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # they MUST lead the r07 window. The 44 other r05-green rows rotate
 # out at staleness 1.
 _PRIORITY = [
-    "similarity_ann_recall", "text_chunk_documents",
-    "curation_leakage_split", "text_segment_dedup",
-    "join_market_share", "join_product_profit", "curation_target_mix",
-    "curation_target_mix_tokens", "join_min_cost_supplier",
-    "agg_important_stock", "agg_supplier_part_types",
-    "join_excess_inventory", "profile_referential", "dedup_cluster_stats",
-    "dedup_apply", "pipeline_training_mix",
-    "dedup_exact", "curation_redact_pii", "curation_pack_sequences",
-    "embedding_quantize", "join_revenue_by_nation", "window_topk_orders",
-    "setop_customers_without_orders", "scalar_functions",
-    "curation_fuzzy_decontaminate", "curation_domain_quota",
-    "dedup_clusters", "similarity_topk_ivf", "similarity_topk_ivf_refined",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "multimodal_features", "profile_documents",
-    "text_quality_rules", "text_bm25", "embedding_label_centroids",
-    "text_token_counts", "text_term_stats", "text_readability",
-    "text_sentences_udtf", "text_fingerprint",
-    "join_asof_signup", "join_range_shipments", "join_binned_range",
-    "cdc_scd2_history", "cdc_incremental_agg",
-    "funnel_click_purchase", "agg_distinct_users_exact",
-    "pipeline_corpus_curation",
+    # new this round
+    "storage_versioned_roundtrip", "storage_index_roundtrip",
+    "multimodal_decode", "curation_pack_ffd",
+    # staleness-2 cohort (last driver-green r04)
+    "window_moving_avg", "setop_except_all", "multimodal_media_stats",
+    "curation_boilerplate", "curation_blocklist", "curation_shuffle",
+    "curation_sample_stratified", "curation_decontaminate",
+    "curation_hash_split", "storage_zorder_key",
+    "agg_quantiles_approx_check", "window_running_total",
+    "join_events_customers", "events_sliding_window",
+    "agg_distinct_users_approx", "events_sessionization",
+    "events_tumbling_window", "events_session_window",
+    "agg_rollup_orders",
+    # r05-green fill: sync flagships first
+    "sync_diff_keyed", "sync_diff_positional", "sync_apply_keyed",
+    "sync_upsert", "sync_validate",
+    # then the similarity/dedup/text families
+    "similarity_knn_classify", "embedding_nearest_centroid",
+    "dedup_embedding_incremental", "curation_eval_k_per_lang",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine",
+    "similarity_topk_cosine", "similarity_topk_lsh",
+    "dedup_semantic_pairs", "text_tfidf_terms", "text_language_id",
+    "text_quality", "text_repetition",
+    # relational fill
+    "agg_pricing_summary", "json_events_extract", "text_token_stats",
+    "subquery_exists_orders", "agg_cube_sales",
+    "agg_customer_balance_stats", "join_salted_revenue",
+    "agg_status_sets",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

@@ -3150,6 +3150,215 @@ FROM documents d JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Storage lifecycles made driver-visible (round-6 verdict #2): the
+# versioned table and the persisted index each round-trip through disk
+# INSIDE a registry query whose oracle is the un-persisted plan's own
+# DuckDB twin — storage must change nothing.
+# ---------------------------------------------------------------------------
+
+
+def q_storage_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedParquetTable end to end: overwrite (v1 = even doc_ids),
+    hardlink-append (v2 = +odd doc_ids), a second overwrite (v3 = en
+    only — the 'bad deploy'), then ``rollback(2)`` and read. The final
+    read must be EXACTLY the full documents projection: v2 was evens
+    plus appended odds, and the rollback makes v3 invisible without
+    moving data. Exercises version numbering, the manifest pointer
+    flip, zero-copy append, time travel, and O(1) rollback — all under
+    the driver's value-hash gate with a one-line oracle (the base
+    table itself: persistence + rollback must be invisible)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from syncquill_spark.sources.parquet import VersionedParquetTable
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    skinny = documents.select("doc_id", "lang", "n_chars")
+    root = _tempfile.mkdtemp(prefix="sq_versioned_q_")
+    t = VersionedParquetTable(_os.path.join(root, "docs"))
+    t.overwrite(skinny.filter(F.col("doc_id") % 2 == 0))   # v1
+    t.append(skinny.filter(F.col("doc_id") % 2 == 1))      # v2 = all rows
+    t.overwrite(skinny.filter(F.col("lang") == "en"))      # v3, rolled back
+    t.rollback(2)
+    assert t.versions() == [1, 2, 3] and t.current_version() == 2
+    return t.read(spark)
+
+
+_STORAGE_VERSIONED_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
+def q_storage_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index lifecycle under the oracle gate: build the
+    corpus MinHash index (even doc_ids), ``save_index`` it to disk,
+    ``load_index`` it back, and run the ingest-time fuzzy gate (odd
+    doc_ids as the incoming snapshot) against the RELOADED frames.
+    The oracle is ``dedup_incremental``'s own SQL twin — the operator
+    that recomputes both sides from text — so a green row proves the
+    save/load round trip is result-identical to never persisting.
+    Scale shape: only the new side is shingled; the corpus side is the
+    stored skinny (id, band, key) + (id, shingles) parquet."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.streaming.text_dedup import (
+        build_text_minhash_index,
+        text_near_dups_against_index,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    new_side = documents.filter(F.col("doc_id") % 2 == 1)
+    corpus = documents.filter(F.col("doc_id") % 2 == 0)
+    keys, shingles = build_text_minhash_index(
+        corpus, k=3, n_perm=_N_PERM, bands=_BANDS
+    )
+    path = _os.path.join(_tempfile.mkdtemp(prefix="sq_index_q_"), "minhash_idx")
+    save_index(path, keys=keys, shingles=shingles)
+    loaded = load_index(spark, path)
+    return text_near_dups_against_index(
+        new_side,
+        loaded["keys"],
+        loaded["shingles"],
+        k=3,
+        n_perm=_N_PERM,
+        bands=_BANDS,
+        threshold=0.2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: REAL image decode (pure-numpy PPM codec) under the gate
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode, oracle-checked: each document becomes a
+    VALID binary PPM (P6) payload — header + 4x4 RGB raster whose 48
+    pixel bytes are three chained md5 digests of the text — built with
+    pure built-ins (md5/unhex/concat). ``image_moments`` then runs the
+    real numpy codec on the payload bytes (actual header parse, raster
+    reshape) and emits exact integer channel sums. The oracle never
+    'decodes': it recomputes the same sums straight from the md5 hex —
+    so a green row proves the codec reads back precisely the bytes the
+    header says are there. (The feature side of the stub path,
+    multimodal_features, stays as the JPEG/PNG-shaped plumbing check.)
+    """
+    from syncquill_spark.operators.multimodal import image_moments
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    hx = F.concat(
+        F.md5(F.concat(F.col("text"), F.lit("|0"))),
+        F.md5(F.concat(F.col("text"), F.lit("|1"))),
+        F.md5(F.concat(F.col("text"), F.lit("|2"))),
+    )
+    media = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"), F.unhex(hx)
+        ).alias("payload"),
+    )
+    return image_moments(media)
+
+
+def _multimodal_decode_sql() -> str:
+    def chan_sum(c: int) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(0, 16), "
+            f"i -> CAST(('0x' || substr(h, (i*3+{c})*2+1, 2)) AS BIGINT))) "
+            "AS BIGINT)"
+        )
+
+    all_bytes = (
+        "list_transform(range(0, 48), "
+        "i -> CAST(('0x' || substr(h, i*2+1, 2)) AS BIGINT))"
+    )
+    return f"""
+WITH hx AS (
+  SELECT doc_id,
+         md5(text || '|0') || md5(text || '|1') || md5(text || '|2') AS h
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       {chan_sum(0)} AS r_sum,
+       {chan_sum(1)} AS g_sum,
+       {chan_sum(2)} AS b_sum,
+       CAST(list_min({all_bytes}) AS BIGINT) AS px_min,
+       CAST(list_max({all_bytes}) AS BIGINT) AS px_max
+FROM hx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curation: first-fit-decreasing packing under the gate (round-6
+# verdict #5 — the last unit-only curation operator)
+# ---------------------------------------------------------------------------
+
+_FFD_BUDGET = 512
+
+
+def q_curation_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing per language at the same
+    512-token budget as curation_pack_sequences — the grouped-map
+    applyInPandas operator, now oracle-checked: FFD is deterministic
+    ((n_tokens desc, doc_id asc) placement order, first-fit bin probe),
+    so DuckDB replays the exact algorithm with a recursive CTE that
+    carries the bins' remaining-capacity list through the per-stratum
+    recursion."""
+    from syncquill_spark.operators.curation import pack_sequences_ffd
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return pack_sequences_ffd(documents, budget=_FFD_BUDGET, stratify_col="lang")
+
+
+def _curation_pack_ffd_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    b = _FFD_BUDGET
+    # first-fit probe: 1-based index of the first bin with room, 0 if
+    # none fits (DuckDB's list_position returns 0, not NULL, on a
+    # miss); on a miss a new bin opens — oversized docs open a
+    # 0-capacity bin, matching the operator's max(budget - t, 0)
+    fit = "list_position(list_transform(f.rem, r -> r >= o.n_tokens), true)"
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang,
+         CAST(list_sum(list_transform({toks},
+             x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, lang, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM t
+),
+ffd AS (
+  SELECT lang, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id,
+         [greatest({b} - n_tokens, CAST(0 AS BIGINT))] AS rem
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.rn, o.doc_id, o.n_tokens,
+         CAST(CASE WHEN {fit} > 0 THEN {fit} - 1
+                   ELSE len(f.rem) END AS BIGINT) AS pack_id,
+         CASE WHEN {fit} > 0
+              THEN list_transform(range(1, len(f.rem) + 1),
+                   i -> CASE WHEN i = {fit} THEN f.rem[i] - o.n_tokens
+                             ELSE f.rem[i] END)
+              ELSE list_append(f.rem, greatest({b} - o.n_tokens,
+                                               CAST(0 AS BIGINT)))
+         END AS rem
+  FROM ffd f JOIN ordered o ON o.lang = f.lang AND o.rn = f.rn + 1
+)
+SELECT doc_id, lang, n_tokens, pack_id FROM ffd
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_knn_classify": q_similarity_knn_classify,
     "embedding_nearest_centroid": q_embedding_nearest_centroid,
@@ -3223,6 +3432,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "dedup_apply": q_dedup_apply,
     "pipeline_training_mix": q_pipeline_training_mix,
+    "storage_versioned_roundtrip": q_storage_versioned_roundtrip,
+    "storage_index_roundtrip": q_storage_index_roundtrip,
+    "multimodal_decode": q_multimodal_decode,
+    "curation_pack_ffd": q_curation_pack_ffd,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3298,4 +3511,10 @@ EXT_ORACLES: dict[str, str | None] = {
     "dedup_cluster_stats": _cluster_stats_sql(),
     "dedup_apply": _dedup_apply_sql(),
     "pipeline_training_mix": _pipeline_training_mix_sql(),
+    "storage_versioned_roundtrip": _STORAGE_VERSIONED_SQL,
+    # identical oracle to dedup_incremental BY DESIGN: the persisted
+    # index path must produce exactly what recompute-from-text does
+    "storage_index_roundtrip": _minhash_incremental_sql(),
+    "multimodal_decode": _multimodal_decode_sql(),
+    "curation_pack_ffd": _curation_pack_ffd_sql(),
 }

@@ -102,6 +102,63 @@ def _row_minhash(
     return keyed, sh
 
 
+def text_near_dups_against_index(
+    new_df: DataFrame,
+    index_keys: DataFrame,
+    index_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_new, id_corpus, jac) — BATCH fuzzy dedup of a new snapshot
+    against a PERSISTED corpus index (the frames ``save_index`` /
+    ``load_index`` round-trip): per-row MinHash on the new side only,
+    band equi-join against the stored (corpus_id, band, key) buckets,
+    candidate pairs deduped, exact-Jaccard verified against the stored
+    shingle arrays. Same match set as
+    :func:`syncquill_spark.operators.dedup.minhash_lsh_pairs_against`
+    recomputing both sides from text — persistence is invisible, which
+    is exactly what the registry's storage_index_roundtrip query
+    asserts against that operator's own oracle. Streaming twin:
+    :func:`stream_text_near_dups` (identical joins, minus the
+    dropDuplicates a stream cannot do globally).
+
+    Scale shape: only the (small) new side is shingled per batch; the
+    corpus index is read, never recomputed — the join keys are the
+    skinny persisted (id, band, key) rows.
+    """
+    keyed, sh = _row_minhash(new_df, id_col, text_col, k, n_perm, bands)
+    cand = (
+        keyed.withColumnRenamed(id_col, "id_new")
+        .join(
+            index_keys.withColumnRenamed("corpus_id", "id_corpus"),
+            ["_band", "_key"],
+        )
+        .filter(F.col("id_new") != F.col("id_corpus"))
+        .select("id_new", "id_corpus")
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+    s_sh = sh.select(F.col(id_col).alias("id_new"), F.col("_sh").alias("_sh_s"))
+    c_sh = index_shingles.select(
+        F.col("corpus_id").alias("id_corpus"), F.col("_sh_c")
+    )
+    inter = F.size(F.array_intersect("_sh_s", "_sh_c"))
+    union = F.size(F.array_union("_sh_s", "_sh_c"))
+    return (
+        cand.join(s_sh, "id_new")
+        .join(c_sh, "id_corpus")
+        .select(
+            "id_new",
+            "id_corpus",
+            (inter.cast("double") / union.cast("double")).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
 def stream_text_near_dups(
     stream: DataFrame,
     index_keys: DataFrame,

@@ -111,3 +111,40 @@ def test_ivf_index_round_trip_and_prebuilt_centroids(spark, tmp_path, sf_dir):
             tuple(r) for r in ivf_topk(emb, queries, k=5, centroids=loaded).collect()
         )
         assert inline == from_index and len(inline) > 0
+
+
+def test_batch_gate_against_loaded_index_equals_recompute(spark, tmp_path, sf_dir):
+    """text_near_dups_against_index over a persisted+reloaded index
+    must equal minhash_lsh_pairs_against recomputing both sides from
+    text — the identity the storage_index_roundtrip registry query
+    puts under the driver's oracle gate."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.dedup import minhash_lsh_pairs_against
+    from syncquill_spark.streaming.text_dedup import (
+        build_text_minhash_index,
+        text_near_dups_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new_side = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+
+    keys, shingles = build_text_minhash_index(corpus)
+    p = str(tmp_path / "gate_idx")
+    save_index(p, keys=keys, shingles=shingles)
+    loaded = load_index(spark, p)
+
+    via_index = sorted(
+        (r.id_new, r.id_corpus, r.jac)
+        for r in text_near_dups_against_index(
+            new_side, loaded["keys"], loaded["shingles"], threshold=0.2
+        ).collect()
+    )
+    recompute = sorted(
+        (r.id_new, r.id_corpus, r.jac)
+        for r in minhash_lsh_pairs_against(
+            new_side, corpus, threshold=0.2
+        ).collect()
+    )
+    assert via_index == recompute and len(via_index) > 0

@@ -85,3 +85,65 @@ def test_full_curation_pipeline(spark, sf_dir):
         .count()
     )
     assert over == 0
+
+
+def test_nightly_versioned_index_recipe(spark, tmp_path):
+    """The deployment recipe the three round-6 storage surfaces exist
+    to serve, composed end to end: ingest a raw text dir -> land it as
+    a VERSIONED snapshot -> build + persist the MinHash index from the
+    live version -> a new day's crawl arrives -> reload the index,
+    gate the batch (exact + fuzzy dedup) -> append only survivors as
+    the next immutable version. Asserts version lineage, index reuse,
+    and that the gate actually dropped the dupes."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.sources.parquet import VersionedParquetTable
+    from syncquill_spark.sources.text_files import read_text_dir
+    from syncquill_spark.streaming.text_dedup import (
+        build_text_minhash_index,
+        text_near_dups_against_index,
+    )
+
+    # day 0: raw crawl on disk
+    day0 = tmp_path / "day0"
+    day0.mkdir()
+    (day0 / "a.txt").write_text("the quick brown fox jumps over the lazy dog")
+    (day0 / "b.txt").write_text("colorless green ideas sleep furiously tonight")
+    corpus_tbl = VersionedParquetTable(str(tmp_path / "corpus"))
+    corpus_tbl.overwrite(read_text_dir(spark, str(day0)))        # v1
+    assert corpus_tbl.current_version() == 1
+
+    # nightly index build from the LIVE version
+    live = corpus_tbl.read(spark)
+    keys, shingles = build_text_minhash_index(live)
+    idx = str(tmp_path / "minhash_idx")
+    save_index(idx, keys=keys, shingles=shingles)
+
+    # day 1: one exact dup, one near dup (1-word edit), one novel doc
+    day1 = tmp_path / "day1"
+    day1.mkdir()
+    (day1 / "c.txt").write_text("the quick brown fox jumps over the lazy dog")
+    (day1 / "d.txt").write_text("colorless green ideas sleep furiously today")
+    (day1 / "e.txt").write_text("an entirely different document about spark engines")
+    batch = read_text_dir(spark, str(day1))
+
+    loaded = load_index(spark, idx)
+    # exact gate: content hash anti-join against the live corpus
+    hashed = batch.withColumn("_sha", F.sha2(F.col("text"), 256))
+    live_sha = live.select(F.sha2(F.col("text"), 256).alias("_sha")).distinct()
+    no_exact = hashed.join(live_sha, "_sha", "left_anti").drop("_sha")
+    # fuzzy gate: banded MinHash against the RELOADED index
+    fuzzy = text_near_dups_against_index(
+        no_exact, loaded["keys"], loaded["shingles"], threshold=0.5
+    ).select(F.col("id_new").alias("doc_id")).distinct()
+    survivors = no_exact.join(fuzzy, "doc_id", "left_anti")
+
+    kept = [r.text for r in survivors.collect()]
+    assert kept == ["an entirely different document about spark engines"]
+
+    corpus_tbl.append(survivors)                                  # v2
+    assert corpus_tbl.versions() == [1, 2]
+    assert corpus_tbl.read(spark).count() == 3
+    # time travel still sees day 0 alone
+    assert corpus_tbl.read_version(spark, 1).count() == 2

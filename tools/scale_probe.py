@@ -19,7 +19,7 @@ base replica's) while the corpus grows — the realistic serving shape.
 
 Usage: python tools/scale_probe.py [sf_dir] [m ...] [--families=a,b]
 Prints one line per (operator, m): seconds, output rows, rows/sec.
-Families: docs (dedup pair emitters), clusters, curation, sim;
+Families: docs (dedup pair emitters), clusters, curation, sim, text;
 default all.
 """
 
@@ -212,6 +212,29 @@ CURATION_OPS = {
     "curation_pipeline": _pipeline,
 }
 
+
+def _tfidf_terms(c: DataFrame) -> DataFrame:
+    # full-corpus document frequencies: the df join grows with corpus
+    # size — the growth the round-6 verdict asked this probe to cover
+    from syncquill_spark.operators.text import top_distinctive_terms
+
+    return top_distinctive_terms(c, top_n=3)
+
+
+def _bm25(c: DataFrame) -> DataFrame:
+    # fixed query terms (the registry query's); replicas suffix their
+    # tokens so matches stay in the base replica while N and the
+    # df/avgdl aggregates scan the whole growing corpus
+    from syncquill_spark.operators.text import bm25_scores
+
+    return bm25_scores(c, ("spark", "hash", "merge", "window"))
+
+
+TEXT_OPS = {
+    "tfidf_terms": _tfidf_terms,
+    "bm25": _bm25,
+}
+
 # similarity family: fixed query set (the base replica's), growing corpus
 SIM_OPS = {
     "topk_brute": lambda c, q: brute_force_topk(c, q, k=10),
@@ -239,7 +262,7 @@ def main() -> None:
     families = (
         set(fam_args[-1].split("=", 1)[1].split(","))
         if fam_args
-        else {"docs", "clusters", "curation", "sim"}
+        else {"docs", "clusters", "curation", "sim", "text"}
     )
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     ms = [int(a) for a in args[1:]] or [1, 2, 4]
@@ -251,6 +274,8 @@ def main() -> None:
         doc_ops.update(CLUSTER_OPS)
     if "curation" in families:
         doc_ops.update(CURATION_OPS)
+    if "text" in families:
+        doc_ops.update(TEXT_OPS)
     for m in ms:
         corpus = scaled_corpus(spark, sf_dir, m).persist()
         n_docs = corpus.count()
