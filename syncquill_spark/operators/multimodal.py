@@ -186,6 +186,97 @@ def decode_image(payload: bytes) -> "tuple":
     )
 
 
+def decode_wav(payload: bytes) -> "tuple":
+    """Decode PCM WAV (RIFF/WAVE, 8- or 16-bit integer samples) to
+    ((n_frames, n_channels) numpy int array, sample_rate). A real
+    chunk-walking parser: finds ``fmt `` and ``data`` wherever they
+    sit (skipping LIST/INFO/fact chunks, honoring odd-size padding),
+    requires audio format 1 (PCM), rejects float/ADPCM/truncated
+    payloads with ValueError. 8-bit WAV is unsigned per spec
+    (returned as-is, 0..255); 16-bit is signed little-endian."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:4]!r}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk truncated")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("WAV data chunk truncated")
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
+        raise ValueError(
+            f"unsupported WAV: format={audio_format} bits={bits} "
+            f"channels={n_channels} (PCM 8/16-bit only)"
+        )
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(data, dtype=dtype)
+    n_frames = samples.size // n_channels
+    return (
+        samples[: n_frames * n_channels].reshape(n_frames, n_channels),
+        sample_rate,
+    )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("sample_min", T.LongType()),
+        T.StructField("sample_max", T.LongType()),
+    ]
+)
+
+
+def audio_moments(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio decode + exact integer moments: PCM WAV payloads ->
+    (sample_rate, n_channels, n_frames, global sample sum/min/max as
+    int64) per clip, via the pure-numpy ``decode_wav``. The audio twin
+    of ``image_moments`` — same Arrow-batched mapInPandas template,
+    every output an order-independent exact integer, so the registry's
+    oracle can recompute the moments from the raw bytes."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_frames",
+                "sample_sum", "sample_min", "sample_max",
+            )}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames, rate = decode_wav(bytes(payload))
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(frames.shape[1])
+                out["n_frames"].append(frames.shape[0])
+                out["sample_sum"].append(int(frames.sum(dtype=np.int64)))
+                out["sample_min"].append(int(frames.min()) if frames.size else 0)
+                out["sample_max"].append(int(frames.max()) if frames.size else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
+
+
 MOMENTS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

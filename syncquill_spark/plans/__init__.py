@@ -23,14 +23,18 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # last driver-green row more than 2 rounds old.
 #
 # Round-7 window, in order:
-#  - the 4 queries NEW this round (new plans always enter the window):
+#  - the 7 queries NEW this round (new plans always enter the window):
 #    storage_versioned_roundtrip + storage_index_roundtrip (the
 #    round-6 verdict's #2 — the versioned-table and persisted-index
 #    lifecycles round-trip through disk INSIDE a registry query whose
 #    oracle is the un-persisted plan's twin), multimodal_decode (real
-#    pure-numpy PPM codec under the gate — verdict #4), and
+#    pure-numpy PPM codec under the gate — verdict #4),
 #    curation_pack_ffd (the FFD packer's recursive-CTE oracle —
-#    verdict #5);
+#    verdict #5), storage_index_incremental (append-to-index ==
+#    rebuild, pinned to dedup_minhash_lsh's own oracle),
+#    storage_text_ingest_roundtrip (write text dump -> re-ingest with
+#    content ids; closes ingestion's driver-visibility gap), and
+#    multimodal_audio_decode (real pure-numpy PCM WAV codec);
 #  - the 19 rows whose last driver-green is r04 (staleness 2 — the
 #    round-6 verdict names them as mandatory leads): window_moving_avg,
 #    setop_except_all, multimodal_media_stats, curation_boilerplate,
@@ -40,7 +44,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    join_events_customers, events_sliding_window,
 #    agg_distinct_users_approx, events_sessionization,
 #    events_tumbling_window, events_session_window, agg_rollup_orders;
-#  - 27 of the 45 rows whose last driver-green is r05 (the stalest
+#  - 24 of the 45 rows whose last driver-green is r05 (the stalest
 #    remaining tier): the five sync_* flagship rows (the reference's
 #    own surface), then the similarity/dedup/text families (the plans
 #    most often touched), then relational rows to fill.
@@ -51,9 +55,9 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # agg_order_priority, agg_forecast_revenue, agg_customer_distribution,
 # join_large_orders, setop_idle_rich_customers, join_small_qty_parts,
 # join_lonely_returned_supplier, join_disjunctive_promo,
-# join_nation_trade, window_top_supplier — all pure relational shapes
-# over untouched loaders. The 50 r06-green rows rotate out at
-# staleness 1.
+# join_nation_trade, window_top_supplier, agg_customer_balance_stats,
+# join_salted_revenue, agg_status_sets — pure relational shapes over
+# untouched loaders. The 50 r06-green rows rotate out at staleness 1.
 #
 # Round-6 window (for the record):
 # Round-6 window, in order:
@@ -106,6 +110,8 @@ _PRIORITY = [
     # new this round
     "storage_versioned_roundtrip", "storage_index_roundtrip",
     "multimodal_decode", "curation_pack_ffd",
+    "storage_index_incremental", "storage_text_ingest_roundtrip",
+    "multimodal_audio_decode",
     # staleness-2 cohort (last driver-green r04)
     "window_moving_avg", "setop_except_all", "multimodal_media_stats",
     "curation_boilerplate", "curation_blocklist", "curation_shuffle",
@@ -129,8 +135,6 @@ _PRIORITY = [
     # relational fill
     "agg_pricing_summary", "json_events_extract", "text_token_stats",
     "subquery_exists_orders", "agg_cube_sales",
-    "agg_customer_balance_stats", "join_salted_revenue",
-    "agg_status_sets",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

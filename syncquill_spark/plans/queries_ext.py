@@ -3294,6 +3294,133 @@ FROM hx
 """
 
 
+def q_storage_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index MAINTENANCE under the gate: build the MinHash
+    index over half the corpus (even doc_ids), persist it, reload it,
+    extend it with the other half via ``merge_text_minhash_index``
+    (only the batch is shingled — the stored corpus rows are reused
+    as-is), persist the merged index OVER the first (exercising
+    atomic_replace_dir's exchange), reload again, and emit the full
+    self-join near-dup pairs from the index alone
+    (``minhash_pairs_from_index`` — no text touched). The oracle is
+    ``dedup_minhash_lsh``'s own SQL twin over ALL documents: append
+    must be indistinguishable from rebuild."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.streaming.text_dedup import (
+        build_text_minhash_index,
+        merge_text_minhash_index,
+        minhash_pairs_from_index,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    first_half = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    keys, shingles = build_text_minhash_index(
+        first_half, k=3, n_perm=_N_PERM, bands=_BANDS
+    )
+    path = _os.path.join(_tempfile.mkdtemp(prefix="sq_index_inc_"), "minhash_idx")
+    save_index(path, keys=keys, shingles=shingles)
+    loaded = load_index(spark, path)
+    mkeys, msh = merge_text_minhash_index(
+        loaded["keys"], loaded["shingles"], batch,
+        k=3, n_perm=_N_PERM, bands=_BANDS,
+    )
+    save_index(path, keys=mkeys, shingles=msh)  # atomic in-place replace
+    merged = load_index(spark, path)
+    return minhash_pairs_from_index(
+        merged["keys"], merged["shingles"], threshold=0.2
+    )
+
+
+def q_storage_text_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text ingestion under the gate: write the documents' text as
+    plain one-record-per-line text files (Spark's own text sink — the
+    crawl-dump layout), ingest the directory back through
+    ``read_text_dir(per_line=True, path_in_id=False)``, and return
+    (doc_id, text, n_chars). Content-derived ids make the round trip
+    oracle-checkable: DuckDB recomputes the exact 60-bit id from the
+    text alone, never having seen the file layout — and duplicate
+    texts collapse to one row on ingest, exactly as the oracle's
+    DISTINCT does."""
+    import tempfile as _tempfile
+
+    from syncquill_spark.sources.text_files import read_text_dir
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    dump = _tempfile.mkdtemp(prefix="sq_text_ingest_") + "/dump"
+    documents.select("text").write.mode("overwrite").text(dump)
+    ingested = read_text_dir(spark, dump, per_line=True, path_in_id=False)
+    return ingested.select("doc_id", "text", "n_chars")
+
+
+def _text_ingest_sql() -> str:
+    h = _H60.format(x="'textdoc-v1:' || text")
+    return f"""
+SELECT {h} AS doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+FROM (SELECT DISTINCT text FROM documents)
+"""
+
+
+# Constant PCM WAV header for a mono/8kHz/16-bit/48-byte-data clip —
+# every field fixed because the payload length is fixed (24 samples)
+_WAV_HEADER_HEX = (
+    "524946465400000057415645666D7420100000000100"
+    "0100401F0000803E0000020010006461746130000000"
+)
+
+
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real AUDIO decode, oracle-checked — the WAV sibling of
+    multimodal_decode: each document becomes a VALID PCM WAV payload
+    (constant RIFF header + 48 md5-derived data bytes = 24 int16
+    little-endian mono samples at 8 kHz) built from pure built-ins;
+    ``audio_moments`` runs the real chunk-walking parser and emits
+    exact integer sample moments; the oracle recomputes the signed
+    little-endian samples straight from the md5 hex."""
+    from syncquill_spark.operators.multimodal import audio_moments
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    hx = F.concat(
+        F.md5(F.concat(F.col("text"), F.lit("|w0"))),
+        F.md5(F.concat(F.col("text"), F.lit("|w1"))),
+        F.md5(F.concat(F.col("text"), F.lit("|w2"))),
+    )
+    media = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.unhex(F.lit(_WAV_HEADER_HEX)), F.unhex(hx)).alias("payload"),
+    )
+    return audio_moments(media)
+
+
+def _multimodal_audio_sql() -> str:
+    # int16 LE sample i: lo = byte 2i, hi = byte 2i+1 (hex pair j sits
+    # at substr(h, j*2+1, 2)); signed = raw - 65536 when raw >= 32768
+    sample = (
+        "(CAST(('0x' || substr(h, (i*2)*2+1, 2)) AS BIGINT)"
+        " + 256 * CAST(('0x' || substr(h, (i*2+1)*2+1, 2)) AS BIGINT))"
+    )
+    signed = f"({sample} - CASE WHEN {sample} >= 32768 THEN 65536 ELSE 0 END)"
+    samples = f"list_transform(range(0, 24), i -> {signed})"
+    return f"""
+WITH hx AS (
+  SELECT doc_id,
+         md5(text || '|w0') || md5(text || '|w1') || md5(text || '|w2') AS h
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(24 AS BIGINT) AS n_frames,
+       CAST(list_sum({samples}) AS BIGINT) AS sample_sum,
+       CAST(list_min({samples}) AS BIGINT) AS sample_min,
+       CAST(list_max({samples}) AS BIGINT) AS sample_max
+FROM hx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Curation: first-fit-decreasing packing under the gate (round-6
 # verdict #5 — the last unit-only curation operator)
@@ -3436,6 +3563,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "storage_index_roundtrip": q_storage_index_roundtrip,
     "multimodal_decode": q_multimodal_decode,
     "curation_pack_ffd": q_curation_pack_ffd,
+    "storage_index_incremental": q_storage_index_incremental,
+    "storage_text_ingest_roundtrip": q_storage_text_ingest_roundtrip,
+    "multimodal_audio_decode": q_multimodal_audio_decode,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3517,4 +3647,9 @@ EXT_ORACLES: dict[str, str | None] = {
     "storage_index_roundtrip": _minhash_incremental_sql(),
     "multimodal_decode": _multimodal_decode_sql(),
     "curation_pack_ffd": _curation_pack_ffd_sql(),
+    # identical oracle to dedup_minhash_lsh BY DESIGN: an appended
+    # index must be indistinguishable from a rebuilt one
+    "storage_index_incremental": _minhash_sql(),
+    "storage_text_ingest_roundtrip": _text_ingest_sql(),
+    "multimodal_audio_decode": _multimodal_audio_sql(),
 }

@@ -39,8 +39,9 @@ def read_text_dir(
     glob: str | None = None,
     recursive: bool = True,
     id_salt: str = "textdoc-v1",
+    path_in_id: bool = True,
 ) -> DataFrame:
-    """(doc_id, source_path, text[, n_chars]) from a text-file tree.
+    """(doc_id, source_path, text, n_chars) from a text-file tree.
 
     ``per_line=False`` (default): one doc per file, id = hash of the
     file path. ``per_line=True``: one doc per line, id = hash of
@@ -48,7 +49,23 @@ def read_text_dir(
     ONE ROW (ids are deduplicated here, so the unique-doc_id contract
     downstream operators assume holds straight out of ingestion; the
     cost is one skinny shuffle on the 60-bit id).
+
+    ``path_in_id=False`` (per-line mode only) hashes the CONTENT
+    alone: ids survive re-sharding of the dump (the same corpus
+    re-split into different files re-ingests with identical ids — the
+    module docstring's stability rationale taken to its conclusion),
+    at the price of collapsing cross-FILE duplicate lines to one row
+    too (which a corpus pipeline's exact dedup would do next anyway).
+    This is also what makes ingestion ORACLE-CHECKABLE: an id derived
+    only from content is reproducible by an engine that never saw the
+    file layout (registry: storage_text_ingest_roundtrip).
     """
+    if not path_in_id and not per_line:
+        raise ValueError(
+            "path_in_id=False requires per_line=True: wholetext ids are "
+            "path-identities by contract (content ids without the "
+            "per-line dedup would silently duplicate ids)"
+        )
     reader = spark.read.option("recursiveFileLookup", str(recursive).lower())
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -67,7 +84,11 @@ def read_text_dir(
             F.input_file_name().alias("source_path"),
             F.col("value").alias("text"),
         )
-        id_src = F.concat_ws("\x00", F.col("source_path"), F.col("text"))
+        id_src = (
+            F.concat_ws("\x00", F.col("source_path"), F.col("text"))
+            if path_in_id
+            else F.col("text")
+        )
     out = keyed.select(
         portable_hash60(
             F.concat_ws(":", F.lit(id_salt), id_src)

@@ -159,6 +159,86 @@ def text_near_dups_against_index(
     )
 
 
+def merge_text_minhash_index(
+    index_keys: DataFrame,
+    index_shingles: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 32,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental index maintenance: extend a persisted corpus index
+    with a new batch WITHOUT re-shingling the corpus — compute the
+    batch's per-row MinHash (same math as ``build_text_minhash_index``)
+    and union it onto the stored frames. The result must be
+    INDISTINGUISHABLE from rebuilding over corpus+batch (same per-doc
+    signatures either way — MinHash is per-row, so an index is just
+    the union of its docs' rows); the registry's
+    ``storage_index_incremental`` query pins that identity to
+    ``dedup_minhash_lsh``'s own oracle. At 100 TB this is the nightly
+    shape: one batch-sized signature pass + a metadata append, never a
+    corpus pass."""
+    new_keys, new_sh = build_text_minhash_index(
+        new_df, id_col=id_col, text_col=text_col, k=k, n_perm=n_perm, bands=bands
+    )
+    return (
+        index_keys.unionByName(new_keys),
+        index_shingles.unionByName(new_sh),
+    )
+
+
+def minhash_pairs_from_index(
+    index_keys: DataFrame,
+    index_shingles: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jac) self-join near-dup pairs computed ENTIRELY
+    from a stored index — no text needed: band-bucket equi-join on the
+    persisted (corpus_id, band, key) rows (id_a < id_b), distinct
+    candidates, exact-Jaccard verify against the persisted shingle
+    arrays. Output contract matches
+    :func:`syncquill_spark.operators.dedup.minhash_lsh_pairs`
+    recomputing from text — the identity that makes a persisted index
+    trustworthy after any append (``merge_text_minhash_index``)."""
+    left = index_keys.select(
+        F.col("_band").alias("_lb"), F.col("_key").alias("_lk"),
+        F.col("corpus_id").alias("id_a"),
+    )
+    right = index_keys.select(
+        F.col("_band").alias("_rb"), F.col("_key").alias("_rk"),
+        F.col("corpus_id").alias("id_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left["_lb"] == right["_rb"]) & (left["_lk"] == right["_rk"])
+            & (left["id_a"] < right["id_b"]),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = index_shingles.select(
+        F.col("corpus_id").alias("id_a"), F.col("_sh_c").alias("_sh_a")
+    )
+    sh_b = index_shingles.select(
+        F.col("corpus_id").alias("id_b"), F.col("_sh_c").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
 def stream_text_near_dups(
     stream: DataFrame,
     index_keys: DataFrame,

@@ -148,3 +148,45 @@ def test_batch_gate_against_loaded_index_equals_recompute(spark, tmp_path, sf_di
         ).collect()
     )
     assert via_index == recompute and len(via_index) > 0
+
+
+def test_incremental_index_merge_equals_rebuild(spark, tmp_path, sf_dir):
+    """merge_text_minhash_index(stored, batch) must equal
+    build_text_minhash_index(corpus+batch) row-for-row, and the pairs
+    emitted from the merged index alone must equal
+    minhash_lsh_pairs recomputing from text — the append==rebuild
+    identity storage_index_incremental pins to the driver oracle."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.dedup import minhash_lsh_pairs
+    from syncquill_spark.streaming.text_dedup import (
+        build_text_minhash_index,
+        merge_text_minhash_index,
+        minhash_pairs_from_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    keys0, sh0 = build_text_minhash_index(half)
+    p = str(tmp_path / "inc_idx")
+    save_index(p, keys=keys0, shingles=sh0)
+    loaded = load_index(spark, p)
+    mkeys, msh = merge_text_minhash_index(loaded["keys"], loaded["shingles"], batch)
+
+    rkeys, rsh = build_text_minhash_index(docs)
+    assert sorted(map(tuple, mkeys.collect())) == sorted(map(tuple, rkeys.collect()))
+    assert sorted(
+        (r.corpus_id, tuple(r._sh_c)) for r in msh.collect()
+    ) == sorted((r.corpus_id, tuple(r._sh_c)) for r in rsh.collect())
+
+    from_index = sorted(
+        (r.id_a, r.id_b, r.jac)
+        for r in minhash_pairs_from_index(mkeys, msh, threshold=0.2).collect()
+    )
+    from_text = sorted(
+        (r.id_a, r.id_b, r.jac)
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+    )
+    assert from_index == from_text and len(from_index) > 0

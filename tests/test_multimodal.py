@@ -201,3 +201,85 @@ def test_image_moments_real_decode_end_to_end(spark):
     # grayscale reports its channel in all three sums
     assert (rows[2].r_sum, rows[2].g_sum, rows[2].b_sum) == (60, 60, 60)
     assert rows[2].width == 3 and rows[2].height == 1
+
+
+# ---------------------------------------------------------------------------
+# Real audio codec (pure numpy): PCM WAV
+# ---------------------------------------------------------------------------
+
+
+def _wav(samples_le: bytes, channels=1, rate=8000, bits=16, extra_chunk=False):
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # LIST chunk with odd size (tests pad handling)
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(samples_le)) + samples_le
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_16bit_known_samples():
+    import struct
+
+    import numpy as np
+
+    from syncquill_spark.operators.multimodal import decode_wav
+
+    samples = struct.pack("<4h", -32768, -1, 0, 32767)
+    frames, rate = decode_wav(_wav(samples))
+    assert rate == 8000 and frames.shape == (4, 1)
+    assert frames[:, 0].tolist() == [-32768, -1, 0, 32767]
+    assert frames.dtype == np.dtype("<i2")
+
+
+def test_decode_wav_stereo_and_8bit_and_chunk_walk():
+    import struct
+
+    from syncquill_spark.operators.multimodal import decode_wav
+
+    stereo = struct.pack("<4h", 1, 2, 3, 4)  # L1 R2 / L3 R4
+    frames, _ = decode_wav(_wav(stereo, channels=2, extra_chunk=True))
+    assert frames.shape == (2, 2)
+    assert frames.tolist() == [[1, 2], [3, 4]]
+    # 8-bit unsigned per spec
+    frames8, rate8 = decode_wav(_wav(bytes([0, 128, 255]), bits=8, rate=44100))
+    assert rate8 == 44100 and frames8[:, 0].tolist() == [0, 128, 255]
+
+
+def test_decode_wav_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from syncquill_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS....")
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    # float WAV (format 3) rejected
+    bad = _wav(struct.pack("<2h", 0, 0))
+    bad = bad.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bad)
+
+
+def test_audio_moments_real_decode_end_to_end(spark):
+    import struct
+
+    from syncquill_spark.operators.multimodal import audio_moments
+
+    w1 = _wav(struct.pack("<4h", -5, 10, -15, 20))
+    w2 = _wav(bytes([0, 100, 200]), bits=8, rate=16000)
+    df = spark.createDataFrame(
+        [(1, bytearray(w1)), (2, bytearray(w2))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_moments(df).collect()}
+    assert (rows[1].sample_sum, rows[1].sample_min, rows[1].sample_max) == (10, -15, 20)
+    assert rows[1].n_frames == 4 and rows[1].sample_rate == 8000
+    assert (rows[2].sample_sum, rows[2].n_frames, rows[2].sample_rate) == (300, 3, 16000)
