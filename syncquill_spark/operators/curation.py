@@ -769,3 +769,51 @@ def leakage_safe_split(
         cond = bucket < upper
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return joined.withColumn("bucket", bucket.cast("long")).withColumn("split", expr)
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    signal_col: str,
+    keep_frac: float,
+    id_col: str = "doc_id",
+    stratify_col: str | None = None,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of documents by a quality signal —
+    the ADAPTIVE threshold a real pipeline uses instead of magic
+    constants (cut the worst 20% by whatever score, per corpus or per
+    language, without ever choosing an absolute cutoff).
+
+    Exact and deterministic, no approx-percentile: rank every row by
+    (signal desc, id asc) — a total order — and keep ranks
+    <= ceil(keep_frac * N), computed per stratum when ``stratify_col``
+    is given (per-language cuts, so a low-resource language is not
+    graded on the dominant language's curve). Output keeps the input
+    columns plus ``q_rank`` (1-based within the stratum).
+
+    Scale shape: the same WindowGroupLimit story as domain_quota — but
+    the limit here depends on N, so it cannot pre-push a constant
+    top-k below the exchange. Instead the count rides along: one
+    skinny count aggregation per stratum (broadcast back), then the
+    rank window. Two shuffles of (id, signal)-width rows; the corpus
+    payload joins back by id at the end.
+    """
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    strat = [stratify_col] if stratify_col else []
+    skinny = df.select(id_col, signal_col, *strat)
+    counts = (
+        skinny.groupBy(*strat).agg(F.count(F.lit(1)).alias("_n"))
+        if strat
+        else skinny.agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = (
+        Window.partitionBy(*strat) if strat else Window.partitionBy()
+    ).orderBy(F.col(signal_col).desc(), F.col(id_col).asc())
+    ranked = skinny.withColumn("_rk", F.row_number().over(w))
+    joined = (
+        ranked.join(counts, strat) if strat else ranked.crossJoin(counts)
+    )
+    kept = joined.filter(
+        F.col("_rk") <= F.ceil(F.lit(keep_frac) * F.col("_n"))
+    ).select(id_col, F.col("_rk").cast("long").alias("q_rank"))
+    return df.join(kept, id_col)

@@ -476,3 +476,134 @@ def dedup_segments_within_doc(
         .withColumn(out_col, F.array_join(F.col("_kept"), delimiter))
         .drop("_segs", "_kept")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document coverage against the corpus' own top-``vocab_size``
+    vocabulary: (doc_id, n_tokens, n_oov) where n_oov counts token
+    OCCURRENCES outside the vocabulary — the tokenizer-planning view of
+    a corpus (what OOV rate would a V-entry vocab leave?) and a quality
+    signal (high-OOV docs are often non-linguistic noise).
+
+    The vocabulary is deterministic: terms ranked by (count desc, term
+    asc) — a total order, so both engines select the identical set.
+
+    Scale shape: vocabulary construction is the inverted-index
+    aggregation (explode -> count, map-side combine) followed by an
+    exact top-V rank over TERMS (corpus-vocabulary cardinality, not
+    corpus size; WindowGroupLimit keeps the exchange skinny). Coverage
+    is one equi-join of exploded tokens against the V-row vocab —
+    broadcast under AQE — then a per-doc count. Nothing wide ever
+    shuffles: tokens travel as (doc_id, term) pairs.
+    """
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("_t"))
+    counts = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy(F.col("_c").desc(), F.col("_t").asc())
+    vocab = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= vocab_size)
+        .select("_t")
+    )
+    tagged = toks.join(vocab.withColumn("_inv", F.lit(1)), "_t", "left")
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-gram, slide a ``window``-wide window
+    over the hash sequence, and keep each window's MINIMUM hash —
+    recording a selected hash once per contiguous run it wins
+    (standard winnowing dedup: a new fingerprint is emitted only when
+    the winning POSITION changes). Guarantees at least one shared
+    fingerprint for any match of length >= window + k - 1 tokens, at
+    ~2/(window+1) of the k-gram density — the classic
+    substring-robust alternative to whole-doc MinHash for plagiarism /
+    quote detection.
+
+    Output: (doc_id, gram_pos, fp) rows — gram_pos is the 0-based
+    k-gram index of the selected hash; all columns exact integers, so
+    the DuckDB oracle replays the identical selection.
+
+    Ties break toward the RIGHTMOST minimal hash (the paper's rule,
+    which maximizes run lengths).
+
+    Execution shape — WINDOW FUNCTIONS over exploded gram rows, not a
+    per-row higher-order scan: the first implementation computed each
+    window's rightmost min with slice/reverse/array_position lambdas
+    and read 102s at sf0.1 — interpreted HOFs evaluate one lambda call
+    per element with zero subexpression sharing (~6 array ops x
+    n_grams x corpus), the exact hot-surface class the round-5 verdict
+    evicted from the similarity family. This form posexplodes to
+    (doc, pos, hash) rows and computes each window start's pick as
+    ``min_by(pos, struct(hash, -pos))`` over a ROWS BETWEEN 0 AND w-1
+    frame — min hash, rightmost tie, entirely JVM window aggregation
+    (3.6-4.3s warm for the same corpus, ~25x). Cost: one shuffle on
+    the doc id
+    (the window partition) over skinny int rows; for 100 TB the
+    partition key is the doc id so no partition ever exceeds one doc's
+    grams. For boilerplate-scale matching across a corpus, join
+    fingerprints on (fp) — candidate volume is the winnowed density,
+    not the token count.
+    """
+    from syncquill_spark.functions.hashing import (
+        portable_hash60,
+        word_shingles_from_tokens,
+    )
+
+    # tokens staged in their own projection (repo HOF rule: the
+    # shingle expression references its token input k+1 times and
+    # interpreted evaluation has no subexpression sharing)
+    grams = df.select(
+        F.col(id_col), _tokens(text_col).alias("_tk")
+    ).select(
+        F.col(id_col),
+        word_shingles_from_tokens(F.col("_tk"), k).alias("_g"),
+    )
+    hashes = grams.select(
+        F.col(id_col),
+        F.transform(F.col("_g"), lambda g: portable_hash60(g)).alias("_h"),
+    )
+    exploded = hashes.select(
+        F.col(id_col),
+        F.size("_h").alias("_n"),
+        F.posexplode("_h").alias("_pos", "_hv"),
+    )
+    wf = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    # rightmost min of the window: lexicographic min of (hash, -pos)
+    pick = F.min_by("_pos", F.struct(F.col("_hv"), (-F.col("_pos")).alias("_np")))
+    starts = exploded.withColumn("_pick", pick.over(wf)).filter(
+        F.col("_pos") <= F.col("_n") - window  # full windows only
+    )
+    sel = starts.select(
+        F.col(id_col), F.col("_pick").alias("gram_pos")
+    ).dropDuplicates([id_col, "gram_pos"])
+    return sel.join(
+        exploded.select(
+            F.col(id_col),
+            F.col("_pos").alias("gram_pos"),
+            F.col("_hv").alias("fp"),
+        ),
+        [id_col, "gram_pos"],
+    ).select(
+        id_col, F.col("gram_pos").cast("long").alias("gram_pos"), "fp"
+    )

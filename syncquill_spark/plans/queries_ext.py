@@ -3421,6 +3421,123 @@ FROM hx
 """
 
 
+_VOCAB_SIZE = 200
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-planning view: per-document token count + OOV
+    occurrences against the corpus' own top-200 vocabulary (terms by
+    count desc, term asc — a total order, so both engines build the
+    identical vocab). High-OOV docs are the non-linguistic-noise
+    signal a curation pass cuts before tokenizer training."""
+    from syncquill_spark.operators.text import vocab_coverage
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return vocab_coverage(documents, vocab_size=_VOCAB_SIZE)
+
+
+def _vocab_coverage_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+counts AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rk FROM counts) v
+  WHERE rk <= {_VOCAB_SIZE}
+)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+GROUP BY tok.doc_id
+"""
+
+
+_QPF_KEEP = 0.8
+
+
+def q_curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: keep the top 80% of each language by
+    lexical diversity (n_unique_tokens, doc_id tie-break) — the
+    percentile-threshold form of quality filtering (no magic absolute
+    cutoffs; each language graded on its own curve). Exact ranks, the
+    cutoff is ceil(keep_frac * N_lang)."""
+    from syncquill_spark.operators.curation import quality_percentile_filter
+    from syncquill_spark.operators.text import quality_features
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    feats = quality_features(documents).select("doc_id", "n_unique_tokens")
+    scored = documents.select("doc_id", "lang").join(feats, "doc_id")
+    kept = quality_percentile_filter(
+        scored, "n_unique_tokens", keep_frac=_QPF_KEEP, stratify_col="lang"
+    )
+    return kept.select("doc_id", "lang", "q_rank")
+
+
+def _quality_filter_sql() -> str:
+    toks = _TOKS.format(src="text")
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, len(list_distinct({toks})) AS sig FROM documents
+),
+c AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY lang),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY sig DESC, doc_id ASC) AS rk
+  FROM s
+)
+SELECT r.doc_id, r.lang, CAST(rk AS BIGINT) AS q_rank
+FROM r JOIN c ON r.lang = c.lang
+WHERE rk <= ceil({_QPF_KEEP} * n)
+"""
+
+
+_WIN_K, _WIN_W = 3, 4
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: k-gram hashes ->
+    sliding-window minima with the rightmost-tie rule, one row per
+    selected (gram position, hash). The substring-robust fingerprint
+    family (plagiarism / quote / boilerplate-run detection) next to
+    whole-doc MinHash; the oracle replays the identical selection with
+    list ops."""
+    from syncquill_spark.operators.text import winnowing_fingerprints
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return winnowing_fingerprints(documents, k=_WIN_K, window=_WIN_W)
+
+
+def _winnowing_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    h60 = _H60.format(x="g")
+    k, w = _WIN_K, _WIN_W
+    sl = f"list_slice(hs, i, i + {w - 1})"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= {k} THEN
+           list_transform(range(1, len(tk) - {k} + 2),
+             i -> array_to_string(list_slice(tk, i, i + {k - 1}), ' '))
+         ELSE [] END AS gs
+  FROM t
+),
+h AS (SELECT doc_id, list_transform(gs, g -> {h60}) AS hs FROM g),
+p AS (
+  SELECT doc_id, hs,
+         list_distinct(list_transform(range(1, len(hs) - {w} + 2),
+           i -> (i - 1) + ({w} - list_position(list_reverse({sl}),
+                                               list_min({sl}))))) AS picks
+  FROM h WHERE len(hs) >= {w}
+)
+SELECT doc_id, CAST(u AS BIGINT) AS gram_pos, hs[u + 1] AS fp
+FROM (SELECT doc_id, hs, unnest(picks) AS u FROM p) q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Curation: first-fit-decreasing packing under the gate (round-6
 # verdict #5 — the last unit-only curation operator)
@@ -3566,6 +3683,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "storage_index_incremental": q_storage_index_incremental,
     "storage_text_ingest_roundtrip": q_storage_text_ingest_roundtrip,
     "multimodal_audio_decode": q_multimodal_audio_decode,
+    "text_vocab_coverage": q_text_vocab_coverage,
+    "curation_quality_filter": q_curation_quality_filter,
+    "text_winnowing": q_text_winnowing,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3652,4 +3772,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "storage_index_incremental": _minhash_sql(),
     "storage_text_ingest_roundtrip": _text_ingest_sql(),
     "multimodal_audio_decode": _multimodal_audio_sql(),
+    "text_vocab_coverage": _vocab_coverage_sql(),
+    "curation_quality_filter": _quality_filter_sql(),
+    "text_winnowing": _winnowing_sql(),
 }

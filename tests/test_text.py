@@ -242,3 +242,117 @@ def test_segment_dedup_long_doc_linear(spark):
     # the quadratic form took minutes here; linear is a couple seconds
     # of Spark overhead at most
     assert elapsed < 30, f"segment dedup took {elapsed:.1f}s on a 1e4-line doc"
+
+
+def test_vocab_coverage_counts(spark):
+    from syncquill_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b c"),
+            (2, "a b b x"),
+            (3, "y z"),
+        ],
+        "doc_id long, text string",
+    )
+    # counts: a=3 b=3 c=1 x=1 y=1 z=1 -> top-3 by (count desc, term
+    # asc) = a, b, c
+    rows = {r.doc_id: r for r in vocab_coverage(df, vocab_size=3).collect()}
+    assert (rows[1].n_tokens, rows[1].n_oov) == (4, 0)
+    assert (rows[2].n_tokens, rows[2].n_oov) == (4, 1)   # x OOV
+    assert (rows[3].n_tokens, rows[3].n_oov) == (2, 2)   # y z OOV
+
+
+def test_quality_percentile_filter_exact_cut_and_strata(spark):
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.curation import quality_percentile_filter
+
+    rows = [(i, "en", 100 - i) for i in range(10)] + [
+        (100 + i, "de", i) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, sig long")
+    kept = quality_percentile_filter(
+        df, "sig", keep_frac=0.5, stratify_col="lang"
+    )
+    by_lang = {
+        lang: sorted(r.doc_id for r in grp)
+        for lang, grp in __import__("itertools").groupby(
+            sorted(kept.collect(), key=lambda r: r.lang), key=lambda r: r.lang
+        )
+    }
+    # en: 10 rows, keep ceil(5) = 5 best sig (doc_ids 0..4)
+    assert by_lang["en"] == [0, 1, 2, 3, 4]
+    # de: 4 rows, keep ceil(2) = 2 best sig (103, 102)
+    assert by_lang["de"] == [102, 103]
+    # q_rank is the within-stratum rank
+    ranks = {r.doc_id: r.q_rank for r in kept.collect()}
+    assert ranks[0] == 1 and ranks[103] == 1
+
+    # global mode (no stratify): one curve across everything
+    glob = quality_percentile_filter(df, "sig", keep_frac=0.25)
+    assert sorted(r.doc_id for r in glob.collect()) == [0, 1, 2, 3]
+
+    # ties broken by id asc: equal sigs keep the LOWest ids
+    tied = spark.createDataFrame(
+        [(i, "en", 7) for i in range(4)], "doc_id long, lang string, sig long"
+    )
+    got = sorted(
+        r.doc_id
+        for r in quality_percentile_filter(tied, "sig", keep_frac=0.5).collect()
+    )
+    assert got == [0, 1]
+
+
+def test_winnowing_hand_example(spark):
+    """4 tokens -> 2 trigrams < window=4 -> no output; 7 tokens -> 5
+    trigram hashes -> 2 windows; selections follow min + rightmost-tie."""
+    from syncquill_spark.operators.text import winnowing_fingerprints
+
+    short = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    assert winnowing_fingerprints(short, k=3, window=4).count() == 0
+
+    df = spark.createDataFrame(
+        [(2, "a b c d e f g")], "doc_id long, text string"
+    )
+    out = winnowing_fingerprints(df, k=3, window=4).collect()
+    # replicate: hashes of the 5 trigrams, windows [0..3] and [1..4];
+    # python twin of portable_hash60 (first 15 md5 hex chars)
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = "a b c d e f g".split()
+    grams = [" ".join(toks[i:i + 3]) for i in range(5)]
+    hs = [h60(g) for g in grams]
+
+    def rightmost_min(seg, base):
+        mn = min(seg)
+        return base + max(i for i, v in enumerate(seg) if v == mn)
+
+    expect = sorted({rightmost_min(hs[0:4], 0), rightmost_min(hs[1:5], 1)})
+    got = sorted((r.gram_pos) for r in out)
+    assert got == expect
+    assert all(r.fp == hs[r.gram_pos] for r in out)
+
+
+def test_winnowing_guarantee_shared_fingerprint(spark):
+    """Winnowing's coverage guarantee: two docs sharing a run of
+    >= window + k - 1 tokens share at least one fingerprint."""
+    from syncquill_spark.operators.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over"  # 6 tokens = w + k - 1
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three {shared} four"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(df, k=3, window=4)
+    a = {r.fp for r in fp.filter("doc_id = 1").collect()}
+    b = {r.fp for r in fp.filter("doc_id = 2").collect()}
+    assert a & b, "shared run must produce a shared fingerprint"
