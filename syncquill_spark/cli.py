@@ -117,6 +117,12 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         "--per-line", action="store_true",
         help="ingest one doc per LINE instead of per file (textdir only)",
     )
+    p.add_argument(
+        "--content-ids", action="store_true",
+        help="derive doc ids from CONTENT only (per-line ingest): ids "
+        "survive re-sharding of the dump; cross-file duplicate lines "
+        "collapse to one row",
+    )
     return p.parse_args(argv)
 
 
@@ -184,7 +190,8 @@ def main(argv: list[str] | None = None) -> int:
             from syncquill_spark.sources.text_files import read_text_dir
 
             df = read_text_dir(
-                spark, rest, per_line=args.per_line, glob=args.glob
+                spark, rest, per_line=args.per_line, glob=args.glob,
+                path_in_id=not args.content_ids,
             )
         elif scheme == "mediadir":
             from syncquill_spark.sources.media_files import read_media_dir

@@ -356,3 +356,112 @@ def test_winnowing_guarantee_shared_fingerprint(spark):
     a = {r.fp for r in fp.filter("doc_id = 1").collect()}
     b = {r.fp for r in fp.filter("doc_id = 2").collect()}
     assert a & b, "shared run must produce a shared fingerprint"
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the new text/curation operators vs pure-python models
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import math as _math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=3)
+_doc = st.lists(_word, min_size=0, max_size=20).map(" ".join)
+
+
+def _h60_py(s: str) -> int:
+    return int(_hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _winnow_py(text: str, k: int, w: int):
+    toks = text.strip().lower().split() if text.strip() else []
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [_h60_py(g) for g in grams]
+    picks = set()
+    for i in range(len(hs) - w + 1):
+        seg = hs[i:i + w]
+        mn = min(seg)
+        picks.add(i + max(j for j, v in enumerate(seg) if v == mn))
+    return sorted((p, hs[p]) for p in picks)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_winnowing_matches_python_model(spark, docs):
+    from syncquill_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.gram_pos, r.fp)
+        for r in winnowing_fingerprints(df, k=3, window=4).collect()
+    )
+    want = sorted(
+        (i, p, fp) for i, d in enumerate(docs) for p, fp in _winnow_py(d, 3, 4)
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["en", "de", "zh"]), st.integers(0, 50)),
+        min_size=1, max_size=30,
+    ),
+    frac=st.sampled_from([0.1, 0.33, 0.5, 0.8, 1.0]),
+)
+def test_percentile_filter_matches_python_model(spark, rows, frac):
+    from syncquill_spark.operators.curation import quality_percentile_filter
+
+    data = [(i, lang, sig) for i, (lang, sig) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, sig long")
+    got = sorted(
+        (r.doc_id, r.q_rank)
+        for r in quality_percentile_filter(
+            df, "sig", keep_frac=frac, stratify_col="lang"
+        ).collect()
+    )
+    want = []
+    for lang in {r[1] for r in data}:
+        grp = sorted(
+            (r for r in data if r[1] == lang), key=lambda r: (-r[2], r[0])
+        )
+        cut = _math.ceil(frac * len(grp))
+        want += [(r[0], j + 1) for j, r in enumerate(grp[:cut])]
+    assert got == sorted(want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(_doc, min_size=1, max_size=6), v=st.integers(1, 8))
+def test_vocab_coverage_matches_python_model(spark, docs, v):
+    from collections import Counter
+
+    from syncquill_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_oov)
+        for r in vocab_coverage(df, vocab_size=v).collect()
+    )
+    tok = {
+        i: (d.strip().lower().split() if d.strip() else [""])
+        for i, d in enumerate(docs)
+    }
+    counts = Counter(t for ts in tok.values() for t in ts)
+    vocab = {
+        t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:v]
+    }
+    want = sorted(
+        (i, len(ts), sum(1 for t in ts if t not in vocab))
+        for i, ts in tok.items()
+    )
+    assert got == want
