@@ -223,6 +223,26 @@ class VersionedParquetTable(Table):
         m = self._load()
         if m["current"] is None:
             return self.overwrite(df)
+        # Schema guard: the new version holds HARDLINKED old files next
+        # to freshly appended ones, and a plain parquet read infers its
+        # schema from ONE arbitrary file — with mixed schemas the
+        # result is nondeterministic (a new column appears or vanishes
+        # depending on which footer wins). Refuse loudly; schema
+        # migrations go through overwrite, which rewrites every row.
+        current = {
+            f.name: f.dataType
+            for f in df.sparkSession.read.parquet(
+                self._vdir(m["current"])
+            ).schema.fields
+        }
+        incoming = {f.name: f.dataType for f in df.schema.fields}
+        if incoming != current:
+            raise ValueError(
+                f"versioned append schema mismatch at {self.path}: "
+                f"table has {sorted(current)}, batch has "
+                f"{sorted(incoming)} (or differing types). Hardlink "
+                "append cannot mix schemas — migrate via overwrite()."
+            )
         n = max(m["versions"]) + 1
         src, dst = self._vdir(m["current"]), self._vdir(n)
         if os.path.exists(dst):

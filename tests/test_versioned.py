@@ -224,3 +224,29 @@ def test_vacuum_removes_only_orphaned_versions(spark, tmp_path):
     assert t.versions() == [1, 2]
     assert _ids(t.read(spark)) == [2] and _ids(t.read_version(spark, 1)) == [1]
     assert t.vacuum() == []  # idempotent
+
+
+def test_versioned_append_rejects_schema_drift(spark, tmp_path):
+    """Hardlink append mixes old and new part files in one directory,
+    and a plain parquet read infers its schema from ONE arbitrary
+    footer — mixed schemas would read nondeterministically. Append
+    must refuse loudly; migrations go through overwrite."""
+    import pytest
+
+    from syncquill_spark.sources.parquet import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(
+            spark.createDataFrame([(2, "b", 9.5)], "k long, v string, x double")
+        )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(2,)], "k long"))  # dropped column
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([("2", "b")], "k string, v string"))  # type
+    # same columns in a different order are the SAME schema (parquet
+    # matches by name)
+    t.append(spark.createDataFrame([("c", 3)], "v string, k long"))
+    assert t.current_version() == 2
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [(1, "a"), (3, "c")]
