@@ -607,3 +607,58 @@ def winnowing_fingerprints(
     ).select(
         id_col, F.col("gram_pos").cast("long").alias("gram_pos"), "fp"
     )
+
+
+def winnowing_match_pairs(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document SUBSTRING-match detection from winnowing
+    fingerprints: (id_a, id_b, n_shared) for document pairs sharing
+    >= ``min_shared`` distinct fingerprints — the quote / plagiarism /
+    shared-boilerplate detector that complements whole-document
+    MinHash (MinHash scores global set overlap; winnowing guarantees a
+    hit for any contiguous run of >= window + k - 1 shared tokens, no
+    matter how different the rest of the documents are).
+
+    ``max_fp_df`` drops fingerprints appearing in more than that many
+    documents before the join — the hub-key cap, same role as the
+    prefix filter in ngram_jaccard_pairs: a corpus-wide boilerplate
+    fingerprint would otherwise put every document in one bucket and
+    make the candidate join quadratic. Capped fingerprints are exactly
+    the ones that carry no pair-discriminating signal.
+
+    Scale shape: per-doc distinct fingerprints (skinny (id, fp)
+    rows) -> optional df-cap (one count aggregation over fp, a
+    semi-join back) -> self equi-join on fp (id_a < id_b) -> count per
+    pair. Every shuffle key is an int64; candidate volume is the
+    winnowed density (~2/(window+1) of gram count), not token count.
+    """
+    fps = (
+        winnowing_fingerprints(
+            df, k=k, window=window, text_col=text_col, id_col=id_col
+        )
+        .select(F.col(id_col), "fp")
+        .dropDuplicates([id_col, "fp"])
+    )
+    if max_fp_df is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp")
+    a = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = fps.select(F.col("fp").alias("_fpb"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, (a["fp"] == b["_fpb"]) & (a["id_a"] < b["id_b"]))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

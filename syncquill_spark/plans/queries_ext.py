@@ -3538,6 +3538,47 @@ FROM (SELECT doc_id, hs, unnest(picks) AS u FROM p) q
 """
 
 
+_WIN_MIN_SHARED, _WIN_MAX_DF = 2, 20
+
+
+def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-match pair detection from winnowing fingerprints:
+    pairs sharing >= 2 distinct fingerprints after dropping hub
+    fingerprints (df > 20 docs — corpus boilerplate carries no
+    pair-discriminating signal and would make the join quadratic, the
+    same hub-key cap as ngram_jaccard's prefix filter). Complements
+    MinHash: a shared RUN of >= window+k-1 tokens is guaranteed a hit
+    regardless of whole-document similarity."""
+    from syncquill_spark.operators.text import winnowing_match_pairs
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return winnowing_match_pairs(
+        documents,
+        k=_WIN_K,
+        window=_WIN_W,
+        min_shared=_WIN_MIN_SHARED,
+        max_fp_df=_WIN_MAX_DF,
+    )
+
+
+def _winnowing_pairs_sql() -> str:
+    return f"""
+WITH wfp AS (
+  SELECT DISTINCT doc_id, fp FROM ({_winnowing_sql()}) w
+),
+rare AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM wfp GROUP BY fp) t
+  WHERE c <= {_WIN_MAX_DF}
+),
+f AS (SELECT wfp.doc_id, wfp.fp FROM wfp JOIN rare ON wfp.fp = rare.fp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Curation: first-fit-decreasing packing under the gate (round-6
 # verdict #5 — the last unit-only curation operator)
@@ -3686,6 +3727,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_coverage": q_text_vocab_coverage,
     "curation_quality_filter": q_curation_quality_filter,
     "text_winnowing": q_text_winnowing,
+    "dedup_winnowing_pairs": q_dedup_winnowing_pairs,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3775,4 +3817,5 @@ EXT_ORACLES: dict[str, str | None] = {
     "text_vocab_coverage": _vocab_coverage_sql(),
     "curation_quality_filter": _quality_filter_sql(),
     "text_winnowing": _winnowing_sql(),
+    "dedup_winnowing_pairs": _winnowing_pairs_sql(),
 }

@@ -465,3 +465,31 @@ def test_vocab_coverage_matches_python_model(spark, docs, v):
         for i, ts in tok.items()
     )
     assert got == want
+
+
+def test_winnowing_match_pairs_planted_run_and_hub_cap(spark):
+    from syncquill_spark.operators.text import winnowing_match_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"one two {shared} three"),
+        (3, "completely unrelated text about something else entirely here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnowing_match_pairs(df, k=3, window=4, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+    # hub cap: fingerprints present in > max_fp_df docs are dropped —
+    # with the shared run in EVERY doc and max_fp_df=1, no pairs remain
+    every = spark.createDataFrame(
+        [(i, f"x{i} {shared} y{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    capped = winnowing_match_pairs(
+        every, k=3, window=4, min_shared=1, max_fp_df=1
+    )
+    assert capped.count() == 0
