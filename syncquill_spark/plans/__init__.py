@@ -23,7 +23,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # last driver-green row more than 2 rounds old.
 #
 # Round-7 window, in order:
-#  - the 11 queries NEW this round (new plans always enter the window):
+#  - the 12 queries NEW this round (new plans always enter the window):
 #    storage_versioned_roundtrip + storage_index_roundtrip (the
 #    round-6 verdict's #2 — the versioned-table and persisted-index
 #    lifecycles round-trip through disk INSIDE a registry query whose
@@ -38,9 +38,12 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    text_vocab_coverage (top-V corpus vocab + per-doc OOV counts),
 #    curation_quality_filter (exact percentile quality gate per
 #    language), text_winnowing (MOSS winnowing fingerprints,
-#    rightmost-tie rule, oracle replays the selection), and
+#    rightmost-tie rule, oracle replays the selection),
 #    dedup_winnowing_pairs (substring-match pair detection over the
-#    fingerprints, hub-fingerprint df cap);
+#    fingerprints, hub-fingerprint df cap), and
+#    storage_media_ingest_roundtrip (write_media_dir executor-side
+#    binary export -> binaryFile re-ingest -> real codec decode;
+#    oracle = multimodal_decode's twin — files must change nothing);
 #  - the 19 rows whose last driver-green is r04 (staleness 2 — the
 #    round-6 verdict names them as mandatory leads): window_moving_avg,
 #    setop_except_all, multimodal_media_stats, curation_boilerplate,
@@ -50,7 +53,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    join_events_customers, events_sliding_window,
 #    agg_distinct_users_approx, events_sessionization,
 #    events_tumbling_window, events_session_window, agg_rollup_orders;
-#  - 20 of the 45 rows whose last driver-green is r05 (the stalest
+#  - 19 of the 45 rows whose last driver-green is r05 (the stalest
 #    remaining tier): the five sync_* flagship rows (the reference's
 #    own surface), then the similarity/dedup/text families (the plans
 #    most often touched), then relational rows to fill.
@@ -63,7 +66,8 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # join_lonely_returned_supplier, join_disjunctive_promo,
 # join_nation_trade, window_top_supplier, agg_customer_balance_stats,
 # join_salted_revenue, agg_status_sets, text_token_stats,
-# subquery_exists_orders, agg_cube_sales, json_events_extract — pure
+# subquery_exists_orders, agg_cube_sales, json_events_extract,
+# agg_pricing_summary — pure
 # relational/projection shapes over untouched loaders. The 50
 # r06-green rows rotate out at staleness 1.
 #
@@ -121,6 +125,7 @@ _PRIORITY = [
     "storage_index_incremental", "storage_text_ingest_roundtrip",
     "multimodal_audio_decode", "text_vocab_coverage",
     "curation_quality_filter", "text_winnowing", "dedup_winnowing_pairs",
+    "storage_media_ingest_roundtrip",
     # staleness-2 cohort (last driver-green r04)
     "window_moving_avg", "setop_except_all", "multimodal_media_stats",
     "curation_boilerplate", "curation_blocklist", "curation_shuffle",
@@ -141,8 +146,6 @@ _PRIORITY = [
     "similarity_topk_cosine", "similarity_topk_lsh",
     "dedup_semantic_pairs", "text_tfidf_terms", "text_language_id",
     "text_quality", "text_repetition",
-    # relational fill
-    "agg_pricing_summary",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

@@ -3263,6 +3263,47 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_moments(media)
 
 
+def q_storage_media_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media lifecycle end to end under the gate: build valid PPM
+    payloads from fixture text (multimodal_decode's construction),
+    EXPORT them as one .ppm file per document (``write_media_dir`` —
+    executor-side writes, payloads never collect to the driver),
+    re-ingest the directory through the binaryFile source
+    (``read_media_dir``), re-derive each doc id from its file name,
+    and decode with the real numpy codec. Oracle = multimodal_decode's
+    own SQL twin: a trip through actual files on disk must change
+    nothing."""
+    import tempfile as _tempfile
+
+    from syncquill_spark.operators.multimodal import image_moments
+    from syncquill_spark.sources.media_files import (
+        read_media_dir,
+        write_media_dir,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    hx = F.concat(
+        F.md5(F.concat(F.col("text"), F.lit("|0"))),
+        F.md5(F.concat(F.col("text"), F.lit("|1"))),
+        F.md5(F.concat(F.col("text"), F.lit("|2"))),
+    )
+    payloads = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"), F.unhex(hx)
+        ).alias("payload"),
+    )
+    out = _tempfile.mkdtemp(prefix="sq_media_rt_") + "/export"
+    write_media_dir(payloads, out, ext="ppm")
+    media = read_media_dir(spark, out, glob="*.ppm").select(
+        F.regexp_extract(F.col("source_path"), r"(\d+)\.ppm$", 1)
+        .cast("long")
+        .alias("media_id"),
+        "payload",
+    )
+    return image_moments(media)
+
+
 def _multimodal_decode_sql() -> str:
     def chan_sum(c: int) -> str:
         return (
@@ -3728,6 +3769,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_quality_filter": q_curation_quality_filter,
     "text_winnowing": q_text_winnowing,
     "dedup_winnowing_pairs": q_dedup_winnowing_pairs,
+    "storage_media_ingest_roundtrip": q_storage_media_ingest_roundtrip,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3818,4 +3860,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "curation_quality_filter": _quality_filter_sql(),
     "text_winnowing": _winnowing_sql(),
     "dedup_winnowing_pairs": _winnowing_pairs_sql(),
+    # identical oracle to multimodal_decode BY DESIGN: a trip through
+    # real files (export -> binaryFile re-ingest) must change nothing
+    "storage_media_ingest_roundtrip": _multimodal_decode_sql(),
 }

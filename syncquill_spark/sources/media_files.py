@@ -37,10 +37,55 @@ from syncquill_spark.functions.hashing import portable_hash60
 MODALITY_BY_EXT = {
     "jpg": "image", "jpeg": "image", "png": "image", "gif": "image",
     "bmp": "image", "webp": "image", "tif": "image", "tiff": "image",
+    "ppm": "image", "pgm": "image",
     "wav": "audio", "mp3": "audio", "flac": "audio", "ogg": "audio",
     "mp4": "video", "mkv": "video", "webm": "video", "avi": "video",
     "mov": "video",
 }
+
+
+def write_media_dir(
+    df: DataFrame,
+    path: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    ext: str = "bin",
+) -> str:
+    """EXPORT binary payloads as one file per row (``{id}.{ext}``) —
+    the inverse of :func:`read_media_dir`, for handing media to tools
+    that want files (codecs, labeling UIs, external trainers). Spark
+    has no binary-file SINK, so the standard pattern applies: each
+    partition writes its own rows from the executor (``foreachPartition``
+    — payloads never collect to the driver), into a staging directory
+    that is atomically installed at ``path`` via the same
+    ``atomic_replace_dir`` every swap-based writer here uses (readers
+    see the complete old or complete new export, never a partial one).
+
+    File names are the (unique) id column — deterministic, so a
+    re-export overwrites in place and a re-ingest re-derives the ids
+    from the names. Requires executors and driver to share the
+    filesystem at ``path`` (true for local[*], NFS, or a fuse-mounted
+    object store; on plain object stores swap the inner ``open`` for a
+    put call — the partition-parallel shape is identical).
+    """
+    import os as _os
+    import uuid as _uuid
+
+    from syncquill_spark.sources._atomic import atomic_replace_dir
+
+    staging = f"{path}.__staging_{_uuid.uuid4().hex[:8]}"
+    _os.makedirs(staging)
+
+    def dump(rows) -> None:
+        for r in rows:
+            with open(
+                _os.path.join(staging, f"{r[id_col]}.{ext}"), "wb"
+            ) as fh:
+                fh.write(bytes(r[payload_col]))
+
+    df.select(id_col, payload_col).foreachPartition(dump)
+    atomic_replace_dir(staging, path)
+    return path
 
 
 def read_media_dir(

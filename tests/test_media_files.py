@@ -78,3 +78,45 @@ def test_read_media_dir_composes_with_feature_extraction(spark, tmp_path):
     assert [round(v, 6) for v in row.feature] == [
         round(h[i % 16] / 255.0, 6) for i in range(4)
     ]
+
+
+def test_write_media_dir_roundtrip_and_atomic_overwrite(spark, tmp_path):
+    """Export payloads as files (executor-side), re-ingest via
+    binaryFile: byte-identical payloads, ids re-derivable from names;
+    a second export atomically replaces the first (no stale files)."""
+    import os
+
+    from syncquill_spark.sources.media_files import (
+        read_media_dir,
+        write_media_dir,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01payload-one")), (2, bytearray(b"two\xff"))],
+        "media_id long, payload binary",
+    )
+    out = str(tmp_path / "export")
+    write_media_dir(df, out, ext="bin")
+    assert sorted(os.listdir(out)) == ["1.bin", "2.bin"]
+    back = {
+        int(os.path.basename(r.source_path).split(".")[0]): bytes(r.payload)
+        for r in read_media_dir(spark, out, glob="*.bin").collect()
+    }
+    assert back == {1: b"\x00\x01payload-one", 2: b"two\xff"}
+
+    # overwrite: a smaller second export leaves NO stale first-export files
+    df2 = spark.createDataFrame(
+        [(9, bytearray(b"only"))], "media_id long, payload binary"
+    )
+    write_media_dir(df2, out, ext="bin")
+    assert sorted(os.listdir(out)) == ["9.bin"]
+
+
+def test_read_media_dir_knows_netpbm_modalities(spark, tmp_path):
+    from syncquill_spark.sources.media_files import read_media_dir
+
+    d = tmp_path / "m"
+    d.mkdir()
+    (d / "x.ppm").write_bytes(b"P6\n1 1\n255\n\x01\x02\x03")
+    rows = read_media_dir(spark, str(d)).collect()
+    assert rows[0].meta.modality == "image"
