@@ -230,9 +230,27 @@ def _bm25(c: DataFrame) -> DataFrame:
     return bm25_scores(c, ("spark", "hash", "merge", "window"))
 
 
+def _winnow_fp(c: DataFrame) -> DataFrame:
+    # per-doc window shuffle: the partition key is the doc id, so no
+    # partition ever exceeds one doc's grams regardless of corpus size
+    from syncquill_spark.operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(c, k=3, window=4)
+
+
+def _winnow_pairs(c: DataFrame) -> DataFrame:
+    # fp equi-join with the hub cap; replicas share no shingles, so
+    # pair structure stays per-replica (like the other dedup probes)
+    from syncquill_spark.operators.text import winnowing_match_pairs
+
+    return winnowing_match_pairs(c, k=3, window=4, min_shared=2, max_fp_df=20)
+
+
 TEXT_OPS = {
     "tfidf_terms": _tfidf_terms,
     "bm25": _bm25,
+    "winnow_fp": _winnow_fp,
+    "winnow_pairs": _winnow_pairs,
 }
 
 # similarity family: fixed query set (the base replica's), growing corpus
