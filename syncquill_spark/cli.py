@@ -123,7 +123,13 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         "survive re-sharding of the dump; cross-file duplicate lines "
         "collapse to one row",
     )
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.content_ids and not args.per_line:
+        # usage error at the CLI boundary, not a ValueError traceback
+        # from deep inside read_text_dir
+        p.error("--content-ids requires --per-line (content-derived ids "
+                "are defined for per-line ingest only)")
+    return args
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -125,7 +125,11 @@ def decode_ppm(payload: bytes) -> "tuple":
         raise ValueError(f"PPM maxval {maxval} out of range")
     dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
     n = width * height * channels
-    raster = np.frombuffer(payload, dtype=dtype, count=-1, offset=pos)
+    # count computed explicitly: with count=-1 an odd trailing byte on
+    # the 2-byte dtype raises numpy's generic "buffer size must be a
+    # multiple of element size" instead of the truncation ValueError
+    avail = (len(payload) - pos) // np.dtype(dtype).itemsize
+    raster = np.frombuffer(payload, dtype=dtype, count=avail, offset=pos)
     if raster.size < n:
         raise ValueError(
             f"PPM raster truncated: want {n} samples, have {raster.size}"
@@ -321,6 +325,11 @@ def image_moments(
                 sums = img.reshape(-1, c).sum(axis=0, dtype=np.int64)
                 if c == 1:
                     sums = np.repeat(sums, 3)
+                # BMP permits width or height 0 (decode_bmp accepts it);
+                # min/max of an empty array would raise in the executor
+                # and fail the stage — report 0, as audio_moments does.
+                px_min = int(img.min()) if img.size else 0
+                px_max = int(img.max()) if img.size else 0
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -328,8 +337,8 @@ def image_moments(
                 out["r_sum"].append(int(sums[0]))
                 out["g_sum"].append(int(sums[1]))
                 out["b_sum"].append(int(sums[2]))
-                out["px_min"].append(int(img.min()))
-                out["px_max"].append(int(img.max()))
+                out["px_min"].append(px_min)
+                out["px_max"].append(px_max)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, MOMENTS_SCHEMA)

@@ -96,6 +96,16 @@ def compact_parquet(
             "rewrite through PartitionedParquetTable.overwrite."
         )
 
+    total = _files_total_bytes(spark, files)
+    n_files = max(min_files, math.ceil(total / target_file_bytes))
+    table = ParquetTable(path)
+    table.overwrite(df.repartition(n_files))
+    return n_files
+
+
+def _files_total_bytes(spark: SparkSession, files: list[str]) -> int:
+    """Sum file sizes via Hadoop FileSystem status — correct for any
+    URI scheme Spark can read (file://, hdfs://, s3a://, ...)."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     total = 0
@@ -103,11 +113,7 @@ def compact_parquet(
         p = jvm.org.apache.hadoop.fs.Path(f)
         fs = p.getFileSystem(hconf)
         total += fs.getFileStatus(p).getLen()
-
-    n_files = max(min_files, math.ceil(total / target_file_bytes))
-    table = ParquetTable(path)
-    table.overwrite(df.repartition(n_files))
-    return n_files
+    return total
 
 
 class PartitionedParquetTable(ParquetTable):
@@ -216,8 +222,32 @@ class VersionedParquetTable(Table):
         df.write.mode("overwrite").parquet(self._vdir(n))
         m["versions"].append(n)
         m["current"] = n
+        self._record_schema(m, n, df)
         self._commit(m)
         self._prune(m)
+
+    def _record_schema(self, manifest: dict, n: int, df: DataFrame) -> None:
+        # Per-version schema (JSON) recorded at commit time so append's
+        # schema guard reads the manifest, not a full spark.read of the
+        # current version (driver-side file listing + footer job on the
+        # hot append path). Per-version (not one slot) because overwrite
+        # MAY change the schema and rollback may then point anywhere.
+        manifest.setdefault("schemas", {})[str(n)] = df.schema.json()
+
+    def _current_schema(self, manifest: dict, spark) -> dict:
+        """{name: dataType} of the current version — from the manifest
+        when recorded, else one footer read (tables written before the
+        schemas field existed)."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        stored = manifest.get("schemas", {}).get(str(manifest["current"]))
+        if stored is not None:
+            fields = StructType.fromJson(_json.loads(stored)).fields
+        else:
+            fields = spark.read.parquet(self._vdir(manifest["current"])).schema.fields
+        return {f.name: f.dataType for f in fields}
 
     def append(self, df: DataFrame) -> None:
         m = self._load()
@@ -229,12 +259,9 @@ class VersionedParquetTable(Table):
         # result is nondeterministic (a new column appears or vanishes
         # depending on which footer wins). Refuse loudly; schema
         # migrations go through overwrite, which rewrites every row.
-        current = {
-            f.name: f.dataType
-            for f in df.sparkSession.read.parquet(
-                self._vdir(m["current"])
-            ).schema.fields
-        }
+        # The comparison schema comes from the manifest (recorded at
+        # commit), not a read of the current version's files.
+        current = self._current_schema(m, df.sparkSession)
         incoming = {f.name: f.dataType for f in df.schema.fields}
         if incoming != current:
             raise ValueError(
@@ -261,6 +288,7 @@ class VersionedParquetTable(Table):
         df.write.mode("append").parquet(dst)
         m["versions"].append(n)
         m["current"] = n
+        self._record_schema(m, n, df)
         self._commit(m)
         self._prune(m)
 
@@ -276,6 +304,36 @@ class VersionedParquetTable(Table):
         if n not in m["versions"]:
             raise ValueError(f"version {n} not in {m['versions']}")
         return spark.read.parquet(self._vdir(n))
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 512 * 1024 * 1024,
+        min_files: int = 1,
+    ) -> int:
+        """Rewrite the CURRENT version as a NEW few-file version through
+        the same manifest flip (contents identical, file count ~total /
+        target). Hardlink ``append`` accumulates part files
+        monotonically — after N appends the live version carries N
+        generations of small files and every reader pays the per-file
+        open/footer cost. Compaction is one read + one write of the
+        live data; older snapshots stay untouched, so time-travel reads
+        and O(1) ``rollback`` keep working, and a reader mid-compaction
+        sees the old version until the pointer flips. Run it from a
+        maintenance job keyed on file-count heuristics, like
+        ``compact_parquet``. Returns the number of files written."""
+        import math
+
+        m = self._load()
+        if m["current"] is None:
+            raise FileNotFoundError(
+                f"versioned table {self.path}: no versions yet"
+            )
+        df = spark.read.parquet(self._vdir(m["current"]))
+        total = _files_total_bytes(spark, df.inputFiles())
+        n_files = max(min_files, math.ceil(total / target_file_bytes))
+        self.overwrite(df.repartition(n_files))
+        return n_files
 
     def rollback(self, n: int) -> None:
         m = self._load()
@@ -316,6 +374,8 @@ class VersionedParquetTable(Table):
         if not drop:
             return
         manifest["versions"] = [v for v in manifest["versions"] if v in keep]
+        for v in drop:
+            manifest.get("schemas", {}).pop(str(v), None)
         self._commit(manifest)
         for v in drop:
             shutil.rmtree(self._vdir(v), ignore_errors=True)

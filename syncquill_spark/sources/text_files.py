@@ -98,8 +98,21 @@ def read_text_dir(
         F.length("text").cast("long").alias("n_chars"),
     )
     if per_line:
-        # equal doc_id => equal (salt, path, text) modulo a 60-bit
-        # collision, so dropping by id drops true repeats; rows are
-        # identical across the group, so which survives is immaterial
-        out = out.dropDuplicates(["doc_id"])
+        if path_in_id:
+            # equal doc_id => equal (salt, path, text) modulo a 60-bit
+            # collision, so dropping by id drops true repeats; rows are
+            # identical across the group, so which survives is immaterial
+            out = out.dropDuplicates(["doc_id"])
+        else:
+            # content ids: CROSS-FILE duplicate lines share a doc_id but
+            # carry different source_path values, so dropDuplicates would
+            # keep a partitioning-dependent survivor. Canonicalize
+            # instead: min(source_path) per id (text/n_chars are equal
+            # across the group — same content hash — so min is a
+            # deterministic no-op there). Same single shuffle on the id.
+            out = out.groupBy("doc_id").agg(
+                F.min("source_path").alias("source_path"),
+                F.min("text").alias("text"),
+                F.min("n_chars").alias("n_chars"),
+            )
     return out

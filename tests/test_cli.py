@@ -81,3 +81,18 @@ def test_cli_ingest_textdir(spark, tmp_path, capsys):
     # guard rails
     assert main(["ingest", "--source", f"textdir:{d}"]) == 2
     assert main(["ingest", "--source", f"bogus:{d}", "--out", out]) == 2
+
+
+def test_cli_content_ids_requires_per_line(capsys):
+    """ADVICE r07: reject --content-ids without --per-line as an
+    argparse usage error at the CLI boundary (exit 2), not a ValueError
+    traceback from deep inside read_text_dir."""
+    import pytest
+
+    from syncquill_spark.cli import parse_arguments
+
+    with pytest.raises(SystemExit) as ei:
+        parse_arguments(["ingest", "--source", "textdir:/tmp/x",
+                         "--target", "parquet:/tmp/y", "--content-ids"])
+    assert ei.value.code == 2
+    assert "--content-ids requires --per-line" in capsys.readouterr().err

@@ -283,3 +283,41 @@ def test_audio_moments_real_decode_end_to_end(spark):
     assert (rows[1].sample_sum, rows[1].sample_min, rows[1].sample_max) == (10, -15, 20)
     assert rows[1].n_frames == 4 and rows[1].sample_rate == 8000
     assert (rows[2].sample_sum, rows[2].n_frames, rows[2].sample_rate) == (300, 3, 16000)
+
+
+def test_image_moments_zero_pixel_bmp(spark):
+    """ADVICE r07: BMP permits width or height 0 and decode_bmp accepts
+    it; moments over a zero-pixel image must report 0 sums/min/max, not
+    raise inside the executor (mirrors audio_moments' empty guard)."""
+    import struct
+
+    from syncquill_spark.operators.multimodal import decode_bmp, image_moments
+
+    width, height = 0, 2  # stride = (0*3+3) & ~3 = 0 -> empty raster
+    header = (
+        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      0, 2835, 2835, 0, 0)
+    )
+    img, _ = decode_bmp(header)
+    assert img.size == 0
+    df = spark.createDataFrame(
+        [(1, bytearray(header))], "media_id long, payload binary"
+    )
+    (row,) = image_moments(df).collect()
+    assert (row.width, row.height) == (0, 2)
+    assert (row.r_sum, row.g_sum, row.b_sum) == (0, 0, 0)
+    assert (row.px_min, row.px_max) == (0, 0)
+
+
+def test_decode_ppm_16bit_odd_truncation_friendly_error():
+    """ADVICE r07: a 16-bit raster truncated to an ODD byte count must
+    hit the codec's 'raster truncated' ValueError, not numpy's generic
+    buffer-size error from count=-1."""
+    import pytest
+
+    from syncquill_spark.operators.multimodal import decode_ppm
+
+    payload = b"P6\n1 1\n65535\n" + b"\x00" * 5  # want 6 bytes, have 5 (odd)
+    with pytest.raises(ValueError, match="raster truncated"):
+        decode_ppm(payload)

@@ -60,3 +60,22 @@ def test_read_text_dir_per_line_repeated_lines_collapse(spark, tmp_path):
     rows = read_text_dir(spark, str(d), per_line=True).collect()
     assert sorted(r.text for r in rows) == ["other line", "same line"]
     assert len({r.doc_id for r in rows}) == len(rows) == 2
+
+
+def test_read_text_dir_content_ids_canonical_survivor(spark, tmp_path):
+    """ADVICE r07: with path_in_id=False a line duplicated across FILES
+    shares a doc_id but not a source_path, so the survivor must be
+    canonicalized (min source_path) — not dropDuplicates' partitioning-
+    dependent pick. Ingestion's contract is determinism."""
+    from syncquill_spark.sources.text_files import read_text_dir
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "b.txt").write_text("shared line\nonly b")
+    (d / "a.txt").write_text("shared line\nonly a")
+    rows = read_text_dir(spark, str(d), per_line=True, path_in_id=False).collect()
+    assert sorted(r.text for r in rows) == ["only a", "only b", "shared line"]
+    by_text = {r.text: r for r in rows}
+    # deterministic survivor: lexicographically smallest source path
+    assert by_text["shared line"].source_path.endswith("a.txt")
+    assert by_text["shared line"].n_chars == len("shared line")

@@ -250,3 +250,67 @@ def test_versioned_append_rejects_schema_drift(spark, tmp_path):
     t.append(spark.createDataFrame([("c", 3)], "v string, k long"))
     assert t.current_version() == 2
     assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [(1, "a"), (3, "c")]
+
+
+def test_versioned_manifest_records_schema_and_prunes_it(spark, tmp_path):
+    """ADVICE r07: append's schema guard reads the schema RECORDED in
+    the manifest at commit time, not a full spark.read of the current
+    version on the hot append path; legacy manifests (no schemas field)
+    fall back to a footer read. Pruning drops dead entries."""
+    import json
+
+    t = VersionedParquetTable(str(tmp_path / "t"), max_versions=2)
+    t.overwrite(_df(spark, [1]))
+    t.append(_df(spark, [2]))
+    mp = str(tmp_path / "t") + ".__manifest.json"
+    with open(mp) as fh:
+        m = json.load(fh)
+    assert set(m["schemas"]) == {"1", "2"}
+    # guard still fires, sourced from the manifest schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(9,)], "id long"))
+    # legacy manifest: delete the schemas field -> footer-read fallback
+    del m["schemas"]
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(9,)], "id long"))
+    t.append(_df(spark, [3]))
+    assert _ids(t.read(spark)) == [1, 2, 3]
+    # retention pruning removes the dropped versions' schema entries too
+    # (v2 has none — it predates the wiped field; v3's was re-recorded)
+    with open(mp) as fh:
+        m2 = json.load(fh)
+    assert m2["versions"] == [2, 3]
+    assert set(m2["schemas"]) <= {str(v) for v in m2["versions"]}
+    assert "3" in m2["schemas"]
+
+
+def test_versioned_compact_rewrites_current_version(spark, tmp_path):
+    """Round-7 verdict #5: hardlink append accumulates part files
+    monotonically; compact() rewrites the live version as a NEW few-file
+    version through the same manifest flip — contents identical, old
+    snapshots (and O(1) rollback) untouched."""
+    t = VersionedParquetTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [1, 2]).repartition(4))
+    for i in range(3):
+        t.append(_df(spark, [10 + i]).repartition(2))
+    pre_version = t.current_version()
+    pre_dir = t._vdir(pre_version)
+    pre_files = [f for f in os.listdir(pre_dir) if f.endswith(".parquet")]
+    pre_rows = sorted((r.id, r.v) for r in t.read(spark).collect())
+    assert len(pre_files) >= 4  # the small-file problem is real here
+    n = t.compact(spark)
+    assert n == 1 and t.current_version() == pre_version + 1
+    post_files = [
+        f for f in os.listdir(t._vdir(t.current_version()))
+        if f.endswith(".parquet")
+    ]
+    assert len(post_files) == 1
+    assert sorted((r.id, r.v) for r in t.read(spark).collect()) == pre_rows
+    # compaction is an ordinary version: time travel + rollback still work
+    assert sorted(
+        (r.id, r.v) for r in t.read_version(spark, pre_version).collect()
+    ) == pre_rows
+    t.rollback(pre_version)
+    assert sorted((r.id, r.v) for r in t.read(spark).collect()) == pre_rows
