@@ -777,43 +777,114 @@ def quality_percentile_filter(
     keep_frac: float,
     id_col: str = "doc_id",
     stratify_col: str | None = None,
+    accuracy: int = 10000,
+    bracket_delta: float | None = None,
 ) -> DataFrame:
     """Keep the top ``keep_frac`` of documents by a quality signal —
     the ADAPTIVE threshold a real pipeline uses instead of magic
     constants (cut the worst 20% by whatever score, per corpus or per
     language, without ever choosing an absolute cutoff).
 
-    Exact and deterministic, no approx-percentile: rank every row by
-    (signal desc, id asc) — a total order — and keep ranks
-    <= ceil(keep_frac * N), computed per stratum when ``stratify_col``
-    is given (per-language cuts, so a low-resource language is not
-    graded on the dominant language's curve). Output keeps the input
-    columns plus ``q_rank`` (1-based within the stratum).
+    Exact and deterministic: the kept set is precisely the top
+    ``ceil(keep_frac * N)`` rows by (signal desc, id asc) — a total
+    order — per stratum when ``stratify_col`` is given (per-language
+    cuts, so a low-resource language is not graded on the dominant
+    language's curve), else globally.
 
-    Scale shape: the same WindowGroupLimit story as domain_quota — but
-    the limit here depends on N, so it cannot pre-push a constant
-    top-k below the exchange. Instead the count rides along: one
-    skinny count aggregation per stratum (broadcast back), then the
-    rank window. Two shuffles of (id, signal)-width rows; the corpus
-    payload joins back by id at the end.
+    Scale shape (round-7 verdict #2): the cutoff is a FRACTION of the
+    stratum, so WindowGroupLimit cannot pre-push a constant top-k —
+    the previous form ranked every row in a per-stratum window, which
+    at 100 TB pushes the dominant language (half the corpus) through
+    ONE task's sort. This form is a two-pass exact order-statistic
+    instead:
+
+    1. one skinny per-stratum aggregation computes N, k = ceil(frac*N)
+       and an approx-percentile BRACKET [v_lo, v_hi] around the cutoff
+       value (``percentile_approx`` at 1-frac +/- ``bracket_delta``,
+       rank error <= N/accuracy < delta*N);
+    2. one exact counting pass splits each stratum at the bracket:
+       n_hi rows above v_hi are kept outright, rows below v_lo are
+       dropped outright, and only the ~2*delta*N boundary rows in
+       [v_lo, v_hi] are ranked (signal desc, id asc) to fill the
+       remaining k - n_hi slots.
+
+    The sketch affects WORK PLACEMENT only, never the answer: the kept
+    set is the same top-k whatever values the bracket lands on, ties at
+    the cutoff value break by id inside the ranked boundary, and any
+    stratum whose bracket fails its guarantee (n_hi > k, or the
+    boundary doesn't reach k — e.g. null signals, which sort last) falls
+    back in-plan to the naive whole-stratum rank for exactly that
+    stratum (same belt-and-braces shape as exact_k_per_stratum's
+    fallback; normally empty). Dominant-stratum sort input drops from
+    N to ~2*delta*N rows (delta defaults to 4/accuracy = 4e-4: ~40M
+    boundary rows for a 5e10-row language, vs 5e10 before).
+
+    Output keeps the input columns (membership only — a global
+    ``q_rank`` would itself force the whole-stratum sort this plan
+    exists to avoid; rank within the kept set, if needed, is a
+    follow-up window over the already-filtered fraction).
     """
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
-    strat = [stratify_col] if stratify_col else []
-    skinny = df.select(id_col, signal_col, *strat)
-    counts = (
-        skinny.groupBy(*strat).agg(F.count(F.lit(1)).alias("_n"))
-        if strat
-        else skinny.agg(F.count(F.lit(1)).alias("_n"))
+    if bracket_delta is None:
+        bracket_delta = max(4.0 / accuracy, 1e-6)
+    strat = [stratify_col] if stratify_col else ["_strat"]
+    skinny = df.select(id_col, signal_col, *([stratify_col] if stratify_col else []))
+    if not stratify_col:
+        skinny = skinny.withColumn("_strat", F.lit(0))
+
+    q = 1.0 - keep_frac
+    p_lo, p_hi = max(0.0, q - bracket_delta), min(1.0, q + bracket_delta)
+    sig = F.col(signal_col)
+    stats = (
+        skinny.groupBy(*strat)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.percentile_approx(signal_col, [p_lo, p_hi], accuracy).alias("_pv"),
+        )
+        .select(
+            *strat,
+            F.ceil(F.lit(keep_frac) * F.col("_n")).cast("long").alias("_k"),
+            F.col("_pv")[0].alias("_v_lo"),
+            F.col("_pv")[1].alias("_v_hi"),
+        )
     )
-    w = (
-        Window.partitionBy(*strat) if strat else Window.partitionBy()
-    ).orderBy(F.col(signal_col).desc(), F.col(id_col).asc())
-    ranked = skinny.withColumn("_rk", F.row_number().over(w))
-    joined = (
-        ranked.join(counts, strat) if strat else ranked.crossJoin(counts)
+    region_counts = (
+        skinny.join(F.broadcast(stats), strat)
+        .groupBy(*strat)
+        .agg(
+            F.sum(F.when(sig > F.col("_v_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("_n_hi"),
+            F.sum(
+                F.when((sig >= F.col("_v_lo")) & (sig <= F.col("_v_hi")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("_n_mid"),
+        )
     )
-    kept = joined.filter(
-        F.col("_rk") <= F.ceil(F.lit(keep_frac) * F.col("_n"))
-    ).select(id_col, F.col("_rk").cast("long").alias("q_rank"))
+    meta = stats.join(region_counts, strat)  # one row per stratum
+    bracket_ok = (F.col("_n_hi") <= F.col("_k")) & (
+        F.col("_n_hi") + F.col("_n_mid") >= F.col("_k")
+    )
+    ok_meta = meta.filter(bracket_ok)
+    bad_meta = meta.filter(~bracket_ok)
+
+    w = Window.partitionBy(*strat).orderBy(sig.desc(), F.col(id_col).asc())
+    with_ok = skinny.join(F.broadcast(ok_meta), strat)
+    top = with_ok.filter(sig > F.col("_v_hi")).select(id_col)
+    boundary = (
+        with_ok.filter((sig >= F.col("_v_lo")) & (sig <= F.col("_v_hi")))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_k") - F.col("_n_hi"))
+        .select(id_col)
+    )
+    fallback = (
+        skinny.join(F.broadcast(bad_meta), strat)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_k"))
+        .select(id_col)
+    )
+    kept = top.unionByName(boundary).unionByName(fallback)
     return df.join(kept, id_col)

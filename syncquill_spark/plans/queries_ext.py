@@ -3502,8 +3502,11 @@ def q_curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive quality gate: keep the top 80% of each language by
     lexical diversity (n_unique_tokens, doc_id tie-break) — the
     percentile-threshold form of quality filtering (no magic absolute
-    cutoffs; each language graded on its own curve). Exact ranks, the
-    cutoff is ceil(keep_frac * N_lang)."""
+    cutoffs; each language graded on its own curve). The kept set is
+    exact (cutoff ceil(keep_frac * N_lang)); the plan is the two-pass
+    bracketed order-statistic (round-7 verdict #2), so only the
+    ~2*delta*N boundary rows of each language are ever ranked — the
+    oracle ranks everything, the engine must not."""
     from syncquill_spark.operators.curation import quality_percentile_filter
     from syncquill_spark.operators.text import quality_features
 
@@ -3513,7 +3516,9 @@ def q_curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = quality_percentile_filter(
         scored, "n_unique_tokens", keep_frac=_QPF_KEEP, stratify_col="lang"
     )
-    return kept.select("doc_id", "lang", "q_rank")
+    return kept.select(
+        "doc_id", "lang", F.col("n_unique_tokens").cast("long").alias("sig")
+    )
 
 
 def _quality_filter_sql() -> str:
@@ -3524,12 +3529,12 @@ WITH s AS (
 ),
 c AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY lang),
 r AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, sig,
          ROW_NUMBER() OVER (PARTITION BY lang
                             ORDER BY sig DESC, doc_id ASC) AS rk
   FROM s
 )
-SELECT r.doc_id, r.lang, CAST(rk AS BIGINT) AS q_rank
+SELECT r.doc_id, r.lang, CAST(r.sig AS BIGINT) AS sig
 FROM r JOIN c ON r.lang = c.lang
 WHERE rk <= ceil({_QPF_KEEP} * n)
 """

@@ -197,3 +197,18 @@ def test_training_mix_pipeline_has_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2500]
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any(p.strip() for p in pushed), plan[:2000]
+
+
+def test_quality_filter_plans_bracketed_order_statistic(spark, sf_dir):
+    """Round-7 verdict #2: quality_percentile_filter must NOT rank
+    whole strata (fractional cutoff -> WindowGroupLimit can't pre-push;
+    the dominant language would sort in one task). The plan must carry
+    the percentile_approx bracket pass, and every row_number window
+    must consume bracket-filtered input (_v_lo/_v_hi region filters),
+    not the raw stratum."""
+    plan = _plan(QUERIES["curation_quality_filter"](spark, str(sf_dir)))
+    assert "percentile_approx" in plan, plan[:2000]
+    # the boundary rank and the (normally empty) fallback both exist,
+    # each downstream of the bracket metadata join
+    assert plan.count("_v_hi") >= 2, plan[:2000]
+    assert plan.count("_v_lo") >= 2, plan[:2000]

@@ -285,9 +285,9 @@ def test_quality_percentile_filter_exact_cut_and_strata(spark):
     assert by_lang["en"] == [0, 1, 2, 3, 4]
     # de: 4 rows, keep ceil(2) = 2 best sig (103, 102)
     assert by_lang["de"] == [102, 103]
-    # q_rank is the within-stratum rank
-    ranks = {r.doc_id: r.q_rank for r in kept.collect()}
-    assert ranks[0] == 1 and ranks[103] == 1
+    # output keeps the input columns (membership contract — no global
+    # rank: that would force the whole-stratum sort the plan avoids)
+    assert set(kept.columns) == {"doc_id", "lang", "sig"}
 
     # global mode (no stratify): one curve across everything
     glob = quality_percentile_filter(df, "sig", keep_frac=0.25)
@@ -422,7 +422,7 @@ def test_percentile_filter_matches_python_model(spark, rows, frac):
     data = [(i, lang, sig) for i, (lang, sig) in enumerate(rows)]
     df = spark.createDataFrame(data, "doc_id long, lang string, sig long")
     got = sorted(
-        (r.doc_id, r.q_rank)
+        r.doc_id
         for r in quality_percentile_filter(
             df, "sig", keep_frac=frac, stratify_col="lang"
         ).collect()
@@ -433,7 +433,7 @@ def test_percentile_filter_matches_python_model(spark, rows, frac):
             (r for r in data if r[1] == lang), key=lambda r: (-r[2], r[0])
         )
         cut = _math.ceil(frac * len(grp))
-        want += [(r[0], j + 1) for j, r in enumerate(grp[:cut])]
+        want += [r[0] for r in grp[:cut]]
     assert got == sorted(want)
 
 
@@ -493,3 +493,43 @@ def test_winnowing_match_pairs_planted_run_and_hub_cap(spark):
         every, k=3, window=4, min_shared=1, max_fp_df=1
     )
     assert capped.count() == 0
+
+
+def test_quality_percentile_filter_fallback_and_degenerate_ties(spark):
+    """The bracket sketch affects work placement, never the answer:
+    null signals (which percentile_approx ignores but ranking sorts
+    last) make a stratum's bracket fail its guarantee and route through
+    the in-plan whole-stratum fallback; an all-tied stratum resolves
+    entirely inside the boundary rank by id."""
+    from syncquill_spark.operators.curation import quality_percentile_filter
+
+    rows = [(1, "en", 9), (2, "en", 7), (3, "en", None), (4, "en", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, sig long")
+    # k = ceil(1.0 * 4) = 4 > 2 non-null rows -> bracket invalid -> fallback
+    got = sorted(
+        r.doc_id
+        for r in quality_percentile_filter(
+            df, "sig", keep_frac=1.0, stratify_col="lang"
+        ).collect()
+    )
+    assert got == [1, 2, 3, 4]
+    # k = 3: two non-null + the null with the smaller id (nulls rank last,
+    # id tie-break) — still via the fallback branch
+    got3 = sorted(
+        r.doc_id
+        for r in quality_percentile_filter(
+            df, "sig", keep_frac=0.75, stratify_col="lang"
+        ).collect()
+    )
+    assert got3 == [1, 2, 3]
+    # degenerate: every row ties at the cutoff value
+    tied = spark.createDataFrame(
+        [(i, "en", 5) for i in range(8)], "doc_id long, lang string, sig long"
+    )
+    got_t = sorted(
+        r.doc_id
+        for r in quality_percentile_filter(
+            tied, "sig", keep_frac=0.5, stratify_col="lang"
+        ).collect()
+    )
+    assert got_t == [0, 1, 2, 3]
