@@ -3625,6 +3625,89 @@ HAVING COUNT(*) >= {_WIN_MIN_SHARED}
 """
 
 
+def q_storage_winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing index LIFECYCLE under the gate (round-7 verdict #3 —
+    the family's symmetry with MinHash/SRP): build the fingerprint
+    index over half the corpus (even doc_ids), persist it, reload it,
+    extend it with the other half via ``merge_winnowing_index`` (only
+    the batch is fingerprinted — the stored rows are reused as-is),
+    persist the merged index OVER the first (atomic exchange), reload,
+    and emit the full substring-match pairs from the index alone
+    (``winnowing_pairs_from_index`` — no text touched). Oracle =
+    ``dedup_winnowing_pairs``' own SQL twin over ALL documents: append
+    must be indistinguishable from rebuild."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        merge_winnowing_index,
+        winnowing_pairs_from_index,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    first_half = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    fps = build_winnowing_index(first_half, k=_WIN_K, window=_WIN_W)
+    path = _os.path.join(_tempfile.mkdtemp(prefix="sq_win_idx_"), "win_idx")
+    save_index(path, fps=fps)
+    loaded = load_index(spark, path)
+    merged = merge_winnowing_index(loaded["fps"], batch, k=_WIN_K, window=_WIN_W)
+    save_index(path, fps=merged)  # atomic in-place replace
+    reloaded = load_index(spark, path)
+    return winnowing_pairs_from_index(
+        reloaded["fps"], min_shared=_WIN_MIN_SHARED, max_fp_df=_WIN_MAX_DF
+    )
+
+
+def q_dedup_winnowing_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing INGEST GATE: a new batch (odd doc_ids) checked for
+    substring matches against the corpus index (even doc_ids) — only
+    the batch is fingerprinted, the corpus side is the index's stored
+    skinny (corpus_id, fp) rows. The hub cap's document frequency is
+    computed over stored+batch fingerprints (df is a corpus property),
+    so the gate's matches equal a full rebuild's pairs restricted to
+    (new x corpus) — which is exactly what the oracle computes, never
+    having seen the index."""
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        winnowing_matches_against,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    index_fps = build_winnowing_index(corpus, k=_WIN_K, window=_WIN_W)
+    return winnowing_matches_against(
+        batch,
+        index_fps,
+        k=_WIN_K,
+        window=_WIN_W,
+        min_shared=_WIN_MIN_SHARED,
+        max_fp_df=_WIN_MAX_DF,
+    )
+
+
+def _winnowing_against_sql() -> str:
+    return f"""
+WITH wfp AS (
+  SELECT DISTINCT doc_id, fp FROM ({_winnowing_sql()}) w
+),
+rare AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM wfp GROUP BY fp) t
+  WHERE c <= {_WIN_MAX_DF}
+),
+f AS (SELECT wfp.doc_id, wfp.fp FROM wfp JOIN rare ON wfp.fp = rare.fp)
+SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM f n JOIN f c ON n.fp = c.fp
+WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+GROUP BY n.doc_id, c.doc_id
+HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Curation: first-fit-decreasing packing under the gate (round-6
 # verdict #5 — the last unit-only curation operator)
@@ -3775,6 +3858,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnowing": q_text_winnowing,
     "dedup_winnowing_pairs": q_dedup_winnowing_pairs,
     "storage_media_ingest_roundtrip": q_storage_media_ingest_roundtrip,
+    "storage_winnowing_index": q_storage_winnowing_index,
+    "dedup_winnowing_against": q_dedup_winnowing_against,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3865,6 +3950,8 @@ EXT_ORACLES: dict[str, str | None] = {
     "curation_quality_filter": _quality_filter_sql(),
     "text_winnowing": _winnowing_sql(),
     "dedup_winnowing_pairs": _winnowing_pairs_sql(),
+    "storage_winnowing_index": _winnowing_pairs_sql(),
+    "dedup_winnowing_against": _winnowing_against_sql(),
     # identical oracle to multimodal_decode BY DESIGN: a trip through
     # real files (export -> binaryFile re-ingest) must change nothing
     "storage_media_ingest_roundtrip": _multimodal_decode_sql(),

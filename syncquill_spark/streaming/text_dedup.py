@@ -278,3 +278,145 @@ def stream_text_near_dups(
         )
         .filter(F.col("jac") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint index (round-7 verdict #3): the substring-match
+# family gets the same ingest-time gate + persisted-index lifecycle as
+# MinHash (above) and SRP (streaming/vector_dedup.py).
+# ---------------------------------------------------------------------------
+
+
+def build_winnowing_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """One-time corpus winnowing index: skinny (corpus_id, fp) rows —
+    each document's DISTINCT selected fingerprints (int64), positions
+    dropped (pair detection needs membership only; persist
+    ``winnowing_fingerprints`` itself if match localization is needed).
+    Persist via ``index_store.save_index``; nightly cost is one corpus
+    fingerprint pass, after which every gate below reads the stored
+    rows and never touches corpus text again."""
+    from syncquill_spark.operators.text import winnowing_fingerprints
+
+    return (
+        winnowing_fingerprints(
+            corpus, k=k, window=window, text_col=text_col, id_col=id_col
+        )
+        .select(F.col(id_col).alias("corpus_id"), "fp")
+        .dropDuplicates(["corpus_id", "fp"])
+    )
+
+
+def merge_winnowing_index(
+    index_fps: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Incremental maintenance: extend a persisted winnowing index with
+    a new batch WITHOUT re-fingerprinting the corpus — winnowing
+    selection is per-document, so an index is just the union of its
+    docs' rows and append == rebuild by construction (the registry's
+    ``storage_winnowing_index`` pins that identity to
+    ``dedup_winnowing_pairs``' own oracle). Batch ids must be new
+    (same single-writer contract as merge_text_minhash_index)."""
+    return index_fps.unionByName(
+        build_winnowing_index(
+            new_df, id_col=id_col, text_col=text_col, k=k, window=window
+        )
+    )
+
+
+def _rare_fps(fps: DataFrame, max_fp_df: int) -> DataFrame:
+    """Fingerprints appearing in <= max_fp_df documents — the hub-key
+    cap (corpus boilerplate carries no pair-discriminating signal and
+    would make the candidate join quadratic)."""
+    return (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_fp_df)
+        .select("fp")
+    )
+
+
+def winnowing_pairs_from_index(
+    index_fps: DataFrame,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) substring-match pairs computed ENTIRELY
+    from a stored index — no text: hub-cap on the persisted rows, int64
+    equi-join on fp (id_a < id_b), distinct-fp count per pair. Output
+    contract matches ``operators.text.winnowing_match_pairs``
+    recomputing from text — the identity that makes the persisted index
+    trustworthy after any ``merge_winnowing_index`` append."""
+    fps = index_fps.select(F.col("corpus_id"), "fp")
+    if max_fp_df is not None:
+        fps = fps.join(_rare_fps(fps, max_fp_df), "fp")
+    a = fps.select(F.col("fp"), F.col("corpus_id").alias("id_a"))
+    b = fps.select(F.col("fp").alias("_fpb"), F.col("corpus_id").alias("id_b"))
+    return (
+        a.join(b, (a["fp"] == b["_fpb"]) & (a["id_a"] < b["id_b"]))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnowing_matches_against(
+    new_df: DataFrame,
+    index_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """(id_new, id_corpus, n_shared) — the INGEST-TIME gate: a new
+    batch's substring matches against a persisted corpus index. Only
+    the batch is fingerprinted; the corpus side is the stored skinny
+    (corpus_id, fp) rows.
+
+    The hub-fingerprint document frequency is computed over the UNION
+    of stored + batch fingerprints: df is a corpus property, and using
+    the same basis a full rebuild would see keeps the gate's matches
+    identical to ``winnowing_match_pairs`` over corpus+batch restricted
+    to (new x corpus) pairs — the parity the registry's
+    ``dedup_winnowing_against`` row asserts against a DuckDB oracle
+    that never saw the index.
+
+    Streaming deployment: winnowing selection is a per-document window
+    aggregation, which Structured Streaming cannot run inside a
+    stream-static join — wrap this function in ``foreachBatch`` (each
+    microbatch is a small batch DataFrame; only it is fingerprinted),
+    the same shape as the incremental-sync recipe."""
+    from syncquill_spark.operators.text import winnowing_fingerprints
+
+    new_fps = (
+        winnowing_fingerprints(
+            new_df, k=k, window=window, text_col=text_col, id_col=id_col
+        )
+        .select(F.col(id_col).alias("id_new"), "fp")
+        .dropDuplicates(["id_new", "fp"])
+    )
+    corpus_fps = index_fps.select(F.col("corpus_id").alias("id_corpus"), "fp")
+    if max_fp_df is not None:
+        rare = _rare_fps(
+            corpus_fps.select("fp").unionAll(new_fps.select("fp")), max_fp_df
+        )
+        new_fps = new_fps.join(rare, "fp")
+        corpus_fps = corpus_fps.join(rare, "fp")
+    return (
+        new_fps.join(corpus_fps, "fp")
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -190,3 +190,126 @@ def test_incremental_index_merge_equals_rebuild(spark, tmp_path, sf_dir):
         for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
     )
     assert from_index == from_text and len(from_index) > 0
+
+
+def test_winnowing_index_merge_equals_rebuild(spark, tmp_path, sf_dir):
+    """merge_winnowing_index(stored, batch) must equal
+    build_winnowing_index(corpus+batch) row-for-row, and the pairs
+    emitted from the merged index alone must equal
+    winnowing_match_pairs recomputing from text — the append==rebuild
+    identity storage_winnowing_index pins to the driver oracle."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.text import winnowing_match_pairs
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        merge_winnowing_index,
+        winnowing_pairs_from_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    fps0 = build_winnowing_index(half)
+    p = str(tmp_path / "win_idx")
+    save_index(p, fps=fps0)
+    loaded = load_index(spark, p)
+    merged = merge_winnowing_index(loaded["fps"], batch)
+
+    rebuilt = build_winnowing_index(docs)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    from_index = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnowing_pairs_from_index(
+            merged, min_shared=2, max_fp_df=20
+        ).collect()
+    )
+    from_text = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnowing_match_pairs(
+            docs, min_shared=2, max_fp_df=20
+        ).collect()
+    )
+    assert from_index == from_text and len(from_index) > 0
+
+
+def test_winnowing_gate_matches_rebuild_cross_pairs(spark, sf_dir):
+    """winnowing_matches_against (batch fingerprinted, corpus from the
+    index, hub df over the union) must equal winnowing_match_pairs over
+    corpus+batch restricted to (new x corpus) pairs — the gate loses
+    nothing and invents nothing vs a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.text import winnowing_match_pairs
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        winnowing_matches_against,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    gate = sorted(
+        (r.id_new, r.id_corpus, r.n_shared)
+        for r in winnowing_matches_against(
+            batch, build_winnowing_index(corpus), min_shared=2, max_fp_df=20
+        ).collect()
+    )
+    full = winnowing_match_pairs(docs, min_shared=2, max_fp_df=20).collect()
+    # match_pairs orients id_a < id_b; the gate orients (new, corpus)
+    cross = sorted(
+        (r.id_a, r.id_b, r.n_shared) if r.id_a % 2 == 1 else (r.id_b, r.id_a, r.n_shared)
+        for r in full
+        if (r.id_a % 2) != (r.id_b % 2)
+    )
+    assert gate == cross and len(gate) > 0
+
+
+def test_winnowing_gate_in_foreachbatch_stream(spark, tmp_path, sf_dir):
+    """Streaming deployment shape: winnowing selection is a per-doc
+    window aggregation, so the gate runs inside foreachBatch — each
+    microbatch is fingerprinted as a small batch DataFrame and joined
+    against the loaded index."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        winnowing_matches_against,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_src = str(tmp_path / "stream_src")
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").coalesce(
+        1
+    ).write.mode("overwrite").parquet(batch_src)
+    save_index(str(tmp_path / "win_idx"), fps=build_winnowing_index(corpus))
+    index_fps = load_index(spark, str(tmp_path / "win_idx"))["fps"]
+
+    got = []
+
+    def gate(mb, _epoch):
+        got.extend(
+            (r.id_new, r.id_corpus, r.n_shared)
+            for r in winnowing_matches_against(
+                mb, index_fps, min_shared=1, max_fp_df=20
+            ).collect()
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(batch_src)
+    )
+    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    expect = sorted(
+        (r.id_new, r.id_corpus, r.n_shared)
+        for r in winnowing_matches_against(
+            spark.read.parquet(batch_src), index_fps, min_shared=1, max_fp_df=20
+        ).collect()
+    )
+    assert sorted(got) == expect and len(expect) > 0
