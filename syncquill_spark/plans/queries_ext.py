@@ -3304,6 +3304,44 @@ def q_storage_media_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     return image_moments(media)
 
 
+def q_storage_media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media file round trip for the AUDIO codec family (round-7
+    verdict #6 — the PPM row above covers images): build valid PCM WAV
+    payloads from fixture text (multimodal_audio_decode's
+    construction), export one .wav per document via ``write_media_dir``
+    (executor-side writes), re-ingest through binaryFile, re-derive ids
+    from file names, and decode with the real chunk-walking WAV parser.
+    Oracle = multimodal_audio_decode's own SQL twin: the trip through
+    actual files must change nothing."""
+    import tempfile as _tempfile
+
+    from syncquill_spark.operators.multimodal import audio_moments
+    from syncquill_spark.sources.media_files import (
+        read_media_dir,
+        write_media_dir,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    hx = F.concat(
+        F.md5(F.concat(F.col("text"), F.lit("|w0"))),
+        F.md5(F.concat(F.col("text"), F.lit("|w1"))),
+        F.md5(F.concat(F.col("text"), F.lit("|w2"))),
+    )
+    payloads = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.unhex(F.lit(_WAV_HEADER_HEX)), F.unhex(hx)).alias("payload"),
+    )
+    out = _tempfile.mkdtemp(prefix="sq_media_wav_rt_") + "/export"
+    write_media_dir(payloads, out, ext="wav")
+    media = read_media_dir(spark, out, glob="*.wav").select(
+        F.regexp_extract(F.col("source_path"), r"(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("media_id"),
+        "payload",
+    )
+    return audio_moments(media)
+
+
 def _multimodal_decode_sql() -> str:
     def chan_sum(c: int) -> str:
         return (
@@ -3860,6 +3898,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "storage_media_ingest_roundtrip": q_storage_media_ingest_roundtrip,
     "storage_winnowing_index": q_storage_winnowing_index,
     "dedup_winnowing_against": q_dedup_winnowing_against,
+    "storage_media_wav_roundtrip": q_storage_media_wav_roundtrip,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3952,6 +3991,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "dedup_winnowing_pairs": _winnowing_pairs_sql(),
     "storage_winnowing_index": _winnowing_pairs_sql(),
     "dedup_winnowing_against": _winnowing_against_sql(),
+    "storage_media_wav_roundtrip": _multimodal_audio_sql(),
     # identical oracle to multimodal_decode BY DESIGN: a trip through
     # real files (export -> binaryFile re-ingest) must change nothing
     "storage_media_ingest_roundtrip": _multimodal_decode_sql(),
