@@ -118,6 +118,18 @@ def main() -> None:
         summary["n_errors"] = len(errors)
         summary["errors"] = errors
     print(json.dumps(summary))
+    # Full per-query record to a STABLE side file (round-7 verdict #8):
+    # the driver's BENCH_r{N} artifact keeps only a truncated tail of
+    # stdout, so cross-round per-query comparison depended on tail
+    # overlap. This file always carries the complete timing map.
+    try:
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_local_latest.json"
+        )
+        with open(side, "w") as fh:
+            json.dump(summary, fh, indent=1)
+    except OSError as exc:  # noqa: PERF203 — best-effort artifact
+        print(f"bench: side-file write failed: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

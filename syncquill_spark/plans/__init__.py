@@ -22,7 +22,42 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # round since): no query outside the window may end the round with a
 # last driver-green row more than 2 rounds old.
 #
-# Round-7 window, in order:
+# Round-8 window, in order:
+#  - the 3 queries NEW this round: storage_winnowing_index (the
+#    winnowing index lifecycle — save/load/merge/pairs-from-index,
+#    append==rebuild pinned to dedup_winnowing_pairs' own oracle),
+#    dedup_winnowing_against (the ingest gate: batch fingerprints vs
+#    the stored index, cross-pair oracle), and
+#    storage_media_wav_roundtrip (the media file round trip for the
+#    audio codec family; oracle = multimodal_audio_decode's twin);
+#  - the 26 rows whose last driver-green is r05 (staleness 2 — the
+#    round-7 verdict names them as mandatory leads; pure
+#    relational/projection shapes);
+#  - the 8 r07-green rows whose plans this round touched (listed at
+#    the _PRIORITY entries below);
+#  - 13 of the 50 r06-green rows rotated forward early to flatten the
+#    r09 mandatory load.
+# Left outside at staleness 2 after this round (r06-green, untouched —
+# they MUST lead the r09 window; 37 rows): similarity_ann_recall,
+# curation_leakage_split, text_segment_dedup, curation_target_mix,
+# curation_target_mix_tokens, dedup_cluster_stats, dedup_apply,
+# pipeline_training_mix, dedup_exact, curation_redact_pii,
+# curation_pack_sequences, embedding_quantize,
+# curation_fuzzy_decontaminate, curation_domain_quota, dedup_clusters,
+# similarity_topk_ivf, similarity_topk_ivf_refined, dedup_incremental,
+# dedup_minhash_lsh, dedup_ngram_jaccard, profile_documents,
+# text_quality_rules, text_bm25, embedding_label_centroids,
+# text_token_counts, text_term_stats, text_readability,
+# text_sentences_udtf, text_fingerprint, join_asof_signup,
+# join_range_shipments, join_binned_range, cdc_scd2_history,
+# cdc_incremental_agg, funnel_click_purchase,
+# agg_distinct_users_exact, pipeline_corpus_curation. The 42
+# remaining r07-green rows rotate out at staleness 1. NOTE: at 129
+# registered queries the 50-slot window's sustainable ceiling is 150
+# (each query needs a green row every 3 rounds); registry growth per
+# round must stay <= ~7 net or the window policy needs widening.
+#
+# Round-7 window (for the record):
 #  - the 12 queries NEW this round (new plans always enter the window):
 #    storage_versioned_roundtrip + storage_index_roundtrip (the
 #    round-6 verdict's #2 — the versioned-table and persisted-index
@@ -71,81 +106,42 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # relational/projection shapes over untouched loaders. The 50
 # r06-green rows rotate out at staleness 1.
 #
-# Round-6 window (for the record):
-# Round-6 window, in order:
-#  - the 16 queries NEW this round: similarity_ann_recall,
-#    text_chunk_documents, curation_leakage_split, text_segment_dedup
-#    (each promoted from a pytest DuckDB twin to a registry oracle per
-#    the round-5 verdict's #1), join_market_share / join_product_profit
-#    / join_min_cost_supplier / agg_important_stock /
-#    agg_supplier_part_types / join_excess_inventory (TPC-H
-#    Q8/Q9/Q2/Q11/Q16/Q20 shapes — partsupp absent from the fixtures,
-#    derived from lineitem or proxied, documented per query), and
-#    curation_target_mix / curation_target_mix_tokens (exact
-#    per-stratum mix budgets in docs and tokens), and
-#    profile_referential (FK-orphan audit over every fixture edge) and
-#    dedup_cluster_stats (cluster-size histogram: CC composed with the
-#    SimHash pair emitter) and dedup_apply (keep-one-per-cluster over
-#    the MinHash pairs — the application step, formerly unit-only),
-#    and pipeline_training_mix (the capstone composition:
-#    fuzzy decontaminate -> exact dedup -> target mix -> accounting);
-#    new plans always enter the window;
-#  - the 8 rows whose last driver-green is r03 (staleness 2 — the
-#    round-5 verdict's #2 names them as mandatory leads):
-#    dedup_exact, curation_redact_pii, curation_pack_sequences,
-#    embedding_quantize, join_revenue_by_nation, window_topk_orders,
-#    setop_customers_without_orders, scalar_functions;
-#  - curation_fuzzy_decontaminate (r05-green, plan profiled this
-#    round per verdict #3), curation_domain_quota (r05-green, plan
-#    CHANGED: hot-domain two-stage top-k auto-engage), dedup_clusters
-#    (r05-green, plan CHANGED: the CC convergence probe now detects a
-#    one-step fixpoint mid-cycle), and similarity_topk_ivf /
-#    similarity_topk_ivf_refined (r05-green, build phase extracted to
-#    ivf_build_index for the persisted-index lifecycle — outputs
-#    hash-identical, in-window per the shared-helper rule);
-#  - 21 of the 40 rows whose last driver-green is r04 (the stalest
-#    remaining tier), including dedup_incremental / dedup_minhash_lsh
-#    (share the MinHash plumbing the fuzzy-decontaminate tuning may
-#    touch).
-# Left outside at staleness 2 (r04-green, untouched this round):
-# window_moving_avg, setop_except_all, multimodal_media_stats,
-# curation_boilerplate, curation_blocklist, curation_shuffle,
-# curation_sample_stratified, curation_decontaminate,
-# curation_hash_split, storage_zorder_key, agg_quantiles_approx_check,
-# window_running_total, join_events_customers, events_sliding_window,
-# agg_distinct_users_approx, events_sessionization,
-# events_tumbling_window, events_session_window, agg_rollup_orders —
-# pure projections / windows / aggregations over untouched loaders;
-# they MUST lead the r07 window. The 44 other r05-green rows rotate
-# out at staleness 1.
 _PRIORITY = [
-    # new this round
-    "storage_versioned_roundtrip", "storage_index_roundtrip",
-    "multimodal_decode", "curation_pack_ffd",
-    "storage_index_incremental", "storage_text_ingest_roundtrip",
-    "multimodal_audio_decode", "text_vocab_coverage",
-    "curation_quality_filter", "text_winnowing", "dedup_winnowing_pairs",
-    "storage_media_ingest_roundtrip",
-    # staleness-2 cohort (last driver-green r04)
-    "window_moving_avg", "setop_except_all", "multimodal_media_stats",
-    "curation_boilerplate", "curation_blocklist", "curation_shuffle",
-    "curation_sample_stratified", "curation_decontaminate",
-    "curation_hash_split", "storage_zorder_key",
-    "agg_quantiles_approx_check", "window_running_total",
-    "join_events_customers", "events_sliding_window",
-    "agg_distinct_users_approx", "events_sessionization",
-    "events_tumbling_window", "events_session_window",
-    "agg_rollup_orders",
-    # r05-green fill: sync flagships first
-    "sync_diff_keyed", "sync_diff_positional", "sync_apply_keyed",
-    "sync_upsert", "sync_validate",
-    # then the similarity/dedup/text families
-    "similarity_knn_classify", "embedding_nearest_centroid",
-    "dedup_embedding_incremental", "curation_eval_k_per_lang",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine",
-    "similarity_topk_cosine", "similarity_topk_lsh",
-    "dedup_semantic_pairs", "text_tfidf_terms", "text_language_id",
-    "text_quality", "text_repetition",
+    # new this round (new plans always enter the window)
+    "storage_winnowing_index", "dedup_winnowing_against",
+    "storage_media_wav_roundtrip",
+    # staleness-2 cohort (last driver-green r05 — the round-7 verdict
+    # names them as mandatory leads)
+    "agg_pivot_status", "agg_grouping_sets", "agg_quantiles_status",
+    "setop_repeat_customers", "join_shipping_priority",
+    "join_returned_items", "agg_promo_revenue", "join_priority_lines",
+    "agg_order_priority", "agg_forecast_revenue",
+    "agg_customer_distribution", "join_large_orders",
+    "setop_idle_rich_customers", "join_small_qty_parts",
+    "join_lonely_returned_supplier", "join_disjunctive_promo",
+    "join_nation_trade", "window_top_supplier",
+    "agg_customer_balance_stats", "join_salted_revenue",
+    "agg_status_sets", "text_token_stats", "subquery_exists_orders",
+    "agg_cube_sales", "json_events_extract", "agg_pricing_summary",
+    # r07-green rows TOUCHED this round: curation_quality_filter
+    # (rewritten: two-pass bracketed order statistic + new output
+    # contract), storage_text_ingest_roundtrip (text_files.py survivor
+    # canonicalization), multimodal_decode / multimodal_audio_decode /
+    # multimodal_media_stats / storage_media_ingest_roundtrip
+    # (multimodal.py codec fixes), storage_versioned_roundtrip /
+    # sync_upsert (sources/parquet.py manifest-schema append + compact)
+    "curation_quality_filter", "storage_text_ingest_roundtrip",
+    "multimodal_decode", "multimodal_audio_decode",
+    "multimodal_media_stats", "storage_media_ingest_roundtrip",
+    "storage_versioned_roundtrip", "sync_upsert",
+    # r06-green fill (rotate 13 of the 50 forward; multimodal_features
+    # first as the touched module's stub-codec sibling)
+    "multimodal_features", "join_revenue_by_nation",
+    "window_topk_orders", "setop_customers_without_orders",
+    "scalar_functions", "join_market_share", "join_product_profit",
+    "join_min_cost_supplier", "agg_important_stock",
+    "agg_supplier_part_types", "join_excess_inventory",
+    "profile_referential", "text_chunk_documents",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

@@ -246,11 +246,29 @@ def _winnow_pairs(c: DataFrame) -> DataFrame:
     return winnowing_match_pairs(c, k=3, window=4, min_shared=2, max_fp_df=20)
 
 
+def _winnow_pairs_df100(c: DataFrame) -> DataFrame:
+    # hub-cap sensitivity (round-7 verdict #4): a 5x looser cap admits
+    # more of the df distribution's head into the self-join
+    from syncquill_spark.operators.text import winnowing_match_pairs
+
+    return winnowing_match_pairs(c, k=3, window=4, min_shared=2, max_fp_df=100)
+
+
+def _winnow_pairs_nocap(c: DataFrame) -> DataFrame:
+    # no hub cap at all: the anti-quadratic guard OFF — this is the
+    # control that shows what the cap is protecting against
+    from syncquill_spark.operators.text import winnowing_match_pairs
+
+    return winnowing_match_pairs(c, k=3, window=4, min_shared=2, max_fp_df=None)
+
+
 TEXT_OPS = {
     "tfidf_terms": _tfidf_terms,
     "bm25": _bm25,
     "winnow_fp": _winnow_fp,
     "winnow_pairs": _winnow_pairs,
+    "winnow_pairs_df100": _winnow_pairs_df100,
+    "winnow_pairs_nocap": _winnow_pairs_nocap,
 }
 
 # similarity family: fixed query set (the base replica's), growing corpus
