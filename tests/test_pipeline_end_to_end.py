@@ -147,3 +147,13 @@ def test_nightly_versioned_index_recipe(spark, tmp_path):
     assert corpus_tbl.read(spark).count() == 3
     # time travel still sees day 0 alone
     assert corpus_tbl.read_version(spark, 1).count() == 2
+
+    # maintenance: hardlink appends accumulate part files; compact the
+    # live version (v3 via the same manifest flip), contents unchanged
+    pre = sorted((r.doc_id, r.text) for r in corpus_tbl.read(spark).collect())
+    corpus_tbl.compact(spark)                                     # v3
+    assert corpus_tbl.versions() == [1, 2, 3]
+    assert sorted(
+        (r.doc_id, r.text) for r in corpus_tbl.read(spark).collect()
+    ) == pre
+    assert corpus_tbl.read_version(spark, 2).count() == 3  # rollback target intact
