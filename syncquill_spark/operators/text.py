@@ -662,3 +662,73 @@ def winnowing_match_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def bigram_commonness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Statistical-LM quality signal (the CCNet-perplexity idea in the
+    repo's determinism doctrine): score every document by how likely
+    its word transitions are UNDER THE CORPUS'S OWN bigram model.
+    Per occurrence of bigram (w1, w2) the score is the quantized
+    conditional frequency ``q = (scale * c(w1,w2)) div c(w1·))`` —
+    c(w1,w2) corpus bigram count, c(w1·) count of bigrams starting
+    with w1 — and a document reports the exact integer sum and its
+    bigram count. Low ``sum_q / n_bigrams`` = transitions the corpus
+    considers rare (gibberish, OCR noise, wrong-language fragments);
+    high = fluent common text. This is the doctrine-compliant LINEAR
+    surrogate for LM perplexity: no log/exp anywhere (SCALE.md
+    determinism #6 — transcendentals are not correctly-rounded across
+    libm implementations), and the only division is exact INTEGER
+    division, quantized before any cross-row accumulation (#3), so the
+    output is engine-exact. (``scale * c12`` must fit int64: fine
+    through c12 ~ 9e12 at the default scale; drop ``scale`` for
+    larger corpora.)
+
+    Scale shape: bigram occurrences travel as skinny
+    (doc_id, h1, h12) int64 rows (hashes of w1 and "w1 w2" — the
+    md5-derived portable hash, so the DuckDB oracle reproduces them);
+    the model is two count aggregations over those same rows
+    (map-side combined); scoring is two int64 equi-joins back (c1 is
+    unigram-vocab-sized — broadcastable; c12 vocab^2-bounded —
+    AQE-picked) and one per-doc sum. Docs with < 2 tokens have no
+    bigrams and are absent from the output.
+
+    Output: (doc_id, n_bigrams, sum_q) — all exact int64.
+    """
+    from syncquill_spark.functions.hashing import portable_hash60
+
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("_tk"))
+    n = F.size("_tk")
+    # per-occurrence bigram rows: w1 = tk[i], pair = "tk[i] tk[i+1]"
+    m = F.greatest(n - 1, F.lit(0))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("_tk", 1, m),
+                F.slice("_tk", 2, m),
+                lambda a, b: F.struct(
+                    a.alias("_w1"), F.concat_ws(" ", a, b).alias("_w12")
+                ),
+            )
+        ).alias("_bg"),
+    ).select(
+        F.col(id_col),
+        portable_hash60(F.col("_bg._w1")).alias("_h1"),
+        portable_hash60(F.col("_bg._w12")).alias("_h12"),
+    )
+    c12 = pairs.groupBy("_h12").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = pairs.groupBy("_h1").agg(F.count(F.lit(1)).alias("_c1"))
+    scored = (
+        pairs.join(c12, "_h12")
+        .join(c1, "_h1")
+        .withColumn("_q", F.expr(f"({scale} * _c12) div _c1"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_q").cast("long").alias("sum_q"),
+    )

@@ -3164,10 +3164,13 @@ def q_storage_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     only — the 'bad deploy'), then ``rollback(2)`` and read. The final
     read must be EXACTLY the full documents projection: v2 was evens
     plus appended odds, and the rollback makes v3 invisible without
-    moving data. Exercises version numbering, the manifest pointer
-    flip, zero-copy append, time travel, and O(1) rollback — all under
-    the driver's value-hash gate with a one-line oracle (the base
-    table itself: persistence + rollback must be invisible)."""
+    moving data. After the rollback, ``compact()`` rewrites the live
+    (hardlink-accumulated) version as few-file v4 through the same
+    manifest flip — and must change nothing either. Exercises version
+    numbering, the manifest pointer flip, zero-copy append, time
+    travel, O(1) rollback, and maintenance compaction — all under the
+    driver's value-hash gate with a one-line oracle (the base table
+    itself: persistence + rollback + compaction must be invisible)."""
     import os as _os
     import tempfile as _tempfile
 
@@ -3181,7 +3184,8 @@ def q_storage_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     t.append(skinny.filter(F.col("doc_id") % 2 == 1))      # v2 = all rows
     t.overwrite(skinny.filter(F.col("lang") == "en"))      # v3, rolled back
     t.rollback(2)
-    assert t.versions() == [1, 2, 3] and t.current_version() == 2
+    t.compact(spark)                                       # v4 == v2, fewer files
+    assert t.versions() == [1, 2, 3, 4] and t.current_version() == 4
     return t.read(spark)
 
 
@@ -3663,6 +3667,40 @@ HAVING COUNT(*) >= {_WIN_MIN_SHARED}
 """
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring: each document's exact integer
+    sum of quantized conditional bigram frequencies under the corpus's
+    own bigram model — the doctrine-compliant linear surrogate for
+    CCNet-style LM-perplexity filtering (no log/exp; integer division,
+    quantized before accumulation; see SCALE.md determinism #3/#6).
+    Low sum_q/n_bigrams = rare transitions (gibberish, OCR noise,
+    wrong-language fragments)."""
+    from syncquill_spark.operators.text import bigram_commonness
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return bigram_commonness(documents)
+
+
+def _bigram_lm_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    h1 = _H60.format(x="tk[i]")
+    h12 = _H60.format(x="(tk[i] || ' ' || tk[i+1])")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+o AS (SELECT doc_id, UNNEST(range(1, len(tk))) AS i, tk FROM t),
+occ AS (
+  SELECT doc_id, {h1} AS h1, {h12} AS h12 FROM o
+),
+c12 AS (SELECT h12, COUNT(*) AS c12 FROM occ GROUP BY h12),
+c1 AS (SELECT h1, COUNT(*) AS c1 FROM occ GROUP BY h1)
+SELECT occ.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM((1000000 * c12.c12) // c1.c1) AS BIGINT) AS sum_q
+FROM occ JOIN c12 ON occ.h12 = c12.h12 JOIN c1 ON occ.h1 = c1.h1
+GROUP BY occ.doc_id
+"""
+
+
 def q_storage_winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing index LIFECYCLE under the gate (round-7 verdict #3 —
     the family's symmetry with MinHash/SRP): build the fingerprint
@@ -3899,6 +3937,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "storage_winnowing_index": q_storage_winnowing_index,
     "dedup_winnowing_against": q_dedup_winnowing_against,
     "storage_media_wav_roundtrip": q_storage_media_wav_roundtrip,
+    "text_bigram_lm": q_text_bigram_lm,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -3992,6 +4031,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "storage_winnowing_index": _winnowing_pairs_sql(),
     "dedup_winnowing_against": _winnowing_against_sql(),
     "storage_media_wav_roundtrip": _multimodal_audio_sql(),
+    "text_bigram_lm": _bigram_lm_sql(),
     # identical oracle to multimodal_decode BY DESIGN: a trip through
     # real files (export -> binaryFile re-ingest) must change nothing
     "storage_media_ingest_roundtrip": _multimodal_decode_sql(),

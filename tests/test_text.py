@@ -533,3 +533,22 @@ def test_quality_percentile_filter_fallback_and_degenerate_ties(spark):
         ).collect()
     )
     assert got_t == [0, 1, 2, 3]
+
+
+def test_bigram_commonness_hand_example(spark):
+    """Corpus: 'a b a c', 'a b', 'z z', 'x'. Bigram counts c(a b)=2,
+    c(b a)=1, c(a c)=1, c(z z)=1; context counts c(a.)=3, c(b.)=1,
+    c(z.)=1. q = (1e6 * c12) div c1 — exact integer division, so sums
+    are engine-exact; the common transition (a b) scores 666666, the
+    rare one (a c) 333333. Single-token docs have no bigrams and are
+    absent."""
+    from syncquill_spark.operators.text import bigram_commonness
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "z z"), (4, "x")], DOCS
+    )
+    rows = {r.doc_id: r for r in bigram_commonness(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].n_bigrams, rows[1].sum_q) == (3, 666666 + 1000000 + 333333)
+    assert (rows[2].n_bigrams, rows[2].sum_q) == (1, 666666)
+    assert (rows[3].n_bigrams, rows[3].sum_q) == (1, 1000000)
