@@ -552,3 +552,35 @@ def test_bigram_commonness_hand_example(spark):
     assert (rows[1].n_bigrams, rows[1].sum_q) == (3, 666666 + 1000000 + 333333)
     assert (rows[2].n_bigrams, rows[2].sum_q) == (1, 666666)
     assert (rows[3].n_bigrams, rows[3].sum_q) == (1, 1000000)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_bigram_commonness_matches_python_model(spark, docs):
+    """bigram_commonness vs an independent python model: corpus bigram
+    counts, context counts, q = (1e6*c12) // c1, per-doc exact sums."""
+    from collections import Counter
+
+    from syncquill_spark.operators.text import bigram_commonness
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.n_bigrams, r.sum_q)
+        for r in bigram_commonness(df).collect()
+    )
+    # mirror F.split(trim(lower(text)), '\s+'): empty text -> [""]
+    toks = {i: ((d.strip().lower().split()) or [""]) for i, d in enumerate(docs)}
+    bigrams = {
+        i: list(zip(t, t[1:])) for i, t in toks.items()
+    }
+    c12 = Counter(bg for bgs in bigrams.values() for bg in bgs)
+    c1 = Counter(bg[0] for bgs in bigrams.values() for bg in bgs)
+    want = sorted(
+        (i, len(bgs), sum((1_000_000 * c12[bg]) // c1[bg[0]] for bg in bgs))
+        for i, bgs in bigrams.items()
+        if bgs
+    )
+    assert got == want
