@@ -206,10 +206,25 @@ def _pipeline(c: DataFrame) -> DataFrame:
     )
 
 
+def _quality_pctl(c: DataFrame) -> DataFrame:
+    # round-8: the de-skewed two-pass bracketed order statistic — the
+    # replica tag keeps every doc in its original lang, so strata grow
+    # m-fold, exactly the dominant-stratum shape the rewrite targets
+    from syncquill_spark.operators.curation import quality_percentile_filter
+    from syncquill_spark.operators.text import quality_features
+
+    feats = quality_features(c).select("doc_id", "n_unique_tokens")
+    scored = c.select("doc_id", "lang").join(feats, "doc_id")
+    return quality_percentile_filter(
+        scored, "n_unique_tokens", keep_frac=0.8, stratify_col="lang"
+    )
+
+
 CURATION_OPS = {
     "fuzzy_decontam": _fuzzy_decontam,
     "leakage_split": _leakage_split,
     "curation_pipeline": _pipeline,
+    "quality_pctl": _quality_pctl,
 }
 
 
