@@ -721,6 +721,11 @@ def bigram_commonness(
         portable_hash60(F.col("_bg._w1")).alias("_h1"),
         portable_hash60(F.col("_bg._w12")).alias("_h12"),
     )
+    # three consumers (c12, c1, the scoring join) — without persist the
+    # tokenize+explode+md5 subtree runs once PER consumer: three corpus
+    # passes at 100 TB (observed as three parquet scans in the audited
+    # plan). Same pattern as the shingle/unit-vector persists.
+    pairs = pairs.persist()
     c12 = pairs.groupBy("_h12").agg(F.count(F.lit(1)).alias("_c12"))
     c1 = pairs.groupBy("_h1").agg(F.count(F.lit(1)).alias("_c1"))
     scored = (
