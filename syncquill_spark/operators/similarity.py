@@ -1129,3 +1129,85 @@ def ann_recall(
         "n_exact",
         F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    err_scale: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization ENCODING — the vector-DB-standard
+    compression next to the scalar int8 path (`quantize_embeddings`):
+    split each vector into ``m_sub`` subvectors, build one
+    ``k_codes``-entry codebook per subspace, and store each vector as
+    ``m_sub`` small code ids (here 8 codes = 8 bytes vs 64 float
+    dims — 32x). Decoding (approximate reconstruction) is a codebook
+    lookup; asymmetric-distance search scores queries against
+    codebooks instead of raw vectors (compose with `ivf_topk`'s cell
+    probe for the IVF-PQ serving shape).
+
+    Codebooks are the PQ analogue of `_ivf_centroids`' build: the
+    ``k_codes`` corpus vectors with the smallest (md5(id), id) — the
+    same deterministic no-RNG sample, reproducible in any engine —
+    sliced per subspace (code j's subvector c_j = sample[j][sub]).
+    Assignment is exact nearest-codeword by squared L2 per subspace
+    (ties -> smaller code), with the distance fold Arrow-batched
+    (`squared_l2_arrow` — bit-identical to the interpreted HOF fold
+    and DuckDB's list_reduce, numpy speed per row; the HOF form would
+    be m*k interpreted lambda chains per vector, the hot-surface
+    class the round-5 verdict evicted).
+
+    Output: (vec_id, sub, code, err_q) — err_q is the squared-L2
+    quantization error, floor(x*err_scale + 0.5)-quantized to an
+    exact int64 (round() tie rules differ across engines), so the
+    registry row is fully integer-hashed. The per-corpus mean of
+    err_q/err_scale is the PQ recall-proxy a deployment monitors
+    after every codebook rebuild.
+
+    Scale shape: the codebook is m_sub*k_codes tiny rows — broadcast;
+    the corpus explodes to m_sub skinny (id, sub, subvec) rows, joins
+    the broadcast codebook on sub, and the argmin is one map-side
+    combinable (id, sub) min-aggregation. No corpus shuffle beyond
+    the final skinny aggregation; vectors never leave their stage.
+    """
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sd = dim // m_sub
+
+    hashed = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    samp = hashed.orderBy("_h", id_col).limit(k_codes)
+    w = Window.orderBy("_h", id_col)  # k_codes rows — single partition fine
+    coded = samp.withColumn("code", F.row_number().over(w))
+    cb = coded.select(
+        "code",
+        F.posexplode(
+            F.array(*[F.slice("_cv", s * sd + 1, sd) for s in range(m_sub)])
+        ).alias("sub", "_cbv"),
+    )
+    vx = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice(vec_col, s * sd + 1, sd) for s in range(m_sub)])
+        ).alias("sub", "_xv"),
+    )
+    scored = vx.join(F.broadcast(cb), "sub").withColumn(
+        "_d", squared_l2_arrow(F.col("_xv"), F.col("_cbv"))
+    )
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min(F.struct(F.col("_d"), F.col("code"))).alias("_best")
+    )
+    return best.select(
+        id_col,
+        F.col("sub").cast("long").alias("sub"),
+        F.col("_best.code").cast("long").alias("code"),
+        F.floor(F.col("_best._d") * err_scale + F.lit(0.5))
+        .cast("long")
+        .alias("err_q"),
+    )

@@ -3701,6 +3701,67 @@ GROUP BY occ.doc_id
 """
 
 
+_PQ_M, _PQ_K, _PQ_DIM = 8, 16, 64
+
+
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding corpus: 8
+    subspaces x 16-entry codebooks (deterministic md5-sample
+    codewords), exact nearest-codeword assignment per subspace, and
+    the int64-quantized squared-L2 reconstruction error — the 32x
+    vector-compression path next to scalar int8 quantization, and the
+    build step of IVF-PQ serving. All-integer output; the oracle
+    replays the sample, the slicing, the left-fold distance, and the
+    (dist, code) tie-break exactly."""
+    from syncquill_spark.operators.similarity import pq_encode
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    return pq_encode(embeddings, m_sub=_PQ_M, k_codes=_PQ_K, dim=_PQ_DIM)
+
+
+def _pq_codes_sql() -> str:
+    m, k, d = _PQ_M, _PQ_K, _PQ_DIM
+    sd = d // m
+    dist = (
+        f"list_reduce(list_transform(range(1, {sd + 1}), "
+        f"i -> (CAST(xv[i] AS DOUBLE) - CAST(cbv[i] AS DOUBLE)) * "
+        f"(CAST(xv[i] AS DOUBLE) - CAST(cbv[i] AS DOUBLE))), (a, b) -> a + b)"
+    )
+    return f"""
+WITH h AS (
+  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS hh FROM embeddings
+),
+samp AS (
+  SELECT embedding AS cv,
+         ROW_NUMBER() OVER (ORDER BY hh ASC, vec_id ASC) AS code
+  FROM h ORDER BY hh ASC, vec_id ASC LIMIT {k}
+),
+subs AS (SELECT UNNEST(range(0, {m})) AS sub),
+cb AS (
+  SELECT code, sub, list_slice(cv, sub * {sd} + 1, (sub + 1) * {sd}) AS cbv
+  FROM samp, subs
+),
+vx AS (
+  SELECT vec_id, sub,
+         list_slice(embedding, sub * {sd} + 1, (sub + 1) * {sd}) AS xv
+  FROM embeddings, subs
+),
+scored AS (
+  SELECT vec_id, vx.sub AS sub, code, {dist} AS dist
+  FROM vx JOIN cb ON vx.sub = cb.sub
+),
+r AS (
+  SELECT vec_id, sub, code, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist ASC, code ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+       CAST(floor(dist * 1000000 + 0.5) AS BIGINT) AS err_q
+FROM r WHERE rn = 1
+"""
+
+
 def q_storage_winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing index LIFECYCLE under the gate (round-7 verdict #3 —
     the family's symmetry with MinHash/SRP): build the fingerprint
@@ -3938,6 +3999,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_winnowing_against": q_dedup_winnowing_against,
     "storage_media_wav_roundtrip": q_storage_media_wav_roundtrip,
     "text_bigram_lm": q_text_bigram_lm,
+    "embedding_pq_codes": q_embedding_pq_codes,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -4032,6 +4094,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "dedup_winnowing_against": _winnowing_against_sql(),
     "storage_media_wav_roundtrip": _multimodal_audio_sql(),
     "text_bigram_lm": _bigram_lm_sql(),
+    "embedding_pq_codes": _pq_codes_sql(),
     # identical oracle to multimodal_decode BY DESIGN: a trip through
     # real files (export -> binaryFile re-ingest) must change nothing
     "storage_media_ingest_roundtrip": _multimodal_decode_sql(),

@@ -503,3 +503,40 @@ FROM e LEFT JOIN h ON e.query_id = h.query_id
 """).fetchall()
     )
     assert got == expect and len(got) > 0
+
+
+def test_pq_encode_matches_python_model(spark, sf_dir):
+    """pq_encode vs an independent python replay: md5-sample codebook,
+    per-subspace slicing, left-fold squared-L2 (python floats ARE IEEE
+    doubles, same op order -> exact), (dist, code) tie-break, and the
+    floor-half-up error quantization."""
+    import hashlib
+    import math
+
+    from syncquill_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    m, k, dim = 4, 4, 64
+    sd = dim // m
+    got = sorted(
+        (r.vec_id, r.sub, r.code, r.err_q)
+        for r in pq_encode(emb, m_sub=m, k_codes=k, dim=dim).collect()
+    )
+
+    rows = [(r.vec_id, [float(x) for x in r.embedding]) for r in emb.collect()]
+    samp = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))[:k]
+    want = []
+    for vid, v in rows:
+        for sub in range(m):
+            xv = v[sub * sd:(sub + 1) * sd]
+            best = None
+            for code, (_, cv) in enumerate(samp, start=1):
+                cb = cv[sub * sd:(sub + 1) * sd]
+                acc = 0.0
+                for a, b in zip(xv, cb):
+                    t = a - b
+                    acc = acc + t * t
+                if best is None or (acc, code) < best:
+                    best = (acc, code)
+            want.append((vid, sub, best[1], math.floor(best[0] * 1_000_000 + 0.5)))
+    assert got == sorted(want) and len(got) == len(rows) * m
