@@ -23,7 +23,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # last driver-green row more than 2 rounds old.
 #
 # Round-8 window, in order:
-#  - the 5 queries NEW this round: storage_winnowing_index (the
+#  - the 6 queries NEW this round: storage_winnowing_index (the
 #    winnowing index lifecycle — save/load/merge/pairs-from-index,
 #    append==rebuild pinned to dedup_winnowing_pairs' own oracle),
 #    dedup_winnowing_against (the ingest gate: batch fingerprints vs
@@ -34,17 +34,20 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    doctrine-compliant linear surrogate for LM perplexity), and
 #    embedding_pq_codes (product-quantization encoding: per-subspace
 #    md5-sample codebooks, exact nearest-codeword assignment,
-#    int64-quantized reconstruction error);
+#    int64-quantized reconstruction error), and
+#    similarity_topk_ivfpq (IVF-PQ asymmetric-distance serving:
+#    cell-probe candidates scored from PQ codes + a per-query LUT,
+#    partial dots int64-quantized before the cross-row sum);
 #  - the 26 rows whose last driver-green is r05 (staleness 2 — the
 #    round-7 verdict names them as mandatory leads; pure
 #    relational/projection shapes);
 #  - the 8 r07-green rows whose plans this round touched (listed at
 #    the _PRIORITY entries below);
-#  - 11 of the 50 r06-green rows rotated forward early to flatten the
+#  - 10 of the 50 r06-green rows rotated forward early to flatten the
 #    r09 mandatory load.
 # Left outside at staleness 2 after this round (r06-green, untouched —
-# they MUST lead the r09 window; 39 rows): text_chunk_documents,
-# profile_referential,
+# they MUST lead the r09 window; 40 rows): text_chunk_documents,
+# profile_referential, join_excess_inventory,
 # similarity_ann_recall,
 # curation_leakage_split, text_segment_dedup, curation_target_mix,
 # curation_target_mix_tokens, dedup_cluster_stats, dedup_apply,
@@ -59,7 +62,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # join_range_shipments, join_binned_range, cdc_scd2_history,
 # cdc_incremental_agg, funnel_click_purchase,
 # agg_distinct_users_exact, pipeline_corpus_curation. The 42
-# remaining r07-green rows rotate out at staleness 1. NOTE: at 131
+# remaining r07-green rows rotate out at staleness 1. NOTE: at 132
 # registered queries the 50-slot window's sustainable ceiling is 150
 # (each query needs a green row every 3 rounds); registry growth per
 # round must stay <= ~7 net or the window policy needs widening.
@@ -117,7 +120,7 @@ _PRIORITY = [
     # new this round (new plans always enter the window)
     "storage_winnowing_index", "dedup_winnowing_against",
     "storage_media_wav_roundtrip", "text_bigram_lm",
-    "embedding_pq_codes",
+    "embedding_pq_codes", "similarity_topk_ivfpq",
     # staleness-2 cohort (last driver-green r05 — the round-7 verdict
     # names them as mandatory leads)
     "agg_pivot_status", "agg_grouping_sets", "agg_quantiles_status",
@@ -142,13 +145,13 @@ _PRIORITY = [
     "multimodal_decode", "multimodal_audio_decode",
     "multimodal_media_stats", "storage_media_ingest_roundtrip",
     "storage_versioned_roundtrip", "sync_upsert",
-    # r06-green fill (rotate 11 of the 50 forward; multimodal_features
+    # r06-green fill (rotate 10 of the 50 forward; multimodal_features
     # first as the touched module's stub-codec sibling)
     "multimodal_features", "join_revenue_by_nation",
     "window_topk_orders", "setop_customers_without_orders",
     "scalar_functions", "join_market_share", "join_product_profit",
     "join_min_cost_supplier", "agg_important_stock",
-    "agg_supplier_part_types", "join_excess_inventory",
+    "agg_supplier_part_types",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

@@ -3762,6 +3762,136 @@ FROM r WHERE rn = 1
 """
 
 
+def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving: candidates from the IVF cell probe, scored from
+    8-byte PQ codes + a per-query lookup table (asymmetric distance) —
+    the classic large-scale ANN shape where the hot path never touches
+    a candidate's float vector. Per-subspace partial dots are
+    floor-half-up quantized to int64 BEFORE the cross-row sum, so the
+    score is an exact integer and the whole ranking is engine-exact."""
+    from syncquill_spark.operators.similarity import ivfpq_topk
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        embeddings, queries, k=_TOPK, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE,
+        m_sub=_PQ_M, k_codes=_PQ_K, dim=_PQ_DIM,
+    )
+
+
+def _ivfpq_sql() -> str:
+    m, kc, d = _PQ_M, _PQ_K, _PQ_DIM
+    sd = d // m
+    scale = 1_000_000
+    sq_norm = (
+        "list_reduce(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+    )
+
+    def dot_ucv(vec: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {d + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * CAST(ct.ucv[i] AS DOUBLE)), "
+            f"(a, b) -> a + b)"
+        )
+
+    l2 = (
+        f"list_reduce(list_transform(range(1, {sd + 1}), "
+        f"i -> (CAST(xv[i] AS DOUBLE) - CAST(cbv[i] AS DOUBLE)) * "
+        f"(CAST(xv[i] AS DOUBLE) - CAST(cbv[i] AS DOUBLE))), (a, b) -> a + b)"
+    )
+    qdot = (
+        f"list_reduce(list_transform(range(1, {sd + 1}), "
+        f"i -> CAST(qv[i] AS DOUBLE) * CAST(cbv[i] AS DOUBLE)), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+WITH h AS (
+  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS hh FROM embeddings
+),
+cents0 AS (
+  SELECT vec_id, embedding, hh FROM h ORDER BY hh, vec_id LIMIT {_IVF_CELLS}
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS cell_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ucv
+  FROM (SELECT vec_id, embedding, hh, sqrt({sq_norm}) AS nrm FROM cents0) t
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT c.vec_id, ct.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                              ORDER BY {dot_ucv("c.embedding")} DESC,
+                                       ct.cell_id ASC) AS rn
+    FROM embeddings c CROSS JOIN cents ct) t WHERE rn = 1
+),
+qset AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id % {_QUERY_MOD} = 0
+),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, ct.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {dot_ucv("q.embedding")} DESC,
+                                       ct.cell_id ASC) AS rn
+    FROM qset q CROSS JOIN cents ct) t WHERE rn <= {_IVF_NPROBE}
+),
+samp AS (
+  SELECT embedding AS cv, ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS code
+  FROM h ORDER BY hh, vec_id LIMIT {kc}
+),
+subs AS (SELECT UNNEST(range(0, {m})) AS sub),
+cb AS (
+  SELECT code, sub, list_slice(cv, sub * {sd} + 1, (sub + 1) * {sd}) AS cbv
+  FROM samp, subs
+),
+vx AS (
+  SELECT vec_id, sub,
+         list_slice(embedding, sub * {sd} + 1, (sub + 1) * {sd}) AS xv
+  FROM embeddings, subs
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, vx.sub AS sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, vx.sub
+                              ORDER BY {l2} ASC, code ASC) AS rn
+    FROM vx JOIN cb ON vx.sub = cb.sub) t WHERE rn = 1
+),
+lutq AS (
+  SELECT query_id, sub,
+         list_slice(embedding, sub * {sd} + 1, (sub + 1) * {sd}) AS qv
+  FROM qset, subs
+),
+lut AS (
+  SELECT query_id, cb.sub AS sub, code,
+         CAST(floor({qdot} * {scale} + 0.5) AS BIGINT) AS part_q
+  FROM lutq JOIN cb ON lutq.sub = cb.sub
+),
+cand AS (
+  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell_id)
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, SUM(part_q) AS score_q
+  FROM cand c
+  JOIN codes k2 ON c.vec_id = k2.vec_id
+  JOIN lut ON lut.query_id = c.query_id
+          AND lut.sub = k2.sub AND lut.code = k2.code
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk,
+       CAST(score_q AS BIGINT) AS score_q
+FROM (
+  SELECT query_id, vec_id, score_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, vec_id ASC) AS rk
+  FROM scored) t
+WHERE rk <= {_TOPK}
+"""
+
+
 def q_storage_winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing index LIFECYCLE under the gate (round-7 verdict #3 —
     the family's symmetry with MinHash/SRP): build the fingerprint
@@ -4000,6 +4130,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "storage_media_wav_roundtrip": q_storage_media_wav_roundtrip,
     "text_bigram_lm": q_text_bigram_lm,
     "embedding_pq_codes": q_embedding_pq_codes,
+    "similarity_topk_ivfpq": q_similarity_topk_ivfpq,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -4095,6 +4226,7 @@ EXT_ORACLES: dict[str, str | None] = {
     "storage_media_wav_roundtrip": _multimodal_audio_sql(),
     "text_bigram_lm": _bigram_lm_sql(),
     "embedding_pq_codes": _pq_codes_sql(),
+    "similarity_topk_ivfpq": _ivfpq_sql(),
     # identical oracle to multimodal_decode BY DESIGN: a trip through
     # real files (export -> binaryFile re-ingest) must change nothing
     "storage_media_ingest_roundtrip": _multimodal_decode_sql(),

@@ -540,3 +540,42 @@ def test_pq_encode_matches_python_model(spark, sf_dir):
                     best = (acc, code)
             want.append((vid, sub, best[1], math.floor(best[0] * 1_000_000 + 0.5)))
     assert got == sorted(want) and len(got) == len(rows) * m
+
+
+def test_ivfpq_topk_self_hit_and_recall_floor(spark, sf_dir):
+    """IVF-PQ ADC sanity: every query ranks ITSELF first (a vector's
+    ADC score against its own codes is the max-dot reconstruction),
+    at most k rows per query, m_sub partial scores per pair (exact
+    int64 sum), and recall vs brute force clears a floor — modest by
+    design on this structureless random fixture (16 codewords per
+    8-dim noise subspace), which is exactly what the ann_recall gate
+    exists to surface after any codebook change."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nq = q.count()
+    approx = ivfpq_topk(emb, q, k=10, n_cells=16, nprobe=4)
+    rows = approx.collect()
+    top1 = [r for r in rows if r.rk == 1]
+    assert len(top1) == nq
+    assert all(r.query_id == r.neighbor_id for r in top1)  # self-hit
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 10
+               for v in per_q.values())
+
+    audit = ann_recall(
+        approx.select("query_id", "neighbor_id", "rk"),
+        brute_force_topk(emb, q, k=10),
+    ).agg(F.sum("n_hits").alias("h"), F.sum("n_exact").alias("e")).collect()[0]
+    assert audit.h / audit.e >= 0.2
