@@ -1206,7 +1206,10 @@ def pq_encode(
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     sd = dim // m_sub
     cb = _pq_codebook(corpus, m_sub, k_codes, dim, id_col, vec_col)
-    vx = corpus.select(
+    # _spread: the k_codes-way scoring join below multiplies work per
+    # input split; an under-split local read would run the Arrow kernel
+    # single-task (same rationale as brute_force_topk; no-op at scale)
+    vx = _spread(corpus.select(id_col, vec_col)).select(
         F.col(id_col),
         F.posexplode(
             F.array(*[F.slice(vec_col, s * sd + 1, sd) for s in range(m_sub)])
@@ -1275,8 +1278,9 @@ def ivfpq_topk(
     sd = dim // m_sub
 
     # corpus -> best cell (argmax dot on unit centroids; ties -> lower
-    # cell): min of (-dot, cell_id) structs, map-side combinable
-    c_scored = corpus.select(F.col(id_col), F.col(vec_col)).join(
+    # cell): min of (-dot, cell_id) structs, map-side combinable.
+    # _spread: n_cells-way broadcast join per corpus row (see pq_encode)
+    c_scored = _spread(corpus.select(id_col, vec_col)).join(
         F.broadcast(cents)
     ).select(
         id_col,
