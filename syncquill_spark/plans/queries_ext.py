@@ -3900,16 +3900,21 @@ def q_storage_winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch is fingerprinted — the stored rows are reused as-is),
     persist the merged index OVER the first (atomic exchange), reload,
     and emit the full substring-match pairs from the index alone
-    (``winnowing_pairs_from_index`` — no text touched). Oracle =
+    (``winnowing_pairs_from_index`` — no text touched). The index
+    carries TWO parts: the (corpus_id, fp) rows and the (fp, df)
+    document-frequency table, the latter maintained incrementally
+    (``merge_winnowing_df`` — batch-sized outer-join add, never an
+    index pass) and used for the hub cap at emit time. Oracle =
     ``dedup_winnowing_pairs``' own SQL twin over ALL documents: append
-    must be indistinguishable from rebuild."""
+    must be indistinguishable from rebuild, stored df included."""
     import os as _os
     import tempfile as _tempfile
 
     from syncquill_spark.sources.index_store import load_index, save_index
     from syncquill_spark.streaming.text_dedup import (
         build_winnowing_index,
-        merge_winnowing_index,
+        merge_winnowing_df,
+        winnowing_fp_df,
         winnowing_pairs_from_index,
     )
 
@@ -3918,13 +3923,18 @@ def q_storage_winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = documents.filter(F.col("doc_id") % 2 == 1)
     fps = build_winnowing_index(first_half, k=_WIN_K, window=_WIN_W)
     path = _os.path.join(_tempfile.mkdtemp(prefix="sq_win_idx_"), "win_idx")
-    save_index(path, fps=fps)
+    save_index(path, fps=fps, fpdf=winnowing_fp_df(fps))
     loaded = load_index(spark, path)
-    merged = merge_winnowing_index(loaded["fps"], batch, k=_WIN_K, window=_WIN_W)
-    save_index(path, fps=merged)  # atomic in-place replace
+    batch_fps = build_winnowing_index(batch, k=_WIN_K, window=_WIN_W)
+    merged = loaded["fps"].unionByName(batch_fps)
+    merged_df = merge_winnowing_df(loaded["fpdf"], batch_fps)
+    save_index(path, fps=merged, fpdf=merged_df)  # atomic in-place replace
     reloaded = load_index(spark, path)
     return winnowing_pairs_from_index(
-        reloaded["fps"], min_shared=_WIN_MIN_SHARED, max_fp_df=_WIN_MAX_DF
+        reloaded["fps"],
+        min_shared=_WIN_MIN_SHARED,
+        max_fp_df=_WIN_MAX_DF,
+        index_df=reloaded["fpdf"],
     )
 
 
@@ -3933,12 +3943,15 @@ def q_dedup_winnowing_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring matches against the corpus index (even doc_ids) — only
     the batch is fingerprinted, the corpus side is the index's stored
     skinny (corpus_id, fp) rows. The hub cap's document frequency is
-    computed over stored+batch fingerprints (df is a corpus property),
-    so the gate's matches equal a full rebuild's pairs restricted to
-    (new x corpus) — which is exactly what the oracle computes, never
-    having seen the index."""
+    the STORED (fp, df) table plus the batch's own counts (df is a
+    corpus property and batch ids are new, so counts add — one
+    batch-sized aggregation + an outer join, never an index-wide
+    groupBy per batch), so the gate's matches equal a full rebuild's
+    pairs restricted to (new x corpus) — which is exactly what the
+    oracle computes, never having seen the index."""
     from syncquill_spark.streaming.text_dedup import (
         build_winnowing_index,
+        winnowing_fp_df,
         winnowing_matches_against,
     )
 
@@ -3953,6 +3966,7 @@ def q_dedup_winnowing_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=_WIN_W,
         min_shared=_WIN_MIN_SHARED,
         max_fp_df=_WIN_MAX_DF,
+        index_df=winnowing_fp_df(index_fps),
     )
 
 

@@ -346,20 +346,70 @@ def _rare_fps(fps: DataFrame, max_fp_df: int) -> DataFrame:
     )
 
 
+def winnowing_fp_df(index_fps: DataFrame) -> DataFrame:
+    """(fp, df) document-frequency table of a winnowing index — the
+    second persisted part of the index. Computed ONCE at build time
+    and maintained incrementally by ``merge_winnowing_df``, so the
+    per-batch gate never pays an index-wide aggregation just to apply
+    the hub cap (the same batch-sized-nightly-cost contract as the
+    MinHash merge path). Skinny (int64, int64) rows."""
+    return index_fps.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+
+
+def merge_winnowing_df(index_df: DataFrame, new_fps: DataFrame) -> DataFrame:
+    """Incremental df maintenance: stored (fp, df) + a new batch's
+    per-doc distinct fingerprints -> merged (fp, df). Equals
+    ``winnowing_fp_df`` over the merged index exactly (batch ids are
+    new, so counts simply add). Cost: one batch-sized aggregation +
+    one outer join on int64 fp — never an index pass. ``new_fps`` is
+    any (doc id, fp) frame with per-doc distinct rows (the id column
+    name is irrelevant — df counts rows per fp)."""
+    batch_df = winnowing_fp_df(new_fps)
+    return (
+        index_df.withColumnRenamed("df", "_df_a")
+        .join(batch_df.withColumnRenamed("df", "_df_b"), "fp", "full_outer")
+        .select(
+            "fp",
+            (
+                F.coalesce(F.col("_df_a"), F.lit(0))
+                + F.coalesce(F.col("_df_b"), F.lit(0))
+            ).cast("long").alias("df"),
+        )
+    )
+
+
+def _rare_from_df(index_df: DataFrame, max_fp_df: int) -> DataFrame:
+    return index_df.filter(F.col("df") <= max_fp_df).select("fp")
+
+
 def winnowing_pairs_from_index(
     index_fps: DataFrame,
     min_shared: int = 2,
     max_fp_df: int | None = None,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_shared) substring-match pairs computed ENTIRELY
     from a stored index — no text: hub-cap on the persisted rows, int64
     equi-join on fp (id_a < id_b), distinct-fp count per pair. Output
     contract matches ``operators.text.winnowing_match_pairs``
     recomputing from text — the identity that makes the persisted index
-    trustworthy after any ``merge_winnowing_index`` append."""
+    trustworthy after any ``merge_winnowing_index`` append.
+
+    ``index_df``: the persisted (fp, df) part (``winnowing_fp_df`` /
+    ``merge_winnowing_df``). When given, the hub cap filters against
+    the STORED counts instead of re-aggregating the whole index —
+    identical output (the stored df IS the index's df), one join
+    instead of an index-wide groupBy."""
     fps = index_fps.select(F.col("corpus_id"), "fp")
     if max_fp_df is not None:
-        fps = fps.join(_rare_fps(fps, max_fp_df), "fp")
+        rare = (
+            _rare_from_df(index_df, max_fp_df)
+            if index_df is not None
+            else _rare_fps(fps, max_fp_df)
+        )
+        fps = fps.join(rare, "fp")
     a = fps.select(F.col("fp"), F.col("corpus_id").alias("id_a"))
     b = fps.select(F.col("fp").alias("_fpb"), F.col("corpus_id").alias("id_b"))
     return (
@@ -379,6 +429,7 @@ def winnowing_matches_against(
     window: int = 4,
     min_shared: int = 2,
     max_fp_df: int | None = None,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id_new, id_corpus, n_shared) — the INGEST-TIME gate: a new
     batch's substring matches against a persisted corpus index. Only
@@ -392,6 +443,13 @@ def winnowing_matches_against(
     to (new x corpus) pairs — the parity the registry's
     ``dedup_winnowing_against`` row asserts against a DuckDB oracle
     that never saw the index.
+
+    ``index_df``: the persisted (fp, df) part. When given, the union
+    df is stored df + the batch's own per-fp counts (batch ids are
+    new, so counts simply add) — one batch-sized aggregation + an
+    outer join, instead of an INDEX-wide groupBy per batch. Identical
+    output; this is what keeps the nightly gate cost batch-sized, the
+    same contract as the MinHash merge path.
 
     Streaming deployment: winnowing selection is a per-document window
     aggregation, which Structured Streaming cannot run inside a
@@ -409,9 +467,12 @@ def winnowing_matches_against(
     )
     corpus_fps = index_fps.select(F.col("corpus_id").alias("id_corpus"), "fp")
     if max_fp_df is not None:
-        rare = _rare_fps(
-            corpus_fps.select("fp").unionAll(new_fps.select("fp")), max_fp_df
-        )
+        if index_df is not None:
+            rare = _rare_from_df(merge_winnowing_df(index_df, new_fps), max_fp_df)
+        else:
+            rare = _rare_fps(
+                corpus_fps.select("fp").unionAll(new_fps.select("fp")), max_fp_df
+            )
         new_fps = new_fps.join(rare, "fp")
         corpus_fps = corpus_fps.join(rare, "fp")
     return (

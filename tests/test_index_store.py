@@ -313,3 +313,46 @@ def test_winnowing_gate_in_foreachbatch_stream(spark, tmp_path, sf_dir):
         ).collect()
     )
     assert sorted(got) == expect and len(expect) > 0
+
+
+def test_winnowing_df_part_equals_recount(spark, sf_dir):
+    """The persisted (fp, df) part: merge_winnowing_df (stored df +
+    batch counts) must equal winnowing_fp_df over the merged index
+    row-for-row, and both the pairs emitter and the gate must produce
+    IDENTICAL output through the stored-df path and the recount path —
+    the batch-sized-nightly-cost optimization changes nothing."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        merge_winnowing_df,
+        winnowing_fp_df,
+        winnowing_matches_against,
+        winnowing_pairs_from_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus_fps = build_winnowing_index(corpus)
+    batch_fps = build_winnowing_index(batch)
+    merged_fps = corpus_fps.unionByName(batch_fps)
+
+    inc_df = merge_winnowing_df(winnowing_fp_df(corpus_fps), batch_fps)
+    assert sorted(map(tuple, inc_df.collect())) == sorted(
+        map(tuple, winnowing_fp_df(merged_fps).collect())
+    )
+
+    pair_args = dict(min_shared=2, max_fp_df=20)
+    with_df = winnowing_pairs_from_index(merged_fps, index_df=inc_df, **pair_args)
+    recount = winnowing_pairs_from_index(merged_fps, **pair_args)
+    assert sorted(map(tuple, with_df.collect())) == sorted(
+        map(tuple, recount.collect())
+    )
+
+    gate_df = winnowing_matches_against(
+        batch, corpus_fps, index_df=winnowing_fp_df(corpus_fps), **pair_args
+    )
+    gate_recount = winnowing_matches_against(batch, corpus_fps, **pair_args)
+    got = sorted(map(tuple, gate_df.collect()))
+    assert got == sorted(map(tuple, gate_recount.collect())) and len(got) > 0
