@@ -304,6 +304,18 @@ SIM_OPS = {
     "embed_neardup": lambda c, q: embedding_near_dup_pairs(
         c, threshold=0.55, bands=4, planes_per_band=12
     ),
+    # round-8 PQ family. pq_encode is one corpus pass (codebook is a
+    # fixed-size broadcast). topk_ivfpq at FIXED n_cells=16 has
+    # candidates-per-query ~ nprobe*n/16 — linear in corpus by
+    # construction (same knob story as SRP bands: a real deployment
+    # scales n_cells with the corpus; fixture value is an oracle-recall
+    # choice at 2k vectors).
+    "pq_encode": lambda c, q: __import__(
+        "syncquill_spark.operators.similarity", fromlist=["pq_encode"]
+    ).pq_encode(c),
+    "topk_ivfpq": lambda c, q: __import__(
+        "syncquill_spark.operators.similarity", fromlist=["ivfpq_topk"]
+    ).ivfpq_topk(c, q, k=10, n_cells=16, nprobe=4),
 }
 
 
