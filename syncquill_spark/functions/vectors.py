@@ -174,3 +174,16 @@ def quantize_int8(a: Column) -> Column:
 #   the projection DUPLICATES the ArrowEvalPython node — keep UDF
 #   consumers above a cache barrier or out of pushable predicates
 #   (see operators/similarity.py::lsh_topk).
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def subtract_arrow(a, b):
+    """Element-wise a - b over array columns (float widened to double
+    first, like every kernel here). Each element is ONE IEEE subtract —
+    no fold, so no ordering concerns; exact in any engine."""
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="object")
+    xa, xb = _stack_f64(a), _stack_f64(b)
+    return pd.Series(list(xa - xb))

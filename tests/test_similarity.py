@@ -579,3 +579,73 @@ def test_ivfpq_topk_self_hit_and_recall_floor(spark, sf_dir):
         brute_force_topk(emb, q, k=10),
     ).agg(F.sum("n_hits").alias("h"), F.sum("n_exact").alias("e")).collect()[0]
     assert audit.h / audit.e >= 0.2
+
+
+def test_residual_pq_error_direction_and_determinism(spark, sf_dir):
+    """Residual PQ earns its keep exactly where theory says: on a
+    planted-cluster corpus residual quantization error is LOWER than
+    plain PQ (same sampled codebooks, same bits); on the structureless
+    random fixture it is HIGHER (subtracting a centroid adds
+    variance) — the err_q monitor is the layout-choice signal. Both
+    modes are deterministic (re-run identical), and residual output
+    carries cell_id for reconstruction."""
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import _ivf_centroids, pq_encode
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 64))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(40):
+            rows.append(
+                (vid, (centers[c] + 0.15 * rng.normal(size=64)).tolist())
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = _ivf_centroids(df, 8, 0, "vec_id", "embedding")
+
+    plain = pq_encode(df, m_sub=8, k_codes=16, dim=64)
+    resid = pq_encode(df, m_sub=8, k_codes=16, dim=64, centroids=cents)
+    assert resid.columns == ["vec_id", "cell_id", "sub", "code", "err_q"]
+    mean_plain = plain.agg(F.avg("err_q")).collect()[0][0]
+    mean_resid = resid.agg(F.avg("err_q")).collect()[0][0]
+    assert mean_resid < mean_plain  # clustered: residuals quantize finer
+
+    # determinism: an identical second run yields identical rows
+    resid2 = pq_encode(df, m_sub=8, k_codes=16, dim=64, centroids=cents)
+    assert sorted(map(tuple, resid.collect())) == sorted(
+        map(tuple, resid2.collect())
+    )
+
+    # structureless fixture: residual must be WORSE (the monitor story)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c2 = _ivf_centroids(emb, 16, 0, "vec_id", "embedding")
+    p2 = pq_encode(emb, m_sub=8, k_codes=16, dim=64).agg(F.avg("err_q")).collect()[0][0]
+    r2 = pq_encode(emb, m_sub=8, k_codes=16, dim=64, centroids=c2).agg(
+        F.avg("err_q")
+    ).collect()[0][0]
+    assert r2 > p2
+
+
+def test_ivfpq_residual_mode_runs_and_ranks(spark, sf_dir):
+    """residual=True end to end: same output contract (all-int,
+    contiguous ranks, <= k per query), score includes the quantized
+    centroid term, and the plain path is untouched by the option."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(emb, q, k=5, n_cells=16, nprobe=4, residual=True)
+    rows = out.collect()
+    assert rows and out.columns == ["query_id", "neighbor_id", "rk", "score_q"]
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
+               for v in per_q.values())
