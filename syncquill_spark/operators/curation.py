@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from syncquill_spark.functions.hashing import portable_hash60
 from syncquill_spark.operators.text import token_counts
@@ -832,6 +833,13 @@ def quality_percentile_filter(
     skinny = df.select(id_col, signal_col, *([stratify_col] if stratify_col else []))
     if not stratify_col:
         skinny = skinny.withColumn("_strat", F.lit(0))
+    # five consumers below (stats agg, region counts, top, boundary
+    # rank, fallback rank) — without a persist the upstream SIGNAL
+    # subtree (often a full tokenization) recomputes per branch: up to
+    # five corpus scans where the pre-rewrite form had two. skinny is
+    # id+signal+stratum-width rows, so the cache is cheap; same
+    # multi-consumer doctrine as dedup.py / bigram_commonness.
+    skinny = skinny.persist(StorageLevel.MEMORY_AND_DISK)
 
     q = 1.0 - keep_frac
     p_lo, p_hi = max(0.0, q - bracket_delta), min(1.0, q + bracket_delta)

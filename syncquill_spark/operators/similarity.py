@@ -1365,6 +1365,11 @@ def ivfpq_topk(
 
     Output: (query_id, neighbor_id, rk, score_q) — all ints.
     """
+    if dim % m_sub != 0:
+        # same guard as pq_encode: without it sd = dim // m_sub would
+        # silently drop the trailing dims from both codes and LUT and
+        # return plausible-but-wrong neighbors instead of an error
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     cents = _ivf_centroids(corpus, n_cells, 0, id_col, vec_col)
     sd = dim // m_sub
 

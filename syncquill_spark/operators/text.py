@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from syncquill_spark.functions.hashing import rolling_fingerprint
 
@@ -699,13 +700,43 @@ def bigram_commonness(
 
     Output: (doc_id, n_bigrams, sum_q) — all exact int64.
     """
+    # three consumers (c12, c1, the scoring join) — without persist the
+    # tokenize+explode+md5 subtree runs once PER consumer: three corpus
+    # passes at 100 TB (observed as three parquet scans in the audited
+    # plan). Same pattern as the shingle/unit-vector persists.
+    occ = bigram_occurrences(df, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    c1, c12 = bigram_model_counts(occ)
+    # inner joins: the model is built from these very rows, so every
+    # (h1, h12) is present — identical to bigram_score_against's
+    # left-join form when model == corpus (the lifecycle row's pin)
+    scored = (
+        occ.join(c12, "h12")
+        .join(c1, "h1")
+        .withColumn("_q", F.expr(f"({scale} * c12) div c1"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_q").cast("long").alias("sum_q"),
+    )
+
+
+def bigram_occurrences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Skinny per-occurrence bigram rows ``(id_col, h1, h12)`` — h1 =
+    portable hash of w1, h12 = portable hash of "w1 w2" (md5-derived
+    int64, so DuckDB oracles reproduce them). The shared extraction
+    under ``bigram_commonness`` (one-shot) and the persisted-model
+    lifecycle (``build_bigram_model`` / ``bigram_score_against``)."""
     from syncquill_spark.functions.hashing import portable_hash60
 
     toks = df.select(F.col(id_col), _tokens(text_col).alias("_tk"))
     n = F.size("_tk")
     # per-occurrence bigram rows: w1 = tk[i], pair = "tk[i] tk[i+1]"
     m = F.greatest(n - 1, F.lit(0))
-    pairs = toks.select(
+    return toks.select(
         F.col(id_col),
         F.explode(
             F.zip_with(
@@ -718,20 +749,111 @@ def bigram_commonness(
         ).alias("_bg"),
     ).select(
         F.col(id_col),
-        portable_hash60(F.col("_bg._w1")).alias("_h1"),
-        portable_hash60(F.col("_bg._w12")).alias("_h12"),
+        portable_hash60(F.col("_bg._w1")).alias("h1"),
+        portable_hash60(F.col("_bg._w12")).alias("h12"),
     )
-    # three consumers (c12, c1, the scoring join) — without persist the
-    # tokenize+explode+md5 subtree runs once PER consumer: three corpus
-    # passes at 100 TB (observed as three parquet scans in the audited
-    # plan). Same pattern as the shingle/unit-vector persists.
-    pairs = pairs.persist()
-    c12 = pairs.groupBy("_h12").agg(F.count(F.lit(1)).alias("_c12"))
-    c1 = pairs.groupBy("_h1").agg(F.count(F.lit(1)).alias("_c1"))
+
+
+def bigram_model_counts(occ: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The bigram model's two persisted parts from occurrence rows:
+    ``unigrams`` (h1, c1) — occurrences of bigrams starting with w1 —
+    and ``bigrams`` (h12, c12). Two map-side-combined count
+    aggregations over the SAME rows (persist ``occ`` when both run in
+    one job). c1 is unigram-vocab-sized (broadcastable at serve time);
+    c12 is vocab²-bounded and rides AQE."""
+    c1 = occ.groupBy("h1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    c12 = occ.groupBy("h12").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    return c1, c12
+
+
+def build_bigram_model(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """One-time corpus bigram-LM model build: (unigrams, bigrams) =
+    ((h1, c1), (h12, c12)) count tables — persist both via
+    ``index_store.save_index(path, unigrams=..., bigrams=...)``, the
+    same manifest + atomic-exchange lifecycle as the MinHash / SRP /
+    winnowing indexes. This is how a CCNet-style quality filter
+    actually deploys: the model is trained in a nightly corpus pass,
+    and every ingest batch is scored against the STORED counts
+    (``bigram_score_against``) without touching corpus text again."""
+    occ = bigram_occurrences(corpus, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return bigram_model_counts(occ)
+
+
+def merge_bigram_model(
+    model_c1: DataFrame,
+    model_c12: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental model maintenance: stored (h1, c1)/(h12, c12) plus
+    a new batch's own occurrence counts -> merged model. Counts are
+    per-occurrence totals over a bag of documents, so appending new
+    docs simply ADDS their counts — append == rebuild by construction
+    (the registry's ``storage_bigram_model`` pins that identity to
+    ``text_bigram_lm``'s own oracle). Cost: one batch-sized
+    tokenization + two batch-sized aggregations + two outer joins on
+    int64 hashes — never a corpus pass; the same batch-sized-nightly
+    contract as ``merge_winnowing_df``."""
+    occ = bigram_occurrences(new_df, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    b1, b12 = bigram_model_counts(occ)
+
+    def _add(stored: DataFrame, batch: DataFrame, key: str, cnt: str) -> DataFrame:
+        return (
+            stored.withColumnRenamed(cnt, "_ca")
+            .join(batch.withColumnRenamed(cnt, "_cb"), key, "full_outer")
+            .select(
+                key,
+                (
+                    F.coalesce(F.col("_ca"), F.lit(0))
+                    + F.coalesce(F.col("_cb"), F.lit(0))
+                ).cast("long").alias(cnt),
+            )
+        )
+
+    return _add(model_c1, b1, "h1", "c1"), _add(model_c12, b12, "h12", "c12")
+
+
+def bigram_score_against(
+    batch: DataFrame,
+    model_c1: DataFrame,
+    model_c12: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The INGEST-TIME quality gate: score a new batch's documents
+    against a STORED bigram model — only the batch is tokenized; the
+    corpus side is the persisted (h1, c1)/(h12, c12) count tables.
+    A bigram the model never saw contributes q = 0 (maximally rare —
+    exactly the judgment a trained filter should pass on unseen
+    transitions); n_bigrams still counts it, so sum_q / n_bigrams
+    stays the comparable commonness rate. When the batch IS the
+    model's own corpus, every bigram is present and the output equals
+    ``bigram_commonness`` row-for-row — the identity the registry's
+    ``storage_bigram_model`` asserts through a save/load/merge cycle.
+
+    Scale shape: one batch-sized tokenize+explode, two int64
+    equi-joins against the stored counts (c1 broadcastable, c12 rides
+    AQE), one per-doc sum. Streaming deployment: the per-doc groupBy
+    is a streaming aggregation, so wrap in ``foreachBatch`` (same
+    recipe as ``winnowing_matches_against``).
+
+    Output: (id_col, n_bigrams, sum_q) — all exact int64.
+    """
+    occ = bigram_occurrences(batch, text_col=text_col, id_col=id_col)
     scored = (
-        pairs.join(c12, "_h12")
-        .join(c1, "_h1")
-        .withColumn("_q", F.expr(f"({scale} * _c12) div _c1"))
+        occ.join(model_c12, "h12", "left")
+        .join(model_c1, "h1", "left")
+        .withColumn(
+            "_q", F.coalesce(F.expr(f"({scale} * c12) div c1"), F.lit(0))
+        )
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),

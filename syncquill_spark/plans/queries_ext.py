@@ -3701,6 +3701,91 @@ GROUP BY occ.doc_id
 """
 
 
+def q_storage_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM model LIFECYCLE under the gate (round-8 verdict #3 —
+    every corpus-derived artifact persisted): build the (h1, c1)/(h12,
+    c12) count model over half the corpus (even doc_ids), persist both
+    parts via ``index_store.save_index``, reload, extend with the other
+    half via ``merge_bigram_model`` (only the batch is tokenized —
+    counts simply add), persist the merged model OVER the first
+    (atomic exchange), reload, and score ALL documents against the
+    STORED counts alone (``bigram_score_against`` — corpus text never
+    re-tokenized on the model side). Oracle = ``text_bigram_lm``'s own
+    SQL twin: a model that went through save/load/merge/save/load must
+    be indistinguishable from the one-shot in-memory model."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from syncquill_spark.operators.text import (
+        bigram_score_against,
+        build_bigram_model,
+        merge_bigram_model,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    first_half = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    c1, c12 = build_bigram_model(first_half)
+    path = _os.path.join(_tempfile.mkdtemp(prefix="sq_bigram_"), "bigram_lm")
+    save_index(path, unigrams=c1, bigrams=c12)
+    loaded = load_index(spark, path)
+    m1, m12 = merge_bigram_model(loaded["unigrams"], loaded["bigrams"], batch)
+    save_index(path, unigrams=m1, bigrams=m12)  # atomic in-place replace
+    reloaded = load_index(spark, path)
+    return bigram_score_against(
+        documents, reloaded["unigrams"], reloaded["bigrams"]
+    )
+
+
+def q_text_bigram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram-LM INGEST GATE: a new batch (odd doc_ids) quality-
+    scored against the model trained on the corpus (even doc_ids) —
+    exactly how a CCNet-style filter deploys: only the batch is
+    tokenized; the corpus side is the stored (h1, c1)/(h12, c12)
+    counts. Bigrams the model never saw score q = 0 (maximally rare)
+    while still counting toward n_bigrams, so sum_q / n_bigrams stays
+    the comparable commonness rate — the oracle replays the left-join
+    + COALESCE 0 semantics without ever seeing the model tables."""
+    from syncquill_spark.operators.text import (
+        bigram_score_against,
+        build_bigram_model,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    c1, c12 = build_bigram_model(corpus)
+    return bigram_score_against(batch, c1, c12)
+
+
+def _bigram_gate_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    h1 = _H60.format(x="tk[i]")
+    h12 = _H60.format(x="(tk[i] || ' ' || tk[i+1])")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+o AS (SELECT doc_id, UNNEST(range(1, len(tk))) AS i, tk FROM t),
+occ AS (
+  SELECT doc_id, {h1} AS h1, {h12} AS h12 FROM o
+),
+c12 AS (
+  SELECT h12, COUNT(*) AS c12 FROM occ WHERE doc_id % 2 = 0 GROUP BY h12
+),
+c1 AS (
+  SELECT h1, COUNT(*) AS c1 FROM occ WHERE doc_id % 2 = 0 GROUP BY h1
+)
+SELECT occ.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(COALESCE((1000000 * c12.c12) // c1.c1, 0)) AS BIGINT) AS sum_q
+FROM occ
+LEFT JOIN c12 ON occ.h12 = c12.h12
+LEFT JOIN c1 ON occ.h1 = c1.h1
+WHERE occ.doc_id % 2 = 1
+GROUP BY occ.doc_id
+"""
+
+
 _PQ_M, _PQ_K, _PQ_DIM = 8, 16, 64
 
 
@@ -4145,6 +4230,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_lm": q_text_bigram_lm,
     "embedding_pq_codes": q_embedding_pq_codes,
     "similarity_topk_ivfpq": q_similarity_topk_ivfpq,
+    "storage_bigram_model": q_storage_bigram_model,
+    "text_bigram_gate": q_text_bigram_gate,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -4239,6 +4326,11 @@ EXT_ORACLES: dict[str, str | None] = {
     "dedup_winnowing_against": _winnowing_against_sql(),
     "storage_media_wav_roundtrip": _multimodal_audio_sql(),
     "text_bigram_lm": _bigram_lm_sql(),
+    # identical oracle to text_bigram_lm BY DESIGN: a model that went
+    # through save/load/merge/save/load must be indistinguishable from
+    # the one-shot in-memory model
+    "storage_bigram_model": _bigram_lm_sql(),
+    "text_bigram_gate": _bigram_gate_sql(),
     "embedding_pq_codes": _pq_codes_sql(),
     "similarity_topk_ivfpq": _ivfpq_sql(),
     # identical oracle to multimodal_decode BY DESIGN: a trip through

@@ -649,3 +649,19 @@ def test_ivfpq_residual_mode_runs_and_ranks(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rk)
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
                for v in per_q.values())
+
+
+def test_ivfpq_topk_rejects_indivisible_dim(spark):
+    """Without the guard, sd = dim // m_sub silently drops the
+    trailing dimensions from both codes and LUT — plausible-but-wrong
+    neighbors instead of an error (same contract as pq_encode)."""
+    import pytest as _pytest
+
+    from syncquill_spark.operators.similarity import ivfpq_topk
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 10)], "vec_id long, embedding array<float>"
+    )
+    q = df.selectExpr("vec_id as query_id", "embedding")
+    with _pytest.raises(ValueError, match="not divisible"):
+        ivfpq_topk(df, q, dim=10, m_sub=8)

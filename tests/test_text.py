@@ -584,3 +584,69 @@ def test_bigram_commonness_matches_python_model(spark, docs):
         if bgs
     )
     assert got == want
+
+
+def test_bigram_model_lifecycle_append_equals_rebuild(spark, tmp_path):
+    """The persisted bigram model's core identity: build on half the
+    corpus, save via index_store, reload, merge the other half
+    (counts add — only the batch is tokenized), save over (atomic
+    exchange), reload — scoring the corpus against the STORED model
+    must equal the one-shot in-memory bigram_commonness row-for-row."""
+    from syncquill_spark.operators.text import (
+        bigram_commonness,
+        bigram_score_against,
+        build_bigram_model,
+        merge_bigram_model,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "z z a b"), (4, "b a c"),
+         (5, "x"), (6, "a c a b z z")],
+        DOCS,
+    )
+    first = df.filter("doc_id % 2 = 0")
+    batch = df.filter("doc_id % 2 = 1")
+    c1, c12 = build_bigram_model(first)
+    path = str(tmp_path / "bigram_lm")
+    save_index(path, unigrams=c1, bigrams=c12)
+    loaded = load_index(spark, path)
+    m1, m12 = merge_bigram_model(loaded["unigrams"], loaded["bigrams"], batch)
+    save_index(path, unigrams=m1, bigrams=m12)
+    reloaded = load_index(spark, path)
+
+    # merged model == model rebuilt from scratch over the full corpus
+    r1, r12 = build_bigram_model(df)
+    assert sorted(map(tuple, reloaded["unigrams"].collect())) == sorted(
+        map(tuple, r1.collect())
+    )
+    assert sorted(map(tuple, reloaded["bigrams"].collect())) == sorted(
+        map(tuple, r12.collect())
+    )
+    # scoring against the stored model == one-shot bigram_commonness
+    got = sorted(
+        map(tuple, bigram_score_against(
+            df, reloaded["unigrams"], reloaded["bigrams"]
+        ).collect())
+    )
+    want = sorted(map(tuple, bigram_commonness(df).collect()))
+    assert got == want
+
+
+def test_bigram_gate_unseen_scores_zero(spark):
+    """Ingest-gate semantics: a batch bigram the model never saw
+    contributes q = 0 (maximally rare) but still counts toward
+    n_bigrams. Model from 'a b': c(a b)=1, c(a.)=1. Batch 'a b c x y':
+    (a b) seen -> 1000000; (b c), (c x), (x y) unseen -> 0 each."""
+    from syncquill_spark.operators.text import (
+        bigram_score_against,
+        build_bigram_model,
+    )
+
+    corpus = spark.createDataFrame([(1, "a b")], DOCS)
+    batch = spark.createDataFrame([(10, "a b c x y"), (11, "q")], DOCS)
+    c1, c12 = build_bigram_model(corpus)
+    rows = {r.doc_id: r for r in bigram_score_against(batch, c1, c12).collect()}
+    # doc 11 has one token -> no bigrams -> absent
+    assert set(rows) == {10}
+    assert (rows[10].n_bigrams, rows[10].sum_q) == (4, 1_000_000)
