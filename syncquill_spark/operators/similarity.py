@@ -1467,7 +1467,13 @@ def ivfpq_topk(
     (bounded by the serving batch — broadcast); the candidate join is
     an equi-join on cell_id; final top-k is a per-query window over
     candidates. The corpus' float vectors are read exactly once (to
-    build codes + cells) and never shuffle.
+    build codes + cells) and never shuffle. The one remaining
+    corpus-sized (skinny) shuffle here is the candidate⋈codes join on
+    vec_id — at deployment use `ivfpq_build_index` +
+    `ivfpq_topk_from_index`: codes persisted cell-co-located
+    (Hive-partitioned by cell_id), the serve plan broadcast-joins the
+    probe onto them with dynamic partition pruning and shuffles
+    nothing corpus-sized (verified equal output by unit test).
 
     Output: (query_id, neighbor_id, rk, score_q) — all ints.
     """
@@ -1538,6 +1544,167 @@ def ivfpq_topk(
     cands = probed.join(assigned, "cell_id").select(query_id_col, id_col, "_qc")
     scored = (
         cands.join(codes, id_col)
+        .join(F.broadcast(lut), [query_id_col, "sub", "code"])
+        .groupBy(query_id_col, id_col, "_qc")
+        .agg(F.sum("_part_q").cast("long").alias("_sq"))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                (F.col("_qc") + F.col("_sq")) if residual else F.col("_sq")
+            ).cast("long").alias("score_q"),
+        )
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_rk").cast("long").alias("rk"),
+            "score_q",
+        )
+    )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+    lloyd_iters: int = 0,
+) -> dict[str, DataFrame]:
+    """Build the persisted IVF-PQ index — the cell-CO-LOCATED code
+    layout the round-8 verdict asked for (`ivfpq_topk`'s one remaining
+    serve-time shuffle is its corpus-sized code join on vec_id; at
+    deployment the codes should live pre-joined to their cell). Three
+    parts, persisted via ``index_store.save_index(path,
+    _partition_by={"codes": ["cell_id"]}, **index)``:
+
+    - ``centroids`` (cell_id, centroid) — unit centroids, tiny;
+    - ``codebook`` (code, sub, cbv) — m_sub*k_codes rows, tiny;
+    - ``codes`` (cell_id, vec_id, sub, code) — the corpus's 8-byte PQ
+      codes WITH their cell assignment attached at build time. Written
+      Hive-partitioned by cell_id, a serve-time probe join on cell_id
+      reads only the probed cells' files (dynamic partition pruning) —
+      serve I/O scales with nprobe/n_cells of the corpus, not the
+      corpus.
+
+    The corpus's float vectors are read during THIS build and never
+    again: `ivfpq_topk_from_index` serves entirely from these parts.
+    Same determinism contract as `ivfpq_topk` (which remains the
+    one-shot composition of the same arithmetic); ``residual`` /
+    ``lloyd_iters`` choose the layout and training exactly as there —
+    record the choice with the index, the serve call must match
+    ``residual``."""
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sd = dim // m_sub
+    cents = _ivf_centroids(corpus, n_cells, 0, id_col, vec_col)
+    assigned = _pq_assign_cells(corpus, cents, id_col, vec_col)
+    if residual:
+        frame, fcol = _pq_residual_frame(corpus, cents, id_col, vec_col), "_rv"
+    else:
+        frame, fcol = corpus.select(id_col, vec_col), vec_col
+    cb = _pq_codebook(frame, m_sub, k_codes, dim, id_col, fcol, lloyd_iters)
+    codes = _pq_best_codes(frame, cb, m_sub, sd, id_col, fcol, []).select(
+        id_col,
+        F.col("sub").cast("long").alias("sub"),
+        F.col("_best.code").cast("long").alias("code"),
+    )
+    return {
+        "centroids": cents.select("cell_id", F.col("_ucv").alias("centroid")),
+        "codebook": cb.select("code", "sub", F.col("_cbv").alias("cbv")),
+        "codes": codes.join(assigned, id_col).select(
+            "cell_id", id_col, "sub", "code"
+        ),
+    }
+
+
+def ivfpq_topk_from_index(
+    queries: DataFrame,
+    index: dict[str, DataFrame],
+    k: int = 10,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    score_scale: int = 1_000_000,
+    residual: bool = False,
+) -> DataFrame:
+    """IVF-PQ ADC serving from a PERSISTED index (`ivfpq_build_index`
+    parts, typically via ``index_store.load_index``) — identical
+    output to `ivfpq_topk` with the same parameters (the equivalence a
+    unit test pins), but with the serve-time plan the 100 TB
+    deployment wants: the codes arrive already co-located with their
+    cell, so the probe is ``codes ⋈ broadcast(probed_cells)`` on
+    cell_id — with the codes part Hive-partitioned by cell_id, Spark's
+    dynamic partition pruning reads ONLY the probed cells' files — and
+    scoring is one more broadcast join against the per-query LUT. No
+    shuffle of any corpus-sized table anywhere in the serve plan (the
+    monolithic `ivfpq_topk` shuffles skinny codes on vec_id once);
+    the only aggregation keys are (query, candidate) pairs.
+
+    ``residual`` must match the build: residual codes score as
+    dot(q, centroid) + sum of codeword partials, exactly as in
+    `ivfpq_topk`."""
+    sd = dim // m_sub
+    cents = index["centroids"].select(
+        "cell_id", F.col("centroid").alias("_ucv")
+    )
+    cb = index["codebook"].select("code", "sub", F.col("cbv").alias("_cbv"))
+    codes = index["codes"]
+
+    q_sub = queries.select(
+        F.col(query_id_col),
+        F.posexplode(
+            F.array(*[F.slice(vec_col, s * sd + 1, sd) for s in range(m_sub)])
+        ).alias("sub", "_qv"),
+    )
+    lut = q_sub.join(F.broadcast(cb), "sub").select(
+        query_id_col,
+        F.col("sub").cast("long").alias("sub"),
+        F.col("code").cast("long").alias("code"),
+        F.floor(
+            dot_arrow(F.col("_qv"), F.col("_cbv")) * score_scale + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_part_q"),
+    )
+
+    q_scored = queries.join(F.broadcast(cents)).select(
+        query_id_col,
+        "cell_id",
+        dot_arrow(F.col(vec_col), F.col("_ucv")).alias("_qs"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_qs").desc(), F.col("cell_id").asc()
+    )
+    probed = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            query_id_col,
+            "cell_id",
+            F.floor(F.col("_qs") * score_scale + F.lit(0.5))
+            .cast("long")
+            .alias("_qc"),
+        )
+    )
+
+    # THE layout payoff: candidates + codes in one broadcast join on
+    # the co-location key — DPP prunes unprobed cell partitions
+    scored = (
+        codes.join(F.broadcast(probed), "cell_id")
         .join(F.broadcast(lut), [query_id_col, "sub", "code"])
         .groupBy(query_id_col, id_col, "_qc")
         .agg(F.sum("_part_q").cast("long").alias("_sq"))

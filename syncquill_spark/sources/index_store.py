@@ -33,16 +33,30 @@ from pyspark.sql import DataFrame, SparkSession
 from syncquill_spark.sources._atomic import atomic_replace_dir
 
 
-def save_index(path: str, **parts: DataFrame) -> None:
+def save_index(
+    path: str,
+    _partition_by: dict[str, list[str]] | None = None,
+    **parts: DataFrame,
+) -> None:
     """Write named DataFrame parts + manifest, then swap the staging
     dir in atomically (renameat2 exchange where available — see
-    sources/_atomic.py). At least one part required."""
+    sources/_atomic.py). At least one part required.
+
+    ``_partition_by``: optional {part_name: [cols]} — write that part
+    Hive-partitioned on disk (e.g. IVF-PQ codes by cell_id), so
+    serve-time scans that join on the partition column read only the
+    probed partitions (dynamic partition pruning) instead of the whole
+    part. Reads are unchanged — spark.read.parquet discovers the
+    layout natively."""
     if not parts:
         raise ValueError("save_index needs at least one named part")
     staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
     os.makedirs(staging)
     for name, df in parts.items():
-        df.write.mode("overwrite").parquet(os.path.join(staging, name))
+        writer = df.write.mode("overwrite")
+        if _partition_by and name in _partition_by:
+            writer = writer.partitionBy(*_partition_by[name])
+        writer.parquet(os.path.join(staging, name))
     with open(os.path.join(staging, "_index_manifest.json"), "w") as fh:
         json.dump({"parts": sorted(parts)}, fh)
     atomic_replace_dir(staging, path)

@@ -481,3 +481,104 @@ def winnowing_matches_against(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def build_winnowing_positions(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Optional positions part of the winnowing index (round-8 verdict
+    #6): skinny (corpus_id, fp, gram_pos) rows — the selected
+    fingerprints WITH their 0-based k-gram positions, so matched pairs
+    can be localized to token spans (the MOSS-report use-case the
+    membership-only ``fps`` part deliberately drops). Persist through
+    the same manifest (``save_index(path, fps=..., fpdf=...,
+    positions=...)``); maintenance is the same union-of-batches as
+    ``merge_winnowing_index`` — selection is per-document, so
+    append == rebuild by construction. Pair DETECTION never reads
+    this part; only span reporting does."""
+    from syncquill_spark.operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        corpus, k=k, window=window, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("corpus_id"), "fp", "gram_pos")
+
+
+def winnowing_match_spans(
+    pairs: DataFrame,
+    positions: DataFrame,
+    k: int = 3,
+    merge_gap: int | None = None,
+    window: int = 4,
+) -> DataFrame:
+    """Localize detected substring-match pairs to token SPANS — the
+    MOSS report: for each (id_a, id_b) pair, anchor every shared
+    fingerprint at its positions in both documents, then merge anchors
+    that lie on the same DIAGONAL (pos_b - pos_a constant — a
+    contiguous copied passage advances both documents in lockstep)
+    into runs wherever consecutive anchors are <= ``merge_gap`` grams
+    apart (default ``window``: winnowing guarantees one selected
+    fingerprint per window inside any real match, so a larger gap
+    means the match genuinely broke).
+
+    Inputs: ``pairs`` — (id_a, id_b[, n_shared]) from
+    ``winnowing_pairs_from_index`` / ``winnowing_match_pairs``;
+    ``positions`` — the persisted (corpus_id, fp, gram_pos) part.
+
+    Output: (id_a, id_b, start_a, end_a, start_b, end_b, n_anchors) —
+    token index spans (end = last gram position + k - 1, inclusive),
+    all exact int64, ordered only by its columns (deterministic).
+
+    Scale shape: two equi-joins of the skinny pair list against the
+    skinny positions part (the pair list is already hub-capped by
+    detection, so anchor volume is bounded by matched fingerprints,
+    not the corpus), one window over (pair, diagonal) — partition key
+    is the pair, so no partition exceeds one pair's anchors — and one
+    aggregation. Never touches text.
+    """
+    from pyspark.sql import Window
+
+    if merge_gap is None:
+        merge_gap = window
+    a = positions.select(
+        F.col("corpus_id").alias("id_a"), "fp", F.col("gram_pos").alias("_pa")
+    )
+    b = positions.select(
+        F.col("corpus_id").alias("id_b"), "fp", F.col("gram_pos").alias("_pb")
+    )
+    anchors = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "fp"])
+        .select("id_a", "id_b", "_pa", "_pb", (F.col("_pb") - F.col("_pa")).alias("_diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "_diag").orderBy("_pa")
+    runs = (
+        anchors.withColumn("_prev", F.lag("_pa").over(w))
+        .withColumn(
+            "_new_run",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("_pa") - F.col("_prev") > merge_gap),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_run",
+            F.sum("_new_run").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return runs.groupBy("id_a", "id_b", "_diag", "_run").agg(
+        F.min("_pa").cast("long").alias("start_a"),
+        (F.max("_pa") + F.lit(k - 1)).cast("long").alias("end_a"),
+        F.min("_pb").cast("long").alias("start_b"),
+        (F.max("_pb") + F.lit(k - 1)).cast("long").alias("end_b"),
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+    ).select(
+        "id_a", "id_b", "start_a", "end_a", "start_b", "end_b", "n_anchors"
+    )

@@ -356,3 +356,111 @@ def test_winnowing_df_part_equals_recount(spark, sf_dir):
     gate_recount = winnowing_matches_against(batch, corpus_fps, **pair_args)
     got = sorted(map(tuple, gate_df.collect()))
     assert got == sorted(map(tuple, gate_recount.collect())) and len(got) > 0
+
+
+def test_winnowing_positions_part_and_match_spans(spark, tmp_path):
+    """Match LOCALIZATION (round-8 verdict #6): the optional positions
+    part persists through the same manifest without changing pair
+    detection, and winnowing_match_spans merges shared-fingerprint
+    anchors on the diagonal into the planted copied passage's span in
+    BOTH documents. Planted layout: doc 1 carries the passage after a
+    2-token prefix, doc 2 after a 4-token prefix, so every anchor sits
+    on diagonal +2 and the merged run's starts differ by exactly 2."""
+    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        build_winnowing_positions,
+        winnowing_fp_df,
+        winnowing_match_spans,
+        winnowing_pairs_from_index,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"one two three four {shared}"),
+            (3, "completely unrelated text about something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = build_winnowing_index(docs)
+    pos = build_winnowing_positions(docs)
+    path = str(tmp_path / "win_idx")
+    save_index(path, fps=fps, fpdf=winnowing_fp_df(fps), positions=pos)
+    loaded = load_index(spark, path)
+
+    # pair detection from the 2-part view is unchanged by the 3rd part
+    pairs = winnowing_pairs_from_index(
+        loaded["fps"], min_shared=2, index_df=loaded["fpdf"]
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got_pairs == {(1, 2)}
+
+    spans = winnowing_match_spans(pairs, loaded["positions"], k=3).collect()
+    assert len(spans) == 1, f"expected one merged run, got {spans}"
+    s = spans[0]
+    assert (s.id_a, s.id_b) == (1, 2)
+    # diagonal: doc 2's prefix is 2 tokens longer than doc 1's
+    assert s.start_b - s.start_a == 2 and s.end_b - s.end_a == 2
+    # the run lies inside the shared passage's gram range of each doc
+    # (doc 1: grams 0..last; passage tokens start at index 2)
+    assert s.start_a >= 2 and s.end_a <= 2 + len(shared.split()) - 1
+    assert s.n_anchors >= 2
+
+    # unrelated pair list -> no spans (join semantics, not a crash)
+    empty = winnowing_match_spans(
+        pairs.filter("id_a = 999"), loaded["positions"], k=3
+    )
+    assert empty.count() == 0
+
+
+def test_ivfpq_index_serve_equals_monolithic(spark, tmp_path, sf_dir):
+    """The persisted cell-co-located IVF-PQ layout (round-8 verdict
+    #7): build -> save (codes Hive-partitioned by cell_id) -> load ->
+    serve must equal the monolithic ivfpq_topk row-for-row, in both
+    plain and residual modes; the on-disk codes part must actually be
+    partitioned by cell (the layout DPP prunes at serve time)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for residual in (False, True):
+        idx = ivfpq_build_index(emb, n_cells=8, residual=residual)
+        path = str(tmp_path / f"ivfpq_{residual}")
+        save_index(path, _partition_by={"codes": ["cell_id"]}, **idx)
+        loaded = load_index(spark, path)
+        got = sorted(
+            map(
+                tuple,
+                ivfpq_topk_from_index(
+                    q, loaded, k=5, nprobe=2, residual=residual
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                ivfpq_topk(
+                    emb, q, k=5, n_cells=8, nprobe=2, residual=residual
+                ).collect(),
+            )
+        )
+        assert got == want, f"residual={residual}: serve != monolithic"
+        # the layout claim itself: Hive partition dirs per cell
+        cell_dirs = [
+            d for d in os.listdir(os.path.join(path, "codes"))
+            if d.startswith("cell_id=")
+        ]
+        assert len(cell_dirs) >= 2, f"codes not cell-partitioned: {cell_dirs}"
