@@ -22,7 +22,70 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # round since): no query outside the window may end the round with a
 # last driver-green row more than 2 rounds old.
 #
-# Round-8 window, in order:
+# WINDOW-CAPACITY POLICY (round-8 verdict #2 — decided round 9, while
+# it was still a choice): the 50-slot window and the <=2-round
+# staleness invariant jointly cap the registry at 150 rows (each row
+# needs a green slot every 3 rounds). Standing rules from round 9 on:
+#   1. NET registry growth is capped at 4 rows per round (hard), and
+#      the target steady state is <=142 rows — 8 rows of slack so a
+#      heavy-touch round (shared-helper change fanning out to many
+#      callers) still fits its mandatory cohort.
+#   2. Every round's window is composed, in order: (a) last round's
+#      staleness-2 cohort — ALL of it, first, non-negotiable; (b) new
+#      and plan-touched rows; (c) fill from the staleness-1 cohort,
+#      chosen to flatten the NEXT round's mandatory load (prefer the
+#      sync_* flagship rows and whichever families the round touched).
+#   3. If (a)+(b) would exceed 50, the round pauses registry growth:
+#      new operators land unit-tested only and register the NEXT
+#      round (the round-8 PQ/Lloyd precedent). If (a) ALONE would
+#      exceed 50, that is a structural break — stop and restructure
+#      (split the registry into a stable relational core verified by
+#      the builder's local replica each round + driver slots reserved
+#      for changed/new plans) BEFORE adding anything.
+#   4. The builder's local replica (tools/verify_local.py at sf0.001
+#      AND sf0.01, recorded in VERIFY_LOCAL_r{N}*.txt) remains the
+#      all-rows backstop every round; the driver window is the
+#      trust anchor, the replica is the coverage net.
+#
+# Round-9 window, in order:
+#  - the 40 rows whose last driver-green is r06 (staleness 2 — the
+#    round-8 verdict names them as mandatory leads; I re-derived the
+#    set from all eight CORRECTNESS files and it matches exactly);
+#  - the 2 queries NEW this round: storage_bigram_model (the bigram-LM
+#    model lifecycle — build/save/load/merge/save/load/score-from-
+#    stored-model, pinned to text_bigram_lm's own oracle: append must
+#    equal rebuild) and text_bigram_gate (the ingest-time quality
+#    gate: batch scored against the corpus model, unseen bigrams
+#    q=0 via left-join COALESCE semantics the oracle replays);
+#  - the 4 rows whose plans this round touched: text_bigram_lm
+#    (extraction refactored into bigram_occurrences + pinned persist
+#    level), curation_quality_filter (persist added before the
+#    five-consumer fan-out — ADVICE item), similarity_topk_ivfpq
+#    (dim%m_sub guard + lloyd_iters threading, default off) and
+#    embedding_pq_codes (lloyd_iters threading, default off; both
+#    PQ rows re-verified hash-identical locally before commit);
+#  - 4 of the 42 staleness-1 rows rotated forward early, chosen per
+#    policy rule 2c: the four r07-green sync_* flagship rows (the
+#    reference's own surface). This leaves r10's mandatory load at 38
+#    — 12 free slots.
+# Left outside at staleness 2 after this round (r07-green, untouched —
+# they MUST lead the r10 window; 38 rows): agg_distinct_users_approx,
+# agg_quantiles_approx_check, agg_rollup_orders, curation_blocklist,
+# curation_boilerplate, curation_decontaminate, curation_eval_k_per_lang,
+# curation_hash_split, curation_pack_ffd, curation_sample_stratified,
+# curation_shuffle, dedup_embedding_cosine, dedup_embedding_incremental,
+# dedup_semantic_pairs, dedup_simhash, dedup_simhash_pairs,
+# dedup_winnowing_pairs, embedding_nearest_centroid,
+# events_session_window, events_sessionization, events_sliding_window,
+# events_tumbling_window, join_events_customers, setop_except_all,
+# similarity_knn_classify, similarity_topk_cosine, similarity_topk_lsh,
+# storage_index_incremental, storage_index_roundtrip, storage_zorder_key,
+# text_language_id, text_quality, text_repetition, text_tfidf_terms,
+# text_vocab_coverage, text_winnowing, window_moving_avg,
+# window_running_total. The 50 r08-green rows rotate out at
+# staleness 1. Registry 132 -> 134 (net +2, within the cap).
+#
+# Round-8 window (for the record):
 #  - the 6 queries NEW this round: storage_winnowing_index (the
 #    winnowing index lifecycle — save/load/merge/pairs-from-index,
 #    append==rebuild pinned to dedup_winnowing_pairs' own oracle),
@@ -117,41 +180,33 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # r06-green rows rotate out at staleness 1.
 #
 _PRIORITY = [
+    # staleness-2 cohort (last driver-green r06 — the round-8 verdict
+    # names them as mandatory leads; policy rule 2a: ALL of it, first)
+    "text_chunk_documents", "profile_referential",
+    "join_excess_inventory", "similarity_ann_recall",
+    "curation_leakage_split", "text_segment_dedup",
+    "curation_target_mix", "curation_target_mix_tokens",
+    "dedup_cluster_stats", "dedup_apply", "pipeline_training_mix",
+    "dedup_exact", "curation_redact_pii", "curation_pack_sequences",
+    "embedding_quantize", "curation_fuzzy_decontaminate",
+    "curation_domain_quota", "dedup_clusters", "similarity_topk_ivf",
+    "similarity_topk_ivf_refined", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "profile_documents",
+    "text_quality_rules", "text_bm25", "embedding_label_centroids",
+    "text_token_counts", "text_term_stats", "text_readability",
+    "text_sentences_udtf", "text_fingerprint", "join_asof_signup",
+    "join_range_shipments", "join_binned_range", "cdc_scd2_history",
+    "cdc_incremental_agg", "funnel_click_purchase",
+    "agg_distinct_users_exact", "pipeline_corpus_curation",
     # new this round (new plans always enter the window)
-    "storage_winnowing_index", "dedup_winnowing_against",
-    "storage_media_wav_roundtrip", "text_bigram_lm",
-    "embedding_pq_codes", "similarity_topk_ivfpq",
-    # staleness-2 cohort (last driver-green r05 — the round-7 verdict
-    # names them as mandatory leads)
-    "agg_pivot_status", "agg_grouping_sets", "agg_quantiles_status",
-    "setop_repeat_customers", "join_shipping_priority",
-    "join_returned_items", "agg_promo_revenue", "join_priority_lines",
-    "agg_order_priority", "agg_forecast_revenue",
-    "agg_customer_distribution", "join_large_orders",
-    "setop_idle_rich_customers", "join_small_qty_parts",
-    "join_lonely_returned_supplier", "join_disjunctive_promo",
-    "join_nation_trade", "window_top_supplier",
-    "agg_customer_balance_stats", "join_salted_revenue",
-    "agg_status_sets", "text_token_stats", "subquery_exists_orders",
-    "agg_cube_sales", "json_events_extract", "agg_pricing_summary",
-    # r07-green rows TOUCHED this round: curation_quality_filter
-    # (rewritten: two-pass bracketed order statistic + new output
-    # contract), storage_text_ingest_roundtrip (text_files.py survivor
-    # canonicalization), multimodal_decode / multimodal_audio_decode /
-    # multimodal_media_stats / storage_media_ingest_roundtrip
-    # (multimodal.py codec fixes), storage_versioned_roundtrip /
-    # sync_upsert (sources/parquet.py manifest-schema append + compact)
-    "curation_quality_filter", "storage_text_ingest_roundtrip",
-    "multimodal_decode", "multimodal_audio_decode",
-    "multimodal_media_stats", "storage_media_ingest_roundtrip",
-    "storage_versioned_roundtrip", "sync_upsert",
-    # r06-green fill (rotate 10 of the 50 forward; multimodal_features
-    # first as the touched module's stub-codec sibling)
-    "multimodal_features", "join_revenue_by_nation",
-    "window_topk_orders", "setop_customers_without_orders",
-    "scalar_functions", "join_market_share", "join_product_profit",
-    "join_min_cost_supplier", "agg_important_stock",
-    "agg_supplier_part_types",
+    "storage_bigram_model", "text_bigram_gate",
+    # rows whose plans this round touched
+    "text_bigram_lm", "curation_quality_filter",
+    "similarity_topk_ivfpq", "embedding_pq_codes",
+    # staleness-1 fill (policy rule 2c): the four r07-green sync_*
+    # flagship rows — leaves r10's mandatory load at 38
+    "sync_validate", "sync_diff_keyed", "sync_diff_positional",
+    "sync_apply_keyed",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]
