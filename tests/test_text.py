@@ -650,3 +650,50 @@ def test_bigram_gate_unseen_scores_zero(spark):
     # doc 11 has one token -> no bigrams -> absent
     assert set(rows) == {10}
     assert (rows[10].n_bigrams, rows[10].sum_q) == (4, 1_000_000)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(_doc, min_size=2, max_size=6))
+def test_bigram_gate_matches_python_model(spark, docs):
+    """bigram_score_against vs an independent python replay: model
+    counts from the even-id half only, unseen bigrams contribute 0,
+    n_bigrams counts every batch bigram regardless."""
+    from collections import Counter
+
+    from syncquill_spark.operators.text import (
+        bigram_score_against,
+        build_bigram_model,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    corpus = df.filter("doc_id % 2 = 0")
+    batch = df.filter("doc_id % 2 = 1")
+    c1, c12 = build_bigram_model(corpus)
+    got = sorted(
+        (r.doc_id, r.n_bigrams, r.sum_q)
+        for r in bigram_score_against(batch, c1, c12).collect()
+    )
+    toks = {i: ((d.strip().lower().split()) or [""]) for i, d in enumerate(docs)}
+    bigrams = {i: list(zip(t, t[1:])) for i, t in toks.items()}
+    m12 = Counter(
+        bg for i, bgs in bigrams.items() if i % 2 == 0 for bg in bgs
+    )
+    m1 = Counter(
+        bg[0] for i, bgs in bigrams.items() if i % 2 == 0 for bg in bgs
+    )
+    want = sorted(
+        (
+            i,
+            len(bgs),
+            sum(
+                (1_000_000 * m12[bg]) // m1[bg[0]] if m12[bg] else 0
+                for bg in bgs
+            ),
+        )
+        for i, bgs in bigrams.items()
+        if bgs and i % 2 == 1
+    )
+    assert got == want

@@ -383,22 +383,77 @@ def main() -> None:
             )
         corpus.unpersist()
 
-        if "sim" not in families:
-            continue
-        emb = scaled_embeddings(spark, sf_dir, m).persist()
-        n_vecs = emb.count()
-        queries = (
-            emb.filter((F.col("vec_id") % 40 == 0) & (F.col("vec_id") < ID_OFFSET))
-            .select(F.col("vec_id").alias("query_id"), "embedding")
-        )
-        for name, fn in SIM_OPS.items():
-            sec, rows = probe(name, lambda c, _fn=fn: _fn(c, queries), emb)
-            print(
-                f"{name} m={m} vecs={n_vecs} rows={rows} "
-                f"sec={sec:.2f} vecs_per_sec={n_vecs / sec:.0f}",
-                flush=True,
+        if "sim" in families or "ivfpq" in families:
+            emb = scaled_embeddings(spark, sf_dir, m).persist()
+            n_vecs = emb.count()
+            queries = (
+                emb.filter(
+                    (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < ID_OFFSET)
+                )
+                .select(F.col("vec_id").alias("query_id"), "embedding")
             )
-        emb.unpersist()
+            if "sim" in families:
+                for name, fn in SIM_OPS.items():
+                    sec, rows = probe(name, lambda c, _fn=fn: _fn(c, queries), emb)
+                    print(
+                        f"{name} m={m} vecs={n_vecs} rows={rows} "
+                        f"sec={sec:.2f} vecs_per_sec={n_vecs / sec:.0f}",
+                        flush=True,
+                    )
+            if "ivfpq" in families:
+                # serve-layout probe (round-8 verdict #7): the one-shot
+                # composition (build+serve fused, codes shuffled on
+                # vec_id) vs serving from the persisted cell-co-located
+                # index (codes Hive-partitioned by cell_id, probe
+                # broadcast under DPP). Build cost is paid ONCE outside
+                # the timed serve — the deployment's nightly/per-batch
+                # split. n_cells scales ~sqrt(n) as deployed.
+                import shutil
+                import tempfile
+
+                from syncquill_spark.operators.similarity import (
+                    ivfpq_build_index,
+                    ivfpq_topk,
+                    ivfpq_topk_from_index,
+                )
+                from syncquill_spark.sources.index_store import (
+                    load_index,
+                    save_index,
+                )
+
+                n_cells = max(16, int(round(n_vecs ** 0.5 / 8)) * 8)
+                tmp = tempfile.mkdtemp(prefix="sq_ivfpq_probe_")
+                path = f"{tmp}/idx"
+                t0 = time.time()
+                save_index(
+                    path,
+                    _partition_by={"codes": ["cell_id"]},
+                    **ivfpq_build_index(emb, n_cells=n_cells),
+                )
+                build_s = time.time() - t0
+                loaded = load_index(spark, path)
+                sec_m, rows_m = probe(
+                    "ivfpq_monolithic",
+                    lambda c: ivfpq_topk(c, queries, k=10, n_cells=n_cells, nprobe=4),
+                    emb,
+                )
+                sec_i, rows_i = probe(
+                    "ivfpq_from_index",
+                    lambda c: ivfpq_topk_from_index(queries, loaded, k=10, nprobe=4),
+                    emb,
+                )
+                print(
+                    f"ivfpq_monolithic m={m} vecs={n_vecs} cells={n_cells} "
+                    f"rows={rows_m} sec={sec_m:.2f}",
+                    flush=True,
+                )
+                print(
+                    f"ivfpq_from_index m={m} vecs={n_vecs} cells={n_cells} "
+                    f"rows={rows_i} sec={sec_i:.2f} build_sec={build_s:.2f}",
+                    flush=True,
+                )
+                shutil.rmtree(tmp, ignore_errors=True)
+            emb.unpersist()
 
 
 if __name__ == "__main__":
