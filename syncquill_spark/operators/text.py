@@ -859,3 +859,40 @@ def bigram_score_against(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("_q").cast("long").alias("sum_q"),
     )
+
+
+def prune_bigram_model(
+    model_c1: DataFrame,
+    model_c12: DataFrame,
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Model COMPRESSION for serve-time broadcast — the count-pruning
+    step a deployed n-gram LM runs before shipping the model to the
+    scorers (KenLM-style pruning, minus the backoff machinery this
+    linear surrogate doesn't have): drop bigram rows with
+    ``c12 < min_count``. A pruned bigram scores exactly like an unseen
+    one in ``bigram_score_against`` (left-join miss -> q = 0), so the
+    semantic contract is crisp: per pruned OCCURRENCE the score drops
+    by its old q = (scale*c12) div c1 < (scale*min_count)/c1 — bounded
+    and tiny for rare transitions against a large c1, which is
+    precisely why pruning them is safe. The unigram part is kept
+    intact: it is vocab-sized (already broadcastable) and survivors'
+    normalization must not shift when the tail is dropped —
+    pruning must never INCREASE a surviving bigram's score.
+
+    Why it matters at 100 TB: c12 is vocab²-bounded and heavy-tailed —
+    on web corpora typically ~half its rows are hapax bigrams carrying
+    ~zero score mass. min_count=2 roughly halves the serve-time join
+    table; the scoring join flips from an AQE shuffle join to a plain
+    broadcast once the pruned c12 fits the broadcast threshold.
+
+    Deterministic and exact: a pure filter — no re-counting, no
+    re-normalization; ``merge_bigram_model`` keeps working on the
+    UNPRUNED stored parts (prune on load/serve, never in the store,
+    or increments could resurrect a pruned count inconsistently).
+
+    Output: (c1 unchanged, pruned c12).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    return model_c1, model_c12.filter(F.col("c12") >= min_count)

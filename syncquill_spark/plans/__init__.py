@@ -47,6 +47,16 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #      all-rows backstop every round; the driver window is the
 #      trust anchor, the replica is the coverage net.
 #
+# R10 REGISTRATION QUEUE (unit-tested this round, unregistered per
+# policy rule 3 — the r09 window was exactly full): storage_ivfpq_index
+# (ivfpq_build_index -> save cell-partitioned -> load ->
+# ivfpq_topk_from_index; oracle = similarity_topk_ivfpq's own SQL —
+# serve-from-index must be indistinguishable from the monolithic
+# composition), and optionally a winnowing-spans row (needs a
+# spans-replaying oracle) and a pruned-model gate row
+# (prune_bigram_model + bigram_score_against; oracle = gate SQL with a
+# HAVING c12 >= k model CTE). All three have unit pins already.
+#
 # Round-9 window, in order:
 #  - the 40 rows whose last driver-green is r06 (staleness 2 — the
 #    round-8 verdict names them as mandatory leads; I re-derived the

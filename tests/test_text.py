@@ -697,3 +697,90 @@ def test_bigram_gate_matches_python_model(spark, docs):
         if bgs and i % 2 == 1
     )
     assert got == want
+
+
+def test_prune_bigram_model_semantics(spark):
+    """Pruned bigrams score exactly like unseen ones (q=0), survivors'
+    scores never shift (c1 untouched), and min_count=1 is identity.
+    Corpus: 'a b a b a c' -> c(a b)=2, c(b a)=2... actually bigrams:
+    (a b),(b a),(a b),(b a),(a c): c(a b)=2, c(b a)=2, c(a c)=1;
+    c(a.)=3, c(b.)=2. min_count=2 prunes only (a c)."""
+    from syncquill_spark.operators.text import (
+        bigram_score_against,
+        build_bigram_model,
+        prune_bigram_model,
+    )
+
+    corpus = spark.createDataFrame([(1, "a b a b a c")], DOCS)
+    batch = spark.createDataFrame([(10, "a b a c")], DOCS)
+    c1, c12 = build_bigram_model(corpus)
+
+    # identity at min_count=1
+    p1, p12 = prune_bigram_model(c1, c12, min_count=1)
+    same = sorted(map(tuple, p12.collect())) == sorted(map(tuple, c12.collect()))
+    assert same
+
+    full = {r.doc_id: r for r in bigram_score_against(batch, c1, c12).collect()}
+    q1, q12 = prune_bigram_model(c1, c12, min_count=2)
+    pruned = {r.doc_id: r for r in bigram_score_against(batch, q1, q12).collect()}
+    # batch bigrams: (a b) q=(1e6*2)//3=666666, (b a) q=(1e6*2)//2=1000000,
+    # (a c) q=(1e6*1)//3=333333 -> pruned to 0
+    assert (full[10].n_bigrams, full[10].sum_q) == (3, 666666 + 1000000 + 333333)
+    assert (pruned[10].n_bigrams, pruned[10].sum_q) == (3, 666666 + 1000000)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_count"):
+        prune_bigram_model(c1, c12, min_count=0)
+
+
+def test_bigram_gate_in_foreachbatch_stream(spark, tmp_path):
+    """Streaming deployment shape (same recipe as the winnowing gate):
+    the per-doc sum is a streaming aggregation, so the gate runs inside
+    foreachBatch against the loaded stored model — stream output must
+    equal the batch run over the same rows."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.text import (
+        bigram_score_against,
+        build_bigram_model,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma token{i} alpha beta") for i in range(40)],
+        DOCS,
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    c1, c12 = build_bigram_model(corpus)
+    save_index(str(tmp_path / "bigram_lm"), unigrams=c1, bigrams=c12)
+    loaded = load_index(spark, str(tmp_path / "bigram_lm"))
+
+    batch_src = str(tmp_path / "stream_src")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(batch_src)
+
+    got = []
+
+    def gate(mb, _epoch):
+        got.extend(
+            (r.doc_id, r.n_bigrams, r.sum_q)
+            for r in bigram_score_against(
+                mb, loaded["unigrams"], loaded["bigrams"]
+            ).collect()
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(batch_src)
+    )
+    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    expect = sorted(
+        (r.doc_id, r.n_bigrams, r.sum_q)
+        for r in bigram_score_against(
+            spark.read.parquet(batch_src), loaded["unigrams"], loaded["bigrams"]
+        ).collect()
+    )
+    assert sorted(got) == expect and len(expect) == 20
