@@ -487,6 +487,163 @@ def simhash_band_layout(bits: int, bands: int) -> list[tuple[int, int]]:
     return list(zip(offsets, widths))
 
 
+def _resolve_bands(max_hamming: int, bands: int | None) -> int:
+    n_bands = bands if bands is not None else max_hamming + 1
+    # pigeonhole: with <= max_hamming differing bits and > max_hamming
+    # bands, some band must be identical; fewer bands silently lose
+    # the full-recall guarantee
+    assert n_bands > max_hamming, (
+        f"bands={n_bands} must exceed max_hamming={max_hamming} for full recall"
+    )
+    return n_bands
+
+
+def _simhash_banded(
+    fp: DataFrame, id_col: str, layout: list[tuple[int, int]]
+) -> DataFrame:
+    """Explode a (id, simhash) frame into (id, simhash, _band, _val)
+    rows — one skinny int row per band per doc, the candidate-join
+    keys of the banded blocking scheme."""
+    return fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("val"),
+                    )
+                    for bi, (off, w) in enumerate(layout)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        id_col,
+        "simhash",
+        F.col("_b.band").alias("_band"),
+        F.col("_b.val").alias("_val"),
+    )
+
+
+def _cap_band_hubs(banded: DataFrame, max_band_df: int) -> DataFrame:
+    """Drop (band, val) bucket keys held by more than ``max_band_df``
+    docs — the hub-key insurance of the winnowing family applied to
+    SimHash banding: a bucket of B docs yields B^2 candidate rows, and
+    on exact-duplicate-heavy corpora one shared fingerprint would
+    funnel every copy into the same quadratic bucket. Lossy by design
+    (pairs relying only on a dropped band are missed) — run
+    ``exact_dedup`` upstream so full duplicates never reach this join,
+    and keep the cap as insurance, exactly like ``max_fp_df``."""
+    rare = (
+        banded.groupBy("_band", "_val")
+        .agg(F.count(F.lit(1)).alias("_bdf"))
+        .filter(F.col("_bdf") <= max_band_df)
+        .select("_band", "_val")
+    )
+    return banded.join(rare, ["_band", "_val"])
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) near-dup pairs from a precomputed
+    (id, simhash) frame — the band-join core of ``simhash_near_pairs``
+    factored out so a PERSISTED fingerprint index can drive it without
+    re-reading text (``streaming.text_dedup.simhash_pairs_from_index``).
+
+    ``max_band_df``: optional hub-bucket cap (see ``_cap_band_hubs``);
+    default None preserves exact full-recall parity with
+    ``simhash_near_pairs``."""
+    layout = simhash_band_layout(bits, _resolve_bands(max_hamming, bands))
+    keyed = _simhash_banded(fp, id_col, layout)
+    if max_band_df is not None:
+        keyed = _cap_band_hubs(keyed, max_band_df)
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
+    a = keyed.select(
+        F.col("_band").alias("_ba"), F.col("_val").alias("_va"),
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = keyed.select(
+        F.col("_band").alias("_bb"), F.col("_val").alias("_vb"),
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["_ba"] == b["_bb"]) & (a["_va"] == b["_vb"]) & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_matches_between(
+    fp_new: DataFrame,
+    fp_corpus: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """(id_new, id_corpus, hamming) cross-corpus SimHash matches — the
+    ingest-gate shape: a batch's fingerprints against a (typically
+    persisted) corpus fingerprint frame. Inputs are (id_new, simhash)
+    and (id_corpus, simhash); only band rows travel, never text.
+
+    Parity contract: with new ids disjoint from corpus ids, the output
+    equals ``simhash_pairs_from_fingerprints`` over the UNION of both
+    frames restricted to (new x corpus) pairs — the same gate==rebuild
+    identity the winnowing/MinHash gates pin. ``max_band_df`` (when
+    set) is therefore applied over the union basis: bucket df is a
+    corpus property, and using the basis a full rebuild would see is
+    what keeps that identity exact."""
+    layout = simhash_band_layout(bits, _resolve_bands(max_hamming, bands))
+    kn = _simhash_banded(fp_new, "id_new", layout)
+    kc = _simhash_banded(fp_corpus, "id_corpus", layout)
+    if max_band_df is not None:
+        rare = (
+            kn.select("_band", "_val")
+            .unionAll(kc.select("_band", "_val"))
+            .groupBy("_band", "_val")
+            .agg(F.count(F.lit(1)).alias("_bdf"))
+            .filter(F.col("_bdf") <= max_band_df)
+            .select("_band", "_val")
+        )
+        kn = kn.join(rare, ["_band", "_val"])
+        kc = kc.join(rare, ["_band", "_val"])
+    cand = (
+        kn.select(
+            "_band", "_val", "id_new", F.col("simhash").alias("sh_n")
+        )
+        .join(
+            kc.select(
+                "_band", "_val", "id_corpus", F.col("simhash").alias("sh_c")
+            ),
+            ["_band", "_val"],
+        )
+        .select("id_new", "id_corpus", "sh_n", "sh_c")
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+    ham = F.bit_count(F.col("sh_n").bitwiseXOR(F.col("sh_c")))
+    return (
+        cand.select("id_new", "id_corpus", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -509,59 +666,10 @@ def simhash_near_pairs(
 
     Output: (id_a, id_b, hamming) with id_a < id_b, hamming as int.
     """
-    n_bands = bands if bands is not None else max_hamming + 1
-    # pigeonhole: with <= max_hamming differing bits and > max_hamming
-    # bands, some band must be identical; fewer bands silently lose
-    # the full-recall guarantee
-    assert n_bands > max_hamming, (
-        f"bands={n_bands} must exceed max_hamming={max_hamming} for full recall"
-    )
-    fp = simhash_fingerprints(df, id_col, text_col, bits)
-    layout = simhash_band_layout(bits, n_bands)
-    keyed = (
-        fp.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            F.shiftright(F.col("simhash"), off)
-                            .bitwiseAND(F.lit((1 << w) - 1))
-                            .alias("val"),
-                        )
-                        for bi, (off, w) in enumerate(layout)
-                    ]
-                )
-            ).alias("_b"),
-        )
-        .select(
-            id_col,
-            "simhash",
-            F.col("_b.band").alias("_band"),
-            F.col("_b.val").alias("_val"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
-    )
-    a = keyed.select(
-        F.col("_band").alias("_ba"), F.col("_val").alias("_va"),
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
-    )
-    b = keyed.select(
-        F.col("_band").alias("_bb"), F.col("_val").alias("_vb"),
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (a["_ba"] == b["_bb"]) & (a["_va"] == b["_vb"]) & (a["id_a"] < b["id_b"]),
-        )
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    return simhash_pairs_from_fingerprints(
+        simhash_fingerprints(df, id_col, text_col, bits),
+        id_col=id_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        bands=bands,
     )

@@ -56,6 +56,14 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # spans-replaying oracle) and a pruned-model gate row
 # (prune_bigram_model + bigram_score_against; oracle = gate SQL with a
 # HAVING c12 >= k model CTE). All three have unit pins already.
+# Added later in r09: storage_simhash_index (build_simhash_index ->
+# save -> load -> merge -> simhash_pairs_from_index; oracle =
+# dedup_simhash_pairs' own SQL — append==rebuild, the fourth and last
+# index family to gain the persisted lifecycle) and
+# dedup_simhash_against (simhash_matches_against; oracle = the pairs
+# SQL over corpus+batch restricted to cross pairs). Both unit-pinned
+# in tests/test_index_store.py incl. foreachBatch parity and the
+# optional max_band_df hub cap (union-basis gate parity).
 #
 # Round-9 window, in order:
 #  - the 40 rows whose last driver-green is r06 (staleness 2 — the

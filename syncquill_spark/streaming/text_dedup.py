@@ -582,3 +582,114 @@ def winnowing_match_spans(
     ).select(
         "id_a", "id_b", "start_a", "end_a", "start_b", "end_b", "n_anchors"
     )
+
+
+def build_simhash_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """One-time corpus SimHash index: ONE skinny (corpus_id, simhash)
+    int64 row per document — 16 bytes/doc, the cheapest of the four
+    index families. The fingerprint is a per-document aggregation
+    (bit votes over the doc's own tokens), so an index is just the
+    union of its docs' rows and append == rebuild by construction —
+    the same argument as the winnowing index. Persist via
+    ``index_store.save_index(path, fps=...)``; no df part is needed
+    (band-bucket hub insurance, when wanted, is an optional cap at
+    query time — see ``simhash_pairs_from_index``)."""
+    from syncquill_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(corpus, id_col, text_col, bits).select(
+        F.col(id_col).alias("corpus_id"), "simhash"
+    )
+
+
+def merge_simhash_index(
+    index_fps: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Incremental maintenance: extend a persisted SimHash index with a
+    new batch WITHOUT re-fingerprinting the corpus — only the batch is
+    tokenized; nightly cost is the batch, not the corpus. Batch ids
+    must be new (single-writer contract, as the other index families)."""
+    return index_fps.unionByName(
+        build_simhash_index(new_df, id_col=id_col, text_col=text_col, bits=bits)
+    )
+
+
+def simhash_pairs_from_index(
+    index_fps: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) near-dup pairs computed ENTIRELY from a
+    stored SimHash index — no text: band-explode the persisted
+    (corpus_id, simhash) rows, equi-join on (band, val), one
+    bit_count(xor) verify per distinct candidate. Output contract
+    matches ``operators.dedup.simhash_near_pairs`` recomputing from
+    text (with ``max_band_df=None``) — the identity that makes the
+    persisted index trustworthy after any ``merge_simhash_index``
+    append."""
+    from syncquill_spark.operators.dedup import simhash_pairs_from_fingerprints
+
+    return simhash_pairs_from_fingerprints(
+        index_fps,
+        id_col="corpus_id",
+        bits=bits,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_band_df=max_band_df,
+    ).select("id_a", "id_b", "hamming")
+
+
+def simhash_matches_against(
+    new_df: DataFrame,
+    index_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """(id_new, id_corpus, hamming) — the INGEST-TIME gate: a new
+    batch's SimHash near-matches against a persisted corpus index.
+    Only the batch is fingerprinted; the corpus side is the stored
+    skinny (corpus_id, simhash) rows.
+
+    Parity: with batch ids disjoint from corpus ids the output equals
+    ``simhash_near_pairs`` over corpus+batch restricted to
+    (new x corpus) pairs — the gate == full-rebuild identity every
+    index family in this module pins. When ``max_band_df`` is set, the
+    bucket df basis is the UNION of stored + batch band rows (bucket
+    df is a corpus property), keeping that identity exact.
+
+    Streaming deployment: the SimHash fingerprint is a per-document
+    aggregation, which Structured Streaming cannot run inside a
+    stream-static join — wrap this in ``foreachBatch`` (each
+    microbatch is a small batch frame; only it is fingerprinted), the
+    same shape as the winnowing and incremental-sync gates."""
+    from syncquill_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_matches_between,
+    )
+
+    fp_new = simhash_fingerprints(new_df, id_col, text_col, bits).select(
+        F.col(id_col).alias("id_new"), "simhash"
+    )
+    fp_corpus = index_fps.select(F.col("corpus_id").alias("id_corpus"), "simhash")
+    return simhash_matches_between(
+        fp_new,
+        fp_corpus,
+        bits=bits,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_band_df=max_band_df,
+    )

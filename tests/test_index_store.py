@@ -464,3 +464,199 @@ def test_ivfpq_index_serve_equals_monolithic(spark, tmp_path, sf_dir):
             if d.startswith("cell_id=")
         ]
         assert len(cell_dirs) >= 2, f"codes not cell-partitioned: {cell_dirs}"
+
+
+def _simhash_corpus(spark):
+    """Hand-built corpus with planted near-dup groups spanning the
+    even/odd id split: per base text, ids 4i..4i+3 carry the base with
+    0-2 token edits, so every group yields within- and cross-split
+    pairs at small hamming."""
+    bases = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "pack my box with five dozen liquor jugs before the long trip",
+        "sphinx of black quartz judge my vow under the ancient stone arch",
+        "how vexingly quick daft zebras jump across the frozen northern lake",
+        "we promptly judged antique ivory buckles for the next big prize",
+        "crazy frederick bought many very exquisite opal jewels last summer",
+    ]
+    rows = []
+    for i, base in enumerate(bases):
+        toks = base.split()
+        rows.append((4 * i, " ".join(toks)))
+        rows.append((4 * i + 1, " ".join(toks)))  # identical twin
+        rows.append((4 * i + 2, " ".join(toks[:-1] + ["changed"])))
+        rows.append((4 * i + 3, " ".join(["extra"] + toks[1:])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_index_merge_equals_rebuild(spark, tmp_path):
+    """merge_simhash_index(stored, batch) must equal
+    build_simhash_index(corpus+batch) row-for-row, and pairs emitted
+    from the merged index alone must equal simhash_near_pairs
+    recomputing from text — append == rebuild for the fourth (and
+    cheapest) index family."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.dedup import simhash_near_pairs
+    from syncquill_spark.streaming.text_dedup import (
+        build_simhash_index,
+        merge_simhash_index,
+        simhash_pairs_from_index,
+    )
+
+    docs = _simhash_corpus(spark)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    p = str(tmp_path / "sh_idx")
+    save_index(p, fps=build_simhash_index(half))
+    merged = merge_simhash_index(load_index(spark, p)["fps"], batch)
+
+    rebuilt = build_simhash_index(docs)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    from_index = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs_from_index(merged, max_hamming=5).collect()
+    )
+    from_text = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(docs, max_hamming=5).collect()
+    )
+    assert from_index == from_text and len(from_index) > 0
+
+
+def test_simhash_gate_matches_rebuild_cross_pairs(spark):
+    """simhash_matches_against (batch fingerprinted, corpus from the
+    index) must equal simhash_near_pairs over corpus+batch restricted
+    to (new x corpus) pairs — the gate loses nothing and invents
+    nothing vs a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.dedup import simhash_near_pairs
+    from syncquill_spark.streaming.text_dedup import (
+        build_simhash_index,
+        simhash_matches_against,
+    )
+
+    docs = _simhash_corpus(spark)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    gate = sorted(
+        (r.id_new, r.id_corpus, r.hamming)
+        for r in simhash_matches_against(
+            batch, build_simhash_index(corpus), max_hamming=5
+        ).collect()
+    )
+    full = simhash_near_pairs(docs, max_hamming=5).collect()
+    cross = sorted(
+        (r.id_a, r.id_b, r.hamming) if r.id_a % 2 == 1 else (r.id_b, r.id_a, r.hamming)
+        for r in full
+        if (r.id_a % 2) != (r.id_b % 2)
+    )
+    assert gate == cross and len(gate) > 0
+
+
+def test_simhash_band_hub_cap_insurance(spark):
+    """The optional max_band_df cap: a huge cap changes nothing (exact
+    parity with the uncapped join); a tiny cap drops pairs that relied
+    only on hub buckets (documented lossy insurance); and the gate's
+    cap basis is the UNION of stored + batch band rows, so
+    gate-with-cap equals rebuild-with-cap restricted to cross pairs."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs_from_fingerprints,
+    )
+    from syncquill_spark.streaming.text_dedup import (
+        build_simhash_index,
+        simhash_matches_against,
+        simhash_pairs_from_index,
+    )
+
+    docs = _simhash_corpus(spark)
+    idx = build_simhash_index(docs)
+
+    uncapped = sorted(
+        map(tuple, simhash_pairs_from_index(idx, max_hamming=5).collect())
+    )
+    big_cap = sorted(
+        map(
+            tuple,
+            simhash_pairs_from_index(idx, max_hamming=5, max_band_df=10**6).collect(),
+        )
+    )
+    assert big_cap == uncapped and len(uncapped) > 0
+
+    # identical twins share EVERY band; cap 1 kills every bucket that
+    # holds >1 doc, so all pairs vanish — maximal illustration of the
+    # documented loss mode (run exact_dedup upstream)
+    twins = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    fp = simhash_fingerprints(twins)
+    capped = simhash_pairs_from_fingerprints(fp, max_hamming=0, max_band_df=1)
+    assert capped.count() == 0
+
+    # gate cap parity over the union basis
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    cap = 3
+    gate = sorted(
+        (r.id_new, r.id_corpus, r.hamming)
+        for r in simhash_matches_against(
+            batch, build_simhash_index(corpus), max_hamming=5, max_band_df=cap
+        ).collect()
+    )
+    rebuilt = simhash_pairs_from_index(idx, max_hamming=5, max_band_df=cap).collect()
+    cross = sorted(
+        (r.id_a, r.id_b, r.hamming) if r.id_a % 2 == 1 else (r.id_b, r.id_a, r.hamming)
+        for r in rebuilt
+        if (r.id_a % 2) != (r.id_b % 2)
+    )
+    assert gate == cross
+
+
+def test_simhash_gate_in_foreachbatch_stream(spark, tmp_path):
+    """Streaming deployment shape: the SimHash fingerprint is a per-doc
+    aggregation, so the gate runs inside foreachBatch — same contract
+    as the winnowing and bigram gates."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.streaming.text_dedup import (
+        build_simhash_index,
+        simhash_matches_against,
+    )
+
+    docs = _simhash_corpus(spark)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_src = str(tmp_path / "sh_stream_src")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(batch_src)
+    save_index(str(tmp_path / "sh_idx"), fps=build_simhash_index(corpus))
+    index_fps = load_index(spark, str(tmp_path / "sh_idx"))["fps"]
+
+    got = []
+
+    def gate(mb, _epoch):
+        got.extend(
+            (r.id_new, r.id_corpus, r.hamming)
+            for r in simhash_matches_against(mb, index_fps, max_hamming=5).collect()
+        )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(batch_src)
+    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    expect = sorted(
+        (r.id_new, r.id_corpus, r.hamming)
+        for r in simhash_matches_against(
+            spark.read.parquet(batch_src), index_fps, max_hamming=5
+        ).collect()
+    )
+    assert sorted(got) == expect and len(expect) > 0
