@@ -896,3 +896,162 @@ def quality_percentile_filter(
     )
     kept = top.unionByName(boundary).unionByName(fallback)
     return df.join(kept, id_col)
+
+
+def stratum_order_stat_values(
+    df: DataFrame,
+    signal_col: str,
+    frac: float,
+    id_col: str = "doc_id",
+    stratify_col: str | None = None,
+    accuracy: int = 10000,
+    bracket_delta: float | None = None,
+) -> DataFrame:
+    """Per-stratum EXACT k-th order-statistic VALUE: for each stratum
+    the signal value at rank ``k = ceil(frac * N)`` by signal DESC —
+    the exact quantile-by-value a bucketing policy thresholds on
+    (e.g. frac=0.1 -> the value separating the best 10%).
+
+    Same two-pass bracketed shape as ``quality_percentile_filter``
+    (one skinny stats aggregation -> percentile_approx bracket ->
+    exact region counts -> rank ONLY the ~2*delta*N boundary rows),
+    so the dominant stratum never whole-sorts; the value at rank k is
+    tie-insensitive (equal values share the rank-k value whatever
+    order ties land in), and strata where the bracket misses its
+    guarantee (including n_hi == k, where the value lies above the
+    bracket) fall back in-plan to the naive rank for exactly those
+    strata. Null signals sort last and can only be the cutoff in a
+    stratum with fewer than k non-null values.
+
+    Output: one row per stratum — (``stratify_col``, cutoff) with the
+    signal's type (a global single row with ``stratify_col=None``; the
+    stratum column is then omitted).
+    """
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if bracket_delta is None:
+        bracket_delta = max(4.0 / accuracy, 1e-6)
+    strat = [stratify_col] if stratify_col else ["_strat"]
+    skinny = df.select(id_col, signal_col, *([stratify_col] if stratify_col else []))
+    if not stratify_col:
+        skinny = skinny.withColumn("_strat", F.lit(0))
+    skinny = skinny.persist(StorageLevel.MEMORY_AND_DISK)
+
+    q = 1.0 - frac
+    p_lo, p_hi = max(0.0, q - bracket_delta), min(1.0, q + bracket_delta)
+    sig = F.col(signal_col)
+    stats = (
+        skinny.groupBy(*strat)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.percentile_approx(signal_col, [p_lo, p_hi], accuracy).alias("_pv"),
+        )
+        .select(
+            *strat,
+            F.ceil(F.lit(frac) * F.col("_n")).cast("long").alias("_k"),
+            F.col("_pv")[0].alias("_v_lo"),
+            F.col("_pv")[1].alias("_v_hi"),
+        )
+    )
+    region_counts = (
+        skinny.join(F.broadcast(stats), strat)
+        .groupBy(*strat)
+        .agg(
+            F.sum(F.when(sig > F.col("_v_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("_n_hi"),
+            F.sum(
+                F.when((sig >= F.col("_v_lo")) & (sig <= F.col("_v_hi")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("_n_mid"),
+        )
+    )
+    meta = stats.join(region_counts, strat)
+    # value extraction needs the rank-k row INSIDE the boundary:
+    # n_hi == k (value above the bracket) goes to the fallback, unlike
+    # the membership filter where n_hi == k is fine
+    bracket_ok = (F.col("_n_hi") < F.col("_k")) & (
+        F.col("_n_hi") + F.col("_n_mid") >= F.col("_k")
+    )
+    w = Window.partitionBy(*strat).orderBy(sig.desc_nulls_last(), F.col(id_col).asc())
+    boundary_val = (
+        skinny.join(F.broadcast(meta.filter(bracket_ok)), strat)
+        .filter((sig >= F.col("_v_lo")) & (sig <= F.col("_v_hi")))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == F.col("_k") - F.col("_n_hi"))
+        .select(*strat, sig.alias("cutoff"))
+    )
+    fallback_val = (
+        skinny.join(F.broadcast(meta.filter(~bracket_ok)), strat)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == F.col("_k"))
+        .select(*strat, sig.alias("cutoff"))
+    )
+    out = boundary_val.unionByName(fallback_val)
+    return out if stratify_col else out.select("cutoff")
+
+
+def quality_value_buckets(
+    df: DataFrame,
+    signal_col: str,
+    frac_head: float,
+    frac_tail: float,
+    id_col: str = "doc_id",
+    stratify_col: str | None = None,
+    accuracy: int = 10000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing by a quality signal —
+    the deployment companion of ``bigram_commonness`` /
+    ``bigram_score_against``: per stratum (typically per language),
+    the best ~``frac_head`` of documents land in 'head', the worst
+    ~``frac_tail`` in 'tail', the rest in 'middle'. CCNet trains on
+    head+middle and drops tail; keeping the label (instead of
+    filtering) preserves the ablation surface.
+
+    VALUE-threshold semantics (exactly CCNet's percentile cut): with
+    v_head = the exact ``ceil(frac_head*N)``-th largest signal value
+    and v_tail = the exact ``ceil((1-frac_tail)*N)``-th largest,
+
+        head   := signal >= v_head
+        tail   := signal <  v_tail   (and not head)
+        middle := the rest;  null signal -> tail
+
+    so ties at a cutoff all land in the BETTER bucket (head sizes are
+    >= frac_head under ties, tail sizes <= frac_tail) — deterministic,
+    engine-exact, and replayable by a plain SQL window. Cutoffs come
+    from ``stratum_order_stat_values`` (two-pass bracketed order
+    statistic), so no whole-stratum sort ever runs; the bucket
+    assignment itself is a broadcast join + one CASE projection.
+    """
+    if frac_head + frac_tail > 1.0:
+        raise ValueError(
+            f"frac_head + frac_tail must be <= 1, got {frac_head} + {frac_tail}"
+        )
+    strat = [stratify_col] if stratify_col else []
+    heads = stratum_order_stat_values(
+        df, signal_col, frac_head, id_col, stratify_col, accuracy
+    )
+    tails = stratum_order_stat_values(
+        df, signal_col, 1.0 - frac_tail, id_col, stratify_col, accuracy
+    )
+    heads = heads.withColumnRenamed("cutoff", "_v_head")
+    tails = tails.withColumnRenamed("cutoff", "_v_tail")
+    cuts = (
+        heads.join(tails, strat)
+        if stratify_col
+        else heads.crossJoin(tails)  # two one-row frames
+    )
+    joined = (
+        df.join(F.broadcast(cuts), strat) if stratify_col else df.crossJoin(F.broadcast(cuts))
+    )
+    sig = F.col(signal_col)
+    bucket = (
+        F.when(sig.isNull(), F.lit("tail"))
+        .when(sig >= F.col("_v_head"), F.lit("head"))
+        .when(sig < F.col("_v_tail"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return joined.withColumn(bucket_col, bucket).drop("_v_head", "_v_tail")

@@ -64,6 +64,14 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # SQL over corpus+batch restricted to cross pairs). Both unit-pinned
 # in tests/test_index_store.py incl. foreachBatch parity and the
 # optional max_band_df hub cap (union-basis gate parity).
+# Also queued: curation_lm_buckets (bigram_commonness -> per-language
+# CCNet head/middle/tail via quality_value_buckets; cutoffs from the
+# bracketed exact order statistic, VALUE-threshold tie semantics so a
+# plain SQL window replays it; oracle = the text_bigram_lm CTEs + two
+# per-lang rank-k cutoff subqueries + one CASE). Unit-pinned in
+# tests/test_curation.py (exact cutoffs vs naive sort incl. an
+# all-null stratum and an accuracy=1 fallback, tie/null semantics,
+# and the bigram-signal composition at sf0.001).
 #
 # Round-9 window, in order:
 #  - the 40 rows whose last driver-green is r06 (staleness 2 — the

@@ -644,3 +644,138 @@ def test_pack_sequences_ffd_oversize_doc_gets_own_pack(spark):
     assert out[1].n_tokens == 30
     # the oversize doc sits alone; the small docs share a different pack
     assert out[2].pack_id == out[3].pack_id != out[1].pack_id
+
+
+# ---------------------------------------------------------------------------
+# stratum_order_stat_values / quality_value_buckets
+# ---------------------------------------------------------------------------
+
+
+def _sig_frame(spark):
+    """Strata of very different sizes with repeated signal values (tie
+    coverage): lang 'en' dominant (40 rows, values 0..19 twice),
+    'fr' small (7 rows), 'xx' all-null signals (3 rows)."""
+    rows = [(i, "en", i % 20) for i in range(40)]
+    rows += [(100 + i, "fr", [5, 5, 5, 9, 1, 7, 3][i]) for i in range(7)]
+    rows += [(200 + i, "xx", None) for i in range(3)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, sig int")
+
+
+def _kth_largest(vals, k):
+    ordered = sorted(
+        vals, key=lambda v: (v is None, -(v if v is not None else 0))
+    )
+    return ordered[k - 1]
+
+
+def test_stratum_order_stat_values_exact(spark):
+    import math
+
+    from syncquill_spark.operators.curation import stratum_order_stat_values
+
+    df = _sig_frame(spark)
+    by_lang = {
+        lang: [r.sig for r in df.filter(F.col("lang") == lang).collect()]
+        for lang in ("en", "fr", "xx")
+    }
+    for frac in (0.1, 0.25, 0.5, 0.9, 1.0):
+        got = {
+            r.lang: r.cutoff
+            for r in stratum_order_stat_values(
+                df, "sig", frac, stratify_col="lang"
+            ).collect()
+        }
+        want = {
+            lang: _kth_largest(vals, math.ceil(frac * len(vals)))
+            for lang, vals in by_lang.items()
+        }
+        assert got == want, f"frac={frac}: {got} != {want}"
+
+    # global (no stratify_col): single cutoff row over all rows
+    all_vals = [r.sig for r in df.collect()]
+    got_g = stratum_order_stat_values(df, "sig", 0.3).collect()
+    assert len(got_g) == 1
+    assert got_g[0].cutoff == _kth_largest(all_vals, math.ceil(0.3 * len(all_vals)))
+
+
+def test_stratum_order_stat_fallback_on_tiny_bracket(spark):
+    """accuracy=1 collapses percentile_approx to its coarsest sketch;
+    whatever bracket it returns, the exact value must still come out
+    (the in-plan fallback is the guarantee, not the sketch)."""
+    import math
+
+    from syncquill_spark.operators.curation import stratum_order_stat_values
+
+    df = _sig_frame(spark).filter(F.col("lang") == "en")
+    vals = [r.sig for r in df.collect()]
+    got = stratum_order_stat_values(df, "sig", 0.25, accuracy=1).collect()
+    assert [r.cutoff for r in got] == [_kth_largest(vals, math.ceil(0.25 * len(vals)))]
+
+
+def test_quality_value_buckets_semantics(spark):
+    """Value-threshold buckets: ties at a cutoff land in the better
+    bucket; null signals land in tail; per-stratum cutoffs are
+    independent; sizes honor >= frac_head / <= frac_tail under ties."""
+    import math
+
+    import pytest as _pytest
+
+    from syncquill_spark.operators.curation import quality_value_buckets
+
+    df = _sig_frame(spark)
+    out = quality_value_buckets(
+        df, "sig", frac_head=0.2, frac_tail=0.3, stratify_col="lang"
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        vals = [r.sig for r in rows]
+        n = len(vals)
+        v_head = _kth_largest(vals, math.ceil(0.2 * n))
+        v_tail = _kth_largest(vals, math.ceil(0.7 * n))
+        for r in rows:
+            if r.sig is None:
+                want = "tail"
+            elif v_head is not None and r.sig >= v_head:
+                want = "head"
+            elif v_tail is None or r.sig < v_tail:
+                want = "tail"
+            else:
+                want = "middle"
+            assert r.bucket == want, (lang, r.doc_id, r.sig, r.bucket, want)
+    # 'xx' is all-null: everything tail
+    assert {r.bucket for r in by_lang["xx"]} == {"tail"}
+    # head at least frac_head of en (ties inflate, never shrink)
+    en = by_lang["en"]
+    n_head = sum(1 for r in en if r.bucket == "head")
+    assert n_head >= math.ceil(0.2 * len(en))
+    n_tail = sum(1 for r in en if r.bucket == "tail")
+    assert n_tail <= math.ceil(0.3 * len(en))
+
+    with _pytest.raises(ValueError):
+        quality_value_buckets(df, "sig", frac_head=0.6, frac_tail=0.5).collect()
+
+
+def test_quality_value_buckets_on_bigram_signal(spark, sf_dir):
+    """The CCNet composition: bigram_commonness score -> per-language
+    head/middle/tail. Smoke at sf0.001 — every bucket label valid,
+    every language's head non-empty, membership stable across runs."""
+    from syncquill_spark.operators.curation import quality_value_buckets
+    from syncquill_spark.operators.text import bigram_commonness
+    from syncquill_spark.plans.queries import load_tables
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    scored = bigram_commonness(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).withColumn("lm_q", F.expr("sum_q DIV n_bigrams"))
+    out = quality_value_buckets(
+        scored, "lm_q", frac_head=0.1, frac_tail=0.3, stratify_col="lang"
+    )
+    rows = out.select("doc_id", "lang", "bucket").collect()
+    assert rows and {r.bucket for r in rows} <= {"head", "middle", "tail"}
+    langs = {r.lang for r in rows}
+    heads = {r.lang for r in rows if r.bucket == "head"}
+    assert heads == langs  # ceil(frac*N) >= 1: every stratum has a head
+    again = out.select("doc_id", "lang", "bucket").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
