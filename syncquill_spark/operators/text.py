@@ -263,6 +263,24 @@ def bm25_scores(
     qtok = tok.filter(F.col("term").isin(*query_terms))
     tf = qtok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    return _bm25_score_parts(tf, dfreq, dl, stats, id_col, k1, b)
+
+
+def _bm25_score_parts(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The BM25 formula over already-materialized parts — shared by
+    ``bm25_scores`` (parts computed from text in-plan) and
+    ``bm25_from_index`` (parts loaded from a persisted index), so the
+    two paths cannot drift. Inputs: tf (id, term, _tf) restricted to
+    the query terms, dfreq (term, _df), dl (id, _dl), stats one row
+    (_n_docs, _total_len)."""
     joined = (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, id_col)
@@ -289,6 +307,147 @@ def bm25_scores(
             F.count(F.lit(1)).alias("n_matched"),
         )
     )
+
+
+BM25_BUCKETS = 64
+
+
+def build_bm25_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = BM25_BUCKETS,
+) -> dict[str, DataFrame]:
+    """Build the persisted BM25 retrieval index — four parts for
+    ``index_store.save_index(path, _partition_by={"postings":
+    ["term_bucket"]}, **index)``:
+
+    - ``postings`` (term_bucket, term, doc_id, tf): the inverted
+      index. ``term_bucket = crc32(term) % n_buckets`` so the part can
+      be written Hive-partitioned on a BOUNDED key (per-term dirs are
+      unbounded): a serve for q query terms reads only their <= q
+      buckets' files — serve I/O scales with the query, not the
+      corpus. crc32 is computable driver-side (zlib.crc32) for the
+      serve filter and engine-stable.
+    - ``doclens`` (doc_id, dl) — per-doc token counts;
+    - ``dfreq`` (term, df) — per-term document frequency, maintained
+      incrementally (batch counts add — same contract as winnowing's
+      (fp, df) part);
+    - ``stats`` — ONE row (n_docs, total_len).
+
+    Corpus text is tokenized during THIS build and never again:
+    ``bm25_from_index`` serves entirely from the stored parts and
+    equals ``bm25_scores`` recomputed from text (unit-pinned), and
+    ``merge_bm25_index`` appends a batch without a corpus pass
+    (append == rebuild: postings/doclens are per-doc rows, df counts
+    and stats add over disjoint docs)."""
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term"))
+    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)  # postings + doclens + dfreq
+    postings = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "term_bucket", (F.crc32(F.col("term").cast("binary")) % n_buckets).cast("int")
+        )
+        .select("term_bucket", "term", "doc_id", "tf")
+    )
+    doclens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    return {"postings": postings, "doclens": doclens, "dfreq": dfreq, "stats": stats}
+
+
+def merge_bm25_index(
+    index: dict[str, DataFrame],
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = BM25_BUCKETS,
+) -> dict[str, DataFrame]:
+    """Incremental BM25 index maintenance: extend stored parts with a
+    new batch WITHOUT re-tokenizing the corpus — only the batch is
+    tokenized; postings/doclens append (per-doc rows), dfreq adds
+    batch counts via one outer join on term, stats adds one row.
+    Batch ids must be new (single-writer contract, as every index
+    family here). Equals ``build_bm25_index`` over corpus+batch
+    exactly (unit-pinned)."""
+    b_idx = build_bm25_index(batch, text_col, id_col, n_buckets)
+    merged_df = (
+        index["dfreq"].withColumnRenamed("df", "_df_a")
+        .join(b_idx["dfreq"].withColumnRenamed("df", "_df_b"), "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("_df_a"), F.lit(0))
+                + F.coalesce(F.col("_df_b"), F.lit(0))
+            ).cast("long").alias("df"),
+        )
+    )
+    merged_stats = (
+        index["stats"].unionByName(b_idx["stats"])
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+    )
+    return {
+        "postings": index["postings"].unionByName(b_idx["postings"]),
+        "doclens": index["doclens"].unionByName(b_idx["doclens"]),
+        "dfreq": merged_df,
+        "stats": merged_stats,
+    }
+
+
+def bm25_query_buckets(
+    query_terms: tuple[str, ...], n_buckets: int = BM25_BUCKETS
+) -> list[int]:
+    """The term_bucket values a query touches — computed driver-side
+    with zlib.crc32 (identical to Spark's crc32 on the utf-8 bytes),
+    so the serve filter is a LITERAL partition predicate the parquet
+    source prunes on."""
+    import zlib
+
+    return sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in query_terms})
+
+
+def bm25_from_index(
+    index: dict[str, DataFrame],
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = BM25_BUCKETS,
+) -> DataFrame:
+    """BM25 retrieval SERVED from a persisted index (parts from
+    ``build_bm25_index``, typically via ``index_store.load_index``) —
+    identical output to ``bm25_scores`` over the corpus text with the
+    same terms (both run ``_bm25_score_parts``; unit-pinned), but the
+    serve plan never tokenizes anything: postings are filtered by the
+    query's term_bucket LITERALS first (with the postings part
+    Hive-partitioned by term_bucket, the parquet source reads only
+    those <= |query| buckets' files) then by term; dfreq joins
+    broadcast; doclens joins only the matched docs. Per-batch serve
+    cost scales with posting-list sizes of the query terms, not the
+    corpus."""
+    buckets = bm25_query_buckets(query_terms, n_buckets)
+    qtf = (
+        index["postings"]
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(*query_terms))
+        .select("doc_id", "term", F.col("tf").alias("_tf"))
+    )
+    dfreq = (
+        index["dfreq"]
+        .filter(F.col("term").isin(*query_terms))
+        .select("term", F.col("df").alias("_df"))
+    )
+    dl = index["doclens"].select("doc_id", F.col("dl").alias("_dl"))
+    stats = index["stats"].select(
+        F.col("n_docs").alias("_n_docs"), F.col("total_len").alias("_total_len")
+    )
+    return _bm25_score_parts(qtf, dfreq, dl, stats, "doc_id", k1, b)
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

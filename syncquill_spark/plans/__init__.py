@@ -47,31 +47,28 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #      all-rows backstop every round; the driver window is the
 #      trust anchor, the replica is the coverage net.
 #
-# R10 REGISTRATION QUEUE (unit-tested this round, unregistered per
-# policy rule 3 — the r09 window was exactly full): storage_ivfpq_index
-# (ivfpq_build_index -> save cell-partitioned -> load ->
-# ivfpq_topk_from_index; oracle = similarity_topk_ivfpq's own SQL —
-# serve-from-index must be indistinguishable from the monolithic
-# composition), and optionally a winnowing-spans row (needs a
-# spans-replaying oracle) and a pruned-model gate row
-# (prune_bigram_model + bigram_score_against; oracle = gate SQL with a
-# HAVING c12 >= k model CTE). All three have unit pins already.
-# Added later in r09: storage_simhash_index (build_simhash_index ->
-# save -> load -> merge -> simhash_pairs_from_index; oracle =
-# dedup_simhash_pairs' own SQL — append==rebuild, the fourth and last
-# index family to gain the persisted lifecycle) and
-# dedup_simhash_against (simhash_matches_against; oracle = the pairs
-# SQL over corpus+batch restricted to cross pairs). Both unit-pinned
-# in tests/test_index_store.py incl. foreachBatch parity and the
-# optional max_band_df hub cap (union-basis gate parity).
-# Also queued: curation_lm_buckets (bigram_commonness -> per-language
-# CCNet head/middle/tail via quality_value_buckets; cutoffs from the
-# bracketed exact order statistic, VALUE-threshold tie semantics so a
-# plain SQL window replays it; oracle = the text_bigram_lm CTEs + two
-# per-lang rank-k cutoff subqueries + one CASE). Unit-pinned in
-# tests/test_curation.py (exact cutoffs vs naive sort incl. an
-# all-null stratum and an accuracy=1 fallback, tie/null semantics,
-# and the bigram-signal composition at sf0.001).
+# R10 REGISTRATION QUEUE — now a REAL MODULE, not a plan:
+# `plans/queue_r10.py` holds six finished query/oracle pairs, each
+# already verified against DuckDB at sf0.001 AND sf0.01 through the
+# exact driver fingerprint compare (`tests/test_queue_r10.py`), left
+# unregistered only because the r09 window was exactly full (policy
+# rule 3). Registering in r10 = move the entries into queries_ext's
+# dicts + put the names at the front of `_PRIORITY`:
+#   storage_simhash_index   (4th index family's lifecycle row;
+#                            oracle = dedup_simhash_pairs' SQL)
+#   dedup_simhash_against   (SimHash ingest gate; oracle = pairs SQL
+#                            restricted to cross pairs)
+#   storage_ivfpq_index     (cell-partitioned serve layout; oracle =
+#                            similarity_topk_ivfpq's SQL)
+#   storage_bm25_index      (BM25 inverted-index lifecycle with
+#                            term-bucket partition pruning; oracle =
+#                            text_bm25's SQL)
+#   curation_lm_buckets     (CCNet head/middle/tail per language over
+#                            the bigram-LM signal; SQL-window oracle)
+#   text_bigram_pruned_gate (KenLM-style pruned-model gate; oracle =
+#                            gate SQL with HAVING c12 >= k)
+# A winnowing-spans row would additionally need a spans-replaying
+# oracle (gaps-and-islands SQL) — unit-pinned but not queued.
 #
 # Round-9 window, in order:
 #  - the 40 rows whose last driver-green is r06 (staleness 2 — the

@@ -1,0 +1,347 @@
+"""R10 REGISTRATION QUEUE — query/oracle pairs finished and
+oracle-verified THIS round but deliberately NOT registered, because
+the r09 driver window is exactly full (window-capacity policy,
+`plans/__init__.py`). Registering in r10 is mechanical: move entries
+from QUEUE_QUERIES/QUEUE_ORACLES into queries_ext's dicts and add the
+names to the front of `_PRIORITY` (new rows always enter the current
+window, policy rule 2b).
+
+Every pair here is exercised by `tests/test_queue_r10.py` through the
+SAME fingerprint compare as the registered suite (row count + sorted
+columns + normalized value rows vs DuckDB at sf0.001), so promotion
+carries no correctness risk — only the driver re-verification that
+registration exists to provide.
+
+Reference: /root/reference/syncquill.py has none of this surface
+(242-line sheet-to-BigQuery sync); these are EXT-tier LLM-pipeline
+operators mandated by the BASELINE.json north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from syncquill_spark.plans.queries import load_tables
+from syncquill_spark.plans.queries_ext import (
+    _H60,
+    _IVF_CELLS,
+    _IVF_NPROBE,
+    _PQ_DIM,
+    _PQ_K,
+    _PQ_M,
+    _QUERY_MOD,
+    _TOKS_LOWER,
+    _TOPK,
+    _bigram_gate_sql,
+    _bm25_sql,
+    _ivfpq_sql,
+    _simhash_pairs_sql,
+    _SIMHASH_BITS,
+    _SIMHASH_MAX_HAMMING,
+)
+
+
+def q_storage_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash index LIFECYCLE under the gate — the fourth and last
+    dedup index family's symmetry row (MinHash r06, SRP r06, winnowing
+    r08): build the (corpus_id, simhash) index over half the corpus
+    (even doc_ids), persist via ``index_store.save_index``, reload,
+    extend with the other half via ``merge_simhash_index`` (only the
+    batch is tokenized — stored rows reused as-is), persist the merged
+    index OVER the first (atomic exchange), reload, and emit near-dup
+    pairs from the stored rows alone (``simhash_pairs_from_index`` —
+    no text touched). Oracle = ``dedup_simhash_pairs``' own SQL twin
+    over ALL documents: append must be indistinguishable from
+    rebuild."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.streaming.text_dedup import (
+        build_simhash_index,
+        merge_simhash_index,
+        simhash_pairs_from_index,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    first_half = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    fps = build_simhash_index(first_half, bits=_SIMHASH_BITS)
+    path = _os.path.join(_tempfile.mkdtemp(prefix="sq_sh_idx_"), "sh_idx")
+    save_index(path, fps=fps)
+    loaded = load_index(spark, path)
+    merged = merge_simhash_index(loaded["fps"], batch, bits=_SIMHASH_BITS)
+    save_index(path, fps=merged)  # atomic in-place replace
+    reloaded = load_index(spark, path)
+    return simhash_pairs_from_index(
+        reloaded["fps"], bits=_SIMHASH_BITS, max_hamming=_SIMHASH_MAX_HAMMING
+    )
+
+
+def q_dedup_simhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash INGEST GATE: a new batch (odd doc_ids) checked for
+    near-duplicates against the corpus index (even doc_ids) — only the
+    batch is fingerprinted; the corpus side is the stored
+    (corpus_id, simhash) rows. The gate's matches equal a full
+    rebuild's pairs restricted to (new x corpus) — exactly what the
+    oracle computes, never having seen the index."""
+    from syncquill_spark.streaming.text_dedup import (
+        build_simhash_index,
+        simhash_matches_against,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    return simhash_matches_against(
+        batch,
+        build_simhash_index(corpus, bits=_SIMHASH_BITS),
+        bits=_SIMHASH_BITS,
+        max_hamming=_SIMHASH_MAX_HAMMING,
+    )
+
+
+def _simhash_against_sql() -> str:
+    """Cross-orientation wrapper of the pairs oracle: the gate orients
+    (new=odd, corpus=even); the pairs SQL orients id_a < id_b."""
+    return f"""
+WITH full_pairs AS ({_simhash_pairs_sql()})
+SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id_new,
+       CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS id_corpus,
+       hamming
+FROM full_pairs
+WHERE (id_a % 2) != (id_b % 2)
+"""
+
+
+def q_storage_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index LIFECYCLE under the gate: build the three-part
+    index (unit centroids, PQ codebook, codes pre-joined to their cell
+    and written Hive-partitioned by cell_id), persist, reload, and
+    serve top-k for the query set from the STORED parts alone — the
+    corpus's float vectors are read at build and never again, and the
+    serve plan broadcast-joins the probe under dynamic partition
+    pruning (SCALE.md: 2.4-3x faster than the fused path, wall-flat
+    across 8x corpus growth). Oracle = ``similarity_topk_ivfpq``'s own
+    SQL: serve-from-index must be indistinguishable from the
+    monolithic composition."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from syncquill_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_topk_from_index,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = ivfpq_build_index(
+        embeddings,
+        n_cells=_IVF_CELLS,
+        m_sub=_PQ_M,
+        k_codes=_PQ_K,
+        dim=_PQ_DIM,
+    )
+    path = _os.path.join(_tempfile.mkdtemp(prefix="sq_ivfpq_"), "ivfpq_idx")
+    save_index(path, _partition_by={"codes": ["cell_id"]}, **index)
+    loaded = load_index(spark, path)
+    return ivfpq_topk_from_index(
+        queries, loaded, k=_TOPK, nprobe=_IVF_NPROBE, m_sub=_PQ_M, dim=_PQ_DIM
+    )
+
+
+_LM_FRAC_HEAD, _LM_FRAC_TAIL = 0.1, 0.3
+
+
+def q_curation_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality buckets per language over the
+    corpus-bigram-LM signal — the complete CCNet deployment story:
+    ``bigram_commonness`` scores every document under the corpus's own
+    bigram model (exact integer sum of quantized conditional
+    frequencies), the per-doc rate lm_q = sum_q DIV n_bigrams is the
+    signal, and ``quality_value_buckets`` labels the best ~10% of each
+    language 'head' and the worst ~30% 'tail' by exact rank-k VALUE
+    thresholds (ties land in the better bucket) — computed with the
+    bracketed two-pass order statistic, so the dominant language never
+    whole-sorts. Docs with < 2 tokens have no bigrams and are absent
+    (same contract as text_bigram_lm)."""
+    from syncquill_spark.operators.curation import quality_value_buckets
+    from syncquill_spark.operators.text import bigram_commonness
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    scored = (
+        bigram_commonness(documents)
+        .join(documents.select("doc_id", "lang"), "doc_id")
+        .withColumn("lm_q", F.expr("sum_q DIV n_bigrams"))
+    )
+    return quality_value_buckets(
+        scored,
+        "lm_q",
+        frac_head=_LM_FRAC_HEAD,
+        frac_tail=_LM_FRAC_TAIL,
+        stratify_col="lang",
+    ).select("doc_id", "lang", F.col("lm_q").cast("long").alias("lm_q"), "bucket")
+
+
+def _lm_buckets_sql() -> str:
+    """Oracle twin of q_curation_lm_buckets: the text_bigram_lm CTEs
+    for the signal, then per-language rank-k cutoff VALUES via a plain
+    SQL window (DuckDB can afford the whole sort the Spark plan
+    avoids) and the same value-threshold CASE."""
+    toks = _TOKS_LOWER.format(src="text")
+    h1 = _H60.format(x="tk[i]")
+    h12 = _H60.format(x="(tk[i] || ' ' || tk[i+1])")
+    fh, ft = _LM_FRAC_HEAD, 1.0 - _LM_FRAC_TAIL
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+o AS (SELECT doc_id, UNNEST(range(1, len(tk))) AS i, tk FROM t),
+occ AS (
+  SELECT doc_id, {h1} AS h1, {h12} AS h12 FROM o
+),
+c12 AS (SELECT h12, COUNT(*) AS c12 FROM occ GROUP BY h12),
+c1 AS (SELECT h1, COUNT(*) AS c1 FROM occ GROUP BY h1),
+scored AS (
+  SELECT occ.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM((1000000 * c12.c12) // c1.c1) AS sum_q
+  FROM occ JOIN c12 ON occ.h12 = c12.h12 JOIN c1 ON occ.h1 = c1.h1
+  GROUP BY occ.doc_id
+),
+sig AS (
+  SELECT s.doc_id, d.lang, (s.sum_q // s.n_bigrams) AS lm_q
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, lang, lm_q,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY lm_q DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM sig
+),
+cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN rk = CAST(ceil({fh} * n) AS BIGINT)
+                  THEN lm_q END) AS v_head,
+         MAX(CASE WHEN rk = CAST(ceil({ft} * n) AS BIGINT)
+                  THEN lm_q END) AS v_tail
+  FROM ranked GROUP BY lang
+)
+SELECT sig.doc_id, sig.lang, CAST(sig.lm_q AS BIGINT) AS lm_q,
+       CASE WHEN sig.lm_q >= cuts.v_head THEN 'head'
+            WHEN sig.lm_q <  cuts.v_tail THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM sig JOIN cuts ON sig.lang = cuts.lang
+"""
+
+
+_PRUNE_MIN_COUNT = 2
+
+
+def q_text_bigram_pruned_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram gate served from a PRUNED model (KenLM-style
+    min-count pruning for serve-time broadcast): bigram counts below
+    ``min_count`` are dropped from the stored c12 part at load time,
+    and a pruned bigram scores exactly like an unseen one (left-join
+    miss -> q = 0) while c1 stays untouched so survivor scores never
+    shift. The oracle replays the gate SQL with a HAVING clause on the
+    model CTE — it never sees the model tables."""
+    from syncquill_spark.operators.text import (
+        bigram_score_against,
+        build_bigram_model,
+        prune_bigram_model,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    c1, c12 = build_bigram_model(corpus)
+    p1, p12 = prune_bigram_model(c1, c12, min_count=_PRUNE_MIN_COUNT)
+    return bigram_score_against(batch, p1, p12)
+
+
+def _bigram_pruned_gate_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    h1 = _H60.format(x="tk[i]")
+    h12 = _H60.format(x="(tk[i] || ' ' || tk[i+1])")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+o AS (SELECT doc_id, UNNEST(range(1, len(tk))) AS i, tk FROM t),
+occ AS (
+  SELECT doc_id, {h1} AS h1, {h12} AS h12 FROM o
+),
+c12 AS (
+  SELECT h12, COUNT(*) AS c12 FROM occ WHERE doc_id % 2 = 0 GROUP BY h12
+  HAVING COUNT(*) >= {_PRUNE_MIN_COUNT}
+),
+c1 AS (
+  SELECT h1, COUNT(*) AS c1 FROM occ WHERE doc_id % 2 = 0 GROUP BY h1
+)
+SELECT occ.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(COALESCE((1000000 * c12.c12) // c1.c1, 0)) AS BIGINT) AS sum_q
+FROM occ
+LEFT JOIN c12 ON occ.h12 = c12.h12
+LEFT JOIN c1 ON occ.h1 = c1.h1
+WHERE occ.doc_id % 2 = 1
+GROUP BY occ.doc_id
+"""
+
+
+def q_storage_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval-index LIFECYCLE under the gate: build the
+    four-part inverted index (term-bucket-partitioned postings,
+    doclens, incrementally-maintained dfreq, one stats row) over half
+    the corpus, persist via ``index_store.save_index`` with the
+    postings part Hive-partitioned by term_bucket, reload, extend with
+    the other half via ``merge_bm25_index`` (only the batch is
+    tokenized; df counts and stats ADD), persist OVER the first
+    (atomic exchange), reload, and serve the registered query terms
+    from the stored parts alone — the serve scan reads only the
+    query's term buckets (partition pruning, plan-asserted in unit
+    tests). Oracle = ``text_bm25``'s own SQL: a served score after
+    save/load/merge/save/load must be indistinguishable from
+    recomputing over all text."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from syncquill_spark.operators.text import (
+        bm25_from_index,
+        build_bm25_index,
+        merge_bm25_index,
+    )
+    from syncquill_spark.plans.queries_ext import _BM25_TERMS
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    first_half = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    part_by = {"postings": ["term_bucket"]}
+    path = _os.path.join(_tempfile.mkdtemp(prefix="sq_bm25_"), "bm25_idx")
+    save_index(path, _partition_by=part_by, **build_bm25_index(first_half))
+    merged = merge_bm25_index(load_index(spark, path), batch)
+    save_index(path, _partition_by=part_by, **merged)  # atomic replace
+    reloaded = load_index(spark, path)
+    return bm25_from_index(reloaded, _BM25_TERMS)
+
+
+QUEUE_QUERIES = {
+    "storage_simhash_index": q_storage_simhash_index,
+    "dedup_simhash_against": q_dedup_simhash_against,
+    "storage_ivfpq_index": q_storage_ivfpq_index,
+    "curation_lm_buckets": q_curation_lm_buckets,
+    "text_bigram_pruned_gate": q_text_bigram_pruned_gate,
+    "storage_bm25_index": q_storage_bm25_index,
+}
+
+QUEUE_ORACLES = {
+    "storage_simhash_index": _simhash_pairs_sql(),
+    "dedup_simhash_against": _simhash_against_sql(),
+    "storage_ivfpq_index": _ivfpq_sql(),
+    "curation_lm_buckets": _lm_buckets_sql(),
+    "text_bigram_pruned_gate": _bigram_pruned_gate_sql(),
+    "storage_bm25_index": _bm25_sql(),
+}

@@ -784,3 +784,99 @@ def test_bigram_gate_in_foreachbatch_stream(spark, tmp_path):
         ).collect()
     )
     assert sorted(got) == expect and len(expect) == 20
+
+
+# ---------------------------------------------------------------------------
+# BM25 persisted inverted-index lifecycle
+# ---------------------------------------------------------------------------
+
+_BM25_Q = ("spark", "hash", "merge", "window")
+
+
+def test_bm25_index_serve_equals_recompute(spark, sf_dir, tmp_path):
+    """bm25_from_index over a saved+loaded index must equal bm25_scores
+    recomputing from text — same decimal-rounded formula path, so
+    exact equality (not approx)."""
+    from syncquill_spark.operators.text import (
+        bm25_from_index,
+        bm25_scores,
+        build_bm25_index,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_bm25_index(docs)
+    p = str(tmp_path / "bm25_idx")
+    save_index(p, _partition_by={"postings": ["term_bucket"]}, **idx)
+    loaded = load_index(spark, p)
+    served = sorted(
+        (r.doc_id, r.bm25, r.n_matched)
+        for r in bm25_from_index(loaded, _BM25_Q).collect()
+    )
+    recomputed = sorted(
+        (r.doc_id, r.bm25, r.n_matched)
+        for r in bm25_scores(docs, _BM25_Q).collect()
+    )
+    assert served == recomputed and len(served) > 0
+
+
+def test_bm25_index_merge_equals_rebuild(spark, sf_dir):
+    """merge_bm25_index(corpus-half index, other half) must equal
+    build_bm25_index(all docs) part-for-part: postings and doclens
+    row-sets, dfreq counts, the one stats row."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.text import build_bm25_index, merge_bm25_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = merge_bm25_index(build_bm25_index(half), batch)
+    rebuilt = build_bm25_index(docs)
+    for part in ("postings", "doclens", "dfreq", "stats"):
+        got = sorted(map(tuple, merged[part].collect()))
+        want = sorted(map(tuple, rebuilt[part].collect()))
+        assert got == want, part
+    assert len(rebuilt["stats"].collect()) == 1
+
+
+def test_bm25_query_buckets_match_spark_crc32(spark):
+    """The driver-side zlib.crc32 bucket of a term must equal the
+    in-plan crc32 bucket the postings part was written with — the
+    identity that makes the serve filter a correct partition
+    predicate."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.text import BM25_BUCKETS, bm25_query_buckets
+
+    terms = ["spark", "hash", "merge", "window", "zebra", "a", "Ünïcode"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string").select(
+        "term",
+        (F.crc32(F.col("term").cast("binary")) % BM25_BUCKETS)
+        .cast("int")
+        .alias("bkt"),
+    )
+    spark_buckets = {r.term: r.bkt for r in df.collect()}
+    for t in terms:
+        assert bm25_query_buckets((t,)) == [spark_buckets[t]], t
+
+
+def test_bm25_serve_plan_prunes_partitions(spark, sf_dir, tmp_path):
+    """With the postings part Hive-partitioned by term_bucket, the
+    serve plan's parquet scan must carry the term_bucket partition
+    filters (only the query's buckets are read)."""
+    from syncquill_spark.operators.text import bm25_from_index, build_bm25_index
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "bm25_idx2")
+    save_index(
+        p, _partition_by={"postings": ["term_bucket"]}, **build_bm25_index(docs)
+    )
+    loaded = load_index(spark, p)
+    plan = bm25_from_index(loaded, _BM25_Q)._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan and "PartitionFilters: [" in plan
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln and "term_bucket" in ln
+    ]
+    assert scan_lines, plan
