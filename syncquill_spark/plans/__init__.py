@@ -48,7 +48,7 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #      trust anchor, the replica is the coverage net.
 #
 # R10 REGISTRATION QUEUE — now a REAL MODULE, not a plan:
-# `plans/queue_r10.py` holds six finished query/oracle pairs, each
+# `plans/queue_r10.py` holds seven finished query/oracle pairs, each
 # already verified against DuckDB at sf0.001 AND sf0.01 through the
 # exact driver fingerprint compare (`tests/test_queue_r10.py`), left
 # unregistered only because the r09 window was exactly full (policy
@@ -67,8 +67,9 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #                            the bigram-LM signal; SQL-window oracle)
 #   text_bigram_pruned_gate (KenLM-style pruned-model gate; oracle =
 #                            gate SQL with HAVING c12 >= k)
-# A winnowing-spans row would additionally need a spans-replaying
-# oracle (gaps-and-islands SQL) — unit-pinned but not queued.
+#   text_winnowing_spans    (MOSS span localization; oracle replays
+#                            selection + positions + diagonal
+#                            gaps-and-islands in SQL windows)
 #
 # Round-9 window, in order:
 #  - the 40 rows whose last driver-green is r06 (staleness 2 — the

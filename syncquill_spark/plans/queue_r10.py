@@ -328,6 +328,89 @@ def q_storage_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_from_index(reloaded, _BM25_TERMS)
 
 
+def q_text_winnowing_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style span localization of winnowing substring matches:
+    detected pairs (same parameters as ``dedup_winnowing_pairs``) are
+    localized to token spans by anchoring every shared fingerprint at
+    its positions in both documents and merging anchors on the same
+    DIAGONAL (pos_b - pos_a constant — a contiguous copied passage
+    advances both docs in lockstep) into runs wherever consecutive
+    anchors are <= window grams apart. All-int output
+    (id_a, id_b, start_a, end_a, start_b, end_b, n_anchors); the
+    oracle replays selection, positions, pair detection, and the
+    gaps-and-islands merge in plain SQL windows."""
+    from syncquill_spark.operators.text import winnowing_match_pairs
+    from syncquill_spark.plans.queries_ext import (
+        _WIN_K,
+        _WIN_MAX_DF,
+        _WIN_MIN_SHARED,
+        _WIN_W,
+    )
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_positions,
+        winnowing_match_spans,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    pairs = winnowing_match_pairs(
+        documents,
+        k=_WIN_K,
+        window=_WIN_W,
+        min_shared=_WIN_MIN_SHARED,
+        max_fp_df=_WIN_MAX_DF,
+    )
+    positions = build_winnowing_positions(documents, k=_WIN_K, window=_WIN_W)
+    return winnowing_match_spans(pairs, positions, k=_WIN_K, window=_WIN_W)
+
+
+def _winnowing_spans_sql() -> str:
+    from syncquill_spark.plans.queries_ext import (
+        _WIN_K,
+        _WIN_W,
+        _winnowing_pairs_sql,
+        _winnowing_sql,
+    )
+
+    k, gap = _WIN_K, _WIN_W
+    return f"""
+WITH pos AS (
+  SELECT doc_id, fp, gram_pos FROM ({_winnowing_sql()}) p0
+),
+pairs AS (
+  SELECT id_a, id_b FROM ({_winnowing_pairs_sql()}) pr
+),
+anchors AS (
+  SELECT p.id_a, p.id_b, a.gram_pos AS pa, b.gram_pos AS pb,
+         b.gram_pos - a.gram_pos AS diag
+  FROM pairs p
+  JOIN pos a ON a.doc_id = p.id_a
+  JOIN pos b ON b.doc_id = p.id_b AND b.fp = a.fp
+),
+marked AS (
+  SELECT id_a, id_b, diag, pa, pb,
+         CASE WHEN lag(pa) OVER w IS NULL
+                   OR pa - lag(pa) OVER w > {gap}
+              THEN 1 ELSE 0 END AS new_run
+  FROM anchors
+  WINDOW w AS (PARTITION BY id_a, id_b, diag ORDER BY pa)
+),
+runs AS (
+  SELECT id_a, id_b, diag, pa, pb,
+         SUM(new_run) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa
+                            ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+)
+SELECT id_a, id_b,
+       CAST(MIN(pa) AS BIGINT) AS start_a,
+       CAST(MAX(pa) + {k - 1} AS BIGINT) AS end_a,
+       CAST(MIN(pb) AS BIGINT) AS start_b,
+       CAST(MAX(pb) + {k - 1} AS BIGINT) AS end_b,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors
+FROM runs
+GROUP BY id_a, id_b, diag, run
+"""
+
+
 QUEUE_QUERIES = {
     "storage_simhash_index": q_storage_simhash_index,
     "dedup_simhash_against": q_dedup_simhash_against,
@@ -335,6 +418,7 @@ QUEUE_QUERIES = {
     "curation_lm_buckets": q_curation_lm_buckets,
     "text_bigram_pruned_gate": q_text_bigram_pruned_gate,
     "storage_bm25_index": q_storage_bm25_index,
+    "text_winnowing_spans": q_text_winnowing_spans,
 }
 
 QUEUE_ORACLES = {
@@ -344,4 +428,5 @@ QUEUE_ORACLES = {
     "curation_lm_buckets": _lm_buckets_sql(),
     "text_bigram_pruned_gate": _bigram_pruned_gate_sql(),
     "storage_bm25_index": _bm25_sql(),
+    "text_winnowing_spans": _winnowing_spans_sql(),
 }
