@@ -929,14 +929,35 @@ def stratum_order_stat_values(
     """
     if not (0.0 < frac <= 1.0):
         raise ValueError(f"frac must be in (0, 1], got {frac}")
-    if bracket_delta is None:
-        bracket_delta = max(4.0 / accuracy, 1e-6)
     strat = [stratify_col] if stratify_col else ["_strat"]
     skinny = df.select(id_col, signal_col, *([stratify_col] if stratify_col else []))
     if not stratify_col:
         skinny = skinny.withColumn("_strat", F.lit(0))
     skinny = skinny.persist(StorageLevel.MEMORY_AND_DISK)
+    out = _order_stat_cutoff(
+        skinny, signal_col, frac, id_col, strat, accuracy, bracket_delta
+    )
+    return out if stratify_col else out.select("cutoff")
 
+
+def _order_stat_cutoff(
+    skinny: DataFrame,
+    signal_col: str,
+    frac: float,
+    id_col: str,
+    strat: list[str],
+    accuracy: int,
+    bracket_delta: float | None,
+) -> DataFrame:
+    """The bracketed order-statistic core over an already-PERSISTED
+    skinny (id, signal, stratum) frame — factored out so callers that
+    need several cutoffs over the same signal (``quality_value_buckets``
+    needs two) pay the upstream signal subtree ONCE (the
+    multi-consumer persist doctrine, as in quality_percentile_filter)."""
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if bracket_delta is None:
+        bracket_delta = max(4.0 / accuracy, 1e-6)
     q = 1.0 - frac
     p_lo, p_hi = max(0.0, q - bracket_delta), min(1.0, q + bracket_delta)
     sig = F.col(signal_col)
@@ -989,8 +1010,7 @@ def stratum_order_stat_values(
         .filter(F.col("_rk") == F.col("_k"))
         .select(*strat, sig.alias("cutoff"))
     )
-    out = boundary_val.unionByName(fallback_val)
-    return out if stratify_col else out.select("cutoff")
+    return boundary_val.unionByName(fallback_val)
 
 
 def quality_value_buckets(
@@ -1030,23 +1050,31 @@ def quality_value_buckets(
         raise ValueError(
             f"frac_head + frac_tail must be <= 1, got {frac_head} + {frac_tail}"
         )
-    strat = [stratify_col] if stratify_col else []
-    heads = stratum_order_stat_values(
-        df, signal_col, frac_head, id_col, stratify_col, accuracy
-    )
-    tails = stratum_order_stat_values(
-        df, signal_col, 1.0 - frac_tail, id_col, stratify_col, accuracy
-    )
-    heads = heads.withColumnRenamed("cutoff", "_v_head")
-    tails = tails.withColumnRenamed("cutoff", "_v_tail")
-    cuts = (
-        heads.join(tails, strat)
-        if stratify_col
-        else heads.crossJoin(tails)  # two one-row frames
-    )
-    joined = (
-        df.join(F.broadcast(cuts), strat) if stratify_col else df.crossJoin(F.broadcast(cuts))
-    )
+    if not (0.0 < frac_head and 0.0 <= frac_tail < 1.0):
+        raise ValueError(
+            f"need frac_head > 0 and 0 <= frac_tail < 1, "
+            f"got {frac_head} / {frac_tail}"
+        )
+    strat = [stratify_col] if stratify_col else ["_strat"]
+    # ONE persisted skinny feeds both cutoff extractions (each scans it
+    # three times: stats, region counts, boundary/fallback rank) — the
+    # upstream signal subtree (often a full tokenization) is paid once,
+    # not once per cutoff (the quality_percentile_filter doctrine).
+    skinny = df.select(id_col, signal_col, *([stratify_col] if stratify_col else []))
+    if not stratify_col:
+        skinny = skinny.withColumn("_strat", F.lit(0))
+    skinny = skinny.persist(StorageLevel.MEMORY_AND_DISK)
+    heads = _order_stat_cutoff(
+        skinny, signal_col, frac_head, id_col, strat, accuracy, None
+    ).withColumnRenamed("cutoff", "_v_head")
+    tails = _order_stat_cutoff(
+        skinny, signal_col, 1.0 - frac_tail, id_col, strat, accuracy, None
+    ).withColumnRenamed("cutoff", "_v_tail")
+    cuts = heads.join(tails, strat)
+    base = df if stratify_col else df.withColumn("_strat", F.lit(0))
+    joined = base.join(F.broadcast(cuts), strat)
+    if not stratify_col:
+        joined = joined.drop("_strat")
     sig = F.col(signal_col)
     bucket = (
         F.when(sig.isNull(), F.lit("tail"))

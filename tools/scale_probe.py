@@ -381,6 +381,57 @@ def main() -> None:
                 f"sec={sec:.2f} docs_per_sec={n_docs / sec:.0f}",
                 flush=True,
             )
+        if "bm25" in families:
+            # serve-layout probe (BM25 sibling of the ivfpq one): score
+            # from text (tokenizes the whole corpus every query) vs
+            # serving from the persisted term-bucket-partitioned index
+            # (build paid ONCE outside the timed serve; the postings
+            # scan partition-prunes to the query's crc32 buckets).
+            # Fixture note: replica token suffixing means the query
+            # terms match only the base replica, so posting lists are
+            # CONSTANT as m grows — serve wall should be flat while
+            # from-text grows with the corpus; on a real corpus both
+            # grow with term document frequency, never with total
+            # corpus tokens.
+            import shutil
+            import tempfile
+
+            from syncquill_spark.operators.text import (
+                bm25_from_index,
+                bm25_scores,
+                build_bm25_index,
+            )
+            from syncquill_spark.sources.index_store import load_index, save_index
+
+            terms = ("spark", "hash", "merge", "window")
+            tmp = tempfile.mkdtemp(prefix="sq_bm25_probe_")
+            path = f"{tmp}/idx"
+            t0 = time.time()
+            save_index(
+                path,
+                _partition_by={"postings": ["term_bucket"]},
+                **build_bm25_index(corpus),
+            )
+            build_s = time.time() - t0
+            loaded = load_index(spark, path)
+            sec_t, rows_t = probe(
+                "bm25_from_text", lambda c: bm25_scores(c, terms), corpus
+            )
+            sec_i, rows_i = probe(
+                "bm25_from_index",
+                lambda c: bm25_from_index(loaded, terms),
+                corpus,
+            )
+            print(
+                f"bm25_from_text m={m} docs={n_docs} rows={rows_t} sec={sec_t:.2f}",
+                flush=True,
+            )
+            print(
+                f"bm25_from_index m={m} docs={n_docs} rows={rows_i} "
+                f"sec={sec_i:.2f} build_sec={build_s:.2f}",
+                flush=True,
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
         corpus.unpersist()
 
         if "sim" in families or "ivfpq" in families:
