@@ -1580,6 +1580,8 @@ def ivfpq_build_index(
     vec_col: str = "embedding",
     residual: bool = False,
     lloyd_iters: int = 0,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Build the persisted IVF-PQ index — the cell-CO-LOCATED code
     layout the round-8 verdict asked for (`ivfpq_topk`'s one remaining
@@ -1603,17 +1605,34 @@ def ivfpq_build_index(
     one-shot composition of the same arithmetic); ``residual`` /
     ``lloyd_iters`` choose the layout and training exactly as there —
     record the choice with the index, the serve call must match
-    ``residual``."""
+    ``residual``.
+
+    ``centroids`` / ``codebook``: optional PREBUILT parts in the
+    serve format ((cell_id, centroid) / (code, sub, cbv)) — given
+    together, training is skipped entirely and the corpus is assigned
+    and encoded against the FROZEN parts. This is the incremental
+    append's contract (``merge_ivfpq_index``): deployed ANN systems
+    encode new vectors against the existing quantizer and retrain on
+    their own schedule (err_q drift is the retrain signal), because
+    re-deriving centroids per batch would re-encode the corpus."""
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    if (centroids is None) != (codebook is None):
+        raise ValueError("centroids and codebook must be given together")
     sd = dim // m_sub
-    cents = _ivf_centroids(corpus, n_cells, 0, id_col, vec_col)
+    if centroids is not None:
+        cents = centroids.select("cell_id", F.col("centroid").alias("_ucv"))
+    else:
+        cents = _ivf_centroids(corpus, n_cells, 0, id_col, vec_col)
     assigned = _pq_assign_cells(corpus, cents, id_col, vec_col)
     if residual:
         frame, fcol = _pq_residual_frame(corpus, cents, id_col, vec_col), "_rv"
     else:
         frame, fcol = corpus.select(id_col, vec_col), vec_col
-    cb = _pq_codebook(frame, m_sub, k_codes, dim, id_col, fcol, lloyd_iters)
+    if codebook is not None:
+        cb = codebook.select("code", "sub", F.col("cbv").alias("_cbv"))
+    else:
+        cb = _pq_codebook(frame, m_sub, k_codes, dim, id_col, fcol, lloyd_iters)
     codes = _pq_best_codes(frame, cb, m_sub, sd, id_col, fcol, []).select(
         id_col,
         F.col("sub").cast("long").alias("sub"),
@@ -1625,6 +1644,54 @@ def ivfpq_build_index(
         "codes": codes.join(assigned, id_col).select(
             "cell_id", id_col, "sub", "code"
         ),
+    }
+
+
+def merge_ivfpq_index(
+    index: dict[str, DataFrame],
+    batch: DataFrame,
+    m_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> dict[str, DataFrame]:
+    """Incremental IVF-PQ maintenance — the last index family to gain
+    the batch-sized append every other family has (MinHash, SRP,
+    winnowing, SimHash, bigram-LM, BM25): only the BATCH's floats are
+    read; its vectors are assigned and encoded against the STORED
+    centroids + codebook (the frozen-quantizer contract of deployed
+    ANN systems — FAISS-style add() vs train()), and its codes append
+    to the stored cell-co-located codes part. Centroids and codebook
+    pass through unchanged, so every query's LUT — and therefore every
+    existing vector's score — is untouched by an append.
+
+    Parity (unit-pinned): the merged index equals
+    ``ivfpq_build_index(corpus+batch, centroids=stored,
+    codebook=stored)`` part-for-part, and serving from it equals
+    serving from that rebuilt index row-for-row, in plain AND residual
+    modes. NOT pinned (by design): equality with a from-scratch
+    rebuild, whose centroids/codebook would differ — monitor err_q on
+    appended batches and retrain when it drifts; ``residual`` must
+    match the build. Batch ids must be new (single-writer contract)."""
+    batch_parts = ivfpq_build_index(
+        batch,
+        m_sub=m_sub,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        residual=residual,
+        centroids=index["centroids"],
+        codebook=index["codebook"],
+    )
+    return {
+        "centroids": index["centroids"],
+        "codebook": index["codebook"],
+        # normalize column order: a LOADED codes part has the Hive
+        # partition column (cell_id) appended last by discovery
+        "codes": index["codes"]
+        .select("cell_id", id_col, "sub", "code")
+        .unionByName(batch_parts["codes"]),
     }
 
 

@@ -660,3 +660,95 @@ def test_simhash_gate_in_foreachbatch_stream(spark, tmp_path):
         ).collect()
     )
     assert sorted(got) == expect and len(expect) > 0
+
+
+def test_ivfpq_index_merge_appends_against_frozen_quantizer(spark, tmp_path, sf_dir):
+    """merge_ivfpq_index: only the batch is read; its codes are
+    computed against the STORED centroids+codebook (frozen-quantizer
+    append). Pins: merged == build(corpus+batch, centroids=stored,
+    codebook=stored) part-for-part; serving from the merged index ==
+    serving from that rebuilt index row-for-row; existing codes are
+    byte-identical after the append — in plain and residual modes."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_topk_from_index,
+        merge_ivfpq_index,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for residual in (False, True):
+        path = str(tmp_path / f"ivfpq_m_{residual}")
+        save_index(
+            path,
+            _partition_by={"codes": ["cell_id"]},
+            **ivfpq_build_index(half, n_cells=8, residual=residual),
+        )
+        stored = load_index(spark, path)
+        merged = merge_ivfpq_index(stored, batch, residual=residual)
+
+        rebuilt = ivfpq_build_index(
+            emb,
+            n_cells=8,
+            residual=residual,
+            centroids=stored["centroids"],
+            codebook=stored["codebook"],
+        )
+        for part in ("centroids", "codebook", "codes"):
+            got = sorted(map(tuple, merged[part].collect()))
+            want = sorted(map(tuple, rebuilt[part].collect()))
+            assert got == want, f"residual={residual}: {part} differs"
+
+        # stored codes untouched by the append
+        cols = ["cell_id", "vec_id", "sub", "code"]
+        stored_codes = sorted(map(tuple, stored["codes"].select(*cols).collect()))
+        merged_half = sorted(
+            map(
+                tuple,
+                merged["codes"]
+                .filter(F.col("vec_id") % 2 == 0)
+                .select(*cols)
+                .collect(),
+            )
+        )
+        assert merged_half == stored_codes
+
+        got_serve = sorted(
+            map(
+                tuple,
+                ivfpq_topk_from_index(
+                    q, merged, k=5, nprobe=2, residual=residual
+                ).collect(),
+            )
+        )
+        want_serve = sorted(
+            map(
+                tuple,
+                ivfpq_topk_from_index(
+                    q, rebuilt, k=5, nprobe=2, residual=residual
+                ).collect(),
+            )
+        )
+        assert got_serve == want_serve and len(got_serve) > 0
+
+
+def test_ivfpq_build_prebuilt_parts_guard(spark, sf_dir):
+    """centroids/codebook must be given together — one without the
+    other is a contract error, not a silent half-frozen build."""
+    import pytest as _pytest
+
+    from syncquill_spark.operators.similarity import ivfpq_build_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    idx = ivfpq_build_index(emb, n_cells=4)
+    with _pytest.raises(ValueError):
+        ivfpq_build_index(emb, n_cells=4, centroids=idx["centroids"])
+    with _pytest.raises(ValueError):
+        ivfpq_build_index(emb, n_cells=4, codebook=idx["codebook"])
