@@ -70,3 +70,71 @@ def load_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         name: spark.read.parquet(os.path.join(path, name))
         for name in manifest["parts"]
     }
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Replicate a parquet part directory via hardlinks — data bytes
+    are shared, only directory entries are created (the versioned
+    table's append trick). Partition subdirectories (e.g.
+    ``cell_id=3``) are recreated; ``_SUCCESS``/hidden bookkeeping
+    files are skipped at every level."""
+    os.makedirs(dst, exist_ok=True)
+    for entry in os.listdir(src):
+        if entry.startswith((".", "_")):
+            continue
+        s, d = os.path.join(src, entry), os.path.join(dst, entry)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            os.link(s, d)
+
+
+def append_index(
+    path: str,
+    _partition_by: dict[str, list[str]] | None = None,
+    **batches: DataFrame,
+) -> None:
+    """Append batch rows to named parts of an EXISTING index without
+    rewriting the stored data — the 100 TB nightly-merge shape: a
+    ``merge_*_index`` that unions stored + batch and then calls
+    ``save_index`` re-WRITES the whole corpus-sized part every batch;
+    this writes ONLY the batch's rows (plus one hardlink per existing
+    data file, a metadata-only operation on the same filesystem) and
+    swaps the new directory in with the same all-or-nothing
+    renameat2 exchange as ``save_index``. Readers still see the
+    complete old or the complete new index, never a mix.
+
+    Valid ONLY for parts whose merge semantics are row-APPEND (the
+    per-doc/per-vector parts: MinHash signatures, winnowing (corpus_id,
+    fp) rows, SimHash fingerprints, BM25 postings/doclens, IVF-PQ
+    codes — with batch ids new by the single-writer contract).
+    Aggregated parts (winnowing (fp, df), BM25 dfreq/stats, bigram
+    c1/c12) change existing rows on merge and MUST go through
+    ``save_index``; passing one here would silently duplicate keys, so
+    pair this with a rewrite of those (small, aggregated) parts via a
+    follow-up ``save_index`` of the whole index only when they exist —
+    or better, keep them derivable and rebuild them from the appended
+    part on load. Parts not named pass through untouched (hardlinked).
+    New part names are allowed and extend the manifest (e.g. adding a
+    positions part to a winnowing index after the fact).
+
+    ``_partition_by``: {part: [cols]} for parts stored Hive-partitioned
+    (the batch writes into the matching partition subdirectories).
+    """
+    if not batches:
+        raise ValueError("append_index needs at least one named batch part")
+    with open(os.path.join(path, "_index_manifest.json")) as fh:
+        manifest = json.load(fh)
+    existing = set(manifest["parts"])
+    staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging)
+    for name in existing:
+        _link_tree(os.path.join(path, name), os.path.join(staging, name))
+    for name, df in batches.items():
+        writer = df.write.mode("append")
+        if _partition_by and name in _partition_by:
+            writer = writer.partitionBy(*_partition_by[name])
+        writer.parquet(os.path.join(staging, name))
+    with open(os.path.join(staging, "_index_manifest.json"), "w") as fh:
+        json.dump({"parts": sorted(existing | set(batches))}, fh)
+    atomic_replace_dir(staging, path)

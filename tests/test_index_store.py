@@ -752,3 +752,105 @@ def test_ivfpq_build_prebuilt_parts_guard(spark, sf_dir):
         ivfpq_build_index(emb, n_cells=4, centroids=idx["centroids"])
     with _pytest.raises(ValueError):
         ivfpq_build_index(emb, n_cells=4, codebook=idx["codebook"])
+
+
+def test_append_index_equals_save_over(spark, tmp_path):
+    """append_index(batch rows) must load back identical to
+    save_index(stored ∪ batch), while leaving the original data files
+    hardlinked in place (batch-sized write cost) — flat and
+    Hive-partitioned parts, plus a new part extending the manifest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.sources.index_store import append_index
+
+    docs = _simhash_corpus(spark)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # flat part
+    p1 = str(tmp_path / "app_idx")
+    save_index(p1, rows=half)
+    before = {
+        f: os.stat(os.path.join(p1, "rows", f)).st_ino
+        for f in os.listdir(os.path.join(p1, "rows"))
+        if not f.startswith((".", "_"))
+    }
+    append_index(p1, rows=batch)
+    got = sorted(map(tuple, load_index(spark, p1)["rows"].collect()))
+    want = sorted(map(tuple, docs.collect()))
+    assert got == want
+    after = {
+        f: os.stat(os.path.join(p1, "rows", f)).st_ino
+        for f in os.listdir(os.path.join(p1, "rows"))
+        if not f.startswith((".", "_"))
+    }
+    # original files survive as hardlinks (same names, same inodes)
+    assert set(before) <= set(after)
+    assert all(after[f] == ino for f, ino in before.items())
+    assert len(after) > len(before)  # batch added its own files
+
+    # Hive-partitioned part + a NEW part in the same call
+    pb = {"bucketed": ["b"]}
+    halfb = half.withColumn("b", (F.col("doc_id") % 3).cast("int"))
+    batchb = batch.withColumn("b", (F.col("doc_id") % 3).cast("int"))
+    p2 = str(tmp_path / "app_idx_part")
+    save_index(p2, _partition_by=pb, bucketed=halfb)
+    append_index(p2, _partition_by=pb, bucketed=batchb, extra=batch)
+    loaded = load_index(spark, p2)
+    gotb = sorted(
+        (r.doc_id, r.text, r.b)
+        for r in loaded["bucketed"].collect()
+    )
+    wantb = sorted(
+        (r.doc_id, r.text, r.b)
+        for r in docs.withColumn("b", (F.col("doc_id") % 3).cast("int")).collect()
+    )
+    assert gotb == wantb
+    assert sorted(map(tuple, loaded["extra"].collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    dirs = [d for d in os.listdir(os.path.join(p2, "bucketed")) if d.startswith("b=")]
+    assert len(dirs) == 3
+
+
+def test_append_index_winnowing_gate_parity(spark, sf_dir, tmp_path):
+    """The deployment recipe end-to-end: winnowing fps appended
+    batch-sized via append_index (the (fp, df) part re-derived from
+    the stored rows on load), gate matches == full-rebuild cross
+    pairs — identical to the save-over path."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.sources.index_store import append_index
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        winnowing_fp_df,
+        winnowing_matches_against,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    corpus_a = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus_b = docs.filter(F.col("doc_id") % 4 == 2)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+
+    p = str(tmp_path / "win_app")
+    save_index(p, fps=build_winnowing_index(corpus_a))
+    append_index(p, fps=build_winnowing_index(corpus_b))
+    stored = load_index(spark, p)["fps"]
+
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    got = sorted(
+        (r.id_new, r.id_corpus, r.n_shared)
+        for r in winnowing_matches_against(
+            probe, stored, min_shared=1, max_fp_df=20,
+            index_df=winnowing_fp_df(stored),
+        ).collect()
+    )
+    want = sorted(
+        (r.id_new, r.id_corpus, r.n_shared)
+        for r in winnowing_matches_against(
+            probe, build_winnowing_index(corpus), min_shared=1, max_fp_df=20,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
