@@ -46,21 +46,24 @@ def q_storage_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash index LIFECYCLE under the gate — the fourth and last
     dedup index family's symmetry row (MinHash r06, SRP r06, winnowing
     r08): build the (corpus_id, simhash) index over half the corpus
-    (even doc_ids), persist via ``index_store.save_index``, reload,
-    extend with the other half via ``merge_simhash_index`` (only the
-    batch is tokenized — stored rows reused as-is), persist the merged
-    index OVER the first (atomic exchange), reload, and emit near-dup
-    pairs from the stored rows alone (``simhash_pairs_from_index`` —
-    no text touched). Oracle = ``dedup_simhash_pairs``' own SQL twin
+    (even doc_ids), persist via ``index_store.save_index``, extend
+    with the other half via the batch-I/O ``append_index`` (only the
+    batch is tokenized AND only its rows are written — stored files
+    carried as hardlinks behind one atomic swap), reload, and emit
+    near-dup pairs from the stored rows alone
+    (``simhash_pairs_from_index`` — no text touched). Oracle = ``dedup_simhash_pairs``' own SQL twin
     over ALL documents: append must be indistinguishable from
     rebuild."""
     import os as _os
     import tempfile as _tempfile
 
-    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.sources.index_store import (
+        append_index,
+        load_index,
+        save_index,
+    )
     from syncquill_spark.streaming.text_dedup import (
         build_simhash_index,
-        merge_simhash_index,
         simhash_pairs_from_index,
     )
 
@@ -70,9 +73,10 @@ def q_storage_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = build_simhash_index(first_half, bits=_SIMHASH_BITS)
     path = _os.path.join(_tempfile.mkdtemp(prefix="sq_sh_idx_"), "sh_idx")
     save_index(path, fps=fps)
-    loaded = load_index(spark, path)
-    merged = merge_simhash_index(loaded["fps"], batch, bits=_SIMHASH_BITS)
-    save_index(path, fps=merged)  # atomic in-place replace
+    # the batch-I/O nightly merge: only the batch's rows are written,
+    # stored files carried as hardlinks, one atomic swap (equivalent
+    # to merge_simhash_index + save-over, which rewrites the corpus)
+    append_index(path, fps=build_simhash_index(batch, bits=_SIMHASH_BITS))
     reloaded = load_index(spark, path)
     return simhash_pairs_from_index(
         reloaded["fps"], bits=_SIMHASH_BITS, max_hamming=_SIMHASH_MAX_HAMMING
@@ -314,7 +318,11 @@ def q_storage_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_bm25_index,
     )
     from syncquill_spark.plans.queries_ext import _BM25_TERMS
-    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.sources.index_store import (
+        append_index,
+        load_index,
+        save_index,
+    )
 
     (documents,) = load_tables(spark, sf_dir, "documents")
     first_half = documents.filter(F.col("doc_id") % 2 == 0)
@@ -322,8 +330,18 @@ def q_storage_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_by = {"postings": ["term_bucket"]}
     path = _os.path.join(_tempfile.mkdtemp(prefix="sq_bm25_"), "bm25_idx")
     save_index(path, _partition_by=part_by, **build_bm25_index(first_half))
+    # the full nightly merge in ONE atomic commit: row parts appended
+    # batch-sized (postings, doclens), the small aggregated parts
+    # (dfreq, stats) rewritten with their merged frames
     merged = merge_bm25_index(load_index(spark, path), batch)
-    save_index(path, _partition_by=part_by, **merged)  # atomic replace
+    batch_only = build_bm25_index(batch)
+    append_index(
+        path,
+        _partition_by=part_by,
+        _replace={"dfreq": merged["dfreq"], "stats": merged["stats"]},
+        postings=batch_only["postings"],
+        doclens=batch_only["doclens"],
+    )
     reloaded = load_index(spark, path)
     return bm25_from_index(reloaded, _BM25_TERMS)
 

@@ -92,6 +92,7 @@ def _link_tree(src: str, dst: str) -> None:
 def append_index(
     path: str,
     _partition_by: dict[str, list[str]] | None = None,
+    _replace: dict[str, DataFrame] | None = None,
     **batches: DataFrame,
 ) -> None:
     """Append batch rows to named parts of an EXISTING index without
@@ -109,32 +110,44 @@ def append_index(
     fp) rows, SimHash fingerprints, BM25 postings/doclens, IVF-PQ
     codes — with batch ids new by the single-writer contract).
     Aggregated parts (winnowing (fp, df), BM25 dfreq/stats, bigram
-    c1/c12) change existing rows on merge and MUST go through
-    ``save_index``; passing one here would silently duplicate keys, so
-    pair this with a rewrite of those (small, aggregated) parts via a
-    follow-up ``save_index`` of the whole index only when they exist —
-    or better, keep them derivable and rebuild them from the appended
-    part on load. Parts not named pass through untouched (hardlinked).
-    New part names are allowed and extend the manifest (e.g. adding a
-    positions part to a winnowing index after the fact).
+    c1/c12) change existing rows on merge and cannot be row-appended
+    (duplicate keys) — pass their MERGED frames via ``_replace``
+    instead: those parts are written fresh in the same staging dir and
+    commit in the SAME atomic swap, so one call performs the complete
+    nightly merge (append the row parts, rewrite the small aggregated
+    parts) with no window where the parts disagree. Parts in neither
+    dict pass through untouched (hardlinked). New part names are
+    allowed in both and extend the manifest (e.g. adding a positions
+    part to a winnowing index after the fact).
 
     ``_partition_by``: {part: [cols]} for parts stored Hive-partitioned
-    (the batch writes into the matching partition subdirectories).
+    (appends write into the matching partition subdirectories).
     """
-    if not batches:
-        raise ValueError("append_index needs at least one named batch part")
+    _replace = _replace or {}
+    if not batches and not _replace:
+        raise ValueError("append_index needs at least one batch or _replace part")
+    overlap = set(batches) & set(_replace)
+    if overlap:
+        raise ValueError(f"parts cannot be both appended and replaced: {sorted(overlap)}")
     with open(os.path.join(path, "_index_manifest.json")) as fh:
         manifest = json.load(fh)
     existing = set(manifest["parts"])
     staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
     os.makedirs(staging)
-    for name in existing:
+    for name in existing - set(_replace):
         _link_tree(os.path.join(path, name), os.path.join(staging, name))
     for name, df in batches.items():
         writer = df.write.mode("append")
         if _partition_by and name in _partition_by:
             writer = writer.partitionBy(*_partition_by[name])
         writer.parquet(os.path.join(staging, name))
+    for name, df in _replace.items():
+        writer = df.write.mode("overwrite")
+        if _partition_by and name in _partition_by:
+            writer = writer.partitionBy(*_partition_by[name])
+        writer.parquet(os.path.join(staging, name))
     with open(os.path.join(staging, "_index_manifest.json"), "w") as fh:
-        json.dump({"parts": sorted(existing | set(batches))}, fh)
+        json.dump(
+            {"parts": sorted(existing | set(batches) | set(_replace))}, fh
+        )
     atomic_replace_dir(staging, path)

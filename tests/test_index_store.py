@@ -854,3 +854,65 @@ def test_append_index_winnowing_gate_parity(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_append_index_with_replace_parts(spark, sf_dir, tmp_path):
+    """One atomic call per nightly merge: row parts appended, small
+    aggregated parts rewritten — committed in the same swap. Pinned
+    against the save-over path on the winnowing two-part index, plus
+    the append/replace-overlap guard."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.sources.index_store import append_index
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        merge_winnowing_df,
+        winnowing_fp_df,
+        winnowing_pairs_from_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    p = str(tmp_path / "win_app_rep")
+    fps0 = build_winnowing_index(half)
+    save_index(p, fps=fps0, fpdf=winnowing_fp_df(fps0))
+    loaded = load_index(spark, p)
+    batch_fps = build_winnowing_index(batch)
+    append_index(
+        p,
+        _replace={"fpdf": merge_winnowing_df(loaded["fpdf"], batch_fps)},
+        fps=batch_fps,
+    )
+    stored = load_index(spark, p)
+
+    # stored (fp, df) == recount over the merged rows
+    got_df = sorted(map(tuple, stored["fpdf"].collect()))
+    want_df = sorted(map(tuple, winnowing_fp_df(stored["fps"]).collect()))
+    assert got_df == want_df
+
+    # pairs from the appended index (stored-df hub cap) == full rebuild
+    got = sorted(
+        map(
+            tuple,
+            winnowing_pairs_from_index(
+                stored["fps"], min_shared=1, max_fp_df=20,
+                index_df=stored["fpdf"],
+            ).collect(),
+        )
+    )
+    full = build_winnowing_index(docs)
+    want = sorted(
+        map(
+            tuple,
+            winnowing_pairs_from_index(
+                full, min_shared=1, max_fp_df=20
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    with _pytest.raises(ValueError):
+        append_index(p, _replace={"fps": batch_fps}, fps=batch_fps)
