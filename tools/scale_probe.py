@@ -381,6 +381,72 @@ def main() -> None:
                 f"sec={sec:.2f} docs_per_sec={n_docs / sec:.0f}",
                 flush=True,
             )
+        if "appendio" in families:
+            # persistence-cost probe for the nightly index merge: a
+            # FIXED batch committed into a growing stored index via
+            # (a) save-over of the merged frame (rewrites the whole
+            # part) vs (b) append_index (writes only the batch's rows,
+            # hardlinks the rest). Batch fingerprints are persisted
+            # first so both paths time the COMMIT, not the fingerprint
+            # compute.
+            import shutil
+            import tempfile
+
+            from syncquill_spark.sources.index_store import (
+                append_index,
+                load_index,
+                save_index,
+            )
+            from syncquill_spark.streaming.text_dedup import build_winnowing_index
+
+            base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            batch_docs = base.select(
+                (F.col("doc_id") + 10**12).alias("doc_id"), "text"
+            )
+            tmp = tempfile.mkdtemp(prefix="sq_appendio_")
+            p_save, p_app = f"{tmp}/save", f"{tmp}/app"
+            fps = build_winnowing_index(corpus)
+            save_index(p_save, fps=fps)
+            save_index(p_app, fps=fps)
+            batch_fps = build_winnowing_index(batch_docs).persist()
+            nb = batch_fps.count()
+            def _files(p):
+                d = os.path.join(p, "fps")
+                return {
+                    f: os.stat(os.path.join(d, f)).st_size
+                    for f in os.listdir(d)
+                    if not f.startswith((".", "_"))
+                }
+
+            before_save, before_app = _files(p_save), _files(p_app)
+            stored = load_index(spark, p_save)["fps"]
+            t0 = time.time()
+            save_index(p_save, fps=stored.unionByName(batch_fps))
+            sec_save = time.time() - t0
+            t0 = time.time()
+            append_index(p_app, fps=batch_fps)
+            sec_app = time.time() - t0
+            # bytes actually WRITTEN by the commit = files not carried
+            # over from the previous version (hardlinks keep name+size)
+            after_save, after_app = _files(p_save), _files(p_app)
+            wrote_save = sum(
+                sz for f, sz in after_save.items() if f not in before_save
+            )
+            wrote_app = sum(
+                sz for f, sz in after_app.items() if f not in before_app
+            )
+            print(
+                f"index_save_over m={m} docs={n_docs} batch_rows={nb} "
+                f"sec={sec_save:.2f} bytes_written={wrote_save}",
+                flush=True,
+            )
+            print(
+                f"index_append m={m} docs={n_docs} batch_rows={nb} "
+                f"sec={sec_app:.2f} bytes_written={wrote_app}",
+                flush=True,
+            )
+            batch_fps.unpersist()
+            shutil.rmtree(tmp, ignore_errors=True)
         if "bm25" in families:
             # serve-layout probe (BM25 sibling of the ivfpq one): score
             # from text (tokenizes the whole corpus every query) vs
