@@ -212,3 +212,33 @@ def test_quality_filter_plans_bracketed_order_statistic(spark, sf_dir):
     # each downstream of the bracket metadata join
     assert plan.count("_v_hi") >= 2, plan[:2000]
     assert plan.count("_v_lo") >= 2, plan[:2000]
+
+
+def test_order_stat_cutoff_plans_bracketed(spark):
+    """stratum_order_stat_values / quality_value_buckets share the
+    bracketed two-pass core: the plan must carry the percentile_approx
+    bracket pass and the row_number windows must consume
+    bracket-filtered input (_v_lo/_v_hi region predicates), never a
+    whole stratum — the same shape contract as the quality filter."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.curation import (
+        quality_value_buckets,
+        stratum_order_stat_values,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", float(i % 17)) for i in range(60)],
+        "doc_id long, lang string, sig double",
+    )
+    plan = _plan(stratum_order_stat_values(df, "sig", 0.25, stratify_col="lang"))
+    assert "percentile_approx" in plan, plan[:2000]
+    assert plan.count("_v_hi") >= 1 and plan.count("_v_lo") >= 1, plan[:2000]
+
+    plan_b = _plan(
+        quality_value_buckets(
+            df, "sig", frac_head=0.1, frac_tail=0.3, stratify_col="lang"
+        )
+    )
+    assert plan_b.count("percentile_approx") >= 2, plan_b[:2000]  # two cutoffs
+    assert "_v_head" in plan_b and "_v_tail" in plan_b, plan_b[:2000]
