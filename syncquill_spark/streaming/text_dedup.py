@@ -693,3 +693,70 @@ def simhash_matches_against(
         bands=bands,
         max_band_df=max_band_df,
     )
+
+
+def winnowing_spans_against(
+    new_df: DataFrame,
+    index_fps: DataFrame,
+    index_positions: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    index_df: DataFrame | None = None,
+    merge_gap: int | None = None,
+) -> DataFrame:
+    """The CONTAMINATION REPORT: a new batch's substring matches
+    against a persisted corpus index, localized to token spans in BOTH
+    documents — the decontamination use-case (which training documents
+    overlap the eval set, and exactly WHERE), composed from the
+    ingest gate (`winnowing_matches_against`) and the MOSS span merge
+    (`winnowing_match_spans`).
+
+    Only the batch's text is read: its fingerprints AND positions come
+    from one winnowing pass; the corpus side is the stored
+    (corpus_id, fp) part for matching and the stored
+    (corpus_id, fp, gram_pos) positions part for localization. Batch
+    ids must be disjoint from corpus ids (single-writer contract),
+    which is what lets one positions frame serve both sides of the
+    span join.
+
+    Output: (id_new, id_corpus, start_new, end_new, start_corpus,
+    end_corpus, n_anchors) — all exact int64 token indices
+    (end = last gram + k - 1, inclusive).
+    """
+    from syncquill_spark.operators.text import winnowing_fingerprints
+
+    matches = winnowing_matches_against(
+        new_df,
+        index_fps,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        window=window,
+        min_shared=min_shared,
+        max_fp_df=max_fp_df,
+        index_df=index_df,
+    )
+    pairs = matches.select(
+        F.col("id_new").alias("id_a"), F.col("id_corpus").alias("id_b")
+    )
+    batch_positions = winnowing_fingerprints(
+        new_df, k=k, window=window, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("corpus_id"), "fp", "gram_pos")
+    positions = batch_positions.unionByName(
+        index_positions.select("corpus_id", "fp", "gram_pos")
+    )
+    return winnowing_match_spans(
+        pairs, positions, k=k, merge_gap=merge_gap, window=window
+    ).select(
+        F.col("id_a").alias("id_new"),
+        F.col("id_b").alias("id_corpus"),
+        F.col("start_a").alias("start_new"),
+        F.col("end_a").alias("end_new"),
+        F.col("start_b").alias("start_corpus"),
+        F.col("end_b").alias("end_corpus"),
+        "n_anchors",
+    )

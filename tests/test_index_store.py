@@ -916,3 +916,77 @@ def test_append_index_with_replace_parts(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         append_index(p, _replace={"fps": batch_fps}, fps=batch_fps)
+
+
+def test_winnowing_spans_against_contamination_report(spark, tmp_path):
+    """Cross-corpus span localization (the decontamination report):
+    batch-vs-index matches localized to token spans must equal the
+    within-corpus span merge over corpus+batch restricted to cross
+    pairs — same diagonals, same runs — and the corpus side reads
+    only the stored fps + positions parts."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        build_winnowing_positions,
+        winnowing_match_spans,
+        winnowing_pairs_from_index,
+        winnowing_spans_against,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight again"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (3, "completely unrelated text about something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, f"one two three four {shared}"),
+            (102, "another unrelated new document arriving at ingest"),
+        ],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "win_spans_idx")
+    save_index(
+        p,
+        fps=build_winnowing_index(corpus),
+        positions=build_winnowing_positions(corpus),
+    )
+    loaded = load_index(spark, p)
+
+    got = sorted(
+        map(
+            tuple,
+            winnowing_spans_against(
+                batch, loaded["fps"], loaded["positions"], min_shared=2
+            ).collect(),
+        )
+    )
+
+    # rebuild equivalent: spans over corpus+batch, cross pairs only
+    both = corpus.unionByName(batch)
+    fps_all = build_winnowing_index(both)
+    pairs_all = winnowing_pairs_from_index(fps_all, min_shared=2)
+    cross = pairs_all.filter(
+        ((F.col("id_a") < 100) & (F.col("id_b") >= 100))
+        | ((F.col("id_a") >= 100) & (F.col("id_b") < 100))
+    )
+    spans_all = winnowing_match_spans(
+        cross.select("id_a", "id_b"), build_winnowing_positions(both)
+    )
+    # orient (new, corpus): batch ids are >= 100; pairs orient id_a<id_b
+    want = sorted(
+        (
+            r.id_b, r.id_a,
+            r.start_b, r.end_b, r.start_a, r.end_a, r.n_anchors,
+        )
+        for r in spans_all.collect()
+    )
+    assert got == want and len(got) == 1
+    (row,) = got
+    # doc 101 carries the passage after a 4-token prefix, doc 1 after 2
+    assert row[0] == 101 and row[1] == 1
+    assert row[2] - row[4] == 2 and row[3] - row[5] == 2
