@@ -157,3 +157,114 @@ def test_nightly_versioned_index_recipe(spark, tmp_path):
         (r.doc_id, r.text) for r in corpus_tbl.read(spark).collect()
     ) == pre
     assert corpus_tbl.read_version(spark, 2).count() == 3  # rollback target intact
+
+
+def test_streaming_ingest_with_index_append(spark, tmp_path):
+    """Day-in-the-life of the ingest path built this round: a stream
+    of microbatches is gated against a PERSISTED SimHash index and a
+    PERSISTED bigram-LM quality model via foreachBatch, and each
+    batch's survivors are appended to the index batch-I/O
+    (append_index), so a later batch's near-copy of an EARLIER batch's
+    survivor is caught — the index grows mid-stream without a corpus
+    rewrite."""
+    import os
+
+    from syncquill_spark.operators.text import (
+        bigram_score_against,
+        build_bigram_model,
+    )
+    from syncquill_spark.sources.index_store import (
+        append_index,
+        load_index,
+        save_index,
+    )
+    from syncquill_spark.streaming.text_dedup import (
+        build_simhash_index,
+        simhash_matches_against,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog near the river"
+    corpus = spark.createDataFrame(
+        [(1, fluent), (2, "pack my box with five dozen liquor jugs today")],
+        "doc_id long, text string",
+    )
+    # batch 1 (epoch 0): 101 is new text sharing model bigrams but far
+    # from the corpus (hamming >= 7); 102 duplicates corpus doc 1
+    b1 = [
+        (101, "a story about the quick brown bear who naps by the river bank"),
+        (102, fluent),
+    ]
+    # batch 2 (epoch 1): 201 near-copies batch-1 survivor 101 (hamming
+    # 3 to 101 but >= 4 to every CORPUS doc — only the APPENDED index
+    # catches it); 202 is new (hamming >= 7 from everything kept)
+    b2 = [
+        (201, "a story about the quick brown bear who naps by the river edge"),
+        (202, "many unrelated words describe the river and the fox today"),
+    ]
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    idx_path = str(tmp_path / "ingest_idx")
+    save_index(idx_path, fps=build_simhash_index(corpus))
+    c1, c12 = build_bigram_model(corpus)
+    c1.persist().count(), c12.persist().count()
+
+    survivors, dropped = [], []
+
+    def gate(mb, epoch):
+        stored = load_index(spark, idx_path)["fps"]
+        dupes = {
+            r.id_new
+            for r in simhash_matches_against(mb, stored, max_hamming=3).collect()
+        }
+        fresh = mb.filter(~F.col("doc_id").isin(list(dupes) or [-1]))
+        # quality gate against the stored model: drop all-unseen docs
+        scored = bigram_score_against(fresh, c1, c12)
+        ok = {r.doc_id for r in scored.filter(F.col("sum_q") > 0).collect()}
+        keep = fresh.filter(F.col("doc_id").isin(list(ok) or [-1]))
+        kept_rows = keep.collect()
+        survivors.extend(r.doc_id for r in kept_rows)
+        dropped.extend(r.doc_id for r in mb.collect() if r.doc_id not in {x.doc_id for x in kept_rows})
+        if kept_rows:
+            append_index(
+                idx_path,
+                fps=build_simhash_index(
+                    spark.createDataFrame(kept_rows, mb.schema)
+                ),
+            )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # second file arrives; resume the stream from the checkpoint
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    assert 101 in survivors          # new text passes
+    assert 102 in dropped            # exact copy of corpus doc gated
+    assert 201 in dropped            # near-copy of an EARLIER BATCH survivor
+    assert 202 in survivors          # genuinely new text passes
+    # the persisted index now carries corpus + both batches' survivors
+    final_ids = {
+        r.corpus_id for r in load_index(spark, idx_path)["fps"].collect()
+    }
+    assert final_ids == {1, 2, 101, 202}
