@@ -779,3 +779,44 @@ def test_quality_value_buckets_on_bigram_signal(spark, sf_dir):
     assert heads == langs  # ceil(frac*N) >= 1: every stratum has a head
     again = out.select("doc_id", "lang", "bucket").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "de"]),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    frac=st.sampled_from([0.05, 0.2, 0.5, 0.8, 1.0]),
+)
+def test_stratum_order_stat_matches_python_model(spark, rows, frac):
+    """Property pin for the bracketed order statistic against a pure
+    Python model over random strata, values (with duplicates), and
+    nulls: for every stratum the cutoff is exactly the
+    ceil(frac*N)-th largest signal (nulls last)."""
+    import math
+
+    from syncquill_spark.operators.curation import stratum_order_stat_values
+
+    data = [(i, lang, sig) for i, (lang, sig) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, sig int")
+    got = {
+        r.lang: r.cutoff
+        for r in stratum_order_stat_values(
+            df, "sig", frac, stratify_col="lang"
+        ).collect()
+    }
+    by_lang = {}
+    for _i, (lang, sig) in enumerate(rows):
+        by_lang.setdefault(lang, []).append(sig)
+    want = {}
+    for lang, vals in by_lang.items():
+        ordered = sorted(
+            vals, key=lambda v: (v is None, -(v if v is not None else 0))
+        )
+        want[lang] = ordered[math.ceil(frac * len(vals)) - 1]
+    assert got == want
