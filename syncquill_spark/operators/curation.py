@@ -1083,3 +1083,102 @@ def quality_value_buckets(
         .otherwise(F.lit("middle"))
     )
     return joined.withColumn(bucket_col, bucket).drop("_v_head", "_v_tail")
+
+
+_TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "ref", "igshid",
+)
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_canonical",
+    drop_params: tuple[str, ...] = _TRACKING_PARAMS,
+) -> DataFrame:
+    """Canonical URL form for web-corpus dedup (the CC-pipeline step
+    that runs BEFORE any content hashing — most crawl duplicates are
+    the same page under cosmetically different URLs):
+
+    - scheme and host lowercased; a leading ``www.`` and default ports
+      (:80 http, :443 https) stripped from the host;
+    - fragment dropped (never reaches the server);
+    - tracking query params dropped (``drop_params``, case-insensitive
+      keys), remaining params sorted byte-wise (order never changes
+      the resource), empty query dropped;
+    - trailing slash trimmed from non-root paths; empty path -> "/".
+
+    Everything is built-in JVM expressions (parse_url + array
+    functions) — a pure projection, no shuffle, no Python. NULL or
+    schemeless values canonicalize to NULL (callers keep or route
+    them; a crawl row without a parseable URL can't be URL-deduped).
+    Deliberately NOT done (each changes which resource is named):
+    percent-decoding, IDN/punycode folding, path ``..`` collapsing.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host0 = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    host = F.regexp_replace(host0, r"^www\.", "")
+    port_suffix = F.when(
+        F.try_parse_url(u, F.lit("AUTHORITY")).rlike(":[0-9]+$"),
+        F.regexp_extract(F.try_parse_url(u, F.lit("AUTHORITY")), r":([0-9]+)$", 1),
+    ).otherwise(F.lit(""))
+    default_port = (
+        ((scheme == "http") & (port_suffix == "80"))
+        | ((scheme == "https") & (port_suffix == "443"))
+        | (port_suffix == "")
+    )
+    port = F.when(default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port_suffix)
+    )
+    path0 = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(path0 == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path0) > 1) & path0.endswith("/"),
+            F.expr(f"substring(try_parse_url({url_col}, 'PATH'), 1, length(try_parse_url({url_col}, 'PATH')) - 1)"),
+        ).otherwise(path0)
+    )
+    query0 = F.try_parse_url(u, F.lit("QUERY"))
+    dropped = F.array(*[F.lit(p) for p in drop_params])
+    params = F.filter(
+        F.split(F.coalesce(query0, F.lit("")), "&"),
+        lambda kv: (F.length(kv) > 0)
+        & ~F.array_contains(
+            dropped, F.lower(F.element_at(F.split(kv, "=", 2), 1))
+        ),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+    valid = scheme.isNotNull() & host.isNotNull() & (host != "")
+    return df.withColumn(out_col, F.when(valid, canon))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    drop_params: tuple[str, ...] = _TRACKING_PARAMS,
+) -> DataFrame:
+    """Keep ONE row per canonical URL — the survivor is the minimum id
+    (deterministic, partitioning-independent). Rows whose URL fails to
+    canonicalize (NULL/schemeless) are all KEPT: they carry no URL
+    evidence of duplication, the same null-passes contract as
+    ``filter_blocklist``. One aggregation on the canonical-URL string
+    key; content never shuffles (ids join back)."""
+    canon = canonicalize_urls(df, url_col, "_uc", drop_params)
+    keep_ids = (
+        canon.filter(F.col("_uc").isNotNull())
+        .groupBy("_uc")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .unionByName(canon.filter(F.col("_uc").isNull()).select(id_col))
+    )
+    return df.join(keep_ids, id_col)

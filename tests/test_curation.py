@@ -820,3 +820,53 @@ def test_stratum_order_stat_matches_python_model(spark, rows, frac):
         )
         want[lang] = ordered[math.ceil(frac * len(vals)) - 1]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# canonicalize_urls / url_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_urls_rules(spark):
+    from syncquill_spark.operators.curation import canonicalize_urls
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a/b?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/x/", "http://example.com/x"),
+        ("http://example.com/?fbclid=abc", "http://example.com/"),
+        ("http://example.com/p?z=1&A=2&ref=tw", "http://example.com/p?A=2&z=1"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
+    )
+    got = {
+        r.doc_id: r.url_canonical
+        for r in canonicalize_urls(df).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_url_dedup_survivor_and_null_pass(spark):
+    from syncquill_spark.operators.curation import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.example.com/a?utm_source=x"),
+            (2, "http://example.com/a"),            # same canonical as 1
+            (3, "HTTP://EXAMPLE.COM/a#section"),    # same canonical as 1
+            (4, "http://example.com/b"),
+            (5, None),                              # no URL evidence: kept
+            (6, "garbage"),                         # unparseable: kept
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(r.doc_id for r in url_dedup(df).collect())
+    assert kept == [1, 4, 5, 6]
