@@ -1055,3 +1055,22 @@ def prune_bigram_model(
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     return model_c1, model_c12.filter(F.col("c12") >= min_count)
+
+
+def bm25_topk_from_index(
+    index: dict[str, DataFrame],
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = BM25_BUCKETS,
+) -> DataFrame:
+    """Top-k retrieval from the persisted BM25 index: the serve scores
+    (`bm25_from_index`) ordered by (bm25 DESC, doc_id ASC — total,
+    deterministic) and limited to k. orderBy+limit compiles to
+    TakeOrdered: each partition keeps its local top-k and only k rows
+    per partition reach the driver-side merge — no global sort."""
+    scored = bm25_from_index(index, query_terms, k1, b, n_buckets)
+    return scored.orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(k)

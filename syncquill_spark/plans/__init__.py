@@ -70,6 +70,11 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #   text_winnowing_spans    (MOSS span localization; oracle replays
 #                            selection + positions + diagonal
 #                            gaps-and-islands in SQL windows)
+# R10 candidate TOUCHES (would enter the r10 window as plan-changed
+# rows): switch storage_winnowing_index / storage_bigram_model's
+# merge persistence from save-over to append_index(+_replace) — the
+# batch-I/O path the queued simhash/bm25 rows already exercise;
+# both oracles unchanged (persistence must change nothing).
 #
 # Round-9 window, in order:
 #  - the 40 rows whose last driver-green is r06 (staleness 2 — the

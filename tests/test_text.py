@@ -880,3 +880,28 @@ def test_bm25_serve_plan_prunes_partitions(spark, sf_dir, tmp_path):
         ln for ln in plan.splitlines() if "PartitionFilters" in ln and "term_bucket" in ln
     ]
     assert scan_lines, plan
+
+
+def test_bm25_topk_from_index(spark, sf_dir, tmp_path):
+    """Top-k serve = the k best of the full serve scores under the
+    (bm25 desc, doc_id asc) total order."""
+    from syncquill_spark.operators.text import (
+        bm25_from_index,
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "bm25_topk_idx")
+    save_index(p, _partition_by={"postings": ["term_bucket"]}, **build_bm25_index(docs))
+    loaded = load_index(spark, p)
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_from_index(loaded, _BM25_Q, k=7).collect()
+    ]
+    full = sorted(
+        ((r.doc_id, r.bm25) for r in bm25_from_index(loaded, _BM25_Q).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == full[:7] and len(got) == 7
