@@ -1074,3 +1074,56 @@ def bm25_topk_from_index(
     return scored.orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def compression_ratios(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the DataComp/RefinedWeb
+    quality signal the token-level heuristics miss from the other side:
+    HIGHLY compressible text (ratio << 1 of typical prose) is
+    boilerplate/template/repetition; nearly INcompressible text
+    (ratio ~1) is random noise, encoded binary, or ciphertext. Typical
+    natural prose sits in a band; filter both tails.
+
+    Arrow-batched ``pandas_udf`` (the sanctioned Python path — zlib is
+    stdlib C, one call per document, no model download); per-row
+    integer byte counts, no cross-row accumulation, deterministic for
+    a pinned zlib version + level. No SQL oracle twin exists (DuckDB
+    has no zlib), so this ships unit-pinned against direct zlib like
+    the other stdlib-backed UDFs.
+
+    Output: (id, n_bytes, n_bytes_zlib, compression_ratio) — exact
+    int64 counts plus their double ratio (per-row division only).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _zbytes(text):
+        import zlib
+
+        return pd.Series(
+            [
+                len(zlib.compress(t.encode("utf-8"), level)) if t is not None else 0
+                for t in text
+            ],
+            dtype="int64",
+        )
+
+    n_bytes = F.octet_length(F.col(text_col)).cast("long")
+    out = df.select(
+        F.col(id_col),
+        F.coalesce(n_bytes, F.lit(0)).alias("n_bytes"),
+        _zbytes(F.col(text_col)).alias("n_bytes_zlib"),
+    )
+    return out.withColumn(
+        "compression_ratio",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.col("n_bytes_zlib").cast("double") / F.col("n_bytes").cast("double"),
+        ),
+    )

@@ -905,3 +905,28 @@ def test_bm25_topk_from_index(spark, sf_dir, tmp_path):
         key=lambda t: (-t[1], t[0]),
     )
     assert got == full[:7] and len(got) == 7
+
+
+def test_compression_ratios_match_zlib(spark):
+    """Per-doc zlib byte counts equal direct zlib on the same bytes;
+    repetitive text compresses far below prose, null text yields 0/None."""
+    import zlib
+
+    from syncquill_spark.operators.text import compression_ratios
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratios(df).collect()}
+    for i, t in texts:
+        if t is None:
+            assert got[i].n_bytes == 0 and got[i].compression_ratio is None
+        else:
+            raw = t.encode("utf-8")
+            assert got[i].n_bytes == len(raw)
+            assert got[i].n_bytes_zlib == len(zlib.compress(raw, 6))
+    # repetition compresses much harder than prose
+    assert got[2].compression_ratio < got[1].compression_ratio
