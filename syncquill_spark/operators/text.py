@@ -638,6 +638,114 @@ def dedup_segments_within_doc(
     )
 
 
+def dedup_lines_across(
+    df: DataFrame,
+    min_docs: int = 2,
+    mode: str = "drop",
+    delimiter: str = "\n",
+    min_line_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """CROSS-document line dedup — the corpus half of segment dedup
+    (``dedup_segments_within_doc`` is the intra-doc half): a line
+    whose exact content occurs in >= ``min_docs`` DISTINCT documents
+    is boilerplate (cookie banners, nav bars, license blurbs), and the
+    public CC pipelines remove it before document-level dedup ever
+    runs (C4 drops policy lines; CCNet/RefinedWeb dedup lines across
+    each shard). Documents are rebuilt with their surviving lines in
+    original order.
+
+    Modes: ``"drop"`` removes EVERY occurrence of a cross-doc
+    duplicated line (the boilerplate policy — no occurrence is more
+    legitimate than another); ``"first"`` keeps only the globally
+    first occurrence, ordered by (id, position) — the CCNet shard
+    policy, which preserves one copy of genuinely quoted content.
+    Lines whose trimmed length is < ``min_line_chars`` (blank lines,
+    stray punctuation) never count as duplicates and are always kept:
+    they are document STRUCTURE, and dropping every blank line
+    because blank lines are everywhere would destroy it.
+
+    Shapes at 100 TB: line occurrences travel once as
+    (id, pos, h=md5-int64) rows; the distinct-doc count shuffles only
+    (h, id) pairs with map-side combine; the flagged-line set (lines
+    in >= min_docs docs) is tiny relative to the distinct-line count
+    and broadcasts under AQE, so the occurrence-side join is
+    shuffle-free; the only text-sized shuffle is the per-doc rebuild
+    groupBy — inherent to rewriting documents, bounded per doc.
+    Deterministic: positions give a total order per doc; "first"
+    picks min(struct(id, pos)) — a total order for orderable ids.
+    ``delimiter`` is a literal split/rejoin token (same convention as
+    ``dedup_segments_within_doc``).
+
+    Output: the input row set with ``out_col`` (rebuilt text; null in
+    == null out), ``n_lines`` and ``n_lines_kept`` audit counts.
+    """
+    from syncquill_spark.functions.hashing import portable_hash60
+
+    if mode not in ("drop", "first"):
+        raise ValueError(f"mode must be 'drop' or 'first', got {mode!r}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+    segs = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter))).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_h", portable_hash60(F.col("_line")))
+    countable = segs.filter(F.length(F.trim("_line")) >= min_line_chars)
+    per_line = countable.groupBy("_h").agg(
+        F.count_distinct("_id").alias("_n_docs"),
+        F.min(F.struct("_id", "_pos")).alias("_first"),
+    )
+    flagged = per_line.filter(F.col("_n_docs") >= min_docs)
+
+    if mode == "drop":
+        kept = segs.join(flagged.select("_h"), "_h", "left_anti")
+    else:
+        kept = segs.join(flagged.select("_h", "_first"), "_h", "left").filter(
+            F.col("_first").isNull()
+            | (F.struct("_id", "_pos") == F.col("_first"))
+        )
+
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            delimiter,
+        ).alias("_rebuilt"),
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+    )
+    return (
+        df.join(rebuilt.withColumnRenamed("_id", id_col), id_col, "left")
+        .withColumn(
+            "n_lines",
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.size(F.split(F.col(text_col), F.lit(delimiter))).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "n_lines_kept",
+            F.when(F.col(text_col).isNotNull(), F.coalesce("_n_kept", F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.coalesce(F.col("_rebuilt"), F.lit("")),
+            ),
+        )
+        .drop("_rebuilt", "_n_kept")
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     vocab_size: int,
@@ -1127,3 +1235,233 @@ def compression_ratios(
             F.col("n_bytes_zlib").cast("double") / F.col("n_bytes").cast("double"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supervised token-weight quality classifier (fastText / naive-Bayes
+# surrogate) with the same persisted-model lifecycle as the bigram LM.
+# ---------------------------------------------------------------------------
+
+
+def token_occurrences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Skinny per-occurrence token rows ``(id_col, th)`` — th =
+    portable md5-derived int64 of the lowercased token (so DuckDB
+    oracles can reproduce it, same convention as
+    ``bigram_occurrences``). Empty tokens (a null/blank document
+    tokenizes to ``[""]``) are dropped: they carry no lexical
+    evidence and would otherwise add a single spurious class-neutral
+    feature to every empty document."""
+    from syncquill_spark.functions.hashing import portable_hash60
+
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("_tk"))
+    return toks.select(
+        F.col(id_col),
+        F.explode(F.filter("_tk", lambda t: t != F.lit(""))).alias("_tok"),
+    ).select(F.col(id_col), portable_hash60(F.col("_tok")).alias("th"))
+
+
+def _checked_label(label_col: str) -> Column:
+    lbl = F.col(label_col).cast("long")
+    return F.when(lbl.isin(0, 1), lbl).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"token classifier labels must be 0 or 1; got {label_col}="),
+                F.coalesce(F.col(label_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
+
+
+def build_token_classifier(
+    corpus: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train a token-evidence quality classifier from a LABELED seed
+    corpus (label 1 = positive/high-quality, 0 = negative) — the
+    linear, transcendental-free surrogate of the fastText / logistic
+    classifiers the public curation pipelines train on
+    Wikipedia-vs-CommonCrawl seed sets (GPT-3's LR quality filter,
+    LLaMA/RedPajama's fastText "looks-like-references" model). The
+    model is one count table ``(th, c_pos, c_neg)`` — per-token
+    occurrence counts under each label — persisted via
+    ``index_store.save_index(path, token_counts=...)`` with the same
+    manifest + atomic-exchange lifecycle as the other seven index
+    families; serve-time weights derive from the counts
+    (``classifier_score_against``), so merge stays pure count
+    addition. Any non-0/1 (or null) label raises in-plan rather than
+    silently miscounting.
+
+    Scale shape: occurrences travel as skinny (doc, th) int64 rows;
+    the model is one map-side-combined aggregation over them; the
+    count table is vocab-sized (broadcastable at serve time)."""
+    occ = token_occurrences(corpus, text_col=text_col, id_col=id_col)
+    lbl = corpus.select(F.col(id_col), _checked_label(label_col).alias("_lbl"))
+    return (
+        occ.join(lbl, id_col)
+        .groupBy("th")
+        .agg(
+            F.sum("_lbl").cast("long").alias("c_pos"),
+            F.sum(F.lit(1) - F.col("_lbl")).cast("long").alias("c_neg"),
+        )
+    )
+
+
+def merge_token_classifier(
+    model: DataFrame,
+    new_df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental classifier maintenance: stored (th, c_pos, c_neg)
+    plus a new labeled batch's own counts -> merged model. Counts are
+    per-occurrence totals over a bag of documents, so appending new
+    docs ADDS their counts — append == rebuild by construction, the
+    same identity the bigram/winnowing/BM25 families pin. Cost: one
+    batch-sized tokenization + one batch-sized aggregation + one
+    full-outer join on int64 hashes — never a corpus pass."""
+    batch = build_token_classifier(
+        new_df, label_col=label_col, text_col=text_col, id_col=id_col
+    )
+    a = model.withColumnRenamed("c_pos", "_pa").withColumnRenamed("c_neg", "_na")
+    b = batch.withColumnRenamed("c_pos", "_pb").withColumnRenamed("c_neg", "_nb")
+    return a.join(b, "th", "full_outer").select(
+        "th",
+        (F.coalesce(F.col("_pa"), F.lit(0)) + F.coalesce(F.col("_pb"), F.lit(0)))
+        .cast("long")
+        .alias("c_pos"),
+        (F.coalesce(F.col("_na"), F.lit(0)) + F.coalesce(F.col("_nb"), F.lit(0)))
+        .cast("long")
+        .alias("c_neg"),
+    )
+
+
+def classifier_score_against(
+    batch: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Score a batch against a STORED token classifier — the
+    ingest-time quality gate, deployed exactly like
+    ``bigram_score_against``: only the batch is tokenized; the corpus
+    side is the persisted count table. Per-token weight is the
+    add-one-smoothed quantized positive rate
+    ``w = (scale * (c_pos + 1)) div (c_pos + c_neg + 2)`` — pure
+    integer division per determinism doctrine (no log-odds); a doc's
+    score is the exact int64 sum of its occurrences' weights, and
+    ``sum_w / n_tokens`` is the comparable positive-evidence rate in
+    [0, scale]. A token the model never saw contributes exactly
+    ``scale div 2`` (the smoothed zero-count weight — neutral
+    evidence), via left-join COALESCE; n_tokens still counts it.
+    Thresholds are a calibration knob: compose with
+    ``quality_value_buckets`` / ``quality_percentile_filter`` to pick
+    cutoffs per stratum instead of hard-coding one.
+
+    Scale shape: one batch-sized tokenize+explode, one int64 equi-join
+    against the vocab-sized count table (broadcastable — prune first
+    with ``prune_token_classifier`` if the vocab outgrew the
+    threshold), one per-doc sum. Streaming: per-doc groupBy is a
+    streaming aggregation — wrap in ``foreachBatch``.
+
+    Output: (id_col, n_tokens, sum_w) — all exact int64.
+    """
+    occ = token_occurrences(batch, text_col=text_col, id_col=id_col)
+    neutral = scale // 2
+    scored = occ.join(model, "th", "left").withColumn(
+        "_w",
+        F.coalesce(
+            F.expr(f"({scale} * (c_pos + 1)) div (c_pos + c_neg + 2)"),
+            F.lit(neutral).cast("long"),
+        ),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("_w").cast("long").alias("sum_w"),
+    )
+
+
+# character class shared with the DuckDB oracle: C0 controls (minus
+# \t\n\r, which are document structure), DEL, zero-width space/
+# non-joiner/joiner, BOM. \x{..} escapes parse identically in Java
+# regex and RE2, so ONE pattern string serves both engines.
+INVISIBLES_CLASS = (
+    r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}"
+    r"\x{200B}-\x{200D}\x{FEFF}]"
+)
+
+
+def normalize_text(
+    df: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    strip_invisibles: bool = True,
+    collapse_ws: bool = False,
+) -> DataFrame:
+    """Unicode text normalization — the cleanup pass the public CC
+    pipelines run before ANY hashing or tokenization (CCNet/RefinedWeb
+    normalize + strip before dedup): without it, ``café`` composed and
+    ``café`` decomposed hash differently and every downstream dedup /
+    classifier / LM operator silently treats them as distinct content.
+
+    Three steps, in an order both engines reproduce exactly:
+    (1) strip invisibles (C0 controls except tab/newline/CR, DEL,
+    zero-width space/joiners, BOM) with one JVM regexp — removing
+    zero-widths BEFORE normalization so a ZWJ can't block composition;
+    (2) canonical normalization to ``form`` (NFC default; NFD/NFKC/
+    NFKD accepted) via a vectorized Arrow-batched pandas_udf over
+    stdlib ``unicodedata`` — the one Python crossing, string in /
+    string out; (3) optional whitespace collapse + trim (off by
+    default: it changes tokenization, a policy decision).
+
+    Oracle twin: DuckDB ``nfc_normalize`` + ``regexp_replace(...,
+    'g')`` over the same ``INVISIBLES_CLASS`` replays steps 1-2 for
+    the NFC form (queued pair ``text_normalize``). Null in == null
+    out. At 100 TB this is a pure projection — no shuffle, payload
+    strings cross to Python once per batch."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s):  # pd.Series -> pd.Series
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    c: Column = F.col(text_col)
+    if strip_invisibles:
+        c = F.when(
+            F.col(text_col).isNotNull(),
+            F.regexp_replace(c, INVISIBLES_CLASS, ""),
+        )
+    c = _norm(c)
+    if collapse_ws:
+        c = F.when(
+            F.col(text_col).isNotNull(), F.trim(F.regexp_replace(c, r"\s+", " "))
+        )
+    return df.withColumn(out_col, c)
+
+
+def prune_token_classifier(model: DataFrame, min_count: int = 2) -> DataFrame:
+    """Model compression for serve-time broadcast: drop tokens with
+    fewer than ``min_count`` total training occurrences. A pruned
+    token scores exactly like an UNSEEN one (left-join miss ->
+    ``scale div 2`` neutral weight) — which is also the statistically
+    honest judgment: a 1-occurrence token's smoothed weight is an
+    extreme 1/3 or 2/3 on no real evidence, so pruning the hapax tail
+    both halves the Zipfian vocab table and removes its least
+    reliable (most extreme) weights. Survivors' weights never shift
+    (weights are per-row functions of the counts). Prune on
+    load/serve, never in the store: ``merge_token_classifier`` keeps
+    working on the unpruned counts."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    return model.filter((F.col("c_pos") + F.col("c_neg")) >= min_count)

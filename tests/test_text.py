@@ -930,3 +930,439 @@ def test_compression_ratios_match_zlib(spark):
             assert got[i].n_bytes_zlib == len(zlib.compress(raw, 6))
     # repetition compresses much harder than prose
     assert got[2].compression_ratio < got[1].compression_ratio
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lines_across_drop_mode(spark):
+    """Boilerplate line shared by 3 docs is removed from ALL of them;
+    unique lines and blank structure lines survive in order."""
+    from syncquill_spark.operators.text import dedup_lines_across
+
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nalpha\n\nbeta"),
+            (2, "COOKIE BANNER\ngamma"),
+            (3, "delta\nCOOKIE BANNER"),
+        ],
+        DOCS,
+    )
+    out = {r.doc_id: r for r in dedup_lines_across(df).collect()}
+    assert out[1].text_deduped == "alpha\n\nbeta"
+    assert (out[1].n_lines, out[1].n_lines_kept) == (4, 3)
+    assert out[2].text_deduped == "gamma"
+    assert out[3].text_deduped == "delta"
+    assert (out[3].n_lines, out[3].n_lines_kept) == (2, 1)
+
+
+def test_dedup_lines_across_first_mode(spark):
+    """'first' keeps exactly the globally first (id, pos) occurrence."""
+    from syncquill_spark.operators.text import dedup_lines_across
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nQUOTE"),
+            (2, "QUOTE\nbeta"),
+            (3, "QUOTE"),
+        ],
+        DOCS,
+    )
+    out = {
+        r.doc_id: r.text_deduped
+        for r in dedup_lines_across(df, mode="first").collect()
+    }
+    assert out == {1: "alpha\nQUOTE", 2: "beta", 3: ""}
+
+
+def test_dedup_lines_across_min_line_chars_and_blank(spark):
+    """Lines under min_line_chars (and blanks) never count as
+    duplicates: shared '-' separators and blank lines survive."""
+    from syncquill_spark.operators.text import dedup_lines_across
+
+    df = spark.createDataFrame(
+        [(1, "-\nalpha\n\nend"), (2, "-\nbeta\n\nend")],
+        DOCS,
+    )
+    out = {
+        r.doc_id: r.text_deduped
+        for r in dedup_lines_across(df, min_line_chars=2).collect()
+    }
+    # 'end' is >= 2 chars and shared -> dropped; '-' and '' kept.
+    assert out == {1: "-\nalpha\n", 2: "-\nbeta\n"}
+
+
+def test_dedup_lines_across_null_and_emptied_docs(spark):
+    """Null text stays null (0 counts); a doc whose every line is
+    boilerplate rebuilds to the empty string with n_lines_kept=0."""
+    from syncquill_spark.operators.text import dedup_lines_across
+
+    df = spark.createDataFrame(
+        [(1, "SAME"), (2, "SAME"), (3, None)], DOCS
+    )
+    out = {r.doc_id: r for r in dedup_lines_across(df).collect()}
+    assert (out[1].text_deduped, out[1].n_lines, out[1].n_lines_kept) == ("", 1, 0)
+    assert (out[3].text_deduped, out[3].n_lines, out[3].n_lines_kept) == (None, 0, 0)
+
+
+def test_dedup_lines_across_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from syncquill_spark.operators.text import dedup_lines_across
+
+    df = spark.createDataFrame([(1, "a")], DOCS)
+    with _pytest.raises(ValueError, match="mode"):
+        dedup_lines_across(df, mode="all")
+    with _pytest.raises(ValueError, match="min_docs"):
+        dedup_lines_across(df, min_docs=1)
+
+
+_line = st.sampled_from(["aaa", "bbb", "ccc ddd", "", " ", "x", "ee ff"])
+_line_doc = st.lists(_line, min_size=1, max_size=6).map("\n".join)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(_line_doc, min_size=1, max_size=5),
+       mode=st.sampled_from(["drop", "first"]))
+def test_dedup_lines_across_matches_python_model(spark, docs, mode):
+    """Both modes vs an independent python model: distinct-doc counts
+    over countable lines, drop-all vs keep-global-first, order-
+    preserving rebuild, audit counts."""
+    from syncquill_spark.operators.text import dedup_lines_across
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.text_deduped, r.n_lines, r.n_lines_kept)
+        for r in dedup_lines_across(df, mode=mode, min_line_chars=1).collect()
+    )
+
+    split = {i: d.split("\n") for i, d in enumerate(docs)}
+    countable = lambda ln: len(ln.strip()) >= 1
+    docs_with = {}
+    first_occ = {}
+    for i in sorted(split):
+        for p, ln in enumerate(split[i]):
+            if countable(ln):
+                docs_with.setdefault(ln, set()).add(i)
+                first_occ.setdefault(ln, (i, p))
+    flagged = {ln for ln, s in docs_with.items() if len(s) >= 2}
+    want = []
+    for i in sorted(split):
+        kept = [
+            ln
+            for p, ln in enumerate(split[i])
+            if ln not in flagged
+            or (mode == "first" and first_occ[ln] == (i, p))
+        ]
+        want.append((i, "\n".join(kept), len(split[i]), len(kept)))
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Token-weight classifier
+# ---------------------------------------------------------------------------
+
+
+def test_token_classifier_hand_weights(spark):
+    """Exact integer weights: w = (1e6*(c_pos+1)) div (c_pos+c_neg+2);
+    unseen tokens contribute the neutral 500000."""
+    from syncquill_spark.operators.text import (
+        build_token_classifier,
+        classifier_score_against,
+    )
+
+    seed = spark.createDataFrame(
+        [(1, "good good fine", 1), (2, "bad bad fine", 0)],
+        "doc_id long, text string, label int",
+    )
+    model = build_token_classifier(seed)
+    counts = {r.th: (r.c_pos, r.c_neg) for r in model.collect()}
+    assert sorted(counts.values()) == [(0, 2), (1, 1), (2, 0)]
+
+    batch = spark.createDataFrame(
+        [(9, "good bad fine unseen")], "doc_id long, text string"
+    )
+    row = classifier_score_against(batch, model).collect()[0]
+    # good 750000, bad 250000, fine 500000, unseen 500000
+    assert (row.n_tokens, row.sum_w) == (4, 750000 + 250000 + 500000 + 500000)
+
+
+def test_token_classifier_rejects_bad_labels(spark):
+    import pytest as _pytest
+
+    from syncquill_spark.operators.text import build_token_classifier
+
+    bad = spark.createDataFrame(
+        [(1, "a b", 2)], "doc_id long, text string, label int"
+    )
+    with _pytest.raises(Exception, match="labels must be 0 or 1"):
+        build_token_classifier(bad).collect()
+    null = spark.createDataFrame(
+        [(1, "a b", None)], "doc_id long, text string, label int"
+    )
+    with _pytest.raises(Exception, match="labels must be 0 or 1"):
+        build_token_classifier(null).collect()
+
+
+def test_token_classifier_merge_equals_rebuild_and_roundtrip(spark, tmp_path):
+    """build(first) + merge(second) == build(all), through a persisted
+    save/load cycle — the append==rebuild identity every index family
+    pins, and scoring from the loaded model matches exactly."""
+    from syncquill_spark.operators.text import (
+        build_token_classifier,
+        classifier_score_against,
+        merge_token_classifier,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    rows = [
+        (1, "the cat sat on the mat", 1),
+        (2, "stock cheap pills now", 0),
+        (3, "a fine day for the cat", 1),
+        (4, "cheap cheap now now now", 0),
+    ]
+    schema = "doc_id long, text string, label int"
+    full = spark.createDataFrame(rows, schema)
+    first = spark.createDataFrame(rows[:2], schema)
+    second = spark.createDataFrame(rows[2:], schema)
+
+    path = str(tmp_path / "clf_index")
+    save_index(path, token_counts=build_token_classifier(first))
+    stored = load_index(spark, path)["token_counts"]
+    merged = merge_token_classifier(stored, second)
+    save_index(path, token_counts=merged)
+    loaded = load_index(spark, path)["token_counts"]
+
+    want = sorted(map(tuple, build_token_classifier(full).collect()))
+    assert sorted(map(tuple, loaded.collect())) == want
+
+    batch = full.select("doc_id", "text")
+    got = sorted(map(tuple, classifier_score_against(batch, loaded).collect()))
+    ref = sorted(
+        map(tuple, classifier_score_against(batch, build_token_classifier(full)).collect())
+    )
+    assert got == ref
+
+
+def test_token_classifier_prune_scores_like_unseen(spark):
+    """Pruned hapax tokens score exactly like unseen ones; surviving
+    tokens' contributions are unchanged."""
+    from syncquill_spark.operators.text import (
+        build_token_classifier,
+        classifier_score_against,
+        prune_token_classifier,
+    )
+    import pytest as _pytest
+
+    seed = spark.createDataFrame(
+        [(1, "common common rare1", 1), (2, "common spam spam", 0)],
+        "doc_id long, text string, label int",
+    )
+    model = build_token_classifier(seed)
+    pruned = prune_token_classifier(model, min_count=2)
+    batch = spark.createDataFrame(
+        [(9, "common rare1 spam")], "doc_id long, text string"
+    )
+    full_row = classifier_score_against(batch, model).collect()[0]
+    prun_row = classifier_score_against(batch, pruned).collect()[0]
+    # rare1 (1,0): w = 2e6 div 3 = 666666 full; 500000 pruned.
+    assert full_row.sum_w - prun_row.sum_w == 666666 - 500000
+    assert prun_row.n_tokens == full_row.n_tokens == 3
+    with _pytest.raises(ValueError, match="min_count"):
+        prune_token_classifier(model, min_count=0)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(st.tuples(_doc, st.integers(0, 1)),
+                     min_size=1, max_size=6))
+def test_token_classifier_matches_python_model(spark, docs):
+    """Counts and scores vs an independent python model: per-class
+    occurrence counts, add-one smoothed integer weights, neutral
+    unseen, per-doc exact sums."""
+    from collections import Counter
+
+    from syncquill_spark.operators.text import (
+        build_token_classifier,
+        classifier_score_against,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d, l) for i, (d, l) in enumerate(docs)],
+        "doc_id long, text string, label int",
+    )
+    model = build_token_classifier(df)
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.sum_w)
+        for r in classifier_score_against(df.select("doc_id", "text"), model).collect()
+    )
+
+    toks = {i: d.strip().lower().split() for i, (d, _) in enumerate(docs)}
+    c_pos, c_neg = Counter(), Counter()
+    for i, (_, l) in enumerate(docs):
+        for t in toks[i]:
+            (c_pos if l == 1 else c_neg)[t] += 1
+    w = lambda t: (1_000_000 * (c_pos[t] + 1)) // (c_pos[t] + c_neg[t] + 2)
+    want = sorted(
+        (i, len(t), sum(w(tok) for tok in t))
+        for i, t in toks.items()
+        if t
+    )
+    assert got == want
+
+
+def test_token_classifier_separates_planted_classes(spark):
+    """End-to-end smoke: trained on english-vs-gibberish seeds, the
+    rate sum_w/n_tokens separates held-out examples of each class."""
+    from syncquill_spark.operators.text import (
+        build_token_classifier,
+        classifier_score_against,
+    )
+
+    pos = [
+        "the cat sat on the mat and it is warm",
+        "it is a fine day for the dog and the cat",
+        "the house is warm and the food is good",
+    ]
+    neg = [
+        "zxq vvk jjw qqp zxq mmn",
+        "vvk zxq qqp jjw lls mmn",
+        "qqp lls zxq vvk jjw jjw",
+    ]
+    seed = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(pos)]
+        + [(100 + i, t, 0) for i, t in enumerate(neg)],
+        "doc_id long, text string, label int",
+    )
+    model = build_token_classifier(seed)
+    held = spark.createDataFrame(
+        [(1, "the dog sat on the warm mat"), (2, "jjw zxq mmn qqp vvk")],
+        DOCS,
+    )
+    rates = {
+        r.doc_id: r.sum_w / r.n_tokens
+        for r in classifier_score_against(held, model).collect()
+    }
+    assert rates[1] > 600_000 > 400_000 > rates[2]
+
+
+def test_classifier_gate_in_foreachbatch_stream(spark, tmp_path):
+    """Streaming deployment shape for the token classifier (same
+    recipe as the bigram gate): the per-doc sum is a streaming
+    aggregation, so the gate runs inside foreachBatch against the
+    loaded stored model — stream output must equal the batch run."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.text import (
+        build_token_classifier,
+        classifier_score_against,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta token{i} gamma", i % 2)
+            for i in range(40)
+        ],
+        "doc_id long, text string, label int",
+    )
+    corpus = docs.filter(F.col("doc_id") % 4 < 2)
+    save_index(
+        str(tmp_path / "clf"), token_counts=build_token_classifier(corpus)
+    )
+    model = load_index(spark, str(tmp_path / "clf"))["token_counts"]
+
+    batch_src = str(tmp_path / "stream_src")
+    docs.filter(F.col("doc_id") % 4 >= 2).select("doc_id", "text").coalesce(
+        1
+    ).write.mode("overwrite").parquet(batch_src)
+
+    got = []
+
+    def gate(mb, _epoch):
+        got.extend(
+            (r.doc_id, r.n_tokens, r.sum_w)
+            for r in classifier_score_against(mb, model).collect()
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(batch_src)
+    )
+    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    expect = sorted(
+        (r.doc_id, r.n_tokens, r.sum_w)
+        for r in classifier_score_against(
+            spark.read.parquet(batch_src), model
+        ).collect()
+    )
+    assert sorted(got) == expect and len(expect) == 20
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_nfc_composes_and_strips_invisibles(spark):
+    from syncquill_spark.operators.text import normalize_text
+
+    decomposed = "café"          # e + combining acute
+    with_invis = "a​b﻿c\x07d\tok\nline"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, with_invis), (3, "café"), (4, None)], DOCS
+    )
+    out = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    assert out[1] == "café" == out[3]  # composed == precomposed
+    # ZWSP/BOM/BEL stripped; tab and newline preserved
+    assert out[2] == "abcd\tok\nline"
+    assert out[4] is None
+
+
+def test_normalize_text_nfkc_and_collapse(spark):
+    from syncquill_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(1, "  ﬁle   ＡＢ  ")], DOCS)
+    (r,) = normalize_text(df, form="NFKC", collapse_ws=True).collect()
+    assert r.text_norm == "file AB"  # ligature + fullwidth folded, ws collapsed
+
+
+def test_normalize_text_zwj_stripped_before_compose(spark):
+    from syncquill_spark.operators.text import normalize_text
+
+    # a ZWJ between base and combining mark must not block composition
+    df = spark.createDataFrame([(1, "e‍́")], DOCS)
+    (r,) = normalize_text(df).collect()
+    assert r.text_norm == "é"
+
+
+def test_normalize_text_makes_dedup_see_through_encoding(spark):
+    from syncquill_spark.operators.dedup import exact_dedup
+    from syncquill_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "café bon"), (2, "café bon")], DOCS
+    )
+    from pyspark.sql import functions as SF
+
+    assert exact_dedup(df).count() == 2  # byte-distinct without normalize
+    normed = normalize_text(df).select(
+        "doc_id", SF.col("text_norm").alias("text")
+    )
+    assert exact_dedup(normed).count() == 1
+
+
+def test_normalize_text_rejects_bad_form(spark):
+    import pytest as _pytest
+
+    from syncquill_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(1, "x")], DOCS)
+    with _pytest.raises(ValueError, match="form"):
+        normalize_text(df, form="NFX")

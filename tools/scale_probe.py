@@ -302,6 +302,46 @@ def _bigram_gate(c: DataFrame) -> DataFrame:
     return bigram_score_against(batch, c1, c12)
 
 
+def _lines_drop(c: DataFrame) -> DataFrame:
+    # cross-doc line dedup: the count shuffle carries (h, id) pairs,
+    # the rebuild groupBy carries the text — both should track corpus
+    # size linearly; the flagged-line join must stay broadcast-sized
+    from syncquill_spark.operators.text import dedup_lines_across
+
+    return dedup_lines_across(c, mode="drop")
+
+
+def _lines_first(c: DataFrame) -> DataFrame:
+    from syncquill_spark.operators.text import dedup_lines_across
+
+    return dedup_lines_across(c, mode="first")
+
+
+def _clf_gate(c: DataFrame) -> DataFrame:
+    # the deployed classifier shape: train on the labeled stored half,
+    # score the other half against it — mirrors _bigram_gate; the
+    # count-table join key (th) is vocab-sized and broadcastable
+    from syncquill_spark.operators.text import (
+        build_token_classifier,
+        classifier_score_against,
+    )
+
+    corpus = c.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("doc_id") % 4 == 0).cast("int")
+    )
+    batch = c.filter(F.col("doc_id") % 2 == 1)
+    return classifier_score_against(batch, build_token_classifier(corpus))
+
+
+LINES_OPS = {
+    "lines_dedup_drop": _lines_drop,
+    "lines_dedup_first": _lines_first,
+}
+
+CLF_OPS = {
+    "clf_gate": _clf_gate,
+}
+
 TEXT_OPS = {
     "tfidf_terms": _tfidf_terms,
     "bm25": _bm25,
@@ -371,6 +411,10 @@ def main() -> None:
         doc_ops.update(TEXT_OPS)
     if "bigram" in families:
         doc_ops.update(BIGRAM_OPS)
+    if "lines" in families:
+        doc_ops.update(LINES_OPS)
+    if "clf" in families:
+        doc_ops.update(CLF_OPS)
     for m in ms:
         corpus = scaled_corpus(spark, sf_dir, m).persist()
         n_docs = corpus.count()
