@@ -481,3 +481,207 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.substring(F.col("meta.content_sha"), 1, 8).alias("sha_prefix"),
         F.hex(F.substring(F.col("payload"), 1, 4)).alias("magic_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual fingerprints — near-duplicate detection for decoded media.
+#
+# Text near-dup has MinHash/SimHash/winnowing; the media twin is a
+# 64-bit PERCEPTUAL hash per payload (dHash for images, an energy-
+# gradient hash for audio), after which near-dup IS the SimHash
+# problem: hamming-banded candidate join + exact bit_count verify —
+# so the pair/gate machinery is reused from operators.dedup verbatim
+# (bits=64), and a persisted (media_id, simhash) fingerprint frame can
+# ride the same index_store lifecycle as the text SimHash family.
+#
+# Determinism doctrine: both hashes are EXACT integer functions of the
+# decoded samples — luma/energy block sums as Python ints, block-mean
+# comparisons by cross-multiplication (sum_l * n_r vs sum_r * n_l), no
+# float anywhere — so the same payload hashes identically on every
+# runtime, and the same pixels hash identically across container
+# formats (PPM vs BMP of one image -> hamming 0 — pinned in tests).
+# ---------------------------------------------------------------------------
+
+
+def image_dhash(img, maxval: int = 255, grid: int = 8) -> int:
+    """64-bit difference hash (dHash) of a decoded (H, W, C) image:
+    integer luma (299R + 587G + 114B; a grayscale channel as-is),
+    area block sums over a ``grid`` x ``grid``+1 cell lattice, bit
+    (i, j) set iff cell (i, j)'s mean luma < cell (i, j+1)'s —
+    brightness rising left-to-right. Row-gradient signs survive
+    resizing, re-encoding, brightness/contrast scaling, and small
+    local edits — the classic near-dup signal; ``maxval`` is accepted
+    for decode_image call-site symmetry (gradient signs don't depend
+    on sample scale). Images narrower/shorter than the lattice yield
+    empty cells whose comparisons are deterministically 0 — thumbnails
+    below 9x8 all hash near 0 and should be gated on size first.
+    Returns a SIGNED int64 (two's complement) so the value lands in a
+    Spark LongType and XOR/bit_count work on the raw 64-bit pattern."""
+    import numpy as np
+
+    h, w, c = img.shape
+    px = img.astype(np.int64)
+    if c >= 3:
+        luma = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    else:
+        luma = px[:, :, 0]
+    rows = [(i * h) // grid for i in range(grid + 1)]
+    cols = [(j * w) // (grid + 1) for j in range(grid + 2)]
+    code = 0
+    for i in range(grid):
+        r0, r1 = rows[i], rows[i + 1]
+        for j in range(grid):
+            c0, c1, c2 = cols[j], cols[j + 1], cols[j + 2]
+            sum_l = int(luma[r0:r1, c0:c1].sum())
+            sum_r = int(luma[r0:r1, c1:c2].sum())
+            n_l = (r1 - r0) * (c1 - c0)
+            n_r = (r1 - r0) * (c2 - c1)
+            if sum_l * n_r < sum_r * n_l:  # mean_l < mean_r, exactly
+                code |= 1 << (i * grid + j)
+    return code - (1 << 64) if code >= 1 << 63 else code
+
+
+def audio_energy_hash(frames, windows: int = 65) -> int:
+    """64-bit energy-gradient hash of decoded PCM frames: channel-
+    summed absolute amplitude (8-bit unsigned is re-biased at 128 per
+    the WAV spec; 16-bit is already signed), ``windows`` equal-share
+    time windows, bit i set iff window i's mean energy < window
+    i+1's — loudness rising over time, the 1-D twin of ``image_dhash``
+    and invariant to constant gain (integer-exact for integer gain).
+    Clips shorter than ``windows`` frames yield empty windows whose
+    comparisons are deterministically 0. Returns a signed int64."""
+    import numpy as np
+
+    x = frames.astype(np.int64)
+    if np.issubdtype(frames.dtype, np.unsignedinteger):
+        x = x - 128
+    amp = np.abs(x).sum(axis=1)
+    n = amp.shape[0]
+    bounds = [(i * n) // windows for i in range(windows + 1)]
+    code = 0
+    for i in range(windows - 1):
+        b0, b1, b2 = bounds[i], bounds[i + 1], bounds[i + 2]
+        e_l, e_r = int(amp[b0:b1].sum()), int(amp[b1:b2].sum())
+        if e_l * (b2 - b1) < e_r * (b1 - b0):
+            code |= 1 << i
+    return code - (1 << 64) if code >= 1 << 63 else code
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def media_fingerprints(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(media_id, modality, simhash) perceptual fingerprints over
+    binary payloads — magic-byte dispatch to the real codecs (P6/P5/BM
+    -> ``image_dhash``; RIFF/WAVE -> ``audio_energy_hash``). The
+    fingerprint column is named ``simhash`` deliberately: downstream
+    pairing/gating IS ``operators.dedup``'s hamming-band machinery at
+    bits=64, and a persisted fingerprint frame rides the same
+    ``index_store`` lifecycle as the text SimHash family (one 16-byte
+    row per asset). Payloads no codec handles raise in-stage, same
+    contract as ``image_moments`` — triage with ``media_stats`` first.
+
+    At 100 TB: payload bytes are read exactly once, inside this one
+    Arrow-batched stage; everything after (band join, verify,
+    clustering, gate) moves only (id, int64) rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mods, hashes = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload)
+                if p[:2] in (b"P6", b"P5") or p[:2] == b"BM":
+                    img, maxval = decode_image(p)
+                    mods.append("image")
+                    hashes.append(image_dhash(img, maxval))
+                elif p[:4] == b"RIFF":
+                    frames, _rate = decode_wav(p)
+                    mods.append("audio")
+                    hashes.append(audio_energy_hash(frames))
+                else:
+                    raise ValueError(
+                        f"no fingerprint codec for magic {p[:4]!r} "
+                        f"(media_id={mid}); gate undecodable payloads "
+                        "out with media_stats first"
+                    )
+                ids.append(mid)
+            yield pd.DataFrame(
+                {"media_id": ids, "modality": mods, "simhash": hashes}
+            )
+
+    return media.mapInPandas(run, FINGERPRINT_SCHEMA)
+
+
+def media_near_pairs(
+    fp: DataFrame,
+    max_hamming: int = 6,
+    bands: int | None = None,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """(modality, id_a, id_b, hamming) near-duplicate media pairs from
+    a (media_id, modality, simhash) fingerprint frame — the text
+    SimHash band join (``simhash_pairs_from_fingerprints``, bits=64)
+    run per modality so an image never pairs with an audio clip even
+    on a 64-bit collision. Same recall contract: any pair within
+    ``max_hamming`` shares at least one identical band (pigeonhole);
+    ``max_band_df`` is the same hub-bucket insurance. Resolve pairs to
+    clusters/survivors with ``operators.clusters`` exactly as for
+    text."""
+    from syncquill_spark.operators.dedup import simhash_pairs_from_fingerprints
+
+    parts = [
+        simhash_pairs_from_fingerprints(
+            fp.filter(F.col("modality") == mod).select("media_id", "simhash"),
+            id_col="media_id",
+            bits=64,
+            max_hamming=max_hamming,
+            bands=bands,
+            max_band_df=max_band_df,
+        ).select(F.lit(mod).alias("modality"), "id_a", "id_b", "hamming")
+        for mod in ("image", "audio")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def media_matches_against(
+    fp_new: DataFrame,
+    fp_corpus: DataFrame,
+    max_hamming: int = 6,
+    bands: int | None = None,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """(modality, id_new, id_corpus, hamming) ingest-gate matches of a
+    batch's media fingerprints against a (typically persisted) corpus
+    fingerprint frame — ``simhash_matches_between`` per modality at
+    bits=64. Inherits the gate==rebuild identity: with batch ids
+    disjoint from corpus ids, output equals ``media_near_pairs`` over
+    the union restricted to new x corpus (``max_band_df``, when set,
+    must be applied over the union basis — handled inside)."""
+    from syncquill_spark.operators.dedup import simhash_matches_between
+
+    parts = [
+        simhash_matches_between(
+            fp_new.filter(F.col("modality") == mod).select(
+                F.col("media_id").alias("id_new"), "simhash"
+            ),
+            fp_corpus.filter(F.col("modality") == mod).select(
+                F.col("media_id").alias("id_corpus"), "simhash"
+            ),
+            bits=64,
+            max_hamming=max_hamming,
+            bands=bands,
+            max_band_df=max_band_df,
+        ).select(F.lit(mod).alias("modality"), "id_new", "id_corpus", "hamming")
+        for mod in ("image", "audio")
+    ]
+    return parts[0].unionByName(parts[1])
