@@ -76,6 +76,18 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # batch-I/O path the queued simhash/bm25 rows already exercise;
 # both oracles unchanged (persistence must change nothing).
 #
+# R11 QUEUE — `plans/queue_r11.py` (same contract, verified at both
+# SFs through `tests/test_queue_r11.py`): text_lines_dedup
+# (cross-document boilerplate line removal, string_split/string_agg
+# oracle), text_clf_gate (supervised token-weight quality gate,
+# md5-hash count-join oracle), and text_normalize (NFC + invisibles
+# strip; oracle = DuckDB nfc_normalize — Python unicodedata vs
+# utf8proc agreeing character-for-character on injected combining
+# sequences and zero-widths). Media perceptual fingerprints
+# (operators/multimodal.py media_fingerprints/media_near_pairs) stay
+# unit-only: the hash is a mapInPandas stage with no SQL twin, the
+# same honest posture as compression_ratios.
+#
 # Round-9 window, in order:
 #  - the 40 rows whose last driver-green is r06 (staleness 2 — the
 #    round-8 verdict names them as mandatory leads; I re-derived the

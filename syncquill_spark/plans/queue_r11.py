@@ -1,0 +1,190 @@
+"""R11 REGISTRATION QUEUE — query/oracle pairs finished and
+oracle-verified in round 9 but NOT registered, because the r10 driver
+window is already committed to the 38 staleness-2 leads plus the r10
+queue (window-capacity policy, `plans/__init__.py`). Registering later
+is mechanical: move entries into queries_ext's dicts and add the names
+to the front of `_PRIORITY`.
+
+Every pair here is exercised by `tests/test_queue_r11.py` through the
+SAME fingerprint compare as the registered suite (row count + sorted
+columns + normalized value rows vs DuckDB at sf0.001), so promotion
+carries no correctness risk — only the driver re-verification that
+registration exists to provide.
+
+Reference: /root/reference/syncquill.py has none of this surface
+(242-line sheet-to-BigQuery sync); these are EXT-tier LLM-pipeline
+operators mandated by the BASELINE.json north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from syncquill_spark.plans.queries import load_tables
+from syncquill_spark.plans.queries_ext import _H60, _TOKS_LOWER
+
+# the fixture's documents are single-line word soup; both engines
+# apply the SAME deterministic literal replace to synthesize line
+# structure (left-to-right non-overlapping in both), so the line-dedup
+# semantics are exercised on multi-line docs with genuinely shared
+# lines (small vocab -> repeated short lines across docs)
+_LINE_SEED_WORD = " table "
+
+
+def q_text_lines_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (C4 policy-line removal /
+    CCNet-RefinedWeb shard line dedup, ``dedup_lines_across`` mode
+    "drop"): a line occurring in >= 2 distinct documents is boilerplate
+    and every occurrence is removed; docs are rebuilt with surviving
+    lines in original order. The operator groups lines by their
+    md5-int64 hash; the oracle groups by the line string — identical
+    absent md5 collisions, the same equivalence every hash-keyed
+    oracle in this registry relies on."""
+    from syncquill_spark.operators.text import dedup_lines_across
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    docs2 = documents.select(
+        "doc_id",
+        F.regexp_replace("text", _LINE_SEED_WORD, "\n").alias("text"),
+    )
+    out = dedup_lines_across(docs2, min_docs=2, mode="drop")
+    return out.select("doc_id", "n_lines", "n_lines_kept", "text_deduped")
+
+
+def _lines_dedup_sql() -> str:
+    w = _LINE_SEED_WORD
+    return f"""
+WITH d AS (
+  SELECT doc_id, replace(text, '{w}', chr(10)) AS text FROM documents
+),
+s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+o AS (SELECT doc_id, UNNEST(range(1, len(ls) + 1)) AS i, ls FROM s),
+lines AS (SELECT doc_id, i, ls[i] AS line FROM o),
+flagged AS (
+  SELECT line FROM lines WHERE len(trim(line)) >= 1
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT doc_id, i, line FROM lines
+  WHERE line NOT IN (SELECT line FROM flagged)
+),
+reb AS (
+  SELECT doc_id, COUNT(*) AS nk,
+         string_agg(line, chr(10) ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.ls) AS BIGINT) AS n_lines,
+       CAST(COALESCE(reb.nk, 0) AS BIGINT) AS n_lines_kept,
+       COALESCE(reb.txt, '') AS text_deduped
+FROM s LEFT JOIN reb USING (doc_id)
+"""
+
+
+def q_text_clf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised token-weight quality gate (fastText/LR-surrogate,
+    ``classifier_score_against``): train the (th, c_pos, c_neg) count
+    model on the labeled even-doc_id half (label = doc_id % 4 == 0 —
+    the deterministic seed-set stand-in), score the odd half against
+    it. Per-token weight is the add-one-smoothed quantized positive
+    rate (1e6*(c_pos+1)) div (c_pos+c_neg+2); unseen tokens score the
+    neutral 500000. The oracle replays the md5-derived token hashes
+    and the integer division exactly."""
+    from syncquill_spark.operators.text import (
+        build_token_classifier,
+        classifier_score_against,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("doc_id") % 4 == 0).cast("int")
+    )
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    return classifier_score_against(batch, build_token_classifier(corpus))
+
+
+def _clf_gate_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    th = _H60.format(x="tk[i]")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+o AS (SELECT doc_id, UNNEST(range(1, len(tk) + 1)) AS i, tk FROM t),
+occ AS (
+  SELECT doc_id, {th} AS th FROM o WHERE tk[i] <> ''
+),
+m AS (
+  SELECT th,
+         SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS c_pos,
+         SUM(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END) AS c_neg
+  FROM occ WHERE doc_id % 2 = 0 GROUP BY th
+)
+SELECT occ.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE((1000000 * (m.c_pos + 1)) // (m.c_pos + m.c_neg + 2),
+                         500000)) AS BIGINT) AS sum_w
+FROM occ
+LEFT JOIN m ON occ.th = m.th
+WHERE occ.doc_id % 2 = 1
+GROUP BY occ.doc_id
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + invisibles strip
+    (``normalize_text``): the fixture text is ASCII, so both engines
+    first INJECT the pathologies with the same literal replaces —
+    every 'e' gains a combining acute (U+0301), every 'a' a zero-width
+    space (U+200B) — then the operator must strip the zero-widths and
+    compose e+acute to the precomposed é. Oracle = DuckDB
+    ``nfc_normalize`` over the same regexp strip — two independent
+    Unicode implementations (Python unicodedata vs DuckDB's utf8proc)
+    agreeing character-for-character."""
+    from syncquill_spark.operators.text import normalize_text
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    dirty = documents.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", "e", "e\u0301"), "a", "a\u200b"
+        ).alias("text"),
+    )
+    out = normalize_text(dirty)  # NFC, strip_invisibles
+    return out.select(
+        "doc_id",
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+        F.col("text_norm"),
+    )
+
+
+def _normalize_sql() -> str:
+    from syncquill_spark.operators.text import INVISIBLES_CLASS
+
+    return f"""
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars_norm,
+       t AS text_norm
+FROM (
+  SELECT doc_id,
+         nfc_normalize(
+           regexp_replace(
+             replace(replace(text, 'e', 'e' || chr(769)),
+                     'a', 'a' || chr(8203)),
+             '{INVISIBLES_CLASS}', '', 'g')
+         ) AS t
+  FROM documents
+)
+"""
+
+
+QUEUE_QUERIES = {
+    "text_lines_dedup": q_text_lines_dedup,
+    "text_clf_gate": q_text_clf_gate,
+    "text_normalize": q_text_normalize,
+}
+
+QUEUE_ORACLES = {
+    "text_lines_dedup": _lines_dedup_sql(),
+    "text_clf_gate": _clf_gate_sql(),
+    "text_normalize": _normalize_sql(),
+}
