@@ -622,6 +622,135 @@ def media_fingerprints(
     return media.mapInPandas(run, FINGERPRINT_SCHEMA)
 
 
+VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def video_frame_fingerprints(
+    media: DataFrame,
+    frame_bytes: int,
+    every_n: int = 1,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(media_id, frame_idx, simhash) per-frame perceptual hashes for
+    video payloads: ``sample_frames`` does the 1->K frame expansion
+    (frames never materialize as a giant array column), then each
+    sampled frame decodes through the real image codecs and hashes
+    with ``image_dhash``. The container contract matches
+    ``sample_frames``: the payload is a concatenation of fixed-size
+    frames — here each frame must be a complete PPM/PGM/BMP of exactly
+    ``frame_bytes`` bytes (uniform dims -> uniform size). A trailing
+    partial frame is silently DROPPED by sample_frames' integer
+    division (test-pinned); a payload smaller than one whole frame
+    fails loud with the codec's truncation ValueError rather than
+    hashing garbage. A real deployment swaps
+    the ``sample_frames`` stub for pyav/ffmpeg iteration and keeps
+    everything downstream unchanged — that is the point of the seam.
+
+    At 100 TB: video bytes are read once; per-frame rows are
+    (int64, int64, int64) — the frame-level index of the YT-style
+    content-match pipeline."""
+    frames = sample_frames(
+        media.select(
+            F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+        ),
+        frame_bytes=frame_bytes,
+        every_n=every_n,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, fi, fr in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                img, maxval = decode_image(bytes(fr))
+                ids.append(mid)
+                idxs.append(fi)
+                hashes.append(image_dhash(img, maxval))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "simhash": hashes}
+            )
+
+    return frames.mapInPandas(run, VIDEO_FP_SCHEMA)
+
+
+def video_near_pairs(
+    frame_fp: DataFrame,
+    max_hamming: int = 6,
+    min_frames: int = 2,
+    bands: int | None = None,
+    max_band_df: int | None = None,
+    max_frames_per_video: int = 1 << 20,
+) -> DataFrame:
+    """(id_a, id_b, n_frame_matches) video near-dup pairs: two videos
+    match when >= ``min_frames`` DISTINCT sampled-frame pairs agree
+    within ``max_hamming`` — the frame-vote shape of content-match
+    systems (a shared intro alone stays under the threshold; a
+    re-encode matches on nearly every frame). Frames enter the SAME
+    SimHash band join as everything else via a synthetic frame id
+    ``media_id * max_frames_per_video + frame_idx`` (in-plan
+    raise_error if a frame_idx ever reaches the cap — wrong pairs are
+    worse than a failed job); within-video frame matches are filtered
+    out, votes are counted as distinct (frame_a, frame_b) pairs.
+
+    Scale shape: inherits the band join's properties (skinny int64
+    rows, pigeonhole recall, optional ``max_band_df`` hub cap — near-
+    static frames ARE hubs, cap them); the vote count is one
+    map-side-combinable aggregation over id pairs."""
+    from syncquill_spark.operators.dedup import simhash_pairs_from_fingerprints
+
+    k = max_frames_per_video
+    fid = frame_fp.select(
+        F.when(
+            F.col("frame_idx") < F.lit(k),
+            F.col("media_id") * F.lit(k) + F.col("frame_idx"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"frame_idx >= max_frames_per_video ({k}); raise the "
+                    "cap or the synthetic frame ids collide"
+                )
+            ).cast("long")
+        )
+        .alias("fid"),
+        "simhash",
+    )
+    pairs = simhash_pairs_from_fingerprints(
+        fid,
+        id_col="fid",
+        bits=64,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_band_df=max_band_df,
+    )
+    va, vb = F.expr(f"id_a div {k}"), F.expr(f"id_b div {k}")
+    return (
+        pairs.filter(va != vb)
+        .select(
+            F.least(va, vb).alias("vid_a"),
+            F.greatest(va, vb).alias("vid_b"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("_fa"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("_fb"),
+        )
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count_distinct("_fa", "_fb").cast("long").alias("n_frame_matches"))
+        .filter(F.col("n_frame_matches") >= min_frames)
+        .select(
+            F.col("vid_a").alias("id_a"),
+            F.col("vid_b").alias("id_b"),
+            "n_frame_matches",
+        )
+    )
+
+
 def media_near_pairs(
     fp: DataFrame,
     max_hamming: int = 6,

@@ -244,3 +244,113 @@ def test_media_fingerprint_index_lifecycle(spark, tmp_path):
     # hamming 1 (the planted burst) — all four cross matches, audio only
     assert got == {("audio", 14, 4), ("audio", 14, 5),
                    ("audio", 15, 4), ("audio", 15, 5)}
+
+
+# ---------------------------------------------------------------------------
+# Video frame fingerprints + frame-vote pairing
+# ---------------------------------------------------------------------------
+
+def _rand_frame(seed: int) -> np.ndarray:
+    # seeded random gray frames: smooth gradients all share the same
+    # monotone dHash, so distinct frames need distinct SIGN structure
+    # (pairwise hamming ~30 here; a near-frame edit stays <= 3)
+    g = np.random.RandomState(seed).randint(0, 200, (12, 16)).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
+_F1, _F2, _F3, _F4 = (_rand_frame(s) for s in range(4))
+_FRAME_BYTES = len(_ppm(_F1))
+
+
+def _near_frame(img):
+    out = img.copy()
+    out[2:5, 3:7] = np.minimum(out[2:5, 3:7].astype(np.int64) + 35, 255).astype(
+        np.uint8
+    )
+    return out
+
+
+def _video(*frames) -> bytes:
+    payloads = [_ppm(f) for f in frames]
+    assert all(len(p) == _FRAME_BYTES for p in payloads)
+    return b"".join(payloads)
+
+
+def test_video_frame_fingerprints_per_frame(spark):
+    from syncquill_spark.operators.multimodal import video_frame_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, _video(_F1, _F2, _F3))], "media_id long, payload binary"
+    )
+    got = {
+        (r.media_id, r.frame_idx): r.simhash
+        for r in video_frame_fingerprints(df, frame_bytes=_FRAME_BYTES).collect()
+    }
+    assert got == {
+        (1, 0): image_dhash(_F1),
+        (1, 1): image_dhash(_F2),
+        (1, 2): image_dhash(_F3),
+    }
+
+
+def test_video_near_pairs_frame_votes(spark):
+    from syncquill_spark.operators.multimodal import (
+        video_frame_fingerprints,
+        video_near_pairs,
+    )
+
+    # A and B share F1 exactly and F2 near (re-used footage); C is
+    # unrelated except sharing the single frame F3 with A (an intro
+    # alone must stay under min_frames=2)
+    df = spark.createDataFrame(
+        [
+            (1, _video(_F1, _F2, _F3)),
+            (2, _video(_near_frame(_F2), _F4, _F1)),
+            (3, _video(_F3, _rand_frame(9))),
+        ],
+        "media_id long, payload binary",
+    )
+    fp = video_frame_fingerprints(df, frame_bytes=_FRAME_BYTES).persist()
+    got = {(r.id_a, r.id_b): r.n_frame_matches
+           for r in video_near_pairs(fp, max_hamming=6, min_frames=2).collect()}
+    assert got == {(1, 2): 2}
+    # raising the threshold drops the pair; min_frames=1 admits the
+    # shared-intro pair too
+    assert video_near_pairs(fp, max_hamming=6, min_frames=3).count() == 0
+    got1 = {(r.id_a, r.id_b)
+            for r in video_near_pairs(fp, max_hamming=6, min_frames=1).collect()}
+    fp.unpersist()
+    assert (1, 3) in got1 and (1, 2) in got1
+
+
+def test_video_near_pairs_frame_cap_raises(spark):
+    from syncquill_spark.operators.multimodal import (
+        video_frame_fingerprints,
+        video_near_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _video(_F1, _F2, _F3))], "media_id long, payload binary"
+    )
+    fp = video_frame_fingerprints(df, frame_bytes=_FRAME_BYTES)
+    with pytest.raises(Exception, match="max_frames_per_video"):
+        video_near_pairs(fp, max_frames_per_video=2).collect()
+
+
+def test_video_partial_frames(spark):
+    from syncquill_spark.operators.multimodal import video_frame_fingerprints
+
+    # a trailing partial frame is dropped by sample_frames' integer
+    # division (documented) — the two whole frames still hash
+    payload = _video(_F1, _F2) + _ppm(_F3)[: _FRAME_BYTES // 2]
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    got = video_frame_fingerprints(df, frame_bytes=_FRAME_BYTES).collect()
+    assert {(r.frame_idx, r.simhash) for r in got} == {
+        (0, image_dhash(_F1)), (1, image_dhash(_F2))
+    }
+    # but a payload SMALLER than one frame fails loud in the decoder
+    short = spark.createDataFrame(
+        [(2, _ppm(_F1)[: _FRAME_BYTES // 2])], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        video_frame_fingerprints(short, frame_bytes=_FRAME_BYTES).collect()
