@@ -425,6 +425,69 @@ def main() -> None:
                 f"sec={sec:.2f} docs_per_sec={n_docs / sec:.0f}",
                 flush=True,
             )
+        if "media" in families:
+            # perceptual media dedup: one deterministic random PPM per
+            # corpus row plus a near-perturbed twin for every 25th id
+            # (near-dup structure mirrors per replica -> pairs ~m;
+            # cross-replica images decorrelate because the seed mixes
+            # the full shifted id). Payloads are materialized+persisted
+            # BEFORE timing, so media_fp times decode+hash and
+            # media_pairs times the band join, not synthesis.
+            import numpy as _np
+            import pandas as _pd
+
+            from syncquill_spark.operators.multimodal import (
+                media_fingerprints,
+                media_near_pairs,
+            )
+
+            def _synth(batches):
+                for pdf in batches:
+                    ids, payloads = [], []
+                    for mid in pdf["media_id"]:
+                        mid = int(mid)
+                        rng = _np.random.RandomState(
+                            (mid * 2654435761) % (2**31)
+                        )
+                        img = rng.randint(0, 200, (24, 24, 3)).astype("uint8")
+                        hdr = b"P6\n24 24\n255\n"
+                        ids.append(mid)
+                        payloads.append(hdr + img.tobytes())
+                        if mid % 25 == 0:
+                            twin = img.copy()
+                            twin[2:6, 3:9] = _np.minimum(
+                                twin[2:6, 3:9].astype(_np.int64) + 35, 255
+                            ).astype(_np.uint8)
+                            ids.append(mid + 5_000_000)
+                            payloads.append(hdr + twin.tobytes())
+                    yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+            media = (
+                corpus.select(F.col("doc_id").alias("media_id"))
+                .mapInPandas(_synth, "media_id long, payload binary")
+                .persist()
+            )
+            n_media = media.count()
+            t0 = time.time()
+            media_fingerprints(media).count()
+            sec_fp = time.time() - t0
+            print(
+                f"media_fp m={m} media={n_media} rows={n_media} "
+                f"sec={sec_fp:.2f} media_per_sec={n_media / sec_fp:.0f}",
+                flush=True,
+            )
+            fp = media_fingerprints(media).persist()
+            fp.count()
+            t0 = time.time()
+            n_pairs = media_near_pairs(fp, max_hamming=6).count()
+            sec_pairs = time.time() - t0
+            print(
+                f"media_pairs m={m} media={n_media} rows={n_pairs} "
+                f"sec={sec_pairs:.2f} media_per_sec={n_media / sec_pairs:.0f}",
+                flush=True,
+            )
+            fp.unpersist()
+            media.unpersist()
         if "appendio" in families:
             # persistence-cost probe for the nightly index merge: a
             # FIXED batch committed into a growing stored index via
