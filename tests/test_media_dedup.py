@@ -354,3 +354,125 @@ def test_video_partial_frames(spark):
     )
     with pytest.raises(Exception, match="truncated"):
         video_frame_fingerprints(short, frame_bytes=_FRAME_BYTES).collect()
+
+
+def test_streaming_media_ingest_with_index_append(spark, tmp_path):
+    """Day-in-the-life of the media ingest path: a stream of image
+    microbatches is gated in foreachBatch against a PERSISTED
+    fingerprint index; survivors' fingerprints append batch-I/O, so a
+    later batch's near-copy of an EARLIER batch's survivor is caught
+    — the index grows mid-stream without a corpus rewrite (the media
+    twin of the text streaming-ingest scenario)."""
+    import os
+
+    from syncquill_spark.sources.index_store import (
+        append_index,
+        load_index,
+        save_index,
+    )
+
+    def img(seed):
+        g = np.random.RandomState(seed).randint(0, 200, (24, 24)).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+
+    def near(base):
+        out = base.copy()
+        out[3:7, 4:10] = np.minimum(
+            out[3:7, 4:10].astype(np.int64) + 35, 255
+        ).astype(np.uint8)
+        return out
+
+    c1, c2 = img(20), img(21)
+    new1, new2 = img(22), img(23)
+    # fixture sanity: near-copies sit within the gate's radius, all
+    # distinct images sit far outside it
+    dh = image_dhash
+    assert _ham(dh(c1), dh(near(c1))) <= 6 and _ham(dh(new1), dh(near(new1))) <= 6
+    for a in (c1, c2, new1, new2):
+        for b in (c1, c2, new1, new2):
+            if a is not b:
+                assert _ham(dh(a), dh(b)) > 6
+    assert _ham(dh(near(new1)), dh(c1)) > 6 and _ham(dh(near(new1)), dh(c2)) > 6
+
+    corpus = spark.createDataFrame(
+        [(1, _ppm(c1)), (2, _ppm(c2))], "media_id long, payload binary"
+    )
+    idx_path = str(tmp_path / "media_idx")
+    save_index(idx_path, fps=media_fingerprints(corpus))
+
+    b1 = [(101, _ppm(new1)), (102, _ppm(near(c1)))]     # 102 dupes corpus
+    b2 = [(201, _ppm(near(new1))), (202, _ppm(new2))]   # 201 dupes survivor 101
+
+    src = str(tmp_path / "media_stream")
+    os.makedirs(src)
+    spark.createDataFrame(b1, "media_id long, payload binary").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    survivors, dropped = [], []
+
+    def gate(mb, epoch):
+        fps = media_fingerprints(mb).persist()
+        stored = load_index(spark, idx_path)["fps"]
+        dupes = {
+            r.id_new
+            for r in media_matches_against(fps, stored, max_hamming=6).collect()
+        }
+        keep_fp = fps.filter(~F.col("media_id").isin(list(dupes) or [-1]))
+        kept = [r.media_id for r in keep_fp.select("media_id").collect()]
+        survivors.extend(kept)
+        dropped.extend(sorted(dupes))
+        if kept:
+            append_index(idx_path, fps=keep_fp)
+        fps.unpersist()
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("media_id long, payload binary")
+            .parquet(src)
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", str(tmp_path / "media_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    spark.createDataFrame(b2, "media_id long, payload binary").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_stream()
+
+    assert sorted(survivors) == [101, 202]
+    assert sorted(dropped) == [102, 201]  # 201 caught ONLY via the append
+    stored = load_index(spark, idx_path)["fps"]
+    assert sorted(r.media_id for r in stored.collect()) == [1, 2, 101, 202]
+
+
+# ---------------------------------------------------------------------------
+# Property pins for the exact-integer invariances the docstrings claim
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), shift=st.integers(0, 55),
+       h=st.integers(8, 20), w=st.integers(9, 24))
+def test_image_dhash_uniform_brightness_shift_invariance(seed, shift, h, w):
+    # adding c to every pixel adds c*n to every block sum, and the
+    # c*n_l*n_r terms cancel in the cross-multiplied comparison —
+    # exact invariance as long as nothing clips (pixels < 200+56)
+    img = np.random.RandomState(seed).randint(0, 200, (h, w, 3)).astype(np.uint8)
+    assert image_dhash(img + np.uint8(shift)) == image_dhash(img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), gain=st.integers(1, 7),
+       n=st.integers(10, 400), ch=st.integers(1, 2))
+def test_audio_energy_hash_integer_gain_invariance(seed, gain, n, ch):
+    frames = np.random.RandomState(seed).randint(
+        -4000, 4000, (n, ch)
+    ).astype(np.int64)
+    assert audio_energy_hash(frames * gain) == audio_energy_hash(frames)
