@@ -70,11 +70,13 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #   text_winnowing_spans    (MOSS span localization; oracle replays
 #                            selection + positions + diagonal
 #                            gaps-and-islands in SQL windows)
-# R10 candidate TOUCHES (would enter the r10 window as plan-changed
-# rows): switch storage_winnowing_index / storage_bigram_model's
-# merge persistence from save-over to append_index(+_replace) — the
-# batch-I/O path the queued simhash/bm25 rows already exercise;
-# both oracles unchanged (persistence must change nothing).
+# R10 MANDATORY TOUCHES (plan-changed late in r09 — they MUST enter
+# the r10 window): storage_winnowing_index / storage_bigram_model's
+# merge persistence SWITCHED from save-over to append_index(+_replace)
+# — the batch-I/O path the queued simhash/bm25 rows also exercise;
+# both oracles unchanged (persistence must change nothing), both
+# re-verified hash-identical locally at sf0.001 AND sf0.01 after the
+# switch.
 #
 # R11 QUEUE — `plans/queue_r11.py` (same contract, verified at both
 # SFs through `tests/test_queue_r11.py`): text_lines_dedup

@@ -3707,12 +3707,15 @@ def q_storage_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12) count model over half the corpus (even doc_ids), persist both
     parts via ``index_store.save_index``, reload, extend with the other
     half via ``merge_bigram_model`` (only the batch is tokenized —
-    counts simply add), persist the merged model OVER the first
-    (atomic exchange), reload, and score ALL documents against the
-    STORED counts alone (``bigram_score_against`` — corpus text never
-    re-tokenized on the model side). Oracle = ``text_bigram_lm``'s own
-    SQL twin: a model that went through save/load/merge/save/load must
-    be indistinguishable from the one-shot in-memory model."""
+    counts simply add), persist the merged counts through the
+    batch-I/O ``append_index(_replace=...)`` (both count parts are
+    AGGREGATED — merge changes existing rows — so they rewrite fresh
+    in one atomic swap; they are vocab-sized, the cheap kind), reload,
+    and score ALL documents against the STORED counts alone
+    (``bigram_score_against`` — corpus text never re-tokenized on the
+    model side). Oracle = ``text_bigram_lm``'s own SQL twin: a model
+    that went through save/load/merge/commit/load must be
+    indistinguishable from the one-shot in-memory model."""
     import os as _os
     import tempfile as _tempfile
 
@@ -3721,7 +3724,11 @@ def q_storage_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_bigram_model,
         merge_bigram_model,
     )
-    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.sources.index_store import (
+        append_index,
+        load_index,
+        save_index,
+    )
 
     (documents,) = load_tables(spark, sf_dir, "documents")
     first_half = documents.filter(F.col("doc_id") % 2 == 0)
@@ -3731,7 +3738,7 @@ def q_storage_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     save_index(path, unigrams=c1, bigrams=c12)
     loaded = load_index(spark, path)
     m1, m12 = merge_bigram_model(loaded["unigrams"], loaded["bigrams"], batch)
-    save_index(path, unigrams=m1, bigrams=m12)  # atomic in-place replace
+    append_index(path, _replace={"unigrams": m1, "bigrams": m12})
     reloaded = load_index(spark, path)
     return bigram_score_against(
         documents, reloaded["unigrams"], reloaded["bigrams"]
@@ -3866,7 +3873,7 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(k: int = _TOPK) -> str:
     m, kc, d = _PQ_M, _PQ_K, _PQ_DIM
     sd = d // m
     scale = 1_000_000
@@ -3973,7 +3980,7 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY score_q DESC, vec_id ASC) AS rk
   FROM scored) t
-WHERE rk <= {_TOPK}
+WHERE rk <= {k}
 """
 
 
@@ -3989,13 +3996,21 @@ def q_storage_winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries TWO parts: the (corpus_id, fp) rows and the (fp, df)
     document-frequency table, the latter maintained incrementally
     (``merge_winnowing_df`` — batch-sized outer-join add, never an
-    index pass) and used for the hub cap at emit time. Oracle =
+    index pass) and used for the hub cap at emit time. Persistence is
+    the batch-I/O path: ``append_index`` writes ONLY the batch's fp
+    rows (stored files carried as hardlinks) and rewrites the small
+    aggregated df part via ``_replace`` in the SAME atomic swap — the
+    nightly merge never re-writes the corpus-sized part. Oracle =
     ``dedup_winnowing_pairs``' own SQL twin over ALL documents: append
     must be indistinguishable from rebuild, stored df included."""
     import os as _os
     import tempfile as _tempfile
 
-    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.sources.index_store import (
+        append_index,
+        load_index,
+        save_index,
+    )
     from syncquill_spark.streaming.text_dedup import (
         build_winnowing_index,
         merge_winnowing_df,
@@ -4011,9 +4026,8 @@ def q_storage_winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     save_index(path, fps=fps, fpdf=winnowing_fp_df(fps))
     loaded = load_index(spark, path)
     batch_fps = build_winnowing_index(batch, k=_WIN_K, window=_WIN_W)
-    merged = loaded["fps"].unionByName(batch_fps)
     merged_df = merge_winnowing_df(loaded["fpdf"], batch_fps)
-    save_index(path, fps=merged, fpdf=merged_df)  # atomic in-place replace
+    append_index(path, fps=batch_fps, _replace={"fpdf": merged_df})
     reloaded = load_index(spark, path)
     return winnowing_pairs_from_index(
         reloaded["fps"],
