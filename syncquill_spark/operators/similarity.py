@@ -1796,3 +1796,111 @@ def ivfpq_topk_from_index(
             "score_q",
         )
     )
+
+
+def exact_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Stage-2 EXACT re-rank of an approximate candidate list — the
+    refinement half of two-stage ANN serving (coarse ADC/LSH recall,
+    exact precision): re-score each (query, candidate) pair with the
+    exact float cosine and keep the top ``k`` per query.
+
+    ``candidates`` is any (query_id, neighbor_id) frame — `ivfpq_topk`
+    / `ivfpq_topk_from_index` / `lsh_topk` / `ivf_topk` output all fit
+    — so one refiner serves every coarse index family.
+
+    Scale shape — the reason two-stage serving is the deployed
+    standard: the corpus floats are touched ONLY for candidate rows.
+    Candidates are |queries| x R skinny int64 pairs, broadcast onto
+    the corpus float table (corpus never shuffles; non-candidates die
+    at the join), and the query vectors broadcast onto the survivors.
+    Exact scoring runs on |queries| x R rows instead of |corpus| — at
+    a 1B-vector corpus with 1k queries x R=100 that is 1e5 exact
+    cosines instead of 1e12. Scoring uses the same order-preserving
+    Arrow cosine as `brute_force_topk`, so the re-ranked output equals
+    brute force RESTRICTED to the candidate set, row for row (the
+    equivalence the unit test pins; ranking ties break by neighbor
+    id).
+
+    Output: (query_id, neighbor_id, rk) — `brute_force_topk`'s exact
+    schema, ints only.
+    """
+    cand = candidates.select(
+        F.col(query_id_col), F.col("neighbor_id").cast("long").alias("neighbor_id")
+    )
+    fetched = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+    ).join(F.broadcast(cand), "neighbor_id")
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    scored = fetched.join(F.broadcast(q), query_id_col).select(
+        query_id_col,
+        "neighbor_id",
+        cosine_similarity_arrow(F.col("_qvec"), F.col("_cvec")).alias("_score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", "rk")
+    )
+
+
+def ivfpq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    residual: bool = False,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """Two-stage IVF-PQ serving: ADC top-``rerank`` candidates
+    (`ivfpq_topk` — floats cold, codes hot), then `exact_rerank` down
+    to top-``k`` from the true float vectors of the candidates alone.
+
+    This is how the PQ compression loss is bought back in deployed
+    ANN: the 8-byte codes bound the candidate set, the exact pass
+    fixes the ordering within it — recall is then limited only by the
+    coarse stage's candidate coverage (n_cells/nprobe/rerank are the
+    knobs), not by quantization error. ``rerank`` must be >= ``k``.
+
+    Output: (query_id, neighbor_id, rk) — ints only.
+    """
+    if rerank < k:
+        raise ValueError(f"rerank depth {rerank} < k {k}")
+    cand = ivfpq_topk(
+        corpus,
+        queries,
+        k=rerank,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        m_sub=m_sub,
+        k_codes=k_codes,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        residual=residual,
+        lloyd_iters=lloyd_iters,
+    )
+    return exact_rerank(
+        cand, corpus, queries, k=k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )

@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from syncquill_spark.plans.queries import load_tables
-from syncquill_spark.plans.queries_ext import _H60, _TOKS_LOWER
+from syncquill_spark.plans.queries_ext import (
+    _H60,
+    _IVF_CELLS,
+    _IVF_NPROBE,
+    _QUERY_MOD,
+    _TOKS_LOWER,
+    _TOPK,
+    _ivfpq_sql,
+)
 
 # the fixture's documents are single-line word soup; both engines
 # apply the SAME deterministic literal replace to synthesize line
@@ -177,14 +185,75 @@ FROM (
 """
 
 
+_RERANK_DEPTH = 50
+
+
+def q_similarity_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ serving (`ivfpq_topk_rerank`): ADC
+    top-{_RERANK_DEPTH} candidates from the coarse stage
+    (similarity_topk_ivfpq's exact parameters), then an exact float
+    cosine re-rank of the candidates alone down to top-k — the deployed
+    shape that buys back PQ quantization loss while still touching
+    floats for only |queries| x depth rows. The oracle wraps the
+    registered IVF-PQ SQL (k=depth) as the candidate subquery and
+    replays the exact-cosine re-rank with the same
+    left-to-right-fold score the brute-force oracle uses."""
+    from syncquill_spark.operators.similarity import ivfpq_topk_rerank
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk_rerank(
+        embeddings, queries, k=_TOPK, rerank=_RERANK_DEPTH,
+        n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE,
+    )
+
+
+def _rerank_sql() -> str:
+    cos = (
+        "list_reduce(list_transform(range(1, len(c.embedding) + 1), "
+        "i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), "
+        "(a, b) -> a + b) "
+        "/ (sqrt(list_reduce(list_transform(range(1, len(q.qv) + 1), "
+        "i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b)) "
+        "* sqrt(list_reduce(list_transform(range(1, len(c.embedding) + 1), "
+        "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), "
+        "(a, b) -> a + b)))"
+    )
+    return f"""
+WITH adc AS (
+  SELECT query_id, neighbor_id FROM ({_ivfpq_sql(k=_RERANK_DEPTH)}) t
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {_QUERY_MOD} = 0
+),
+rescored AS (
+  SELECT a.query_id, a.neighbor_id, {cos} AS score
+  FROM adc a
+  JOIN embeddings c ON a.neighbor_id = c.vec_id
+  JOIN q ON q.query_id = a.query_id
+)
+SELECT query_id, neighbor_id, rk FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM rescored) t
+WHERE rk <= {_TOPK}
+"""
+
+
 QUEUE_QUERIES = {
     "text_lines_dedup": q_text_lines_dedup,
     "text_clf_gate": q_text_clf_gate,
     "text_normalize": q_text_normalize,
+    "similarity_topk_rerank": q_similarity_topk_rerank,
 }
 
 QUEUE_ORACLES = {
     "text_lines_dedup": _lines_dedup_sql(),
     "text_clf_gate": _clf_gate_sql(),
     "text_normalize": _normalize_sql(),
+    "similarity_topk_rerank": _rerank_sql(),
 }

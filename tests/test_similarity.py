@@ -735,3 +735,99 @@ def test_ivfpq_lloyd_option_keeps_contract(spark, sf_dir):
         per_q.setdefault(r["query_id"], []).append(r["rk"])
     for rks in per_q.values():
         assert sorted(rks) == list(range(1, len(rks) + 1)) and len(rks) <= 5
+
+
+def test_exact_rerank_full_candidates_equals_brute_force(spark, sf_dir):
+    """exact_rerank is brute force restricted to the candidate set —
+    so with the candidate set = the whole corpus it must reproduce
+    brute_force_topk row for row (same Arrow cosine, same tie-break).
+    This is the stage-2 contract: the refiner adds no approximation of
+    its own."""
+    from syncquill_spark.operators.similarity import (
+        brute_force_topk,
+        exact_rerank,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    all_cand = q.select("query_id").crossJoin(
+        emb.select(F.col("vec_id").alias("neighbor_id"))
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in exact_rerank(all_cand, emb, q, k=7).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in brute_force_topk(emb, q, k=7).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_rerank_buys_back_quantization_loss(spark, sf_dir):
+    """Two-stage serving's whole point: with the SAME coarse stage
+    (cells/probes/codes), exact re-ranking of the ADC top-50 must
+    (a) keep the self-hit, (b) emit contiguous ranks with results a
+    subset of the ADC candidates, (c) beat or match ADC-only recall
+    at k=10 vs brute force (on this structureless fixture recall
+    becomes candidate-coverage-bound instead of quantization-bound),
+    and (d) be deterministic across runs."""
+    from syncquill_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivfpq_topk,
+        ivfpq_topk_rerank,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nq = q.count()
+    adc = ivfpq_topk(emb, q, k=10, n_cells=16, nprobe=4)
+    cand = ivfpq_topk(emb, q, k=50, n_cells=16, nprobe=4)
+    rer = ivfpq_topk_rerank(emb, q, k=10, rerank=50, n_cells=16, nprobe=4)
+    rows = rer.collect()
+
+    top1 = [r for r in rows if r.rk == 1]
+    assert len(top1) == nq and all(r.query_id == r.neighbor_id for r in top1)
+
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 10
+               for v in per_q.values())
+    cand_set = {(r.query_id, r.neighbor_id) for r in cand.collect()}
+    assert all((r.query_id, r.neighbor_id) in cand_set for r in rows)
+
+    exact = brute_force_topk(emb, q, k=10)
+
+    def recall(approx):
+        a = ann_recall(approx.select("query_id", "neighbor_id"), exact).agg(
+            F.sum("n_hits").alias("h"), F.sum("n_exact").alias("e")
+        ).collect()[0]
+        return a.h / a.e
+
+    r_adc, r_rer = recall(adc), recall(rer)
+    assert r_rer >= r_adc
+    assert r_rer >= 0.3
+
+    again = sorted((r.query_id, r.neighbor_id, r.rk)
+                   for r in ivfpq_topk_rerank(
+                       emb, q, k=10, rerank=50, n_cells=16, nprobe=4
+                   ).collect())
+    assert again == sorted((r.query_id, r.neighbor_id, r.rk) for r in rows)
+
+
+def test_ivfpq_rerank_depth_validation(spark):
+    from syncquill_spark.operators.similarity import ivfpq_topk_rerank
+
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 8).alias("embedding"),
+    )
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="rerank depth"):
+        ivfpq_topk_rerank(df, q, k=10, rerank=5, dim=8, m_sub=4)
