@@ -1182,3 +1182,91 @@ def url_dedup(
         .unionByName(canon.filter(F.col("_uc").isNull()).select(id_col))
     )
     return df.join(keep_ids, id_col)
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_id_col: str = "id_new",
+    start_col: str = "start_new",
+    end_col: str = "end_new",
+    pad: int = 0,
+) -> DataFrame:
+    """ACT on a contamination report: cut the matched token spans out
+    of the flagged documents and keep the rest — the surgical
+    alternative to `decontaminate`/`fuzzy_decontaminate`'s drop-the-
+    whole-document policy (the right default when a long training
+    document merely QUOTES an eval passage; dropping it wastes the
+    other 99%).
+
+    ``spans`` is `winnowing_spans_against`'s output (defaults name its
+    batch-side columns) or any (doc_id, start, end) frame of
+    0-based INCLUSIVE token-index ranges over the whitespace token
+    stream — the same ``split(trim(text), '\\s+')`` positions the
+    winnowing family indexes. Overlapping/adjacent spans from multiple
+    eval matches need no pre-merge: a token dies if ANY span covers it.
+
+    ``pad`` widens every span by that many tokens on BOTH sides before
+    cutting (clamped at 0). Winnowing spans anchor only at SELECTED
+    fingerprints, so a reported span can under-cover the true match by
+    up to ``window - 1`` grams per side (the selection guarantee's
+    slack); pass ``pad = window - 1`` to guarantee the cut covers
+    every token of the real overlap — the correct decontamination
+    setting, at the cost of over-cutting that many innocent boundary
+    tokens.
+
+    Rebuild semantics, documented honestly: documents WITH cuts are
+    rebuilt as their surviving tokens joined by single spaces
+    (original token case preserved; inter-token whitespace normalized —
+    token indices, not byte offsets, are what the index stores);
+    documents with NO spans pass through with their text byte-exact.
+    A fully-covered document comes back with text_clean = '' (the
+    caller's drop policy, not ours — filter on n_tokens_kept).
+
+    Scale shape: spans aggregate to one (id, array<struct>) row per
+    flagged doc (bounded by matches, broadcastable); the corpus LEFT
+    broadcast-joins that list, so clean documents never shuffle and
+    never re-tokenize beyond one split for the count; the token-index
+    filter is an array expression on flagged docs only (the
+    interpreted-HOF cost the repo doctrine bans from corpus-wide hot
+    paths is here confined to the contaminated sliver). No shuffle of
+    the corpus anywhere.
+
+    Output: (id, n_tokens, n_tokens_kept, text_clean).
+    """
+    per_doc = (
+        spans.select(
+            F.col(span_id_col).cast("long").alias(id_col),
+            F.struct(
+                F.greatest(
+                    F.col(start_col).cast("long") - F.lit(int(pad)), F.lit(0)
+                ).alias("s"),
+                (F.col(end_col).cast("long") + F.lit(int(pad))).alias("e"),
+            ).alias("_sp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("_sp").alias("_spans"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    joined = df.join(F.broadcast(per_doc), id_col, "left").withColumn(
+        "_tk", toks
+    )
+    kept = F.filter(
+        F.col("_tk"),
+        lambda t, i: ~F.exists(
+            F.col("_spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.when(F.col("_spans").isNull(), F.size("_tk"))
+        .otherwise(F.size(kept))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text_clean"),
+    )

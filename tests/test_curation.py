@@ -870,3 +870,125 @@ def test_url_dedup_survivor_and_null_pass(spark):
     )
     kept = sorted(r.doc_id for r in url_dedup(df).collect())
     assert kept == [1, 4, 5, 6]
+
+
+# ---------------------------------------------------------------------------
+# remove_spans: surgical span-removal decontamination
+# ---------------------------------------------------------------------------
+
+
+def _spans_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id_new long, start_new long, end_new long"
+    )
+
+
+def test_remove_spans_cuts_inclusive_token_ranges(spark):
+    from syncquill_spark.operators.curation import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    out = remove_spans(docs, _spans_df(spark, [(1, 2, 4)])).collect()[0]
+    assert (out.n_tokens, out.n_tokens_kept, out.text_clean) == (8, 5, "a b f g h")
+
+
+def test_remove_spans_overlapping_spans_union(spark):
+    """A token dies if ANY span covers it — overlapping reports from
+    multiple eval matches need no pre-merge."""
+    from syncquill_spark.operators.curation import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    out = remove_spans(
+        docs, _spans_df(spark, [(1, 1, 3), (1, 3, 5)])
+    ).collect()[0]
+    assert (out.n_tokens_kept, out.text_clean) == (3, "a g h")
+
+
+def test_remove_spans_clean_docs_pass_byte_exact(spark):
+    """Documents with no spans keep their original text byte-exact —
+    including internal whitespace the rebuild would normalize."""
+    from syncquill_spark.operators.curation import remove_spans
+
+    weird = "x   y\tz"
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, weird)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in remove_spans(
+        docs, _spans_df(spark, [(1, 0, 0)])
+    ).collect()}
+    assert rows[1].text_clean == "b c"
+    assert rows[2].text_clean == weird
+    assert (rows[2].n_tokens, rows[2].n_tokens_kept) == (3, 3)
+
+
+def test_remove_spans_full_cover_and_case_preserved(spark):
+    from syncquill_spark.operators.curation import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "Aa Bb Cc"), (2, "Keep ME too")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in remove_spans(
+        docs, _spans_df(spark, [(1, 0, 99)])
+    ).collect()}
+    assert (rows[1].n_tokens_kept, rows[1].text_clean) == (0, "")
+    assert rows[2].text_clean == "Keep ME too"  # original case, untouched
+
+
+def test_remove_spans_silences_the_winnowing_gate(spark, tmp_path):
+    """The decontamination acceptance test: plant an eval passage in a
+    training doc, localize it with winnowing_spans_against, CUT it with
+    remove_spans — the re-run gate must find nothing, and the rest of
+    the document must survive token-for-token."""
+    from syncquill_spark.operators.curation import remove_spans
+    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        build_winnowing_positions,
+        winnowing_matches_against,
+        winnowing_spans_against,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight again"
+    evalset = spark.createDataFrame(
+        [(1, f"alpha beta {shared} gamma"),
+         (3, "completely unrelated text about something else entirely")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(101, f"one two three four {shared} five six seven eight"),
+         (102, "another unrelated new document arriving at ingest")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "win_decon_idx")
+    save_index(
+        p,
+        fps=build_winnowing_index(evalset),
+        positions=build_winnowing_positions(evalset),
+    )
+    idx = load_index(spark, p)
+    spans = winnowing_spans_against(
+        train, idx["fps"], idx["positions"], min_shared=2
+    )
+    # pad = window - 1: winnowing anchors only at selected fps, so the
+    # raw span can under-cover the true match by up to window-1 grams
+    # per side — the guarantee-backed decontamination setting
+    cleaned = remove_spans(train, spans, pad=3)
+    rows = {r.doc_id: r for r in cleaned.collect()}
+    # the contaminated doc lost the passage (plus <= pad boundary
+    # tokens per side), and the far prefix/suffix survive
+    assert rows[101].n_tokens_kept < rows[101].n_tokens
+    for w in ["one", "two", "three", "seven", "eight"]:
+        assert w in rows[101].text_clean.split()
+    for w in ["quick", "fox", "lazy", "dog", "tonight"]:
+        assert w not in rows[101].text_clean.split()
+    assert rows[102].text_clean == "another unrelated new document arriving at ingest"
+
+    regate = winnowing_matches_against(
+        cleaned.select("doc_id", F.col("text_clean").alias("text")),
+        idx["fps"],
+        min_shared=2,
+    )
+    assert regate.count() == 0
