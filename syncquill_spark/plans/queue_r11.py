@@ -244,11 +244,99 @@ WHERE rk <= {_TOPK}
 """
 
 
+def q_curation_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-removal DECONTAMINATION end to end: detect within-corpus
+    substring matches (winnowing, ``text_winnowing_spans``' exact
+    parameters), localize them to token spans, and CUT the id_b side
+    (pairs orient id_a < id_b, so the later document loses the copied
+    passage — keep-first) with ``remove_spans`` at
+    pad = window - 1 (the selection-guarantee margin that makes the
+    cut cover the whole true match). Documents with no matches pass
+    through byte-exact; cut documents are rebuilt from surviving
+    tokens. The oracle replays detection + spans in SQL windows, then
+    the same pad/filter/rebuild with string_split_regex +
+    NOT EXISTS + ordered string_agg."""
+    from syncquill_spark.operators.curation import remove_spans
+    from syncquill_spark.operators.text import winnowing_match_pairs
+    from syncquill_spark.plans.queries_ext import (
+        _WIN_K,
+        _WIN_MAX_DF,
+        _WIN_MIN_SHARED,
+        _WIN_W,
+    )
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_positions,
+        winnowing_match_spans,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    pairs = winnowing_match_pairs(
+        documents,
+        k=_WIN_K,
+        window=_WIN_W,
+        min_shared=_WIN_MIN_SHARED,
+        max_fp_df=_WIN_MAX_DF,
+    )
+    positions = build_winnowing_positions(documents, k=_WIN_K, window=_WIN_W)
+    spans = winnowing_match_spans(pairs, positions, k=_WIN_K, window=_WIN_W)
+    return remove_spans(
+        documents,
+        spans,
+        span_id_col="id_b",
+        start_col="start_b",
+        end_col="end_b",
+        pad=_WIN_W - 1,
+    )
+
+
+def _remove_spans_sql() -> str:
+    from syncquill_spark.plans.queries_ext import _WIN_W
+    from syncquill_spark.plans.queue_r10 import _winnowing_spans_sql
+
+    pad = _WIN_W - 1
+    return f"""
+WITH sp AS (
+  SELECT id_b AS doc_id, GREATEST(start_b - {pad}, 0) AS s, end_b + {pad} AS e
+  FROM ({_winnowing_spans_sql()}) spans
+),
+flagged AS (SELECT DISTINCT doc_id FROM sp),
+tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks FROM documents
+),
+tok AS (
+  SELECT doc_id, UNNEST(range(1, len(tks) + 1)) AS i, tks FROM tk
+),
+tok2 AS (SELECT doc_id, i, tks[i] AS tok FROM tok),
+kept AS (
+  SELECT t.doc_id, t.i, t.tok FROM tok2 t
+  JOIN flagged f USING (doc_id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id AND t.i - 1 BETWEEN sp.s AND sp.e
+  )
+),
+reb AS (
+  SELECT doc_id, COUNT(*) AS nk, string_agg(tok, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(tk.tks) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN f.doc_id IS NULL THEN len(tk.tks)
+                 ELSE COALESCE(reb.nk, 0) END AS BIGINT) AS n_tokens_kept,
+       CASE WHEN f.doc_id IS NULL THEN d.text
+            ELSE COALESCE(reb.txt, '') END AS text_clean
+FROM documents d
+JOIN tk ON tk.doc_id = d.doc_id
+LEFT JOIN flagged f ON f.doc_id = d.doc_id
+LEFT JOIN reb ON reb.doc_id = d.doc_id
+"""
+
+
 QUEUE_QUERIES = {
     "text_lines_dedup": q_text_lines_dedup,
     "text_clf_gate": q_text_clf_gate,
     "text_normalize": q_text_normalize,
     "similarity_topk_rerank": q_similarity_topk_rerank,
+    "curation_remove_spans": q_curation_remove_spans,
 }
 
 QUEUE_ORACLES = {
@@ -256,4 +344,5 @@ QUEUE_ORACLES = {
     "text_clf_gate": _clf_gate_sql(),
     "text_normalize": _normalize_sql(),
     "similarity_topk_rerank": _rerank_sql(),
+    "curation_remove_spans": _remove_spans_sql(),
 }
