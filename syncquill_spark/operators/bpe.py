@@ -1,0 +1,269 @@
+"""Byte-pair-encoding tokenizer: distributed training + corpus encoding.
+
+The missing third piece of the token-counting story (whitespace and
+regex counts live in operators/text.py): LLM pipelines measure data in
+TOKENIZER tokens, and the tokenizer itself is trained on the corpus.
+This module trains a BPE merge table (Sennrich et al. 2016, the
+word-frequency formulation every practical trainer uses) and encodes
+documents with it — both as Spark plans.
+
+Training shape, built for the 100 TB corpus the engine targets:
+
+- The corpus is read ONCE: one explode + groupBy builds the
+  (word, freq) table. Everything after runs on that table, whose size
+  is the corpus VOCABULARY (~1e8 rows for web scale — too big for a
+  driver, exactly why the merge loop stays distributed).
+- Each merge iteration is one aggregation over the word table
+  (adjacent-pair counts, weighted by word freq, map-side combinable)
+  plus one projection (apply the merge to the symbol arrays, an
+  Arrow-batched pandas UDF — the per-word greedy scan is inherently
+  sequential). ONE row (the argmax pair) crosses to the driver per
+  iteration — the same O(1)-per-step driver traffic as any iterative
+  fit; the word table itself never does.
+- The table is localCheckpoint'ed eagerly each iteration, so lineage
+  stays flat and every pair-count job reads materialized rows instead
+  of recomputing the whole UDF chain (the incremental_sync.py trick).
+
+Determinism doctrine: pair counts are exact int64 sums; the winning
+pair is the total order (freq DESC, left ASC, right ASC); greedy
+merge application scans left to right — so the merge table is
+bit-reproducible in any engine, and the pure-Python reference model
+in tests/test_bpe.py pins it row for row.
+
+Word model: lowercased whitespace tokens (the `_tokens` stream every
+text operator here indexes), symbols start as single characters with
+the Sennrich end-of-word marker "</w>" fused onto the final
+character. Characters are Unicode code points as Spark sees them
+(UTF-16 code units for astral-plane text — fine for the BMP text the
+fixtures carry; a byte-level variant would pre-encode to latin-1
+bytes the way GPT-2 does).
+
+No SQL-oracle registry row, stated honestly: the trainer is an
+iterative argmax loop (each step's input depends on the previous
+step's winner) — the same non-SQL-expressible class as Lloyd
+iterations; it is pinned by the Python reference model instead.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+EOW = "</w>"
+
+
+def word_freqs(
+    df: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """(word, freq) over the lowercased whitespace token stream — the
+    single corpus pass BPE training starts from. One explode + one
+    map-side-combinable count; output is vocabulary-sized."""
+    out = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    if min_freq > 1:
+        out = out.filter(F.col("freq") >= min_freq)
+    return out
+
+
+def _initial_syms(word_col) -> "F.Column":
+    """Split a word into single-character symbols with the end-of-word
+    marker fused onto the last one: 'low' -> ['l', 'o', 'w</w>']."""
+    # (?!^)(?!$): split BETWEEN characters only — a bare (?!^) also
+    # matches at end-of-string, and Spark's split keeps the resulting
+    # trailing empty element (unlike Java's String.split)
+    chars = F.split(word_col, "(?!^)(?!$)")
+    n = F.size(chars)
+    return F.transform(
+        chars,
+        lambda c, i: F.when(i == n - 1, F.concat(c, F.lit(EOW))).otherwise(c),
+    )
+
+
+@pandas_udf(ArrayType(StringType()))
+def _merge_pair_udf(syms: pd.Series, left: pd.Series, right: pd.Series) -> pd.Series:
+    """Greedy left-to-right replacement of the adjacent symbol pair
+    (left, right) with their concatenation — the classic BPE apply
+    step ('a a a' + merge(a,a) -> ('aa', 'a')). Arrow-batched over the
+    word table; words without the pair pass through unchanged."""
+    out = []
+    for s, l, r in zip(syms, left, right):
+        s = list(s)
+        if l not in s:  # cheap reject: most words lack the pair
+            out.append(s)
+            continue
+        merged = []
+        i, n = 0, len(s)
+        lr = l + r
+        while i < n:
+            if i < n - 1 and s[i] == l and s[i + 1] == r:
+                merged.append(lr)
+                i += 2
+            else:
+                merged.append(s[i])
+                i += 1
+        out.append(merged)
+    return pd.Series(out)
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the symbolized word table,
+    weighted by word freq (overlapping occurrences count, as in the
+    reference algorithm). Map-side-combinable aggregation over
+    exploded skinny rows."""
+    multi = words.filter(F.size("syms") >= 2)
+    n = F.size("syms")
+    pairs = multi.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.struct(
+                    F.element_at("syms", i + 1).alias("l"),
+                    F.element_at("syms", i + 2).alias("r"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+        F.sum("freq").cast("long").alias("pfreq")
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+    min_word_freq: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a BPE merge table over the corpus.
+
+    Returns ``(merges, vocab)``: ``merges`` = (rank, left, right,
+    pair_freq) — the ordered merge list, rank 0 first, possibly
+    shorter than ``n_merges`` if pair frequencies fall below
+    ``min_pair_freq`` first (training has converged); ``vocab`` = the
+    final symbolized word table (word, freq, syms) whose segmentation
+    `bpe_encode` reproduces exactly (the consistency a unit test
+    pins).
+
+    One corpus pass (`word_freqs`), then ``n_merges`` iterations over
+    the vocabulary-sized table — see the module docstring for the
+    scale shape. The returned merges frame is built driver-side from
+    the per-iteration argmax rows (n_merges rows total — model-sized,
+    like a broadcast codebook), parallelized back so downstream plans
+    can join/broadcast it.
+    """
+    spark = df.sparkSession
+    words = (
+        word_freqs(df, text_col, min_freq=min_word_freq)
+        .select("word", "freq", _initial_syms(F.col("word")).alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("pfreq").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].pfreq < min_pair_freq:
+            break
+        l, r, pf = top[0].l, top[0].r, int(top[0].pfreq)
+        merges.append((rank, l, r, pf))
+        words = words.select(
+            "word",
+            "freq",
+            _merge_pair_udf(F.col("syms"), F.lit(l), F.lit(r)).alias("syms"),
+        ).localCheckpoint(eager=True)
+    merges_df = spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_freq long"
+    )
+    return merges_df, words
+
+
+def _segment(word: str, merge_list: list[tuple[str, str]]) -> list[str]:
+    """Apply the trained merges in rank order to one word — the
+    encoding that reproduces training segmentation by construction."""
+    if not word:
+        return []
+    syms = list(word)
+    syms[-1] = syms[-1] + EOW
+    for l, r in merge_list:
+        if l not in syms:
+            continue
+        merged = []
+        i, n = 0, len(syms)
+        lr = l + r
+        while i < n:
+            if i < n - 1 and syms[i] == l and syms[i + 1] == r:
+                merged.append(lr)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count each document's BPE tokens under a trained merge table —
+    the tokenizer-true size signal data budgets are written in
+    (whitespace/regex counts over- or under-shoot it per language).
+
+    The merge table is model-sized: collected once, ordered by rank,
+    and shipped to executors inside the UDF closure (a broadcast-sized
+    constant, like the classifier weight tables). Each Arrow batch
+    memoizes segmentations per distinct word, so the per-word merge
+    scan runs once per vocabulary word per batch, not once per token.
+
+    Output: (id, n_words, n_bpe_tokens) — exact ints.
+    """
+    merge_list = [
+        (row.left, row.right)
+        for row in merges.orderBy("rank").select("left", "right").collect()
+    ]
+    out_schema = f"{id_col} long, n_words long, n_bpe_tokens long"
+
+    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+
+        def n_tokens(word: str) -> int:
+            hit = cache.get(word)
+            if hit is None:
+                hit = cache[word] = len(_segment(word, merge_list))
+            return hit
+
+        for pdf in it:
+            n_words, n_bpe = [], []
+            for text in pdf[text_col]:
+                ws = (text or "").lower().split()
+                n_words.append(len(ws))
+                n_bpe.append(sum(n_tokens(w) for w in ws))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(n_bpe, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode_batches, out_schema)

@@ -1,0 +1,154 @@
+"""BPE trainer/encoder vs a pure-Python reference model.
+
+The trainer is an iterative argmax loop (non-SQL-expressible, like
+Lloyd refinement), so its correctness pin is a from-scratch Python
+implementation of the same algorithm: word-frequency BPE with
+overlap-counting pair frequencies, (freq DESC, left ASC, right ASC)
+tie-breaks, and greedy left-to-right merge application.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from syncquill_spark.operators.bpe import EOW, bpe_encode, train_bpe, word_freqs
+
+
+# --- reference model ------------------------------------------------------
+
+
+def _ref_word_freqs(texts):
+    c = Counter()
+    for t in texts:
+        c.update((t or "").lower().split())
+    return dict(c)
+
+
+def _ref_syms(word):
+    s = list(word)
+    s[-1] = s[-1] + EOW
+    return s
+
+
+def _ref_apply(syms, l, r):
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(texts, n_merges, min_pair_freq=2):
+    words = {w: (_ref_syms(w), f) for w, f in _ref_word_freqs(texts).items()}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for syms, f in words.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), pf = best
+        if pf < min_pair_freq:
+            break
+        merges.append((rank, l, r, pf))
+        words = {w: (_ref_apply(s, l, r), f) for w, (s, f) in words.items()}
+    return merges, words
+
+
+# --- fixtures -------------------------------------------------------------
+
+# 'banana'/'bandana' force overlapping pairs; repeated words force
+# frequency-weighted counts; ties exercised by the single-occurrence tail
+_CORPUS = [
+    (1, "the banana stand sells banana bread and bandana hats"),
+    (2, "low lower lowest newer newest wide wider widest"),
+    (3, "the the the banana banana aaaa aa a"),
+    (4, "Mixed CASE Tokens mixed case tokens"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_CORPUS, "doc_id long, text string")
+
+
+def test_word_freqs_matches_reference(spark, docs):
+    got = {r.word: r.freq for r in word_freqs(docs).collect()}
+    assert got == _ref_word_freqs([t for _, t in _CORPUS])
+
+
+def test_train_bpe_matches_reference_model(spark, docs):
+    """Merge table identical to the reference implementation row for
+    row — ranks, pair identities, frequencies, and tie-breaks — and
+    the final vocab segmentation identical word for word."""
+    merges_df, vocab = train_bpe(docs, n_merges=20)
+    got = [(r.rank, r.left, r.right, r.pair_freq) for r in merges_df.orderBy("rank").collect()]
+    want_merges, want_words = _ref_train([t for _, t in _CORPUS], 20)
+    assert got == want_merges
+    got_vocab = {r.word: list(r.syms) for r in vocab.collect()}
+    assert got_vocab == {w: s for w, (s, _) in want_words.items()}
+
+
+def test_train_bpe_converges_early(spark):
+    """Every pair below min_pair_freq: training stops with fewer
+    merges than asked, not an error."""
+    docs = spark.createDataFrame(
+        [(1, "ab cd ef"), (2, "gh ij kl")], "doc_id long, text string"
+    )
+    merges_df, _ = train_bpe(docs, n_merges=50, min_pair_freq=2)
+    assert merges_df.count() == 0
+
+
+def test_train_bpe_deterministic(spark, docs):
+    a, _ = train_bpe(docs, n_merges=12)
+    b, _ = train_bpe(docs, n_merges=12)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bpe_encode_consistent_with_training(spark, docs):
+    """Encoding the training corpus with the trained merges reproduces
+    the trainer's own final segmentation: per doc, n_bpe_tokens equals
+    the sum over its words of the trainer's final symbol counts."""
+    merges_df, vocab = train_bpe(docs, n_merges=20)
+    seg_len = {r.word: len(r.syms) for r in vocab.collect()}
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in bpe_encode(docs, merges_df).collect()}
+    for doc_id, text in _CORPUS:
+        ws = text.lower().split()
+        assert got[doc_id] == (len(ws), sum(seg_len[w] for w in ws))
+
+
+def test_bpe_encode_unseen_and_empty(spark, docs):
+    """Unseen words segment with the same merge table (characters
+    merge as far as the learned pairs allow); empty/whitespace docs
+    count zero."""
+    merges_df, _ = train_bpe(docs, n_merges=20)
+    new = spark.createDataFrame(
+        [(10, "bananas unseenword"), (11, "   "), (12, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bpe_encode(new, merges_df).collect()}
+    assert rows[11].n_words == 0 and rows[11].n_bpe_tokens == 0
+    assert rows[12].n_words == 0 and rows[12].n_bpe_tokens == 0
+    assert rows[10].n_words == 2
+    # each word segments to at least 1 and at most len(word)+1 symbols
+    assert 2 <= rows[10].n_bpe_tokens <= len("bananas") + len("unseenword") + 2
+    # reference check for the unseen words
+    want_merges, _ = _ref_train([t for _, t in _CORPUS], 20)
+    ml = [(l, r) for _, l, r, _ in want_merges]
+
+    def seg(word):
+        s = _ref_syms(word)
+        for l, r in ml:
+            s = _ref_apply(s, l, r)
+        return s
+
+    assert rows[10].n_bpe_tokens == len(seg("bananas")) + len(seg("unseenword"))
