@@ -1270,3 +1270,132 @@ def remove_spans(
         .otherwise(F.array_join(kept, " "))
         .alias("text_clean"),
     )
+
+
+def _dyadic_pow(col, alpha: float, max_bits: int = 6):
+    """x**alpha for a DYADIC alpha (m / 2**k, k <= max_bits, 0 < alpha
+    <= 1) built from repeated sqrt and products only. IEEE-754 sqrt
+    and multiply are correctly rounded EVERYWHERE, unlike libm pow
+    (exp(alpha*ln x)) whose last-bit wobble differs across engines —
+    so a ranking or floor() on this value is bit-reproducible in any
+    engine, the same determinism trade the linear-idf scorer makes
+    against log(). x must be non-negative."""
+    from fractions import Fraction
+
+    fr = Fraction(alpha)
+    if not (0 < fr <= 1):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    den = fr.denominator
+    if den & (den - 1) or den > (1 << max_bits):
+        raise ValueError(
+            f"alpha must be a dyadic rational m/2^k with k <= {max_bits} "
+            f"(e.g. 0.5, 0.25, 0.75, 0.625) so x**alpha stays a "
+            f"correctly-rounded sqrt/multiply chain; got {alpha}"
+        )
+    if fr == 1:
+        return col.cast("double")
+    k = den.bit_length() - 1
+    num = fr.numerator
+    s = col.cast("double")
+    result = None
+    for i in range(1, k + 1):
+        s = F.sqrt(s)  # x ** (1 / 2**i)
+        if (num >> (k - i)) & 1:
+            result = s if result is None else result * s
+    return result
+
+
+def temperature_mix(
+    df: DataFrame,
+    total: int,
+    alpha: float = 0.5,
+    stratify_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Compose a training mix by TEMPERATURE sampling (the multilingual
+    pretraining standard: stratum s gets a share proportional to
+    n_s**alpha, so alpha=1 is natural proportions and alpha -> 0
+    approaches uniform — low-resource strata get up-weighted without
+    hand-tuning a quota per stratum, which is exactly what `target_mix`
+    expects you to have). ``total`` documents are split into
+    per-stratum counts by the LARGEST-REMAINDER method (exact: counts
+    sum to ``total`` unless capped), each count capped at the
+    stratum's population (no redistribution on cap — the mix comes up
+    short instead of silently re-weighting, documented), and documents
+    are selected within each stratum by the same salted-hash prefix
+    rank as `target_mix`/`exact_k_per_stratum` — so a smaller total
+    selects a prefix of a larger one, stratum by stratum.
+
+    ``alpha`` must be dyadic (m/2^k, k<=6 — 0.5, 0.25, 0.75, ...):
+    the weight n**alpha is then a correctly-rounded sqrt/multiply
+    chain, bit-identical across engines (see `_dyadic_pow`), so the
+    floor()s and remainder ranks that decide COUNTS can sit in a
+    cross-engine-checked output. Classic temperatures quantize fine
+    (T=2 <-> alpha=0.5; mT5's alpha=0.3 -> 0.3125). Weights are
+    floor(w*1e6+0.5)-quantized to int64 BEFORE the cross-stratum sum
+    (doctrine #3: a double SUM over strata would be aggregation-order-
+    dependent and could flip a quota floor between engines); each
+    quota is then exactly two fixed-order IEEE ops on exact integers.
+
+    Output: df's columns + ``mix_rank`` (1-based within stratum).
+
+    Scale shape: one skinny count aggregation (strata-sized — tiny),
+    the quota arithmetic on that tiny frame (one window over ALL
+    strata for the remainder ranks — strata counts, not documents),
+    the per-stratum quota broadcast back, and ONE document-sized
+    window on the stratum key (WindowGroupLimit-bounded by the global
+    max quota literal? no — quotas are data-dependent, so the rank
+    filter joins the broadcast quota table; the window itself is the
+    same one target_mix pays).
+    """
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    counts = df.groupBy(stratify_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    weights = counts.withColumn(
+        "_w",
+        F.floor(_dyadic_pow(F.col("_n"), alpha) * 1_000_000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    wsum = weights.agg(F.sum("_w").cast("long").alias("_wsum"))
+    quota = (
+        weights.crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "_q",
+            F.lit(float(total))
+            * F.col("_w").cast("double")
+            / F.col("_wsum").cast("double"),
+        )
+        .withColumn("_base", F.floor("_q").cast("long"))
+        .withColumn("_rem", F.col("_q") - F.col("_base"))
+    )
+    short = quota.agg(
+        (F.lit(total) - F.sum("_base")).cast("long").alias("_short")
+    )
+    wrem = Window.orderBy(F.col("_rem").desc(), F.col(stratify_col).asc())
+    ks = (
+        quota.crossJoin(F.broadcast(short))
+        .withColumn("_rr", F.row_number().over(wrem))
+        .withColumn(
+            "_k",
+            F.least(
+                F.col("_base")
+                + F.when(F.col("_rr") <= F.col("_short"), 1).otherwise(0),
+                F.col("_n"),
+            ),
+        )
+        .select(stratify_col, "_k")
+    )
+    h = portable_hash60(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(stratify_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(ks), stratify_col)
+        .withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= F.col("_k"))
+        .drop("_k")
+    )

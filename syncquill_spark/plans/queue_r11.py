@@ -331,12 +331,73 @@ LEFT JOIN reb ON reb.doc_id = d.doc_id
 """
 
 
+_TEMP_TOTAL, _TEMP_ALPHA = 120, 0.5
+
+
+def q_curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled training mix (`temperature_mix`): stratum
+    shares proportional to n_lang**alpha (alpha=0.5 = T=2, the
+    multilingual-pretraining standard), resolved to exact counts by
+    largest remainder and selected by the salted-hash prefix rank.
+    Every decision the oracle replays is integer-exact or a fixed-order
+    IEEE op: weights are floor(sqrt(n)*1e6+0.5) int64 (sqrt is
+    correctly rounded everywhere — no libm pow), the weight sum is an
+    integer sum, each quota is one multiply + one divide."""
+    from syncquill_spark.operators.curation import temperature_mix
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return temperature_mix(
+        documents, total=_TEMP_TOTAL, alpha=_TEMP_ALPHA
+    ).select("doc_id", "lang", "mix_rank")
+
+
+def _temperature_mix_sql() -> str:
+    h = _H60.format(x="'mix-v1:' || CAST(doc_id AS VARCHAR)")
+    total = _TEMP_TOTAL
+    return f"""
+WITH n AS (SELECT lang, COUNT(*) AS nn FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, nn,
+         CAST(FLOOR(sqrt(CAST(nn AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wq
+  FROM n
+),
+q AS (
+  SELECT lang, nn, wq,
+         CAST({total} AS DOUBLE) * CAST(wq AS DOUBLE)
+           / CAST((SELECT SUM(wq) FROM w) AS DOUBLE) AS qv
+  FROM w
+),
+b AS (
+  SELECT lang, nn, qv, CAST(FLOOR(qv) AS BIGINT) AS base,
+         qv - FLOOR(qv) AS rem
+  FROM q
+),
+k AS (
+  SELECT lang,
+         LEAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+                                <= {total} - (SELECT SUM(base) FROM b)
+                           THEN 1 ELSE 0 END,
+               nn) AS kk
+  FROM b
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {h} ASC, doc_id ASC) AS mix_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang, CAST(r.mix_rank AS BIGINT) AS mix_rank
+FROM r JOIN k USING (lang) WHERE mix_rank <= kk
+"""
+
+
 QUEUE_QUERIES = {
     "text_lines_dedup": q_text_lines_dedup,
     "text_clf_gate": q_text_clf_gate,
     "text_normalize": q_text_normalize,
     "similarity_topk_rerank": q_similarity_topk_rerank,
     "curation_remove_spans": q_curation_remove_spans,
+    "curation_temperature_mix": q_curation_temperature_mix,
 }
 
 QUEUE_ORACLES = {
@@ -345,4 +406,5 @@ QUEUE_ORACLES = {
     "text_normalize": _normalize_sql(),
     "similarity_topk_rerank": _rerank_sql(),
     "curation_remove_spans": _remove_spans_sql(),
+    "curation_temperature_mix": _temperature_mix_sql(),
 }

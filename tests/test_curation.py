@@ -992,3 +992,140 @@ def test_remove_spans_silences_the_winnowing_gate(spark, tmp_path):
         min_shared=2,
     )
     assert regate.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix: multinomial temperature sampling
+# ---------------------------------------------------------------------------
+
+
+def test_dyadic_pow_matches_python(spark):
+    """n**alpha via the sqrt/multiply chain equals Python's pow for
+    dyadic alphas (both are correctly-rounded IEEE compositions)."""
+    from syncquill_spark.operators.curation import _dyadic_pow
+
+    df = spark.createDataFrame([(n,) for n in [1, 2, 7, 100, 12345]], "n long")
+    for alpha in [0.5, 0.25, 0.75, 0.625, 0.3125, 1.0]:
+        got = {
+            r.n: r.w
+            for r in df.withColumn("w", _dyadic_pow(F.col("n"), alpha)).collect()
+        }
+        for n, w in got.items():
+            import math
+
+            want = 1.0
+            # same composition: product over set bits of repeated sqrt
+            from fractions import Fraction
+
+            fr = Fraction(alpha)
+            if fr == 1:
+                want = float(n)
+            else:
+                k = fr.denominator.bit_length() - 1
+                s = float(n)
+                want = None
+                for i in range(1, k + 1):
+                    s = math.sqrt(s)
+                    if (fr.numerator >> (k - i)) & 1:
+                        want = s if want is None else want * s
+            assert w == want, (n, alpha)
+
+
+def test_dyadic_pow_rejects_non_dyadic(spark):
+    import pytest
+
+    from syncquill_spark.operators.curation import _dyadic_pow
+
+    for bad in [0.3, 0.1, 0.0, -0.5, 1.5]:
+        with pytest.raises(ValueError):
+            _dyadic_pow(F.col("x"), bad)
+
+
+def _mix_docs(spark):
+    # en:60, fr:25, de:10, rm:5 — a skewed language distribution
+    rows = []
+    for i in range(60):
+        rows.append((i, "en"))
+    for i in range(60, 85):
+        rows.append((i, "fr"))
+    for i in range(85, 95):
+        rows.append((i, "de"))
+    for i in range(95, 100):
+        rows.append((i, "rm"))
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_temperature_mix_counts_largest_remainder(spark):
+    """Counts equal the Python largest-remainder model at alpha=0.5,
+    sum exactly to total, and up-weight the low-resource tail vs
+    natural proportions."""
+    import math
+
+    from syncquill_spark.operators.curation import temperature_mix
+
+    docs = _mix_docs(spark)
+    total = 40
+    out = temperature_mix(docs, total=total, alpha=0.5)
+    got = {
+        r.lang: r.cnt
+        for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    # python largest-remainder model (same int64 weight quantization)
+    pops = {"en": 60, "fr": 25, "de": 10, "rm": 5}
+    w = {s: math.floor(math.sqrt(n) * 1_000_000 + 0.5) for s, n in pops.items()}
+    W = sum(w.values())
+    quota = {s: float(total) * float(v) / float(W) for s, v in w.items()}
+    base = {s: int(q // 1) for s, q in quota.items()}
+    short = total - sum(base.values())
+    order = sorted(pops, key=lambda s: (-(quota[s] - base[s]), s))
+    want = dict(base)
+    for s in order[:short]:
+        want[s] += 1
+    assert got == want
+    assert sum(got.values()) == total
+    # temperature up-weights the tail: rm's share beats its natural 5%
+    assert got["rm"] / total > 5 / 100
+
+
+def test_temperature_mix_prefix_property_and_cap(spark):
+    """A smaller total selects a per-stratum PREFIX of a larger one;
+    a stratum never yields more than its population (alpha->uniform
+    pressure on a tiny stratum)."""
+    from syncquill_spark.operators.curation import temperature_mix
+
+    docs = _mix_docs(spark)
+    small = temperature_mix(docs, total=20, alpha=0.5)
+    large = temperature_mix(docs, total=60, alpha=0.5)
+    small_ids = {(r.lang, r.doc_id) for r in small.collect()}
+    large_rows = {(r.lang, r.doc_id): r.mix_rank for r in large.collect()}
+    small_counts = {}
+    for lang, _ in small_ids:
+        small_counts[lang] = small_counts.get(lang, 0) + 1
+    for key in small_ids:
+        assert key in large_rows
+        assert large_rows[key] <= small_counts[key[0]]
+
+    # cap: asking for more than exists leaves rm at its population
+    capped = temperature_mix(docs, total=99, alpha=0.25)
+    got = {
+        r.lang: r.cnt
+        for r in capped.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got["rm"] <= 5
+
+
+def test_temperature_mix_alpha_one_is_proportional(spark):
+    from syncquill_spark.operators.curation import temperature_mix
+
+    docs = _mix_docs(spark)
+    out = temperature_mix(docs, total=20, alpha=1.0)
+    got = {
+        r.lang: r.cnt
+        for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == {"en": 12, "fr": 5, "de": 2, "rm": 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="total"):
+        temperature_mix(docs, total=0)

@@ -386,7 +386,33 @@ SIM_OPS = {
     "topk_ivfpq": lambda c, q: __import__(
         "syncquill_spark.operators.similarity", fromlist=["ivfpq_topk"]
     ).ivfpq_topk(c, q, k=10, n_cells=16, nprobe=4),
+    # two-stage serving: ADC top-50 then exact re-rank of candidates
+    # only — stage-2 cost is |queries| x 50 rows regardless of corpus
+    # size, so the composition should track topk_ivfpq's curve
+    "topk_rerank": lambda c, q: __import__(
+        "syncquill_spark.operators.similarity", fromlist=["ivfpq_topk_rerank"]
+    ).ivfpq_topk_rerank(c, q, k=10, rerank=50, n_cells=16, nprobe=4),
 }
+
+
+def _remove_spans_probe(c: DataFrame) -> DataFrame:
+    """Detect -> localize -> CUT within the scaled corpus (the full
+    decontamination composition). Matches stay within-replica by
+    fixture construction, so span volume grows ~m while the rebuild
+    cost is bounded by flagged docs."""
+    from syncquill_spark.operators.curation import remove_spans
+    from syncquill_spark.operators.text import winnowing_match_pairs
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_positions,
+        winnowing_match_spans,
+    )
+
+    pairs = winnowing_match_pairs(c, min_shared=2, max_fp_df=20)
+    spans = winnowing_match_spans(pairs, build_winnowing_positions(c))
+    return remove_spans(
+        c, spans, span_id_col="id_b", start_col="start_b",
+        end_col="end_b", pad=3,
+    )
 
 
 def main() -> None:
@@ -415,6 +441,19 @@ def main() -> None:
         doc_ops.update(LINES_OPS)
     if "clf" in families:
         doc_ops.update(CLF_OPS)
+    if "decon" in families:
+        doc_ops["remove_spans"] = _remove_spans_probe
+    if "bpe" in families:
+        from syncquill_spark.operators.bpe import bpe_encode, train_bpe
+
+        def _bpe_train_encode(c: DataFrame) -> DataFrame:
+            # fixed 20 merges: training cost = 1 corpus pass (word
+            # counts) + 20 iterations over the VOCAB-sized table;
+            # encode is one Arrow-batched corpus pass
+            merges, _ = train_bpe(c, n_merges=20)
+            return bpe_encode(c, merges)
+
+        doc_ops["bpe_train_encode"] = _bpe_train_encode
     for m in ms:
         corpus = scaled_corpus(spark, sf_dir, m).persist()
         n_docs = corpus.count()
