@@ -152,3 +152,25 @@ def test_bpe_encode_unseen_and_empty(spark, docs):
         return s
 
     assert rows[10].n_bpe_tokens == len(seg("bananas")) + len(seg("unseenword"))
+
+
+def test_bpe_model_persists_through_index_store(spark, docs, tmp_path):
+    """The tokenizer is a corpus-derived artifact like every other
+    model here: the merge table persists through the same index_store
+    manifest, and encoding from the STORED model is identical to
+    encoding from the in-memory one. (No merge_* sibling on purpose:
+    BPE training is not incremental — merges depend on global pair
+    ranks, so extending the corpus means retraining, stated honestly.)"""
+    from syncquill_spark.operators.bpe import bpe_encode, train_bpe
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    merges, vocab = train_bpe(docs, n_merges=15)
+    p = str(tmp_path / "bpe_model")
+    save_index(p, merges=merges, vocab=vocab)
+    loaded = load_index(spark, p)
+    direct = sorted(map(tuple, bpe_encode(docs, merges).collect()))
+    stored = sorted(map(tuple, bpe_encode(docs, loaded["merges"]).collect()))
+    assert direct == stored
+    assert sorted(map(tuple, loaded["merges"].collect())) == sorted(
+        map(tuple, merges.collect())
+    )
