@@ -391,6 +391,15 @@ FROM r JOIN k USING (lang) WHERE mix_rank <= kk
 """
 
 
+# NOT queued, stated honestly (the url_dedup precedent): the fuzzy
+# record-linkage family (operators/dedup.py::fuzzy_name_pairs) stays
+# unit-only because every fixture name column is degenerate for
+# linkage — part.p_name has only ~64 distinct values, so the PAIR
+# output itself is quadratic in table size (~3e8 pairs at sf0.1, a
+# data property that would swamp bench, not an engine property), and
+# customer/supplier names are single-token serial strings on which
+# token blocking is either one giant block or nothing.
+
 QUEUE_QUERIES = {
     "text_lines_dedup": q_text_lines_dedup,
     "text_clf_gate": q_text_clf_gate,

@@ -325,3 +325,162 @@ def test_prefix_filter_skips_hub_shingles(spark):
     }
     assert (1, 2) in got
     assert (3, 4) not in got and (1, 3) not in got
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_name_pairs: record linkage
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_name_pairs_basic_linkage(spark):
+    """Pairs within max_dist edits that share a token are found with
+    the exact distance; far pairs and no-shared-token pairs are not."""
+    from syncquill_spark.operators.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "Acme Widget Co"),
+            (2, "Acme Widgets Co"),     # dist 1 to #1
+            (3, "ACME  widget co"),     # dist 0 to #1 after lower+split... blocked via shared tokens
+            (4, "Bolt Supply"),
+            (5, "Bolt Suplpy"),         # dist 2 to #4 (transposition = 2 edits)
+            (6, "Unrelated Name"),
+        ],
+        "doc_id long, name string",
+    )
+    got = {(r.id_a, r.id_b): r.dist for r in fuzzy_name_pairs(df, name_col="name", max_dist=2).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(4, 5)] == 2
+    assert (1, 6) not in got and (4, 6) not in got
+    # 3 normalizes to a different string ('acme  widget co' has double
+    # space -> dist 1 to 'acme widget co')
+    assert got[(1, 3)] == 1
+
+
+def test_fuzzy_name_pairs_matches_python_model(spark):
+    """Full equivalence vs a brute-force python model restricted to
+    the blocking contract (>=1 shared token)."""
+    from syncquill_spark.operators.dedup import fuzzy_name_pairs
+
+    names = [
+        "cold widget", "small widget", "large bolt", "large widget",
+        "blue rod", "cold rod", "blue rod", "small widgets",
+        "cold  widget", "bold rod",
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_name_pairs(df, name_col="name", max_dist=3).collect()
+    )
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    want = []
+    norm = [n.lower().strip() for n in names]
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            if set(norm[i].split()) & set(norm[j].split()):
+                dd = lev(norm[i], norm[j])
+                if dd <= 3:
+                    want.append((i, j, dd))
+    assert got == sorted(want)
+
+
+def test_fuzzy_name_pairs_token_df_cap(spark):
+    """Capping the blocking-token df drops pairs whose only shared
+    token is a hub — the documented lossy insurance."""
+    from syncquill_spark.operators.dedup import fuzzy_name_pairs
+
+    rows = [(i, f"common uniq{i}") for i in range(10)] + [
+        (100, "rare pair one"), (101, "rare pair onx")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    uncapped = fuzzy_name_pairs(df, name_col="name", max_dist=3)
+    capped = fuzzy_name_pairs(df, name_col="name", max_dist=3, max_token_df=5)
+    # 'common' (df=10) blocks the first cluster's pairs only when uncapped
+    assert uncapped.filter("id_a < 100").count() > 0
+    assert capped.filter("id_a < 100").count() == 0
+    got = {(r.id_a, r.id_b): r.dist for r in capped.collect()}
+    assert got == {(100, 101): 1}
+
+
+def test_fuzzy_name_pairs_levenshtein_agrees_with_duckdb(spark):
+    """Cross-engine pin WITHOUT a registry row (the fixture's name
+    columns are degenerate for linkage — see plans/queue_r11.py):
+    on ASCII names Spark's banded levenshtein and DuckDB's levenshtein
+    are the same classic unit-cost DP — pair set and distances match
+    exactly. (Non-ASCII diverges by design: Spark edits characters,
+    DuckDB edits UTF-8 bytes — pinned separately below.)"""
+    import duckdb
+
+    from syncquill_spark.operators.dedup import fuzzy_name_pairs
+
+    names = [
+        "acme widget co", "acme widgets co", "acme  widget co",
+        "bolt supply", "bolt suplpy", "bold supply",
+        "unrelated name", "acme wdget co",
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_name_pairs(df, name_col="name", max_dist=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{n}')" for i, n in rows)
+        + ") v(id, name)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute("""
+WITH nm AS (SELECT id, lower(trim(name)) AS n FROM t),
+tok AS (SELECT DISTINCT id, w FROM (
+  SELECT id, UNNEST(string_split_regex(n, '\\s+')) AS w FROM nm) x WHERE w <> ''),
+cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+         FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id)
+SELECT ia, ib, levenshtein(x.n, y.n) AS d
+FROM cand JOIN nm x ON x.id = ia JOIN nm y ON y.id = ib
+WHERE abs(len(x.n) - len(y.n)) <= 3 AND levenshtein(x.n, y.n) <= 3
+""").fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_levenshtein_unicode_divergence_documented(spark):
+    """The documented cross-engine caveat, pinned so a future engine
+    upgrade that changes it is noticed: Spark edits CHARACTERS
+    ('wídget' vs 'widget' = 1), DuckDB edits UTF-8 BYTES (= 2)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    (row,) = (
+        spark.createDataFrame([("wídget", "widget")], "a string, b string")
+        .select(F.levenshtein("a", "b").alias("d"))
+        .collect()
+    )
+    assert row.d == 1
+    (dd,) = duckdb.connect().execute(
+        "SELECT levenshtein('wídget', 'widget')"
+    ).fetchone()
+    assert dd == 2
