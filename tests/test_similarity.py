@@ -831,3 +831,39 @@ def test_ivfpq_rerank_depth_validation(spark):
     q = df.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="rerank depth"):
         ivfpq_topk_rerank(df, q, k=10, rerank=5, dim=8, m_sub=4)
+
+
+def test_exact_rerank_composes_with_persisted_index(spark, sf_dir, tmp_path):
+    """Two-stage serving from the DEPLOYED layout: candidates from the
+    persisted cell-partitioned index (ivfpq_topk_from_index), refined
+    by exact_rerank, must equal the monolithic ivfpq_topk_rerank row
+    for row — so the serve path and the one-shot path cannot drift."""
+    from syncquill_spark.operators.similarity import (
+        exact_rerank,
+        ivfpq_build_index,
+        ivfpq_topk_from_index,
+        ivfpq_topk_rerank,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = str(tmp_path / "ivfpq_rerank_idx")
+    save_index(
+        p,
+        _partition_by={"codes": ["cell_id"]},
+        **ivfpq_build_index(emb, n_cells=16),
+    )
+    idx = load_index(spark, p)
+    cand = ivfpq_topk_from_index(q, idx, k=30, nprobe=4)
+    served = sorted(
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in exact_rerank(cand, emb, q, k=10).collect()
+    )
+    mono = sorted(
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in ivfpq_topk_rerank(emb, q, k=10, rerank=30, n_cells=16, nprobe=4).collect()
+    )
+    assert served == mono and len(served) > 0
