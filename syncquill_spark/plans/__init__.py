@@ -70,13 +70,16 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #   text_winnowing_spans    (MOSS span localization; oracle replays
 #                            selection + positions + diagonal
 #                            gaps-and-islands in SQL windows)
-# R10 MANDATORY TOUCHES (plan-changed late in r09 — they MUST enter
-# the r10 window): storage_winnowing_index / storage_bigram_model's
-# merge persistence SWITCHED from save-over to append_index(+_replace)
-# — the batch-I/O path the queued simhash/bm25 rows also exercise;
-# both oracles unchanged (persistence must change nothing), both
-# re-verified hash-identical locally at sf0.001 AND sf0.01 after the
-# switch.
+# LATE-R09 TOUCHES, verified INSIDE the r09 window:
+# storage_winnowing_index / storage_bigram_model's merge persistence
+# SWITCHED from save-over to append_index(+_replace) — the batch-I/O
+# path the queued simhash/bm25 rows also exercise; both oracles
+# unchanged (persistence must change nothing), both re-verified
+# hash-identical locally at sf0.001 AND sf0.01 after the switch, and
+# both sit in the r09 window (storage_bigram_model was already there
+# as a new row; storage_winnowing_index displaced the fourth
+# early-rotation fill — see the _PRIORITY comments). Nothing about
+# this change carries into r10's mandatory load.
 #
 # R11 QUEUE — `plans/queue_r11.py` (same contract, verified at both
 # SFs through `tests/test_queue_r11.py`): text_lines_dedup
@@ -100,19 +103,24 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    equal rebuild) and text_bigram_gate (the ingest-time quality
 #    gate: batch scored against the corpus model, unseen bigrams
 #    q=0 via left-join COALESCE semantics the oracle replays);
-#  - the 4 rows whose plans this round touched: text_bigram_lm
+#  - the 5 rows whose plans this round touched: text_bigram_lm
 #    (extraction refactored into bigram_occurrences + pinned persist
 #    level), curation_quality_filter (persist added before the
 #    five-consumer fan-out — ADVICE item), similarity_topk_ivfpq
-#    (dim%m_sub guard + lloyd_iters threading, default off) and
+#    (dim%m_sub guard + lloyd_iters threading, default off),
 #    embedding_pq_codes (lloyd_iters threading, default off; both
-#    PQ rows re-verified hash-identical locally before commit);
-#  - 4 of the 42 staleness-1 rows rotated forward early, chosen per
-#    policy rule 2c: the four r07-green sync_* flagship rows (the
-#    reference's own surface). This leaves r10's mandatory load at 38
-#    — 12 free slots.
+#    PQ rows re-verified hash-identical locally before commit), and
+#    storage_winnowing_index (late-round touch: merge persistence
+#    switched to the batch-I/O append_index — it displaced the fourth
+#    early-rotation fill below);
+#  - 3 of the 42 staleness-1 rows rotated forward early, chosen per
+#    policy rule 2c: three of the four r07-green sync_* flagship rows
+#    (sync_apply_keyed was the fourth; it gave its slot to the
+#    late-touched storage_winnowing_index and leads r10 instead).
+#    This leaves r10's mandatory load at 39 — 11 free slots.
 # Left outside at staleness 2 after this round (r07-green, untouched —
-# they MUST lead the r10 window; 38 rows): agg_distinct_users_approx,
+# they MUST lead the r10 window; 39 rows): sync_apply_keyed,
+# agg_distinct_users_approx,
 # agg_quantiles_approx_check, agg_rollup_orders, curation_blocklist,
 # curation_boilerplate, curation_decontaminate, curation_eval_k_per_lang,
 # curation_hash_split, curation_pack_ffd, curation_sample_stratified,
@@ -243,13 +251,17 @@ _PRIORITY = [
     "agg_distinct_users_exact", "pipeline_corpus_curation",
     # new this round (new plans always enter the window)
     "storage_bigram_model", "text_bigram_gate",
-    # rows whose plans this round touched
+    # rows whose plans this round touched (storage_winnowing_index:
+    # merge persistence switched to append_index late in the round —
+    # plan-changed rows MUST sit in the window, so it displaced the
+    # fourth early-rotation fill, sync_apply_keyed, which returns to
+    # the staleness-1 pool and leads the r10 window instead)
     "text_bigram_lm", "curation_quality_filter",
     "similarity_topk_ivfpq", "embedding_pq_codes",
-    # staleness-1 fill (policy rule 2c): the four r07-green sync_*
-    # flagship rows — leaves r10's mandatory load at 38
+    "storage_winnowing_index",
+    # staleness-1 fill (policy rule 2c): three r07-green sync_*
+    # flagship rows — leaves r10's mandatory load at 39
     "sync_validate", "sync_diff_keyed", "sync_diff_positional",
-    "sync_apply_keyed",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]
