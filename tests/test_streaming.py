@@ -533,3 +533,76 @@ def test_quality_filter_one_code_path_batch_and_stream(spark, sf_dir, tmp_path):
         r.doc_id for r in spark.sql("SELECT doc_id FROM quality_stream").collect()
     }
     assert stream_kept == batch_kept and len(batch_kept) > 0
+
+
+def test_stream_decontamination_cut_matches_batch(spark, tmp_path):
+    """Ingest-time SPAN-REMOVAL decontamination: each training
+    micro-batch is localized against the PERSISTED eval index
+    (winnowing_spans_against) and cut (remove_spans, pad=window-1)
+    inside foreachBatch — winnowing selection is a per-doc window
+    aggregation, so the gate cannot be a stream-static join. The union
+    of per-batch outputs must equal the batch run over the full
+    backlog (spans are per-document, so batch boundaries cannot change
+    any cut), and the contaminated doc must come out clean."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.curation import remove_spans
+    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        build_winnowing_positions,
+        winnowing_spans_against,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight again"
+    evalset = spark.createDataFrame(
+        [(1, f"alpha beta {shared} gamma"),
+         (3, "completely unrelated text about something else entirely")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "decon_idx")
+    save_index(
+        p,
+        fps=build_winnowing_index(evalset),
+        positions=build_winnowing_positions(evalset),
+    )
+    idx = load_index(spark, p)
+
+    train = spark.createDataFrame(
+        [(101, f"one two three four {shared} five six seven"),
+         (102, "another unrelated new document arriving at ingest"),
+         (103, f"prefix words here {shared}"),
+         (104, "yet more clean text with nothing shared at all")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "decon_src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    train.filter("doc_id <= 102").coalesce(1).write.parquet(src)
+    train.filter("doc_id > 102").coalesce(1).write.mode("append").parquet(src)
+
+    def decon(mb):
+        spans = winnowing_spans_against(
+            mb, idx["fps"], idx["positions"], min_shared=2
+        )
+        return remove_spans(mb, spans, pad=3)
+
+    got = []
+
+    def gate(mb, _epoch):
+        got.extend(map(tuple, decon(mb).collect()))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    want = sorted(map(tuple, decon(train).collect()))
+    assert sorted(got) == want and len(want) == 4
+    rows = {t[0]: t for t in want}
+    assert rows[101][2] < rows[101][1]  # contaminated doc lost tokens
+    assert rows[103][2] < rows[103][1]
+    assert "quick" not in rows[101][3].split()
+    assert rows[102][3] == "another unrelated new document arriving at ingest"
