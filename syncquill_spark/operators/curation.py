@@ -1399,3 +1399,58 @@ def temperature_mix(
         .filter(F.col("mix_rank") <= F.col("_k"))
         .drop("_k")
     )
+
+
+def materialize_packs(
+    df: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratify_col: str = "lang",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Turn a pack ASSIGNMENT (`pack_sequences` / `pack_sequences_ffd`
+    output: id -> pack_id rows) into the packed training sequences
+    themselves: one row per (stratum, pack) carrying the documents'
+    text concatenated in ascending id order with ``sep`` between them —
+    the last step before a packed corpus is written to training shards.
+
+    Document order inside a pack is the id order the contiguous packer
+    assigned by, so materialize(pack_sequences(...)) reproduces the
+    exact byte stream a sequential writer would have produced — but
+    distributed, and valid for ANY assignment (FFD packs concatenate
+    in id order too: deterministic, though not the FFD insertion
+    order, documented).
+
+    Scale shape: ONE text-sized shuffle — the groupBy on
+    (stratum, pack_id) — with packs bounded by the token budget, so no
+    aggregation group exceeds ~budget tokens regardless of corpus
+    size; the assignment join is skinny id->pack rows.
+
+    Output: (stratum, pack_id, n_docs, n_tokens, text_packed).
+    """
+    asg = assignments.select(
+        F.col(id_col),
+        F.col(stratify_col),
+        F.col("pack_id"),
+        F.col("n_tokens"),
+    )
+    joined = df.select(id_col, text_col).join(asg, id_col)
+    # array_sort on (id, text) structs orders by id first — the packer's
+    # own order — then the lambda projects the text back out
+    packed_text = F.concat_ws(
+        sep,
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t"))
+                )
+            ),
+            lambda s: s["t"],
+        ),
+    )
+    return joined.groupBy(stratify_col, "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        packed_text.alias("text_packed"),
+    )

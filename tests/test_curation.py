@@ -1129,3 +1129,61 @@ def test_temperature_mix_alpha_one_is_proportional(spark):
 
     with _pytest.raises(ValueError, match="total"):
         temperature_mix(docs, total=0)
+
+
+# ---------------------------------------------------------------------------
+# materialize_packs
+# ---------------------------------------------------------------------------
+
+
+def test_materialize_packs_reproduces_sequential_writer(spark):
+    """materialize(pack_sequences(...)) equals the byte stream a
+    sequential writer produces: docs concatenated in id order within
+    each pack, packs keyed by (stratum, pack_id), counts exact."""
+    from syncquill_spark.operators.curation import (
+        materialize_packs,
+        pack_sequences,
+    )
+
+    # pure-letter words: 5 bpe-ish tokens per doc; budget 10 -> 2 docs
+    # per pack (the bpe-ish counter splits letter/digit runs, so words
+    # must stay single-run)
+    # 4-char words -> exactly 1 bpe-ish subword each (ceil(len/4))
+    word = lambda i: "doc" + "abcdefgh"[i]  # noqa: E731
+    docs = spark.createDataFrame(
+        [(i, (word(i) + " ") * 5, "en" if i % 2 == 0 else "de")
+         for i in range(8)],
+        "doc_id long, text string, lang string",
+    )
+    asg = pack_sequences(docs, budget=10)
+    assert {r.n_tokens for r in asg.collect()} == {5}
+    out = {
+        (r.lang, r.pack_id): r
+        for r in materialize_packs(docs, asg, sep=" | ").collect()
+    }
+    # en docs: 0,2,4,6 -> packs (0: [0,2]), (1: [4,6]); de: 1,3,5,7
+    assert set(out) == {("en", 0), ("en", 1), ("de", 0), ("de", 1)}
+    r = out[("en", 0)]
+    assert (r.n_docs, r.n_tokens) == (2, 10)
+    assert r.text_packed == (word(0) + " ") * 5 + " | " + (word(2) + " ") * 5
+    r = out[("de", 1)]
+    assert r.text_packed == (word(5) + " ") * 5 + " | " + (word(7) + " ") * 5
+
+
+def test_materialize_packs_budget_bounds_group_size(spark):
+    """Every pack's token total stays within budget + one boundary
+    doc — the property that bounds the aggregation group at scale."""
+    from syncquill_spark.operators.curation import (
+        materialize_packs,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (3 + i % 5), "en") for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    asg = pack_sequences(docs, budget=20)
+    max_doc = 7  # largest doc is 3 + 4 tokens
+    rows = materialize_packs(docs, asg).collect()
+    assert all(r.n_tokens <= 20 + max_doc for r in rows)
+    assert sum(r.n_docs for r in rows) == 50
