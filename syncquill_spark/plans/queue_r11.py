@@ -14,6 +14,13 @@ registration exists to provide.
 Reference: /root/reference/syncquill.py has none of this surface
 (242-line sheet-to-BigQuery sync); these are EXT-tier LLM-pipeline
 operators mandated by the BASELINE.json north star.
+
+QUEUE GROWTH STOPS AT SIX ENTRIES (late-r09 decision): 134 registered
++ 7 queued for r10 + 6 queued here = 147 of the window policy's 150
+sustainable ceiling (plans/__init__.py). Registration over the next
+rounds must respect the <=4-net-growth cap, so r10/r11/r12 drain
+these queues selectively; new operator families from here land
+unit-pinned only until registry headroom exists.
 """
 
 from __future__ import annotations
