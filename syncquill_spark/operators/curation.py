@@ -380,6 +380,7 @@ def pack_sequences(
     stratify_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each document a ``pack_id`` so consecutive documents
     (ordered by id within each stratify value) fill ~``budget``-token
@@ -395,10 +396,20 @@ def pack_sequences(
     For skewed strata, pre-shard: stratify on (lang, h60(id) % k) — the
     packs stay valid because pack ids are namespaced by the partition
     key tuple.
+
+    ``counts``: optional (id, n_tokens) frame replacing the built-in
+    bpe-ish estimate — pass `bpe_encode(df, merges)` output (renamed
+    n_bpe_tokens -> n_tokens) to pack by TOKENIZER-true counts.
     """
-    toks = token_counts(df, text_col=text_col, id_col=id_col).select(
-        id_col, "n_tokens_bpeish"
-    )
+    if counts is not None:
+        toks = counts.select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens_bpeish"),
+        )
+    else:
+        toks = token_counts(df, text_col=text_col, id_col=id_col).select(
+            id_col, "n_tokens_bpeish"
+        )
     with_toks = df.select(id_col, stratify_col).join(toks, id_col)
     w = (
         Window.partitionBy(stratify_col)
@@ -625,6 +636,7 @@ def target_mix_tokens(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "mix-v1",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """target_mix with per-stratum TOKEN budgets instead of document
     counts — the unit training mixes are actually specified in. Docs
@@ -649,9 +661,18 @@ def target_mix_tokens(
     """
     if not token_budgets:
         raise ValueError("token_budgets must name at least one stratum")
-    toks = token_counts(df, text_col=text_col, id_col=id_col).select(
-        id_col, "n_tokens_bpeish"
-    )
+    if counts is not None:
+        # optional (id, n_tokens) override — e.g. bpe_encode output for
+        # budgets in TOKENIZER-true tokens (same contract as
+        # pack_sequences' counts parameter)
+        toks = counts.select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens_bpeish"),
+        )
+    else:
+        toks = token_counts(df, text_col=text_col, id_col=id_col).select(
+            id_col, "n_tokens_bpeish"
+        )
     bmap = F.create_map(
         *[F.lit(x) for kv in token_budgets.items() for x in kv]
     )

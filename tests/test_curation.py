@@ -1187,3 +1187,38 @@ def test_materialize_packs_budget_bounds_group_size(spark):
     rows = materialize_packs(docs, asg).collect()
     assert all(r.n_tokens <= 20 + max_doc for r in rows)
     assert sum(r.n_docs for r in rows) == 50
+
+
+def test_pack_and_budget_accept_bpe_true_counts(spark):
+    """The budget operators accept an external (id, n_tokens) frame —
+    the BPE-encode composition: packing and token budgets in
+    tokenizer-TRUE tokens instead of the bpe-ish estimate."""
+    from syncquill_spark.operators.bpe import bpe_encode, train_bpe
+    from syncquill_spark.operators.curation import (
+        pack_sequences,
+        target_mix_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the banana stand sells banana bread", "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    merges, _ = train_bpe(docs, n_merges=10)
+    counts = bpe_encode(docs, merges).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    per_doc = counts.collect()[0].n_tokens
+    assert per_doc > 0
+
+    packed = pack_sequences(docs, budget=3 * per_doc, counts=counts)
+    rows = sorted(packed.collect(), key=lambda r: r.doc_id)
+    assert all(r.n_tokens == per_doc for r in rows)
+    assert all(r.pack_id == r.doc_id // 3 for r in rows)  # 3 docs per pack
+
+    mixed = target_mix_tokens(
+        docs, {"en": 4 * per_doc}, counts=counts
+    ).collect()
+    # cumsum-before < budget keeps exactly ceil(4) = 4 docs (boundary
+    # doc rule: kept while cum_before < budget)
+    assert len(mixed) == 4
+    assert all(r.n_tokens == per_doc for r in mixed)
