@@ -1372,9 +1372,13 @@ def temperature_mix(
     """
     if total <= 0:
         raise ValueError(f"total must be positive, got {total}")
+    # persisted: strata-sized (tiny), but it feeds FOUR consumers
+    # (wsum, quota -> short, ks) — without the persist the corpus-wide
+    # count aggregation above it recomputes per branch (the
+    # multi-consumer doctrine from quality_percentile_filter)
     counts = df.groupBy(stratify_col).agg(
         F.count(F.lit(1)).cast("long").alias("_n")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     weights = counts.withColumn(
         "_w",
         F.floor(_dyadic_pow(F.col("_n"), alpha) * 1_000_000 + F.lit(0.5)).cast(
