@@ -719,9 +719,17 @@ def fuzzy_name_pairs(
     if lowercase:
         nm = F.lower(nm)
     names = df.select(F.col(id_col).alias("_id"), nm.alias("_nm"))
-    toks = names.select(
-        "_id", F.explode(F.split("_nm", r"\s+")).alias("_tok")
-    ).filter(F.col("_tok") != "").distinct()
+    # persisted: the token table feeds BOTH sides of the blocking
+    # self-join (and the hub-cap df aggregation when enabled) — without
+    # it the explode+distinct shuffle recomputes per consumer
+    toks = (
+        names.select(
+            "_id", F.explode(F.split("_nm", r"\s+")).alias("_tok")
+        )
+        .filter(F.col("_tok") != "")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if max_token_df is not None:
         rare = (
             toks.groupBy("_tok")
