@@ -1,9 +1,11 @@
 """R11 REGISTRATION QUEUE — query/oracle pairs finished and
 oracle-verified in round 9 but NOT registered, because the r10 driver
-window is already committed to the 38 staleness-2 leads plus the r10
+window is already committed to its 39 staleness-2 leads plus the r10
 queue (window-capacity policy, `plans/__init__.py`). Registering later
 is mechanical: move entries into queries_ext's dicts and add the names
-to the front of `_PRIORITY`.
+to the front of `_PRIORITY`. Six entries: text_lines_dedup,
+text_clf_gate, text_normalize, similarity_topk_rerank,
+curation_remove_spans, curation_temperature_mix.
 
 Every pair here is exercised by `tests/test_queue_r11.py` through the
 SAME fingerprint compare as the registered suite (row count + sorted
