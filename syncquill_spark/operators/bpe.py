@@ -35,8 +35,10 @@ text operator here indexes), symbols start as single characters with
 the Sennrich end-of-word marker "</w>" fused onto the final
 character. Characters are Unicode code points as Spark sees them
 (UTF-16 code units for astral-plane text — fine for the BMP text the
-fixtures carry; a byte-level variant would pre-encode to latin-1
-bytes the way GPT-2 does).
+fixtures carry). ``byte_level=True`` switches the base alphabet to
+the word's UTF-8 BYTES (each as chr(byte), the GPT-2 recipe):
+unicode-complete with a fixed 256-symbol base, no unknown-character
+case — pass the same flag to train and encode.
 
 No SQL-oracle registry row, stated honestly: the trainer is an
 iterative argmax loop (each step's input depends on the previous
@@ -78,13 +80,28 @@ def word_freqs(
     return out
 
 
-def _initial_syms(word_col) -> "F.Column":
-    """Split a word into single-character symbols with the end-of-word
-    marker fused onto the last one: 'low' -> ['l', 'o', 'w</w>']."""
-    # (?!^)(?!$): split BETWEEN characters only — a bare (?!^) also
-    # matches at end-of-string, and Spark's split keeps the resulting
-    # trailing empty element (unlike Java's String.split)
-    chars = F.split(word_col, "(?!^)(?!$)")
+def _initial_syms(word_col, byte_level: bool = False) -> "F.Column":
+    """Split a word into initial symbols with the end-of-word marker
+    fused onto the last one: 'low' -> ['l', 'o', 'w</w>'].
+
+    ``byte_level=True`` symbolizes the word's UTF-8 BYTES instead of
+    its characters (each byte as the one-char string chr(byte) —
+    Python's chr and Spark's chr agree on 0..255), the GPT-2 recipe:
+    the base alphabet is exactly 256 symbols, any unicode text
+    tokenizes without an unknown-character case, and multi-byte
+    characters can merge back together or stay split as the data
+    dictates."""
+    if byte_level:
+        hx = F.hex(F.encode(word_col, "UTF-8"))
+        chars = F.transform(
+            F.regexp_extract_all(hx, F.lit("(..)"), 1),
+            lambda h: F.chr(F.conv(h, 16, 10).cast("long")),
+        )
+    else:
+        # (?!^)(?!$): split BETWEEN characters only — a bare (?!^) also
+        # matches at end-of-string, and Spark's split keeps the
+        # resulting trailing empty element (unlike Java's String.split)
+        chars = F.split(word_col, "(?!^)(?!$)")
     n = F.size(chars)
     return F.transform(
         chars,
@@ -148,6 +165,7 @@ def train_bpe(
     text_col: str = "text",
     min_pair_freq: int = 2,
     min_word_freq: int = 1,
+    byte_level: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Train a BPE merge table over the corpus.
 
@@ -169,7 +187,11 @@ def train_bpe(
     spark = df.sparkSession
     words = (
         word_freqs(df, text_col, min_freq=min_word_freq)
-        .select("word", "freq", _initial_syms(F.col("word")).alias("syms"))
+        .select(
+            "word",
+            "freq",
+            _initial_syms(F.col("word"), byte_level).alias("syms"),
+        )
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
@@ -195,12 +217,17 @@ def train_bpe(
     return merges_df, words
 
 
-def _segment(word: str, merge_list: list[tuple[str, str]]) -> list[str]:
+def _segment(
+    word: str, merge_list: list[tuple[str, str]], byte_level: bool = False
+) -> list[str]:
     """Apply the trained merges in rank order to one word — the
     encoding that reproduces training segmentation by construction."""
     if not word:
         return []
-    syms = list(word)
+    if byte_level:
+        syms = [chr(b) for b in word.encode("utf-8")]
+    else:
+        syms = list(word)
     syms[-1] = syms[-1] + EOW
     for l, r in merge_list:
         if l not in syms:
@@ -224,6 +251,7 @@ def bpe_encode(
     merges: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Count each document's BPE tokens under a trained merge table —
     the tokenizer-true size signal data budgets are written in
@@ -249,7 +277,9 @@ def bpe_encode(
         def n_tokens(word: str) -> int:
             hit = cache.get(word)
             if hit is None:
-                hit = cache[word] = len(_segment(word, merge_list))
+                hit = cache[word] = len(
+                    _segment(word, merge_list, byte_level)
+                )
             return hit
 
         for pdf in it:

@@ -174,3 +174,86 @@ def test_bpe_model_persists_through_index_store(spark, docs, tmp_path):
     assert sorted(map(tuple, loaded["merges"].collect())) == sorted(
         map(tuple, merges.collect())
     )
+
+
+# --- byte-level mode -------------------------------------------------------
+
+
+def _ref_syms_bytes(word):
+    s = [chr(b) for b in word.encode("utf-8")]
+    s[-1] = s[-1] + EOW
+    return s
+
+
+def _ref_train_bytes(texts, n_merges, min_pair_freq=2):
+    words = {
+        w: (_ref_syms_bytes(w), f) for w, f in _ref_word_freqs(texts).items()
+    }
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for syms, f in words.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), pf = best
+        if pf < min_pair_freq:
+            break
+        merges.append((rank, l, r, pf))
+        words = {w: (_ref_apply(s, l, r), f) for w, (s, f) in words.items()}
+    return merges, words
+
+
+_UNICODE_CORPUS = [
+    (1, "café café naïve straße 日本語 text"),
+    (2, "café straße über über döner text"),
+    (3, "plain ascii words also mix in café"),
+]
+
+
+def test_byte_level_train_matches_reference(spark):
+    """Byte-level mode (GPT-2 recipe): Spark's UTF-8-byte symbolization
+    and merge loop equal the reference model on multibyte text —
+    merges, frequencies, tie-breaks, and final vocab segmentation."""
+    docs = spark.createDataFrame(_UNICODE_CORPUS, "doc_id long, text string")
+    merges_df, vocab = train_bpe(docs, n_merges=25, byte_level=True)
+    got = [
+        (r.rank, r.left, r.right, r.pair_freq)
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    want_merges, want_words = _ref_train_bytes(
+        [t for _, t in _UNICODE_CORPUS], 25
+    )
+    assert got == want_merges and len(got) > 0
+    got_vocab = {r.word: list(r.syms) for r in vocab.collect()}
+    assert got_vocab == {w: s for w, (s, _) in want_words.items()}
+    # multibyte chars really do start split: 'café' begins as 5 byte
+    # symbols (c, a, f, 0xc3, 0xa9</w>)
+    assert any(len(w.encode("utf-8")) > len(w) for w in got_vocab)
+
+
+def test_byte_level_encode_consistent_and_unicode_complete(spark):
+    """Encoding with the byte-level model reproduces training
+    segmentation, and UNSEEN text in any script tokenizes without an
+    unknown-character case (count = merged byte count)."""
+    docs = spark.createDataFrame(_UNICODE_CORPUS, "doc_id long, text string")
+    merges_df, vocab = train_bpe(docs, n_merges=25, byte_level=True)
+    seg_len = {r.word: len(r.syms) for r in vocab.collect()}
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode(docs, merges_df, byte_level=True).collect()
+    }
+    for doc_id, text in _UNICODE_CORPUS:
+        ws = text.lower().split()
+        assert got[doc_id] == (len(ws), sum(seg_len[w] for w in ws))
+
+    new = spark.createDataFrame(
+        [(10, "łódź Ωμέγα emoji 🚀 here")], "doc_id long, text string"
+    )
+    (row,) = bpe_encode(new, merges_df, byte_level=True).collect()
+    assert row.n_words == 5
+    # every word tokenizes; upper bound = raw byte count + 1 per word
+    raw = sum(len(w.encode("utf-8")) for w in "łódź ωμέγα emoji 🚀 here".split())
+    assert 5 <= row.n_bpe_tokens <= raw
