@@ -1222,3 +1222,20 @@ def test_pack_and_budget_accept_bpe_true_counts(spark):
     # doc rule: kept while cum_before < budget)
     assert len(mixed) == 4
     assert all(r.n_tokens == per_doc for r in mixed)
+
+
+def test_remove_spans_null_text_passes_through(spark):
+    """Null-text rows carry no tokens to cut: they pass through with
+    null text_clean and zero counts — never an executor error (the
+    dedup_lines_across null contract)."""
+    from syncquill_spark.operators.curation import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in remove_spans(
+        docs, _spans_df(spark, [(2, 0, 0), (1, 0, 5)])
+    ).collect()}
+    assert rows[2].text_clean == "b c"
+    assert rows[1].text_clean is None
+    assert (rows[1].n_tokens or 0) == 0 or rows[1].n_tokens is None
