@@ -1479,3 +1479,102 @@ def materialize_packs(
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         packed_text.alias("text_packed"),
     )
+
+
+def corpus_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """One-call dataset card: the summary table a training-data release
+    ships alongside the shards (sizes, composition, duplication,
+    length distribution) as a LONG (section, metric, value) frame —
+    every value an exact int64, so the card is bit-reproducible and
+    diffable across corpus versions (the real use: `card(v2)` vs
+    `card(v1)` in a release review).
+
+    Sections:
+      size    — n_docs, n_chars, n_tokens_ws, n_tokens_bpeish totals
+      <col>   — per-value doc counts for each ``strata_cols`` column
+      dup     — n_unique_texts (exact sha2 distinct), n_dup_docs
+      length  — exact nearest-rank p25/p50/p75/p95 of per-doc
+                whitespace token counts (no float interpolation)
+
+    Scale shape: the token projection is computed once and persisted
+    (it feeds the totals AND the quantile passes); everything else is
+    one map-side-combinable aggregation each — strata cards and the
+    dup count are single shuffles on compact keys. The exact
+    quantiles reuse the bracketed two-pass order statistic
+    (`stratum_order_stat_values` on the NEGATED count: the ascending
+    q-quantile is the descending-rank ceil(qN) value of -x), so the
+    card never whole-sorts the corpus — the same no-global-sort rule
+    as the percentile quality gate. Output is card-sized (tens of
+    rows).
+    """
+    toks = (
+        token_counts(df, text_col=text_col, id_col=id_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = (
+        df.select(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+        )
+        .crossJoin(
+            F.broadcast(
+                toks.select(
+                    F.sum("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+                    F.sum("n_tokens_bpeish").cast("long").alias(
+                        "n_tokens_bpeish"
+                    ),
+                )
+            )
+        )
+        .selectExpr(
+            "stack(4, 'n_docs', n_docs, 'n_chars', n_chars, "
+            "'n_tokens_ws', n_tokens_ws, 'n_tokens_bpeish', "
+            "n_tokens_bpeish) AS (metric, value)"
+        )
+        .select(F.lit("size").alias("section"), "metric", F.col("value").cast("long"))
+    )
+    parts = [sizes]
+    for c in strata_cols:
+        parts.append(
+            df.groupBy(F.col(c).alias("metric"))
+            .agg(F.count(F.lit(1)).cast("long").alias("value"))
+            .select(F.lit(c).alias("section"), "metric", "value")
+        )
+    uniq = (
+        df.select(F.sha2(F.col(text_col), 256).alias("_h"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.count_distinct(F.col("_h")).cast("long").alias("_u"),
+        )
+        .selectExpr(
+            "stack(2, 'n_unique_texts', _u, 'n_dup_docs', _n - _u)"
+            " AS (metric, value)"
+        )
+        .select(F.lit("dup").alias("section"), "metric", F.col("value").cast("long"))
+    )
+    parts.append(uniq)
+    # exact nearest-rank quantiles WITHOUT a global sort: ascending
+    # q-quantile == -(descending-rank ceil(qN) value of the negated
+    # count), via the bracketed two-pass order statistic
+    neg = toks.select(
+        id_col, (-F.col("n_tokens_ws")).cast("long").alias("_neg")
+    )
+    qparts = []
+    for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)):
+        cut = stratum_order_stat_values(neg, "_neg", q, id_col=id_col)
+        qparts.append(
+            cut.select(
+                F.lit("length").alias("section"),
+                F.lit(f"{name}_tokens").alias("metric"),
+                (-F.col("cutoff")).cast("long").alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:] + qparts:
+        out = out.unionByName(p)
+    return out

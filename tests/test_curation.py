@@ -1239,3 +1239,40 @@ def test_remove_spans_null_text_passes_through(spark):
     assert rows[2].text_clean == "b c"
     assert rows[1].text_clean is None
     assert (rows[1].n_tokens or 0) == 0 or rows[1].n_tokens is None
+
+
+def test_corpus_card_matches_direct_computation(spark):
+    """Every card value equals a direct python recomputation —
+    including the exact nearest-rank quantiles (ascending ceil(qN)-th
+    token count) produced without any global sort."""
+    import math
+
+    from syncquill_spark.operators.curation import corpus_card
+
+    rows = []
+    for i in range(40):
+        text = ("tok " * (1 + i % 7)).strip()
+        rows.append((i, text, "en" if i % 3 else "de", f"src{i % 2}"))
+    rows.append((100, rows[0][1], "en", "src0"))  # exact dup text
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    card = {
+        (r.section, r.metric): r.value for r in corpus_card(docs).collect()
+    }
+
+    texts = [t for _, t, _, _ in rows]
+    n = len(rows)
+    assert card[("size", "n_docs")] == n
+    assert card[("size", "n_chars")] == sum(len(t) for t in texts)
+    assert card[("size", "n_tokens_ws")] == sum(len(t.split()) for t in texts)
+    assert card[("dup", "n_unique_texts")] == len(set(texts))
+    assert card[("dup", "n_dup_docs")] == n - len(set(texts))
+    for lang in ("en", "de"):
+        assert card[("lang", lang)] == sum(1 for _, _, l, _ in rows if l == lang)
+    for src in ("src0", "src1"):
+        assert card[("source", src)] == sum(1 for *_, s in rows if s == src)
+    counts = sorted(len(t.split()) for t in texts)
+    for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)):
+        want = counts[math.ceil(q * n) - 1]
+        assert card[("length", f"{name}_tokens")] == want, (name, want)
