@@ -867,3 +867,87 @@ def test_exact_rerank_composes_with_persisted_index(spark, sf_dir, tmp_path):
         for r in ivfpq_topk_rerank(emb, q, k=10, rerank=30, n_cells=16, nprobe=4).collect()
     )
     assert served == mono and len(served) > 0
+
+
+def test_random_projection_matches_numpy_and_is_deterministic(spark, sf_dir):
+    """The JL projection equals a pure-numpy recomputation with the
+    same md5-derived matrix (fixed-order accumulation), output length
+    is out_dim, and two runs are identical (no RNG state)."""
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import (
+        _hyperplane,
+        random_projection,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(8)
+    rows = random_projection(emb, out_dim=16).orderBy("vec_id").collect()
+    planes = np.array(
+        [_hyperplane(64, f"rp-v1:{k}") for k in range(16)], dtype=np.float64
+    ) / np.sqrt(16.0)
+    for r in rows:
+        x = np.asarray(r.embedding, dtype=np.float64)
+        y = np.zeros(16, dtype=np.float64)
+        for j in range(64):
+            y = y + x[j] * planes[:, j]
+        assert len(r.embedding_rp) == 16
+        assert np.array_equal(np.asarray(r.embedding_rp), y)
+    again = random_projection(emb, out_dim=16).orderBy("vec_id").collect()
+    assert [r.embedding_rp for r in again] == [r.embedding_rp for r in rows]
+
+
+def test_random_projection_coarse_stage_with_exact_rerank(spark, sf_dir):
+    """The deployment composition: project 64 -> 16 dims (4x less to
+    scan), take projected-space top-100 as candidates, exact_rerank on
+    the ORIGINAL floats. Self-hits survive projection exactly (a
+    vector's projected cosine with itself is 1), and two-stage recall
+    beats projected-space-only recall — measured floors pinned on the
+    deterministic fixture."""
+    from syncquill_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        exact_rerank,
+        random_projection,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, q, k=10)
+    proj = random_projection(emb, out_dim=16).select(
+        "vec_id", F.col("embedding_rp").alias("embedding")
+    )
+    qp = proj.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def recall(approx):
+        a = ann_recall(approx.select("query_id", "neighbor_id"), exact).agg(
+            F.sum("n_hits").alias("h"), F.sum("n_exact").alias("e")
+        ).collect()[0]
+        return a.h / a.e
+
+    coarse = brute_force_topk(proj, qp, k=10)
+    top1 = {r.query_id: r.neighbor_id for r in coarse.filter("rk = 1").collect()}
+    assert top1 and all(k == v for k, v in top1.items())  # self-hit survives
+
+    r_coarse = recall(coarse)
+    rer = exact_rerank(brute_force_topk(proj, qp, k=100), emb, q, k=10)
+    r_two_stage = recall(rer)
+    assert r_two_stage > r_coarse
+    assert r_two_stage >= 0.5  # measured 0.64 on this fixture
+
+
+def test_random_projection_validates_out_dim(spark):
+    from syncquill_spark.operators.similarity import random_projection
+
+    df = spark.range(2).select(
+        F.col("id").alias("vec_id"), F.array(*[F.lit(0.1)] * 8).alias("embedding")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out_dim"):
+        random_projection(df, out_dim=0, dim=8)
+    with _pytest.raises(ValueError, match="out_dim"):
+        random_projection(df, out_dim=9, dim=8)
