@@ -1971,3 +1971,143 @@ def random_projection(
         return pd.Series(list(y))
 
     return df.withColumn(out_col, _project(F.col(vec_col)))
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> dict[str, DataFrame]:
+    """Fit a PCA basis for embedding reduction — the data-aware
+    companion to `random_projection` (which needs no fit but ignores
+    structure): top-``k`` eigenvectors of the covariance of the
+    (optionally sampled) corpus.
+
+    Determinism, the repo doctrine applied to a fitted model: vector
+    components quantize to int64 at SIG_SCALE, so the mean and
+    covariance accumulations are EXACT integer sums — independent of
+    partitioning and row order (a double covariance sum would make the
+    fitted basis run-dependent). Each executor batch contributes one
+    partial (count, sum vector, sum of outer products) row via
+    mapInPandas (numpy int64 matmul per batch); partials reduce in one
+    skinny aggregation; the 64x64 covariance — model-sized — collects
+    to the driver for numpy's eigh, whose eigenvectors get a fixed
+    sign convention (largest-|component| entry positive). int64 range
+    bounds the FIT SAMPLE, not the corpus: |q| <= ~4e6 -> an outer
+    product term <= ~1.6e13, safe to ~5e5 sampled rows — pass
+    ``sample_mod`` (keep id % mod == 0, the deterministic sample
+    idiom) to fit on a bounded sample and project everything, which
+    is how production PCA is fitted anyway.
+
+    Returns index_store-ready parts: ``mean`` (1 row: count + mean
+    array), ``components`` (k rows: rank, eigval_q, component array —
+    eigenvalues int64-quantized for exact cross-run comparisons).
+    Persist with ``save_index(path, **pca_fit(...))``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    src = df.select(F.col(id_col), F.col(vec_col))
+    if sample_mod is not None:
+        src = src.filter(F.col(id_col) % sample_mod == 0)
+
+    part_schema = "n long, s array<long>, m array<long>"
+
+    def partials(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            q = np.floor(x * float(SIG_SCALE) + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "n": [np.int64(len(q))],
+                    "s": [q.sum(axis=0)],
+                    "m": [(q.T @ q).reshape(-1)],
+                }
+            )
+
+    agg = (
+        src.mapInPandas(partials, part_schema)
+        .select(
+            "n",
+            F.posexplode(
+                F.concat(F.col("s"), F.col("m"))
+            ).alias("pos", "val"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("val").cast("long").alias("v"), F.sum(
+            F.when(F.col("pos") == 0, F.col("n")).otherwise(0)
+        ).cast("long").alias("nn"))
+    )
+    rows = agg.collect()  # dim + dim*dim + 1 values — model-sized
+    vals = {r.pos: r.v for r in rows}
+    n = sum(r.nn for r in rows)
+    if n == 0:
+        raise ValueError("pca_fit: empty (or fully sampled-out) input")
+    s = np.array([vals[i] for i in range(dim)], dtype=np.float64)
+    m = np.array(
+        [vals[dim + i] for i in range(dim * dim)], dtype=np.float64
+    ).reshape(dim, dim)
+    mu = s / float(n)
+    cov = (m - np.outer(mu, s) - np.outer(s, mu) + n * np.outer(mu, mu)) / float(n)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-eigval)[:k]
+    comps = []
+    for rank, idx in enumerate(order):
+        v = eigvec[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:  # fixed sign convention: largest-|entry| positive
+            v = -v
+        comps.append((rank, int(np.floor(eigval[idx] + 0.5)), [float(c) for c in v]))
+    spark = df.sparkSession
+    mean_df = spark.createDataFrame(
+        [(int(n), [float(c) / float(SIG_SCALE) for c in mu])],
+        "n long, mean array<double>",
+    )
+    comp_df = spark.createDataFrame(
+        comps, "rank long, eigval_q long, component array<double>"
+    )
+    return {"mean": mean_df, "components": comp_df}
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "embedding_pca",
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA basis (`pca_fit` output or
+    `index_store.load_index` of a persisted one): y = C @ (x - mean).
+    The model is model-sized (k + 1 rows) — collected once into the
+    UDF closure, like the BPE merge list; projection is one Arrow
+    matmul per batch with fixed-order dim accumulation (deterministic,
+    engine-portable). Output keeps input columns + ``out_col``."""
+    import numpy as np
+    import pandas as pd
+
+    (mean_row,) = model["mean"].collect()
+    mu = np.asarray(mean_row.mean, dtype=np.float64)
+    comp_rows = model["components"].orderBy("rank").collect()
+    C = np.stack([np.asarray(r.component, dtype=np.float64) for r in comp_rows])
+
+    @pandas_udf("array<double>")
+    def _proj(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        xc = x - mu
+        y = np.zeros((x.shape[0], C.shape[0]), dtype=np.float64)
+        for j in range(x.shape[1]):  # fixed-order over dims
+            y += np.outer(xc[:, j], C[:, j])
+        return pd.Series(list(y))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

@@ -951,3 +951,103 @@ def test_random_projection_validates_out_dim(spark):
         random_projection(df, out_dim=0, dim=8)
     with _pytest.raises(ValueError, match="out_dim"):
         random_projection(df, out_dim=9, dim=8)
+
+
+def test_pca_fit_matches_numpy_model(spark, sf_dir):
+    """pca_fit's basis equals a pure-numpy replication of the same
+    quantized pipeline (int64 sums -> covariance -> eigh -> sign
+    convention) — so the fit is partitioning-independent by arithmetic
+    and this test pins it bit-for-bit."""
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import SIG_SCALE, pca_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, k=8)
+    comp_rows = model["components"].orderBy("rank").collect()
+    (mean_row,) = model["mean"].collect()
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    q = np.floor(x * float(SIG_SCALE) + 0.5).astype(np.int64)
+    n = len(q)
+    s = q.sum(axis=0)
+    m = q.T.astype(object) @ q.astype(object)  # exact integer products
+    m = m.astype(np.float64)
+    mu = s.astype(np.float64) / n
+    cov = (m - np.outer(mu, s) - np.outer(s, mu) + n * np.outer(mu, mu)) / n
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(-eigval)[:8]
+    assert mean_row.n == n
+    assert np.array_equal(
+        np.asarray(mean_row.mean), mu / float(SIG_SCALE)
+    )
+    for rank, idx in enumerate(order):
+        v = eigvec[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        r = comp_rows[rank]
+        assert r.eigval_q == int(np.floor(eigval[idx] + 0.5))
+        assert np.array_equal(np.asarray(r.component), v), rank
+
+
+def test_pca_project_recovers_planted_direction(spark):
+    """Data with variance planted along one direction: the first
+    component aligns with it (|cos| > 0.99), projection onto k=1
+    captures almost all centered variance, and fit -> persist ->
+    load -> project equals fit -> project."""
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import pca_fit, pca_project
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    rng_free = [(i * 37 % 101) / 101.0 - 0.5 for i in range(400)]  # no RNG
+    d = np.zeros(16)
+    d[3], d[11] = 3.0, 4.0  # planted direction, norm 5
+    d = d / 5.0
+    rows = []
+    for i in range(400):
+        t = rng_free[i] * 10.0
+        noise = np.array(
+            [((i * 13 + j * 7) % 17 - 8) / 80.0 for j in range(16)]
+        )
+        rows.append((i, [float(v) for v in t * d + noise]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = pca_fit(df, k=2, dim=16)
+    (c0,) = model["components"].filter("rank = 0").collect()
+    cos = abs(float(np.dot(np.asarray(c0.component), d)))
+    assert cos > 0.99
+
+    import tempfile
+
+    p = tempfile.mkdtemp(prefix="sq_pca_") + "/pca"
+    save_index(p, **model)
+    loaded = load_index(spark, p)
+    a = {r.vec_id: list(r.embedding_pca)
+         for r in pca_project(df, model).collect()}
+    b = {r.vec_id: list(r.embedding_pca)
+         for r in pca_project(df, loaded).collect()}
+    assert a == b
+    # k=1 energy dominates: sum of squared first coords >> second
+    e0 = sum(v[0] ** 2 for v in a.values())
+    e1 = sum(v[1] ** 2 for v in a.values())
+    assert e0 > 50 * e1
+
+
+def test_pca_fit_sampling_and_validation(spark, sf_dir):
+    from syncquill_spark.operators.similarity import pca_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = pca_fit(emb, k=4)
+    sampled = pca_fit(emb, k=4, sample_mod=2)
+    n_full = full["mean"].collect()[0].n
+    n_samp = sampled["mean"].collect()[0].n
+    assert 0 < n_samp < n_full
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        pca_fit(emb, k=0)
+    with _pytest.raises(ValueError, match="empty"):
+        pca_fit(emb.filter("vec_id < 0"), k=2)
