@@ -392,7 +392,22 @@ SIM_OPS = {
     "topk_rerank": lambda c, q: __import__(
         "syncquill_spark.operators.similarity", fromlist=["ivfpq_topk_rerank"]
     ).ivfpq_topk_rerank(c, q, k=10, rerank=50, n_cells=16, nprobe=4),
+    # embedding reduction: JL projection is one Arrow matmul pass;
+    # PCA fit is one mapInPandas partial-sum pass + a model-sized
+    # reduce + driver eigh on 64x64 — both should be corpus-linear
+    # with near-flat wall at fixture scale
+    "rp_project": lambda c, q: __import__(
+        "syncquill_spark.operators.similarity", fromlist=["random_projection"]
+    ).random_projection(c, out_dim=16).select("vec_id", "embedding_rp"),
+    "pca_fit_project": lambda c, q: _pca_fit_project(c),
 }
+
+
+def _pca_fit_project(c: DataFrame) -> DataFrame:
+    from syncquill_spark.operators.similarity import pca_fit, pca_project
+
+    model = pca_fit(c, k=16)
+    return pca_project(c, model).select("vec_id", "embedding_pca")
 
 
 def _remove_spans_probe(c: DataFrame) -> DataFrame:
