@@ -2084,13 +2084,22 @@ def pca_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "embedding_pca",
+    whiten: bool = False,
 ) -> DataFrame:
     """Project embeddings onto a fitted PCA basis (`pca_fit` output or
     `index_store.load_index` of a persisted one): y = C @ (x - mean).
     The model is model-sized (k + 1 rows) — collected once into the
     UDF closure, like the BPE merge list; projection is one Arrow
     matmul per batch with fixed-order dim accumulation (deterministic,
-    engine-portable). Output keeps input columns + ``out_col``."""
+    engine-portable). Output keeps input columns + ``out_col``.
+
+    ``whiten=True`` divides each coordinate by its component's std
+    (sqrt(eigval_q)/SIG_SCALE — sqrt and divide are correctly-rounded
+    IEEE ops, so whitening stays deterministic): coordinates then have
+    ~unit variance on the fit sample, the preprocessing isotropic
+    distance metrics and downstream quantizers expect. Components
+    whose quantized eigenvalue is 0 (numerically empty directions)
+    pass through unscaled instead of dividing by zero."""
     import numpy as np
     import pandas as pd
 
@@ -2098,6 +2107,11 @@ def pca_project(
     mu = np.asarray(mean_row.mean, dtype=np.float64)
     comp_rows = model["components"].orderBy("rank").collect()
     C = np.stack([np.asarray(r.component, dtype=np.float64) for r in comp_rows])
+    if whiten:
+        ev = np.asarray([r.eigval_q for r in comp_rows], dtype=np.float64)
+        std = np.sqrt(ev) / float(SIG_SCALE)
+        scale = np.where(std > 0.0, 1.0 / std, 1.0)
+        C = C * scale[:, None]
 
     @pandas_udf("array<double>")
     def _proj(vecs):

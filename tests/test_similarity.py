@@ -1051,3 +1051,39 @@ def test_pca_fit_sampling_and_validation(spark, sf_dir):
         pca_fit(emb, k=0)
     with _pytest.raises(ValueError, match="empty"):
         pca_fit(emb.filter("vec_id < 0"), k=2)
+
+
+def test_pca_whiten_unit_variance_on_fit_sample(spark):
+    """whiten=True: each projected coordinate has ~unit population
+    variance on the fit sample (the covariance eigenvalue by
+    construction, up to SIG_SCALE quantization), and the unwhitened
+    coordinate variance equals eigval_q/SIG_SCALE^2."""
+    import numpy as np
+
+    from syncquill_spark.operators.similarity import (
+        SIG_SCALE,
+        pca_fit,
+        pca_project,
+    )
+
+    d = np.zeros(16)
+    d[2], d[9] = 0.6, 0.8
+    rows = []
+    for i in range(300):
+        t = ((i * 53) % 97 - 48) / 10.0
+        noise = np.array([((i * 11 + j * 5) % 13 - 6) / 60.0 for j in range(16)])
+        rows.append((i, [float(v) for v in t * d + noise]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = pca_fit(df, k=2, dim=16)
+    (c0,) = model["components"].filter("rank = 0").collect()
+
+    plain = np.array(
+        [r.embedding_pca[0] for r in pca_project(df, model).collect()]
+    )
+    white = np.array(
+        [r.embedding_pca[0] for r in pca_project(df, model, whiten=True).collect()]
+    )
+    var_plain = plain.var()  # population variance, matching the 1/n fit
+    want = c0.eigval_q / float(SIG_SCALE) ** 2
+    assert abs(var_plain - want) / want < 0.01
+    assert abs(white.var() - 1.0) < 0.01
