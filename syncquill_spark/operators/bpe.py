@@ -297,3 +297,43 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(encode_batches, out_schema)
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: DataFrame,
+    stratify_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    byte_level: bool = False,
+) -> DataFrame:
+    """Tokenizer EQUITY report: per-stratum fertility — BPE tokens per
+    whitespace word, as fertility_ppm = (1e6 * n_bpe_tokens) div
+    n_words (exact integer division, hash-stable). The number a
+    multilingual tokenizer review reads first: a language whose
+    fertility is 2-3x the corpus median pays that multiple in
+    effective context length and training cost, which is exactly what
+    temperature mixing and vocab sizing decisions are made on.
+
+    One `bpe_encode` pass + one map-side-combinable aggregation on the
+    stratum key. Output: (stratum, n_docs, n_words, n_bpe_tokens,
+    fertility_ppm) — exact ints; strata with zero words report null
+    fertility rather than dividing by zero.
+    """
+    enc = bpe_encode(df, merges, text_col=text_col, id_col=id_col,
+                     byte_level=byte_level)
+    joined = df.select(id_col, stratify_col).join(enc, id_col)
+    agg = joined.groupBy(stratify_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+    # exact integer division (`div`), not double `/` — a double
+    # quotient truncates wrong past 2^53
+    return agg.withColumn(
+        "fertility_ppm",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("(1000000 * n_bpe_tokens) div n_words"),
+        ).cast("long"),
+    )

@@ -1486,6 +1486,7 @@ def corpus_card(
     id_col: str = "doc_id",
     text_col: str = "text",
     strata_cols: tuple[str, ...] = ("lang", "source"),
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """One-call dataset card: the summary table a training-data release
     ships alongside the shards (sizes, composition, duplication,
@@ -1501,6 +1502,11 @@ def corpus_card(
       length  — exact nearest-rank p25/p50/p75/p95 of per-doc
                 whitespace token counts (no float interpolation)
 
+    ``counts``: optional (id, n_tokens) frame — e.g. `bpe_encode`
+    output — replacing the built-in estimates, so the card's sizes
+    and length quantiles are in tokenizer-TRUE tokens (both token
+    totals then report the supplied counts).
+
     Scale shape: the token projection is computed once and persisted
     (it feeds the totals AND the quantile passes); everything else is
     one map-side-combinable aggregation each — strata cards and the
@@ -1512,10 +1518,21 @@ def corpus_card(
     as the percentile quality gate. Output is card-sized (tens of
     rows).
     """
-    toks = (
-        token_counts(df, text_col=text_col, id_col=id_col)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if counts is not None:
+        # same (id, n_tokens) override contract as pack_sequences /
+        # target_mix_tokens: card sizes and length quantiles in
+        # tokenizer-TRUE tokens (both total columns then carry the
+        # supplied counts)
+        toks = counts.select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens_ws"),
+            F.col("n_tokens").cast("long").alias("n_tokens_bpeish"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        toks = (
+            token_counts(df, text_col=text_col, id_col=id_col)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     sizes = (
         df.select(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -257,3 +257,44 @@ def test_byte_level_encode_consistent_and_unicode_complete(spark):
     # every word tokenizes; upper bound = raw byte count + 1 per word
     raw = sum(len(w.encode("utf-8")) for w in "łódź ωμέγα emoji 🚀 here".split())
     assert 5 <= row.n_bpe_tokens <= raw
+
+
+def test_bpe_fertility_per_stratum(spark):
+    """Fertility = BPE tokens per word, per stratum, exact integer
+    ppm; a stratum of unseen-script words (every char splits) shows
+    the higher fertility the report exists to surface; wordless
+    strata report null instead of dividing by zero."""
+    docs = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    merges, vocab = train_bpe(docs, n_merges=20)
+    labeled = spark.createDataFrame(
+        [
+            (1, "the banana stand sells banana bread", "en"),
+            (2, "the banana banana bread", "en"),
+            (3, "qqqq zzzz xxxx qqqq", "xx"),  # unseen chars -> splits
+            (4, "   ", "empty"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    from syncquill_spark.operators.bpe import bpe_fertility
+
+    rows = {r.lang: r for r in bpe_fertility(labeled, merges).collect()}
+    # python expectation via the reference segmentation
+    want_m, _ = _ref_train([t for _, t in _CORPUS], 20)
+    ml = [(l, r) for _, l, r, _ in want_m]
+
+    def seg_len(w):
+        s = _ref_syms(w)
+        for l, r in ml:
+            s = _ref_apply(s, l, r)
+        return len(s)
+
+    en_words = "the banana stand sells banana bread the banana banana bread".split()
+    want_en = (1_000_000 * sum(seg_len(w) for w in en_words)) // len(en_words)
+    assert rows["en"].n_docs == 2
+    assert rows["en"].n_words == len(en_words)
+    assert rows["en"].fertility_ppm == want_en
+    xx_words = "qqqq zzzz xxxx qqqq".split()
+    want_xx = (1_000_000 * sum(seg_len(w) for w in xx_words)) // len(xx_words)
+    assert rows["xx"].fertility_ppm == want_xx
+    assert rows["xx"].fertility_ppm > rows["en"].fertility_ppm
+    assert rows["empty"].n_words == 0 and rows["empty"].fertility_ppm is None

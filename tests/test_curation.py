@@ -1276,3 +1276,27 @@ def test_corpus_card_matches_direct_computation(spark):
     for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)):
         want = counts[math.ceil(q * n) - 1]
         assert card[("length", f"{name}_tokens")] == want, (name, want)
+
+
+def test_corpus_card_accepts_external_counts(spark):
+    """counts= override: card sizes and quantiles in tokenizer-true
+    tokens (both totals then report the supplied counts)."""
+    from syncquill_spark.operators.curation import corpus_card
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", "en", "s0") for i in range(10)],
+        "doc_id long, text string, lang string, source string",
+    )
+    counts = spark.createDataFrame(
+        [(i, 7 + i) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    card = {
+        (r.section, r.metric): r.value
+        for r in corpus_card(docs, counts=counts).collect()
+    }
+    assert card[("size", "n_tokens_ws")] == sum(7 + i for i in range(10))
+    assert card[("size", "n_tokens_bpeish")] == sum(7 + i for i in range(10))
+    import math
+
+    vals = sorted(7 + i for i in range(10))
+    assert card[("length", "p50_tokens")] == vals[math.ceil(0.5 * 10) - 1]
