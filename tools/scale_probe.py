@@ -458,6 +458,12 @@ def main() -> None:
         doc_ops.update(CLF_OPS)
     if "decon" in families:
         doc_ops["remove_spans"] = _remove_spans_probe
+    if "card" in families:
+        from syncquill_spark.operators.curation import corpus_card
+
+        doc_ops["corpus_card"] = lambda c: corpus_card(
+            c, strata_cols=("lang", "source")
+        )
     if "bpe" in families:
         from syncquill_spark.operators.bpe import bpe_encode, train_bpe
 
