@@ -268,3 +268,117 @@ def test_streaming_ingest_with_index_append(spark, tmp_path):
         r.corpus_id for r in load_index(spark, idx_path)["fps"].collect()
     }
     assert final_ids == {1, 2, 101, 202}
+
+
+def test_tokenizer_aware_release_pipeline(spark, sf_dir, tmp_path):
+    """The session's capstone composition — the tokenizer-aware half
+    of a corpus release, every stage feeding the next:
+
+      eval index -> span-removal decontamination (cut, not drop)
+      -> temperature mix (alpha=0.5 over languages)
+      -> BPE trained on the mix, persisted via index_store
+      -> tokenizer-TRUE counts -> pack_sequences(counts=...)
+      -> materialize_packs -> corpus_card(counts=...) + fertility
+
+    Invariants checked on the final artifacts: the cleaned corpus is
+    gate-silent against the eval index; mix counts sum to the target
+    with the low-resource tail up-weighted vs natural share; every
+    pack respects budget + one boundary doc in TRUE tokens; the card's
+    totals equal the encode totals; fertility is defined for every
+    language in the mix."""
+    from syncquill_spark.operators.bpe import (
+        bpe_encode,
+        bpe_fertility,
+        train_bpe,
+    )
+    from syncquill_spark.operators.curation import (
+        corpus_card,
+        materialize_packs,
+        pack_sequences,
+        remove_spans,
+        temperature_mix,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_index,
+        build_winnowing_positions,
+        winnowing_matches_against,
+        winnowing_spans_against,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # plant an eval passage into two training docs so the cut has work
+    passage = "the quick brown fox jumps over the lazy dog tonight again"
+    evalset = spark.createDataFrame(
+        [(900001, f"alpha beta {passage} gamma")], "doc_id long, text string"
+    )
+    contaminated = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(3, 7),
+            F.concat(F.col("text"), F.lit(f" {passage}")),
+        ).otherwise(F.col("text")),
+    )
+    p = str(tmp_path / "eval_idx")
+    save_index(
+        p,
+        fps=build_winnowing_index(evalset),
+        positions=build_winnowing_positions(evalset),
+    )
+    idx = load_index(spark, p)
+
+    spans = winnowing_spans_against(
+        contaminated, idx["fps"], idx["positions"], min_shared=2
+    )
+    assert {r.id_new for r in spans.collect()} == {3, 7}
+    cleaned = remove_spans(contaminated, spans, pad=3).select(
+        "doc_id", F.col("text_clean").alias("text")
+    ).join(contaminated.select("doc_id", "lang", "source"), "doc_id")
+    assert winnowing_matches_against(
+        cleaned, idx["fps"], min_shared=2
+    ).count() == 0  # gate-silent after the cut
+
+    total = 120
+    mix = temperature_mix(cleaned, total=total, alpha=0.5)
+    mix_counts = {
+        r.lang: r.c
+        for r in mix.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    assert sum(mix_counts.values()) == total
+    nat = {
+        r.lang: r.c
+        for r in cleaned.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    n_all = sum(nat.values())
+    tail = min(nat, key=nat.get)
+    assert mix_counts[tail] / total > nat[tail] / n_all  # tail up-weighted
+
+    merges, _ = train_bpe(mix, n_merges=25)
+    mp = str(tmp_path / "bpe_model")
+    save_index(mp, merges=merges)
+    stored = load_index(spark, mp)["merges"]
+    counts = bpe_encode(mix, stored).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+
+    budget = 120
+    asg = pack_sequences(mix, budget=budget, counts=counts)
+    packs = materialize_packs(mix, asg)
+    max_doc = counts.agg(F.max("n_tokens")).collect()[0][0]
+    for r in packs.collect():
+        assert r.n_tokens <= budget + max_doc
+    assert packs.agg(F.sum("n_docs")).collect()[0][0] == total
+
+    card = {
+        (r.section, r.metric): r.value
+        for r in corpus_card(mix, counts=counts).collect()
+    }
+    enc_total = counts.agg(F.sum("n_tokens")).collect()[0][0]
+    assert card[("size", "n_docs")] == total
+    assert card[("size", "n_tokens_ws")] == enc_total
+
+    fert = {r.lang: r for r in bpe_fertility(mix, stored).collect()}
+    assert set(fert) == set(mix_counts)
+    assert all(r.fertility_ppm and r.fertility_ppm >= 1_000_000
+               for r in fert.values())  # >= 1 token per word, defined everywhere
