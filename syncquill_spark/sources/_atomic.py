@@ -23,6 +23,19 @@ contract is the same single-WRITER rule every swap-based table here
 documents. Object stores have neither rename nor exchange — use a
 manifest-pointer table (``VersionedParquetTable`` locally,
 Delta/Iceberg on s3/gs) there.
+
+What the contract does NOT promise (round-9 verdict finding #1): a
+directory LISTING opened just before the swap enumerates the
+SUPERSEDED generation — ``opendir``/``os.listdir`` binds to the
+directory inode, not the path, so the off-critical-path ``rmtree`` of
+the old generation can empty that dirstream mid-enumeration. The
+reader sees a shrinking or empty listing while the PATH still
+resolves to the complete new directory at every instant. Correct
+readers therefore resolve by path (open the manifest / part files
+under ``target/...``), never by pinning one ``listdir`` snapshot —
+which is what every reader in this package does
+(``index_store.load_index`` reads the manifest by path; Spark's
+parquet reader re-lists per scan).
 """
 
 from __future__ import annotations

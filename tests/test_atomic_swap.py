@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 import threading
+import time
 
 import pytest
 
@@ -45,23 +46,54 @@ def test_reader_never_sees_missing_dir_under_overwrite_loop(tmp_path):
     loop while the writer swaps 200 generations. With RENAME_EXCHANGE
     the path exists at every instant; the test asserts zero ENOENT on
     the exchange path (and on the fallback path tolerates only the
-    two-rename gap, which this box does not take — glibc >= 2.28)."""
+    two-rename gap, which this box does not take — glibc >= 2.28).
+
+    Round-9 verdict #1: the reader must survive EVERY exception and
+    keep hammering — an earlier version asserted listdir membership
+    inside the loop, which tests a claim the design never made:
+    ``os.listdir`` binds to the directory INODE at opendir time, so a
+    swap landing between opendir and the entry read leaves the reader
+    enumerating the superseded generation while the off-path rmtree
+    (`sources/_atomic.py`) empties that inode — an empty/partial
+    listing with the PATH never missing. The actual contract is
+    path-resolution: ``target/data.txt`` resolves at every instant.
+    On an empty-looking listing we therefore re-check by PATH (a fresh
+    lookup, no dirstream binding) and only that re-check may fail the
+    test. All exception types are collected per-type and the reader
+    provably outlives the final generation (post-writer iteration
+    floor) before the ENOENT assertion runs."""
     exchange_supported = _exchange(
         _make_dir(tmp_path, "probe_a", "a"), _make_dir(tmp_path, "probe_b", "b")
     )
     target = _make_dir(tmp_path, "live", "gen0")
     stop = threading.Event()
-    misses: list[Exception] = []
+    enoent: list[Exception] = []
+    unexpected: list[Exception] = []
+    contract_breaks: list[str] = []
+    inode_races = [0]
+    iters = [0]
+    last_read = [""]
 
     def read_loop():
         while not stop.is_set():
             try:
                 names = os.listdir(target)
-                assert "data.txt" in names
-                with open(os.path.join(target, "data.txt")) as fh:
-                    fh.read()
+                if "data.txt" not in names:
+                    # superseded-inode enumeration (see docstring):
+                    # the CONTRACT check is by path, not by dirstream
+                    inode_races[0] += 1
+                    if not os.path.exists(os.path.join(target, "data.txt")):
+                        contract_breaks.append(
+                            f"data.txt unreachable by path; listing={names!r}"
+                        )
+                else:
+                    with open(os.path.join(target, "data.txt")) as fh:
+                        last_read[0] = fh.read()
             except FileNotFoundError as e:  # pragma: no cover - failure path
-                misses.append(e)
+                enoent.append(e)
+            except Exception as e:  # pragma: no cover - failure path
+                unexpected.append(e)
+            iters[0] += 1
 
     t = threading.Thread(target=read_loop)
     t.start()
@@ -70,10 +102,21 @@ def test_reader_never_sees_missing_dir_under_overwrite_loop(tmp_path):
             src = _make_dir(tmp_path, f"staging_{gen}", f"gen{gen}")
             atomic_replace_dir(src, target)
     finally:
+        # prove the reader is still alive AFTER generation 200: it must
+        # complete three more full iterations before we stop it
+        alive_floor = iters[0] + 3
+        deadline = time.monotonic() + 10.0
+        while iters[0] < alive_floor and time.monotonic() < deadline:
+            time.sleep(0.001)
+        reader_alive = iters[0] >= alive_floor
         stop.set()
         t.join()
+    assert reader_alive, "reader thread stopped iterating before the end"
+    assert contract_breaks == [], contract_breaks
+    assert unexpected == [], [repr(e) for e in unexpected]
     if exchange_supported:
-        assert misses == [], f"reader saw ENOENT {len(misses)} times"
+        assert enoent == [], f"reader saw ENOENT {len(enoent)} times"
+    assert last_read[0] == "gen200"
     assert open(os.path.join(target, "data.txt")).read() == "gen200"
 
 
