@@ -23,6 +23,11 @@ Training shape, built for the 100 TB corpus the engine targets:
 - The table is localCheckpoint'ed eagerly each iteration, so lineage
   stays flat and every pair-count job reads materialized rows instead
   of recomputing the whole UDF chain (the incremental_sync.py trick).
+  Each iteration releases the PREVIOUS iteration's checkpoint blocks
+  through the context's persistent-RDD registry (ADVICE r09), so
+  executor storage holds one word-table generation, not n_merges —
+  only the final generation (the returned vocab frame's backing
+  blocks) survives the call, owned by the caller.
 
 Determinism doctrine: pair counts are exact int64 sums; the winning
 pair is the total order (freq DESC, left ASC, right ASC); greedy
@@ -54,7 +59,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 EOW = "</w>"
 
@@ -159,6 +170,34 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of every RDD the context currently holds persisted.
+    ``DataFrame.localCheckpoint`` stores its blocks under an internal
+    RDD the DataFrame API exposes no handle to (``unpersist`` on the
+    frame goes through the cache manager and misses it), so the
+    checkpoint-release discipline below works through the context's
+    persistent-RDD registry instead."""
+    out: set[int] = set()
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        out.add(int(it.next()._1()))
+    return out
+
+
+def _release_persistent_rdds(sc, rdd_ids: set[int]) -> None:
+    """Non-blocking unpersist of the given persistent-RDD ids. The
+    snapshot-diff callers use to obtain ids assumes no CONCURRENT
+    persists land in the same context mid-diff — fine under the
+    single-writer contract every lifecycle operator here documents."""
+    if not rdd_ids:
+        return
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if int(t._1()) in rdd_ids:
+            t._2().unpersist(False)
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int = 100,
@@ -185,6 +224,8 @@ def train_bpe(
     can join/broadcast it.
     """
     spark = df.sparkSession
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
     words = (
         word_freqs(df, text_col, min_freq=min_word_freq)
         .select(
@@ -194,6 +235,7 @@ def train_bpe(
         )
         .localCheckpoint(eager=True)
     )
+    words_rdd_ids = _persistent_rdd_ids(sc) - before
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = (
@@ -206,11 +248,19 @@ def train_bpe(
             break
         l, r, pf = top[0].l, top[0].r, int(top[0].pfreq)
         merges.append((rank, l, r, pf))
+        before = _persistent_rdd_ids(sc)
         words = words.select(
             "word",
             "freq",
             _merge_pair_udf(F.col("syms"), F.lit(l), F.lit(r)).alias("syms"),
         ).localCheckpoint(eager=True)
+        # the new checkpoint is fully materialized (eager=True), so
+        # the PRIOR iteration's blocks are dead weight — release them
+        # now instead of letting storage grow linearly with n_merges
+        # (ADVICE r09, mirroring _pq_codebook's prev_cb discipline)
+        new_ids = _persistent_rdd_ids(sc) - before
+        _release_persistent_rdds(sc, words_rdd_ids)
+        words_rdd_ids = new_ids
     merges_df = spark.createDataFrame(
         merges, "rank long, left string, right string, pair_freq long"
     )
@@ -269,7 +319,17 @@ def bpe_encode(
         (row.left, row.right)
         for row in merges.orderBy("rank").select("left", "right").collect()
     ]
-    out_schema = f"{id_col} long, n_words long, n_bpe_tokens long"
+    # carry the id column's ACTUAL type through (ADVICE r09: a
+    # hardcoded 'long' failed inside the Arrow batch for string or
+    # decimal ids, and a DDL string corrupts on names needing quoting)
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("n_words", LongType(), False),
+            StructField("n_bpe_tokens", LongType(), False),
+        ]
+    )
 
     def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, int] = {}

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from syncquill_spark.operators._cache import tracked_persist
 from syncquill_spark.functions.hashing import portable_hash60
 from syncquill_spark.operators.text import token_counts
 
@@ -860,7 +861,7 @@ def quality_percentile_filter(
     # five corpus scans where the pre-rewrite form had two. skinny is
     # id+signal+stratum-width rows, so the cache is cheap; same
     # multi-consumer doctrine as dedup.py / bigram_commonness.
-    skinny = skinny.persist(StorageLevel.MEMORY_AND_DISK)
+    skinny = tracked_persist(skinny)
 
     q = 1.0 - keep_frac
     p_lo, p_hi = max(0.0, q - bracket_delta), min(1.0, q + bracket_delta)
@@ -954,7 +955,7 @@ def stratum_order_stat_values(
     skinny = df.select(id_col, signal_col, *([stratify_col] if stratify_col else []))
     if not stratify_col:
         skinny = skinny.withColumn("_strat", F.lit(0))
-    skinny = skinny.persist(StorageLevel.MEMORY_AND_DISK)
+    skinny = tracked_persist(skinny)
     out = _order_stat_cutoff(
         skinny, signal_col, frac, id_col, strat, accuracy, bracket_delta
     )
@@ -1084,7 +1085,7 @@ def quality_value_buckets(
     skinny = df.select(id_col, signal_col, *([stratify_col] if stratify_col else []))
     if not stratify_col:
         skinny = skinny.withColumn("_strat", F.lit(0))
-    skinny = skinny.persist(StorageLevel.MEMORY_AND_DISK)
+    skinny = tracked_persist(skinny)
     heads = _order_stat_cutoff(
         skinny, signal_col, frac_head, id_col, strat, accuracy, None
     ).withColumnRenamed("cutoff", "_v_head")
@@ -1157,7 +1158,10 @@ def canonicalize_urls(
     path = F.when(path0 == "", F.lit("/")).otherwise(
         F.when(
             (F.length(path0) > 1) & path0.endswith("/"),
-            F.expr(f"substring(try_parse_url({url_col}, 'PATH'), 1, length(try_parse_url({url_col}, 'PATH')) - 1)"),
+            # reuse the already-parsed path0 via the expr-free Column
+            # API (ADVICE r09: interpolating url_col into F.expr broke
+            # on names needing backticks and re-parsed the URL)
+            path0.substr(F.lit(1), F.length(path0) - F.lit(1)),
         ).otherwise(path0)
     )
     query0 = F.try_parse_url(u, F.lit("QUERY"))

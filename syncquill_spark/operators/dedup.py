@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from pyspark.storagelevel import StorageLevel
 
+from syncquill_spark.operators._cache import tracked_persist
 from syncquill_spark.functions.hashing import (
     HASH_PRIME,
     minhash_permutations,
@@ -566,7 +567,7 @@ def simhash_pairs_from_fingerprints(
     keyed = _simhash_banded(fp, id_col, layout)
     if max_band_df is not None:
         keyed = _cap_band_hubs(keyed, max_band_df)
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
+    keyed = tracked_persist(keyed)  # feeds both join sides
     a = keyed.select(
         F.col("_band").alias("_ba"), F.col("_val").alias("_va"),
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
@@ -728,8 +729,8 @@ def fuzzy_name_pairs(
         )
         .filter(F.col("_tok") != "")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    toks = tracked_persist(toks)
     if max_token_df is not None:
         rare = (
             toks.groupBy("_tok")

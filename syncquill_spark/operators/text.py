@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from syncquill_spark.operators._cache import tracked_persist
 from syncquill_spark.functions.hashing import rolling_fingerprint
 
 # Tiny per-language stopword profiles for the overlap heuristic. A real
@@ -342,7 +343,7 @@ def build_bm25_index(
     (append == rebuild: postings/doclens are per-doc rows, df counts
     and stats add over disjoint docs)."""
     tok = df.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term"))
-    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)  # postings + doclens + dfreq
+    tok = tracked_persist(tok)  # postings + doclens + dfreq
     postings = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))

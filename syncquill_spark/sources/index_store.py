@@ -24,6 +24,7 @@ pass, reading is zero passes.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import uuid
@@ -86,7 +87,39 @@ def _link_tree(src: str, dst: str) -> None:
         if os.path.isdir(s):
             _link_tree(s, d)
         else:
-            os.link(s, d)
+            try:
+                os.link(s, d)
+            except OSError as e:
+                if e.errno == errno.EXDEV:
+                    raise OSError(
+                        errno.EXDEV,
+                        "append_index carries stored files as hardlinks, "
+                        "which requires the index directory and its "
+                        f"staging sibling on the SAME filesystem: {s!r} -> "
+                        f"{d!r} crossed devices (EXDEV). Move the index off "
+                        "the mount boundary or rebuild with save_index.",
+                    ) from e
+                raise
+
+
+def _stored_partition_cols(part_dir: str) -> list[str] | None:
+    """The Hive partition columns of a stored parquet part, derived
+    from its ``key=value`` directory chain — [] for a flat part, None
+    for an empty part (no data committed, any layout still valid)."""
+    cols: list[str] = []
+    d = part_dir
+    while True:
+        entries = [e for e in os.listdir(d) if not e.startswith((".", "_"))]
+        if not entries:
+            return None if not cols else cols
+        subdirs = [
+            e for e in entries
+            if "=" in e and os.path.isdir(os.path.join(d, e))
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        d = os.path.join(d, subdirs[0])
 
 
 def append_index(
@@ -132,6 +165,22 @@ def append_index(
     with open(os.path.join(path, "_index_manifest.json")) as fh:
         manifest = json.load(fh)
     existing = set(manifest["parts"])
+    # Appending rows in a different Hive layout than the stored part
+    # commits a mixed directory that save succeeds on and only
+    # load_index later rejects ("conflicting directory structures") —
+    # AFTER the atomic swap replaced the good index (ADVICE r09).
+    # Catch the disagreement here, before anything is written.
+    for name in set(batches) & existing:
+        requested = list((_partition_by or {}).get(name, []))
+        stored = _stored_partition_cols(os.path.join(path, name))
+        if stored is not None and stored != requested:
+            raise ValueError(
+                f"append_index part {name!r}: stored layout is "
+                f"partitioned by {stored or 'nothing'} but this append "
+                f"requested {requested or 'nothing'}; pass the stored "
+                "part's _partition_by (a mixed layout would only fail "
+                "later, at load_index, after the swap)"
+            )
     staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
     os.makedirs(staging)
     for name in existing - set(_replace):

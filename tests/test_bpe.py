@@ -298,3 +298,44 @@ def test_bpe_fertility_per_stratum(spark):
     assert rows["xx"].fertility_ppm == want_xx
     assert rows["xx"].fertility_ppm > rows["en"].fertility_ppm
     assert rows["empty"].n_words == 0 and rows["empty"].fertility_ppm is None
+
+
+def test_train_bpe_releases_prior_checkpoints(spark, docs):
+    """ADVICE r09: each merge iteration localCheckpoints the word
+    table; without releasing the prior generation, executor storage
+    grows linearly with n_merges. After training, the context must
+    hold at most ONE word-table generation beyond what it held before
+    (the returned vocab's backing blocks, owned by the caller)."""
+    from syncquill_spark.operators.bpe import _persistent_rdd_ids
+
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
+    merges_df, vocab = train_bpe(docs, n_merges=12)
+    assert merges_df.count() > 0
+    leaked = _persistent_rdd_ids(sc) - before
+    # one localCheckpoint generation persists <= 2 RDDs (the
+    # checkpointed internal RDD; implementations may register a
+    # wrapper) — 12 iterations without release would leak ~12+
+    assert len(leaked) <= 2, f"checkpoint blocks leaked: {sorted(leaked)}"
+    # the survivor is exactly the returned vocab's generation: its
+    # rows are still served from the released-everything-else state
+    assert vocab.count() > 0
+
+
+def test_bpe_encode_carries_nonlong_id_types(spark, docs):
+    """ADVICE r09: the output schema used to hardcode `{id} long`,
+    failing inside the Arrow batch for string ids. The id column's
+    actual type must pass through unchanged."""
+    merges_df, _ = train_bpe(docs, n_merges=8)
+    sdocs = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    out = bpe_encode(sdocs, merges_df)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = {r.doc_id: r.n_bpe_tokens for r in out.collect()}
+    base = {
+        f"doc-{r.doc_id}": r.n_bpe_tokens
+        for r in bpe_encode(docs, merges_df).collect()
+    }
+    assert rows == base

@@ -854,6 +854,20 @@ def test_canonicalize_urls_rules(spark):
         assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
 
 
+def test_canonicalize_urls_quoted_column_name(spark):
+    """ADVICE r09: the trailing-slash trim used to interpolate the raw
+    column name into F.expr, breaking on any name that needs quoting.
+    The expr-free rewrite must handle such names and still apply the
+    trim rule."""
+    from syncquill_spark.operators.curation import canonicalize_urls
+
+    df = spark.createDataFrame(
+        [(1, "http://example.com/x/")], "doc_id long, `page url` string"
+    )
+    (row,) = canonicalize_urls(df, url_col="page url").collect()
+    assert row.url_canonical == "http://example.com/x"
+
+
 def test_url_dedup_survivor_and_null_pass(spark):
     from syncquill_spark.operators.curation import url_dedup
 

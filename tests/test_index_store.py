@@ -990,3 +990,73 @@ def test_winnowing_spans_against_contamination_report(spark, tmp_path):
     # doc 101 carries the passage after a 4-token prefix, doc 1 after 2
     assert row[0] == 101 and row[1] == 1
     assert row[2] - row[4] == 2 and row[3] - row[5] == 2
+
+
+def test_append_index_rejects_mismatched_partition_layout(spark, tmp_path):
+    """ADVICE r09: appending rows in a different Hive layout than the
+    stored part used to commit a mixed directory that only failed
+    later, at load_index, AFTER the swap replaced the good index. The
+    disagreement must now raise up front, before anything is written
+    — in both directions — and an explicit matching layout (or a
+    genuinely new part) must keep working."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.sources.index_store import append_index
+
+    rows = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("cell")
+    )
+    batch = spark.range(20, 30).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("cell")
+    )
+
+    # stored partitioned, append flat -> refused
+    p1 = str(tmp_path / "part_idx")
+    save_index(p1, _partition_by={"rows": ["cell"]}, rows=rows)
+    with pytest.raises(ValueError, match="partitioned by \\['cell'\\]"):
+        append_index(p1, rows=batch)
+    # ...and nothing was committed: the stored index still loads whole
+    assert load_index(spark, p1)["rows"].count() == 20
+
+    # stored flat, append partitioned -> refused
+    p2 = str(tmp_path / "flat_idx")
+    save_index(p2, rows=rows)
+    with pytest.raises(ValueError, match="requested \\['cell'\\]"):
+        append_index(p2, _partition_by={"rows": ["cell"]}, rows=batch)
+
+    # matching layouts and new parts still work
+    append_index(p1, _partition_by={"rows": ["cell"]}, rows=batch)
+    assert load_index(spark, p1)["rows"].count() == 30
+    append_index(p2, rows=batch, extra=batch)
+    loaded = load_index(spark, p2)
+    assert loaded["rows"].count() == 30 and loaded["extra"].count() == 10
+
+
+def test_tracked_persist_release_between_batches(spark):
+    """The operator-internal multi-consumer caches (ADVICE r09) are
+    registered and released surgically: release_cached_intermediates
+    unpersists exactly the operator's intermediates, leaves
+    caller-owned persists alone, and reports the count."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators._cache import release_cached_intermediates
+    from syncquill_spark.operators.text import build_bm25_index
+
+    release_cached_intermediates()  # drain anything earlier tests left
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    mine = docs.filter(F.col("doc_id") < 4).persist()
+    mine.count()
+
+    parts = build_bm25_index(docs)
+    # consuming action (what save_index would do)
+    for df in parts.values():
+        df.count()
+    released = release_cached_intermediates()
+    assert released == 1  # the bm25 'tok' intermediate, nothing else
+    assert mine.is_cached  # caller-owned persist untouched
+    assert release_cached_intermediates() == 0  # idempotent
+    mine.unpersist()
