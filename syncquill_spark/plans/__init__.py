@@ -47,53 +47,98 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #      all-rows backstop every round; the driver window is the
 #      trust anchor, the replica is the coverage net.
 #
-# R10 REGISTRATION QUEUE — now a REAL MODULE, not a plan:
-# `plans/queue_r10.py` holds seven finished query/oracle pairs, each
-# already verified against DuckDB at sf0.001 AND sf0.01 through the
-# exact driver fingerprint compare (`tests/test_queue_r10.py`), left
-# unregistered only because the r09 window was exactly full (policy
-# rule 3). Registering in r10 = move the entries into queries_ext's
-# dicts + put the names at the front of `_PRIORITY`:
-#   storage_simhash_index   (4th index family's lifecycle row;
-#                            oracle = dedup_simhash_pairs' SQL)
-#   dedup_simhash_against   (SimHash ingest gate; oracle = pairs SQL
-#                            restricted to cross pairs)
-#   storage_ivfpq_index     (cell-partitioned serve layout; oracle =
-#                            similarity_topk_ivfpq's SQL)
-#   storage_bm25_index      (BM25 inverted-index lifecycle with
-#                            term-bucket partition pruning; oracle =
-#                            text_bm25's SQL)
-#   curation_lm_buckets     (CCNet head/middle/tail per language over
-#                            the bigram-LM signal; SQL-window oracle)
-#   text_bigram_pruned_gate (KenLM-style pruned-model gate; oracle =
-#                            gate SQL with HAVING c12 >= k)
-#   text_winnowing_spans    (MOSS span localization; oracle replays
-#                            selection + positions + diagonal
-#                            gaps-and-islands in SQL windows)
-# LATE-R09 TOUCHES, verified INSIDE the r09 window:
-# storage_winnowing_index / storage_bigram_model's merge persistence
-# SWITCHED from save-over to append_index(+_replace) — the batch-I/O
-# path the queued simhash/bm25 rows also exercise; both oracles
-# unchanged (persistence must change nothing), both re-verified
-# hash-identical locally at sf0.001 AND sf0.01 after the switch, and
-# both sit in the r09 window (storage_bigram_model was already there
-# as a new row; storage_winnowing_index displaced the fourth
-# early-rotation fill — see the _PRIORITY comments). Nothing about
-# this change carries into r10's mandatory load.
+# REGISTRY END-STATE (round-10 decision, executing round-9 verdict
+# #3 while the choice still exists — the capacity arithmetic: with
+# the 50-slot window and the <=2-round staleness invariant, every
+# registered row needs a driver-green slot every 3 rounds, so the
+# per-round slack for NEW + plan-TOUCHED rows is 50 - N/3. At the
+# full 147-row drain that slack is 1 — a single shared-helper touch
+# would break the invariant; that IS rule 3's structural break, met
+# proactively rather than discovered):
+#   - The registry is DECLARED FEATURE-COMPLETE AT 142 ROWS. r10
+#     registered 4 (below; 138 total). r11 registers the LAST 4:
+#     text_winnowing_spans + curation_remove_spans (the contaminate ->
+#     localize -> act story, the action path's only verification),
+#     text_clf_gate (the classifier family's only registry row), and
+#     curation_lm_buckets (the CCNet bucket deployment story) — then
+#     growth FREEZES: 142 rows, steady-state slack 50 - 142/3 = 2.6
+#     slots/round plus whatever touched rows already sit in the
+#     mandatory cohort.
+#   - The remaining 5 queued pairs become PERMANENTLY queue-verified:
+#     text_bigram_pruned_gate (variant of registered text_bigram_gate
+#     — delta is one HAVING on the model part), similarity_topk_rerank
+#     (composition of registered similarity_topk_ivfpq + registered
+#     similarity_topk_cosine), curation_temperature_mix (variant of
+#     registered curation_target_mix), text_lines_dedup (near-variant
+#     of registered curation_boilerplate), and text_normalize (pure
+#     projection, no shuffle — the least scale-critical row in the
+#     candidate set). Each keeps its full DuckDB fingerprint pin in
+#     `tests/test_queue_r1{0,1}.py`, run green every round at both
+#     SFs by the local replica; only the driver's re-verification is
+#     waived, and the waived rows are exactly the ones whose core
+#     semantics the driver ALREADY verifies through their registered
+#     base rows.
+#   - After the freeze, a new operator family lands unit-pinned +
+#     queue-fingerprint-verified, and may enter the registry only by
+#     SWAP (net 0): retire an existing row to the permanent queue in
+#     the same commit, with the swap recorded here.
+#   - Contingency unchanged (rule 3): if any round's mandatory cohort
+#     ALONE exceeds 50, stop and execute the documented split —
+#     stable relational core verified by the local replica each
+#     round, driver slots reserved for changed/new/rotating plans.
 #
-# R11 QUEUE — `plans/queue_r11.py` (same contract, verified at both
-# SFs through `tests/test_queue_r11.py`): text_lines_dedup
-# (cross-document boilerplate line removal, string_split/string_agg
-# oracle), text_clf_gate (supervised token-weight quality gate,
-# md5-hash count-join oracle), and text_normalize (NFC + invisibles
-# strip; oracle = DuckDB nfc_normalize — Python unicodedata vs
-# utf8proc agreeing character-for-character on injected combining
-# sequences and zero-widths). Media perceptual fingerprints
-# (operators/multimodal.py media_fingerprints/media_near_pairs) stay
-# unit-only: the hash is a mapInPandas stage with no SQL twin, the
-# same honest posture as compression_ratios.
+# R10 REGISTRATION — executed: storage_simhash_index,
+# dedup_simhash_against, storage_ivfpq_index, storage_bm25_index
+# moved from `plans/queue_r10.py` into queries_ext (the round-9
+# verdict's recommended four; oracle identities documented at their
+# EXT_ORACLES entries). The three pairs still in queue_r10 plus the
+# six in queue_r11 follow the end-state schedule above. Media
+# perceptual fingerprints (operators/multimodal.py
+# media_fingerprints/media_near_pairs) stay unit-only: the hash is a
+# mapInPandas stage with no SQL twin, the same honest posture as
+# compression_ratios.
 #
-# Round-9 window, in order:
+# Round-10 window, in order:
+#  - the 39 rows whose last driver-green is r07 (staleness 2 — the
+#    round-9 verdict names them as mandatory leads; re-derived from
+#    all nine CORRECTNESS files before committing this order);
+#  - the 4 queries REGISTERED this round (new plans always enter);
+#  - the 3 r09-green rows whose plans this round touched:
+#    storage_winnowing_index + storage_bigram_model (append_index
+#    gained the stored-layout guard and the EXDEV diagnostic —
+#    ADVICE r09 — a shared-helper change counts as touching every
+#    caller; their oracles are unchanged and both were re-verified
+#    hash-identical locally at both SFs) and curation_quality_filter
+#    (quality_percentile_filter's skinny persist moved to the
+#    tracked-persist registry — plan-identical, counted as a touch
+#    out of caution);
+#  - 4 staleness-1 fill (rule 2c): sync_upsert (the last flagship
+#    row not already mandatory) + storage_versioned_roundtrip,
+#    storage_text_ingest_roundtrip, dedup_winnowing_against (the
+#    storage/gate families this round's changes sit nearest).
+# Left outside at staleness 2 after this round (r08-green, untouched
+# — they MUST lead the r11 window; 41 rows): agg_cube_sales,
+# agg_customer_balance_stats, agg_customer_distribution,
+# agg_forecast_revenue, agg_grouping_sets, agg_important_stock,
+# agg_order_priority, agg_pivot_status, agg_pricing_summary,
+# agg_promo_revenue, agg_quantiles_status, agg_status_sets,
+# agg_supplier_part_types, join_disjunctive_promo, join_large_orders,
+# join_lonely_returned_supplier, join_market_share,
+# join_min_cost_supplier, join_nation_trade, join_priority_lines,
+# join_product_profit, join_returned_items, join_revenue_by_nation,
+# join_salted_revenue, join_shipping_priority, join_small_qty_parts,
+# json_events_extract, multimodal_audio_decode, multimodal_decode,
+# multimodal_features, multimodal_media_stats, scalar_functions,
+# setop_customers_without_orders, setop_idle_rich_customers,
+# setop_repeat_customers, storage_media_ingest_roundtrip,
+# storage_media_wav_roundtrip, subquery_exists_orders,
+# text_token_stats, window_top_supplier, window_topk_orders.
+# r11 capacity check: 41 mandatory + 4 final registrations = 45,
+# leaving 5 slots for touched rows + early rotation — fits.
+# The 50 r09-green rows not in this window rotate out at staleness 1.
+# Registry 134 -> 138 (net +4, exactly the cap).
+#
+# Round-9 window (for the record):
 #  - the 40 rows whose last driver-green is r06 (staleness 2 — the
 #    round-8 verdict names them as mandatory leads; I re-derived the
 #    set from all eight CORRECTNESS files and it matches exactly);
@@ -231,37 +276,38 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # r06-green rows rotate out at staleness 1.
 #
 _PRIORITY = [
-    # staleness-2 cohort (last driver-green r06 — the round-8 verdict
+    # staleness-2 cohort (last driver-green r07 — the round-9 verdict
     # names them as mandatory leads; policy rule 2a: ALL of it, first)
-    "text_chunk_documents", "profile_referential",
-    "join_excess_inventory", "similarity_ann_recall",
-    "curation_leakage_split", "text_segment_dedup",
-    "curation_target_mix", "curation_target_mix_tokens",
-    "dedup_cluster_stats", "dedup_apply", "pipeline_training_mix",
-    "dedup_exact", "curation_redact_pii", "curation_pack_sequences",
-    "embedding_quantize", "curation_fuzzy_decontaminate",
-    "curation_domain_quota", "dedup_clusters", "similarity_topk_ivf",
-    "similarity_topk_ivf_refined", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "profile_documents",
-    "text_quality_rules", "text_bm25", "embedding_label_centroids",
-    "text_token_counts", "text_term_stats", "text_readability",
-    "text_sentences_udtf", "text_fingerprint", "join_asof_signup",
-    "join_range_shipments", "join_binned_range", "cdc_scd2_history",
-    "cdc_incremental_agg", "funnel_click_purchase",
-    "agg_distinct_users_exact", "pipeline_corpus_curation",
-    # new this round (new plans always enter the window)
-    "storage_bigram_model", "text_bigram_gate",
-    # rows whose plans this round touched (storage_winnowing_index:
-    # merge persistence switched to append_index late in the round —
-    # plan-changed rows MUST sit in the window, so it displaced the
-    # fourth early-rotation fill, sync_apply_keyed, which returns to
-    # the staleness-1 pool and leads the r10 window instead)
-    "text_bigram_lm", "curation_quality_filter",
-    "similarity_topk_ivfpq", "embedding_pq_codes",
-    "storage_winnowing_index",
-    # staleness-1 fill (policy rule 2c): three r07-green sync_*
-    # flagship rows — leaves r10's mandatory load at 39
-    "sync_validate", "sync_diff_keyed", "sync_diff_positional",
+    "sync_apply_keyed", "agg_distinct_users_approx",
+    "agg_quantiles_approx_check", "agg_rollup_orders",
+    "curation_blocklist", "curation_boilerplate",
+    "curation_decontaminate", "curation_eval_k_per_lang",
+    "curation_hash_split", "curation_pack_ffd",
+    "curation_sample_stratified", "curation_shuffle",
+    "dedup_embedding_cosine", "dedup_embedding_incremental",
+    "dedup_semantic_pairs", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_winnowing_pairs", "embedding_nearest_centroid",
+    "events_session_window", "events_sessionization",
+    "events_sliding_window", "events_tumbling_window",
+    "join_events_customers", "setop_except_all",
+    "similarity_knn_classify", "similarity_topk_cosine",
+    "similarity_topk_lsh", "storage_index_incremental",
+    "storage_index_roundtrip", "storage_zorder_key",
+    "text_language_id", "text_quality", "text_repetition",
+    "text_tfidf_terms", "text_vocab_coverage", "text_winnowing",
+    "window_moving_avg", "window_running_total",
+    # registered this round from queue_r10 (new plans always enter)
+    "storage_simhash_index", "dedup_simhash_against",
+    "storage_ivfpq_index", "storage_bm25_index",
+    # r09-green rows whose plans this round touched (see the window
+    # comment above: append_index layout guard, tracked persists)
+    "storage_winnowing_index", "storage_bigram_model",
+    "curation_quality_filter",
+    # staleness-1 fill (policy rule 2c): the last flagship row plus
+    # the storage/gate families nearest this round's changes —
+    # leaves r11's mandatory load at 41
+    "sync_upsert", "storage_versioned_roundtrip",
+    "storage_text_ingest_roundtrip", "dedup_winnowing_against",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

@@ -4153,6 +4153,177 @@ SELECT doc_id, lang, n_tokens, pack_id FROM ffd
 """
 
 
+# --- registered in r10 from plans/queue_r10.py (window-capacity
+# policy rule 3: finished and fingerprint-verified in r09, promoted
+# under the net-+4 growth cap once window slots existed) ----------
+
+
+def q_storage_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash index LIFECYCLE under the gate — the fourth and last
+    dedup index family's symmetry row (MinHash r06, SRP r06, winnowing
+    r08): build the (corpus_id, simhash) index over half the corpus
+    (even doc_ids), persist via ``index_store.save_index``, extend
+    with the other half via the batch-I/O ``append_index`` (only the
+    batch is tokenized AND only its rows are written — stored files
+    carried as hardlinks behind one atomic swap), reload, and emit
+    near-dup pairs from the stored rows alone
+    (``simhash_pairs_from_index`` — no text touched). Oracle = ``dedup_simhash_pairs``' own SQL twin
+    over ALL documents: append must be indistinguishable from
+    rebuild."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from syncquill_spark.sources.index_store import (
+        append_index,
+        load_index,
+        save_index,
+    )
+    from syncquill_spark.streaming.text_dedup import (
+        build_simhash_index,
+        simhash_pairs_from_index,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    first_half = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    fps = build_simhash_index(first_half, bits=_SIMHASH_BITS)
+    path = _os.path.join(_tempfile.mkdtemp(prefix="sq_sh_idx_"), "sh_idx")
+    save_index(path, fps=fps)
+    # the batch-I/O nightly merge: only the batch's rows are written,
+    # stored files carried as hardlinks, one atomic swap (equivalent
+    # to merge_simhash_index + save-over, which rewrites the corpus)
+    append_index(path, fps=build_simhash_index(batch, bits=_SIMHASH_BITS))
+    reloaded = load_index(spark, path)
+    return simhash_pairs_from_index(
+        reloaded["fps"], bits=_SIMHASH_BITS, max_hamming=_SIMHASH_MAX_HAMMING
+    )
+
+
+def q_dedup_simhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash INGEST GATE: a new batch (odd doc_ids) checked for
+    near-duplicates against the corpus index (even doc_ids) — only the
+    batch is fingerprinted; the corpus side is the stored
+    (corpus_id, simhash) rows. The gate's matches equal a full
+    rebuild's pairs restricted to (new x corpus) — exactly what the
+    oracle computes, never having seen the index."""
+    from syncquill_spark.streaming.text_dedup import (
+        build_simhash_index,
+        simhash_matches_against,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    return simhash_matches_against(
+        batch,
+        build_simhash_index(corpus, bits=_SIMHASH_BITS),
+        bits=_SIMHASH_BITS,
+        max_hamming=_SIMHASH_MAX_HAMMING,
+    )
+
+
+def _simhash_against_sql() -> str:
+    """Cross-orientation wrapper of the pairs oracle: the gate orients
+    (new=odd, corpus=even); the pairs SQL orients id_a < id_b."""
+    return f"""
+WITH full_pairs AS ({_simhash_pairs_sql()})
+SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id_new,
+       CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS id_corpus,
+       hamming
+FROM full_pairs
+WHERE (id_a % 2) != (id_b % 2)
+"""
+
+
+def q_storage_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index LIFECYCLE under the gate: build the three-part
+    index (unit centroids, PQ codebook, codes pre-joined to their cell
+    and written Hive-partitioned by cell_id), persist, reload, and
+    serve top-k for the query set from the STORED parts alone — the
+    corpus's float vectors are read at build and never again, and the
+    serve plan broadcast-joins the probe under dynamic partition
+    pruning (SCALE.md: 2.4-3x faster than the fused path, wall-flat
+    across 8x corpus growth). Oracle = ``similarity_topk_ivfpq``'s own
+    SQL: serve-from-index must be indistinguishable from the
+    monolithic composition."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from syncquill_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_topk_from_index,
+    )
+    from syncquill_spark.sources.index_store import load_index, save_index
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = ivfpq_build_index(
+        embeddings,
+        n_cells=_IVF_CELLS,
+        m_sub=_PQ_M,
+        k_codes=_PQ_K,
+        dim=_PQ_DIM,
+    )
+    path = _os.path.join(_tempfile.mkdtemp(prefix="sq_ivfpq_"), "ivfpq_idx")
+    save_index(path, _partition_by={"codes": ["cell_id"]}, **index)
+    loaded = load_index(spark, path)
+    return ivfpq_topk_from_index(
+        queries, loaded, k=_TOPK, nprobe=_IVF_NPROBE, m_sub=_PQ_M, dim=_PQ_DIM
+    )
+
+
+def q_storage_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval-index LIFECYCLE under the gate: build the
+    four-part inverted index (term-bucket-partitioned postings,
+    doclens, incrementally-maintained dfreq, one stats row) over half
+    the corpus, persist via ``index_store.save_index`` with the
+    postings part Hive-partitioned by term_bucket, reload, extend with
+    the other half via ``merge_bm25_index`` (only the batch is
+    tokenized; df counts and stats ADD), persist OVER the first
+    (atomic exchange), reload, and serve the registered query terms
+    from the stored parts alone — the serve scan reads only the
+    query's term buckets (partition pruning, plan-asserted in unit
+    tests). Oracle = ``text_bm25``'s own SQL: a served score after
+    save/load/merge/save/load must be indistinguishable from
+    recomputing over all text."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from syncquill_spark.operators.text import (
+        bm25_from_index,
+        build_bm25_index,
+        merge_bm25_index,
+    )
+    from syncquill_spark.sources.index_store import (
+        append_index,
+        load_index,
+        save_index,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    first_half = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    part_by = {"postings": ["term_bucket"]}
+    path = _os.path.join(_tempfile.mkdtemp(prefix="sq_bm25_"), "bm25_idx")
+    save_index(path, _partition_by=part_by, **build_bm25_index(first_half))
+    # the full nightly merge in ONE atomic commit: row parts appended
+    # batch-sized (postings, doclens), the small aggregated parts
+    # (dfreq, stats) rewritten with their merged frames
+    merged = merge_bm25_index(load_index(spark, path), batch)
+    batch_only = build_bm25_index(batch)
+    append_index(
+        path,
+        _partition_by=part_by,
+        _replace={"dfreq": merged["dfreq"], "stats": merged["stats"]},
+        postings=batch_only["postings"],
+        doclens=batch_only["doclens"],
+    )
+    reloaded = load_index(spark, path)
+    return bm25_from_index(reloaded, _BM25_TERMS)
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_knn_classify": q_similarity_knn_classify,
     "embedding_nearest_centroid": q_embedding_nearest_centroid,
@@ -4246,6 +4417,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk_ivfpq": q_similarity_topk_ivfpq,
     "storage_bigram_model": q_storage_bigram_model,
     "text_bigram_gate": q_text_bigram_gate,
+    "storage_simhash_index": q_storage_simhash_index,
+    "dedup_simhash_against": q_dedup_simhash_against,
+    "storage_ivfpq_index": q_storage_ivfpq_index,
+    "storage_bm25_index": q_storage_bm25_index,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -4350,4 +4525,16 @@ EXT_ORACLES: dict[str, str | None] = {
     # identical oracle to multimodal_decode BY DESIGN: a trip through
     # real files (export -> binaryFile re-ingest) must change nothing
     "storage_media_ingest_roundtrip": _multimodal_decode_sql(),
+    # identical oracle to dedup_simhash_pairs BY DESIGN: pairs served
+    # from a saved+appended+reloaded index must be indistinguishable
+    # from a one-shot rebuild over all text
+    "storage_simhash_index": _simhash_pairs_sql(),
+    "dedup_simhash_against": _simhash_against_sql(),
+    # identical oracle to similarity_topk_ivfpq BY DESIGN: serving
+    # from the stored cell-partitioned layout must equal the
+    # monolithic composition
+    "storage_ivfpq_index": _ivfpq_sql(),
+    # identical oracle to text_bm25 BY DESIGN: scores served after
+    # save/load/merge/save/load must equal recomputing from text
+    "storage_bm25_index": _bm25_sql(),
 }
