@@ -23,6 +23,17 @@ sustainable ceiling (plans/__init__.py). Registration over the next
 rounds must respect the <=4-net-growth cap, so r10/r11/r12 drain
 these queues selectively; new operator families from here land
 unit-pinned only until registry headroom exists.
+
+END-STATE SCHEDULE (round-10 decision — the full rationale and the
+capacity arithmetic live in plans/__init__.py): r11 registers
+curation_remove_spans + text_clf_gate from THIS queue plus
+text_winnowing_spans + curation_lm_buckets from queue_r10, taking the
+registry to its declared feature-complete 142. The other four here —
+similarity_topk_rerank, curation_temperature_mix, text_lines_dedup,
+text_normalize — stay PERMANENTLY queue-verified (each is a variant
+or composition of an already-registered row; the full DuckDB
+fingerprint pin keeps running every round via tests/test_queue_r11.py
+and the local replica).
 """
 
 from __future__ import annotations
