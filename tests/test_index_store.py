@@ -1060,3 +1060,65 @@ def test_tracked_persist_release_between_batches(spark):
     assert mine.is_cached  # caller-owned persist untouched
     assert release_cached_intermediates() == 0  # idempotent
     mine.unpersist()
+
+
+def test_nightly_merge_loop_releases_intermediates_per_batch(spark, tmp_path):
+    """The ADVICE-r09 deployment story end to end: the nightly BM25
+    index merge loop (the advice's own example) calls
+    release_cached_intermediates() after each batch's append commit —
+    the builder's internal token-table cache is re-registered and
+    re-released every batch, so cached blocks stay bounded across
+    batches, caller-owned persists survive, and the final index equals
+    a one-shot rebuild part for part."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators._cache import release_cached_intermediates
+    from syncquill_spark.operators.bpe import _persistent_rdd_ids
+    from syncquill_spark.operators.text import (
+        build_bm25_index,
+        merge_bm25_index,
+    )
+    from syncquill_spark.sources.index_store import append_index
+
+    docs = _simhash_corpus(spark)
+    mine = docs.persist()
+    mine.count()  # caller-owned, must survive every release
+
+    part_by = {"postings": ["term_bucket"]}
+    path = str(tmp_path / "bm25_loop")
+    save_index(path, _partition_by=part_by, **build_bm25_index(
+        docs.filter(F.col("doc_id") % 4 == 0)
+    ))
+    release_cached_intermediates()  # drain the initial build
+    sc = spark.sparkContext
+    base_ids = _persistent_rdd_ids(sc)
+
+    per_batch_released = []
+    for i in (1, 2, 3):
+        batch = docs.filter(F.col("doc_id") % 4 == i)
+        merged = merge_bm25_index(load_index(spark, path), batch)
+        batch_only = build_bm25_index(batch)
+        append_index(
+            path,
+            _partition_by=part_by,
+            _replace={"dfreq": merged["dfreq"], "stats": merged["stats"]},
+            postings=batch_only["postings"],
+            doclens=batch_only["doclens"],
+        )
+        per_batch_released.append(release_cached_intermediates())
+        leaked = _persistent_rdd_ids(sc) - base_ids
+        assert len(leaked) == 0, f"batch {i} leaked RDDs {sorted(leaked)}"
+    assert all(n >= 1 for n in per_batch_released), per_batch_released
+    assert mine.is_cached  # caller-owned persist untouched
+    mine.unpersist()
+
+    # after three released merges the stored index still equals a
+    # one-shot rebuild, part for part
+    full = build_bm25_index(docs)
+    loaded = load_index(spark, path)
+    for part in ("postings", "doclens", "dfreq", "stats"):
+        cols = full[part].columns  # the partitioned read reorders them
+        got = sorted(map(tuple, loaded[part].select(*cols).collect()))
+        want = sorted(map(tuple, full[part].collect()))
+        assert got == want, part
+    release_cached_intermediates()
