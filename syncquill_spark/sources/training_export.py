@@ -1,0 +1,192 @@
+"""Training-shard export: the release sink of the curation pipeline.
+
+Everything upstream of this module decides WHAT ships (dedup, gates,
+quality filters, mixing, packing); `deterministic_shuffle` decides the
+ORDER (a reproducible global permutation into N shards). This module
+is the last hop: materialize that decision as an on-disk artifact a
+training job can consume and AUDIT —
+
+- one directory per shard (``shard=K``), each holding exactly ONE
+  parquet data file whose rows stream in training order (``pos``
+  ascending; the column is also kept, so consumers that split large
+  files recover the order by sorting on it);
+- a JSON manifest with per-shard doc counts, token counts, and an
+  int64 order fingerprint (sum of hash(shard:pos:id) over rows — any
+  dropped, duplicated, or reordered document changes it), plus the
+  shuffle salt so the exact permutation is reproducible;
+- the whole export committed with the same all-or-nothing
+  ``atomic_replace_dir`` swap every table here uses: a reader sees
+  the complete old release or the complete new one, never a mix.
+
+Scale shape: one hash-partitioned shuffle on ``shard`` plus per-shard
+sorts (no global sort — `deterministic_shuffle`'s contract), then a
+write with no further movement: rows arrive at the writer already in
+(shard, pos) order, so FileFormatWriter's partition-sort requirement
+is met without re-sorting and each shard's file streams out
+sequentially. The manifest aggregation is n_shards rows. At 100 TB
+pick n_shards so a shard is a few GB — the permutation quality does
+not depend on it.
+
+Reference: /root/reference/syncquill.py has no export surface (its
+sink is a BigQuery table, syncquill.py:131-146); this is EXT-tier
+surface for the LLM-pipeline mandate, the write-side sibling of
+sources/media_files.py's read-side ingestion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from syncquill_spark.functions.hashing import portable_hash60
+from syncquill_spark.sources._atomic import atomic_replace_dir
+
+_MANIFEST = "_export_manifest.json"
+
+
+def _order_fingerprint() -> F.Column:
+    # bit_xor, not sum: order-insensitive, never overflows int64 under
+    # ANSI mode at any row count, and any changed/moved/missing row
+    # flips it ((shard, pos, id) triples are unique by construction,
+    # so XOR self-cancellation needs a duplicated triple — which the
+    # n_docs count catches first)
+    return F.bit_xor(
+        portable_hash60(
+            F.concat_ws(
+                ":",
+                F.col("shard").cast("string"),
+                F.col("pos").cast("string"),
+                F.col("_exp_id").cast("string"),
+            )
+        )
+    ).cast("long")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    salt: str = "shuffle-v1",
+) -> dict:
+    """Export ``df`` as N shuffled training shards at ``path``
+    (atomic), returning the manifest dict. ``token_col`` names a
+    precomputed per-doc token count (e.g. tokenizer-true counts from
+    ``bpe_encode``); default is whitespace tokens — the manifest's
+    accounting unit, stated in the manifest either way."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from syncquill_spark.operators.curation import deterministic_shuffle
+
+    tokens = (
+        F.col(token_col).cast("long")
+        if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    )
+    assigned = deterministic_shuffle(
+        df.select(
+            F.col(id_col).alias("_exp_id"),
+            F.col(text_col).alias("_exp_text"),
+            tokens.alias("n_tokens"),
+        ),
+        n_shards,
+        id_col="_exp_id",
+        salt=salt,
+    )
+    # rows reach the writer already in (shard, pos) order: each shard's
+    # rows land in ONE task (hash on the shard key), partitionBy splits
+    # co-resident shards into their own directories without re-sorting
+    ordered = assigned.repartition(n_shards, F.col("shard")).sortWithinPartitions(
+        "shard", "pos"
+    )
+    staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging)
+    (
+        ordered.select(
+            "shard", "pos",
+            F.col("_exp_id").alias(id_col),
+            F.col("_exp_text").alias(text_col),
+            "n_tokens",
+        )
+        .write.partitionBy("shard")
+        .parquet(os.path.join(staging, "data"))
+    )
+    stats = (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            _order_fingerprint().alias("fingerprint"),
+        )
+        .collect()
+    )
+    shards = {
+        int(r.shard): {
+            "n_docs": int(r.n_docs),
+            "n_tokens": int(r.n_tokens),
+            "fingerprint": int(r.fingerprint),
+        }
+        for r in stats
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "salt": salt,
+        "id_col": id_col,
+        "text_col": text_col,
+        "token_unit": token_col or "whitespace",
+        "total_docs": sum(s["n_docs"] for s in shards.values()),
+        "total_tokens": sum(s["n_tokens"] for s in shards.values()),
+        "shards": {str(k): shards[k] for k in sorted(shards)},
+    }
+    with open(os.path.join(staging, _MANIFEST), "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    atomic_replace_dir(staging, path)
+    return manifest
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, verify: bool = False
+) -> tuple[DataFrame, dict]:
+    """Load an export as (frame, manifest). ``verify=True`` recomputes
+    every shard's doc count, token count, and order fingerprint from
+    the data and raises on any disagreement with the manifest — the
+    integrity gate a training job runs before consuming a release."""
+    with open(os.path.join(path, _MANIFEST)) as fh:
+        manifest = json.load(fh)
+    frame = spark.read.parquet(os.path.join(path, "data"))
+    if verify:
+        id_col = manifest["id_col"]
+        got = {
+            str(int(r.shard)): {
+                "n_docs": int(r.n_docs),
+                "n_tokens": int(r.n_tokens),
+                "fingerprint": int(r.fingerprint),
+            }
+            for r in frame.select(
+                "shard", "pos", F.col(id_col).alias("_exp_id"), "n_tokens"
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                _order_fingerprint().alias("fingerprint"),
+            )
+            .collect()
+        }
+        if got != manifest["shards"]:
+            bad = {
+                k
+                for k in set(got) | set(manifest["shards"])
+                if got.get(k) != manifest["shards"].get(k)
+            }
+            raise ValueError(
+                f"training export at {path!r} fails verification for "
+                f"shard(s) {sorted(bad)}: data does not match the manifest"
+            )
+    return frame, manifest
