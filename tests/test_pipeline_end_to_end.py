@@ -382,3 +382,21 @@ def test_tokenizer_aware_release_pipeline(spark, sf_dir, tmp_path):
     assert set(fert) == set(mix_counts)
     assert all(r.fertility_ppm and r.fertility_ppm >= 1_000_000
                for r in fert.values())  # >= 1 token per word, defined everywhere
+
+    # SHIP (r10): the release sink closes the pipeline — the mixed
+    # corpus exported as shuffled shards with TOKENIZER-TRUE manifest
+    # accounting, then read back through the consumer's integrity gate
+    from syncquill_spark.sources.training_export import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    rel = str(tmp_path / "release")
+    manifest = write_training_shards(
+        mix.join(counts, "doc_id"), rel, n_shards=4, token_col="n_tokens"
+    )
+    shipped, _ = read_training_shards(spark, rel, verify=True)
+    assert manifest["total_docs"] == total
+    assert manifest["total_tokens"] == enc_total  # the card's own number
+    assert manifest["token_unit"] == "n_tokens"
+    assert shipped.count() == total
