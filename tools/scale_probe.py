@@ -610,6 +610,48 @@ def main() -> None:
             )
             fp.unpersist()
             media.unpersist()
+        if "export" in families:
+            # release-sink probe: write_training_shards is ONE
+            # shard-keyed shuffle + per-shard sorts + a pre-sorted
+            # write — wall should grow ~linearly with the corpus (it
+            # writes every byte once) and the verified read-back with
+            # it; n_shards fixed so per-shard size grows with m (the
+            # deployment knob goes the other way).
+            import shutil as _sh
+            import tempfile as _tf
+
+            from syncquill_spark.sources.training_export import (
+                read_training_shards,
+                write_training_shards,
+            )
+
+            xdir = _tf.mkdtemp(prefix="sq_export_")
+            t0 = time.time()
+            man = write_training_shards(
+                corpus.select("doc_id", "text"), f"{xdir}/rel", n_shards=16
+            )
+            sec_w = time.time() - t0
+            nbytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(f"{xdir}/rel")
+                for f in fs
+            )
+            t0 = time.time()
+            frame, _ = read_training_shards(spark, f"{xdir}/rel", verify=True)
+            n_read = frame.count()
+            sec_r = time.time() - t0
+            print(
+                f"export_write m={m} docs={n_docs} rows={man['total_docs']} "
+                f"sec={sec_w:.2f} mb={nbytes / 1e6:.1f} "
+                f"docs_per_sec={n_docs / sec_w:.0f}",
+                flush=True,
+            )
+            print(
+                f"export_read_verify m={m} docs={n_docs} rows={n_read} "
+                f"sec={sec_r:.2f} docs_per_sec={n_docs / sec_r:.0f}",
+                flush=True,
+            )
+            _sh.rmtree(xdir, ignore_errors=True)
         if "appendio" in families:
             # persistence-cost probe for the nightly index merge: a
             # FIXED batch committed into a growing stored index via
