@@ -10,7 +10,11 @@ parquet: every sync/upsert lands as a new immutable version),
 versioned target's manifest pointer (metadata-only, no Spark
 session). ``ingest --source textdir:/dir|mediadir:/dir --out p``
 converts a raw text or media corpus to parquet; ``sql "<stmt>"``
-runs ad-hoc ANSI SQL over the fixture views.
+runs ad-hoc ANSI SQL over the fixture views; ``export --source
+parquet:/tbl --out /release --key doc_id [--shards N --token-col c
+--salt s]`` writes the shuffled training-shard release with a
+verified manifest (sources/training_export.py) — the verb that
+closes the pipeline ``ingest`` opens.
 """
 
 from __future__ import annotations
@@ -91,7 +95,7 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         "action",
         choices=[
             "sync", "upsert", "query", "queries", "sql", "versions",
-            "rollback", "ingest",
+            "rollback", "ingest", "export",
         ],
     )
     p.add_argument("name", nargs="?", help="query name (for the `query` action)")
@@ -122,6 +126,24 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         help="derive doc ids from CONTENT only (per-line ingest): ids "
         "survive re-sharding of the dump; cross-file duplicate lines "
         "collapse to one row",
+    )
+    p.add_argument(
+        "--shards", type=int, default=16,
+        help="shard count for the `export` action",
+    )
+    p.add_argument(
+        "--text-col", default="text",
+        help="text column for the `export` action",
+    )
+    p.add_argument(
+        "--token-col",
+        help="precomputed per-doc token-count column for the `export` "
+        "manifest (default: whitespace tokens)",
+    )
+    p.add_argument(
+        "--salt", default="shuffle-v1",
+        help="shuffle salt for the `export` action (a new salt is a "
+        "fresh epoch permutation)",
     )
     args = p.parse_args(argv)
     if args.content_ids and not args.per_line:
@@ -214,6 +236,37 @@ def main(argv: list[str] | None = None) -> int:
         # the source would re-scan (and for mediadir re-read payloads)
         n = spark.read.parquet(args.out).count()
         print(f"ingested {n} rows -> {args.out}")
+        return 0
+    if args.action == "export":
+        # curated table -> shuffled training shards + verified manifest
+        # (sources/training_export.py): the release verb closing the
+        # pipeline the ingest verb opens
+        src = _resolve(args.source, "SYNC_SOURCE")
+        if not args.out:
+            print("export needs --out <release dir>", file=sys.stderr)
+            return 2
+        from syncquill_spark.sources.training_export import (
+            read_training_shards,
+            write_training_shards,
+        )
+
+        spark = get_spark("syncquill-spark-cli")
+        df = table_from_uri(src).read(spark)
+        manifest = write_training_shards(
+            df,
+            args.out,
+            n_shards=args.shards,
+            id_col=args.key,
+            text_col=args.text_col,
+            token_col=args.token_col,
+            salt=args.salt,
+        )
+        read_training_shards(spark, args.out, verify=True)
+        print(
+            f"exported {manifest['total_docs']} docs / "
+            f"{manifest['total_tokens']} tokens ({manifest['token_unit']}) "
+            f"-> {args.out} in {args.shards} shards, manifest verified"
+        )
         return 0
     if args.action in ("versions", "rollback"):
         from syncquill_spark.sources.parquet import VersionedParquetTable

@@ -96,3 +96,35 @@ def test_cli_content_ids_requires_per_line(capsys):
                          "--target", "parquet:/tmp/y", "--content-ids"])
     assert ei.value.code == 2
     assert "--content-ids requires --per-line" in capsys.readouterr().err
+
+
+def test_cli_export_training_shards(spark, tmp_path, capsys):
+    """The release verb (r10): ingest a corpus, export it as shuffled
+    training shards, manifest verified in the same invocation; the
+    written release reads back through the consumer gate."""
+    import json
+    import os
+
+    from syncquill_spark.cli import main
+    from syncquill_spark.sources.training_export import read_training_shards
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(6):
+        (d / f"doc{i}.txt").write_text(f"alpha beta doc number {i}")
+    docs_pq = str(tmp_path / "docs.pq")
+    assert main(["ingest", "--source", f"textdir:{d}", "--out", docs_pq]) == 0
+    rel = str(tmp_path / "release")
+    assert main([
+        "export", "--source", f"parquet:{docs_pq}", "--out", rel,
+        "--key", "doc_id", "--shards", "3",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "exported 6 docs" in out and "manifest verified" in out
+    frame, manifest = read_training_shards(spark, rel, verify=True)
+    assert frame.count() == 6 and manifest["n_shards"] == 3
+    assert manifest["total_tokens"] == 6 * 5  # five whitespace tokens
+    with open(os.path.join(rel, "_export_manifest.json")) as fh:
+        assert json.load(fh) == manifest
+    # guard rail: --out required
+    assert main(["export", "--source", f"parquet:{docs_pq}"]) == 2
