@@ -1485,6 +1485,26 @@ def materialize_packs(
     )
 
 
+def card_diff(card_a: DataFrame, card_b: DataFrame) -> DataFrame:
+    """The release-review step `corpus_card`'s docstring promises:
+    diff two cards into (section, metric, value_a, value_b, delta) —
+    a full outer join on the (section, metric) key, so metrics present
+    in only one version surface with a NULL on the other side (a
+    stratum appearing or vanishing IS the finding) and delta is NULL
+    exactly there. Both inputs are card-sized (tens of rows);
+    everything stays exact int64."""
+    a = card_a.select(
+        "section", "metric", F.col("value").cast("long").alias("value_a")
+    )
+    b = card_b.select(
+        "section", "metric", F.col("value").cast("long").alias("value_b")
+    )
+    return (
+        a.join(b, ["section", "metric"], "full_outer")
+        .withColumn("delta", (F.col("value_b") - F.col("value_a")).cast("long"))
+    )
+
+
 def corpus_card(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -69,19 +69,30 @@ def _order_fingerprint() -> F.Column:
 def write_training_shards(
     df: DataFrame,
     path: str,
-    n_shards: int,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     token_col: str | None = None,
     salt: str = "shuffle-v1",
+    tokens_per_shard: int | None = None,
 ) -> dict:
     """Export ``df`` as N shuffled training shards at ``path``
     (atomic), returning the manifest dict. ``token_col`` names a
     precomputed per-doc token count (e.g. tokenizer-true counts from
     ``bpe_encode``); default is whitespace tokens — the manifest's
-    accounting unit, stated in the manifest either way."""
-    if n_shards <= 0:
-        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    accounting unit, stated in the manifest either way.
+
+    Size the release with exactly one of ``n_shards`` (explicit count)
+    or ``tokens_per_shard`` (the deployment knob: n_shards =
+    ceil(total_tokens / target), hash assignment balances shards in
+    expectation — at 100 TB "a shard is a few GB" is a token budget,
+    not a count). An empty corpus is refused: a 0-doc release is
+    always an upstream bug, and the parquet sink would write an
+    unreadable schema-less directory."""
+    if (n_shards is None) == (tokens_per_shard is None):
+        raise ValueError(
+            "pass exactly one of n_shards or tokens_per_shard"
+        )
     from syncquill_spark.operators.curation import deterministic_shuffle
 
     tokens = (
@@ -89,6 +100,17 @@ def write_training_shards(
         if token_col
         else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     )
+    if tokens_per_shard is not None:
+        if tokens_per_shard <= 0:
+            raise ValueError(
+                f"tokens_per_shard must be positive, got {tokens_per_shard}"
+            )
+        total = df.select(F.sum(tokens).alias("t")).collect()[0].t or 0
+        n_shards = max(1, -(-int(total) // tokens_per_shard))
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if df.isEmpty():
+        raise ValueError("refusing to export an empty corpus")
     assigned = deterministic_shuffle(
         df.select(
             F.col(id_col).alias("_exp_id"),

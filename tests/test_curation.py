@@ -1314,3 +1314,29 @@ def test_corpus_card_accepts_external_counts(spark):
 
     vals = sorted(7 + i for i in range(10))
     assert card[("length", "p50_tokens")] == vals[math.ceil(0.5 * 10) - 1]
+
+
+def test_card_diff_release_review(spark):
+    """card_diff: the release-review step — changed values carry exact
+    deltas, one-sided metrics surface with NULLs (a vanished stratum
+    IS the finding)."""
+    from syncquill_spark.operators.curation import card_diff
+
+    v1 = spark.createDataFrame(
+        [("size", "n_docs", 100), ("strata", "lang=en", 70),
+         ("strata", "lang=fr", 30)],
+        "section string, metric string, value long",
+    )
+    v2 = spark.createDataFrame(
+        [("size", "n_docs", 120), ("strata", "lang=en", 90),
+         ("strata", "lang=de", 30)],
+        "section string, metric string, value long",
+    )
+    got = {
+        (r.section, r.metric): (r.value_a, r.value_b, r.delta)
+        for r in card_diff(v1, v2).collect()
+    }
+    assert got[("size", "n_docs")] == (100, 120, 20)
+    assert got[("strata", "lang=en")] == (70, 90, 20)
+    assert got[("strata", "lang=fr")] == (30, None, None)
+    assert got[("strata", "lang=de")] == (None, 30, None)

@@ -118,3 +118,28 @@ def test_export_with_precomputed_token_col(spark, tmp_path):
     want = sum(int(r[0]) for r in docs.select("bpe_tokens").collect())
     assert manifest["total_tokens"] == want
     read_training_shards(spark, p, verify=True)
+
+
+def test_export_by_token_budget_and_guards(spark, tmp_path):
+    """tokens_per_shard sizes the release (n_shards =
+    ceil(total/target)); empty corpora and ambiguous sizing are
+    refused up front."""
+    docs = _docs(spark)  # 200 docs x 3 whitespace tokens = 600
+    p = str(tmp_path / "budget")
+    manifest = write_training_shards(docs, p, tokens_per_shard=100)
+    assert manifest["n_shards"] == 6  # ceil(600 / 100)
+    read_training_shards(spark, p, verify=True)
+    # hash assignment balances shards in expectation
+    sizes = [s["n_tokens"] for s in manifest["shards"].values()]
+    assert max(sizes) < 2 * min(sizes)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        write_training_shards(docs, p, n_shards=2, tokens_per_shard=100)
+    with pytest.raises(ValueError, match="exactly one"):
+        write_training_shards(docs, p)
+    with pytest.raises(ValueError, match="must be positive"):
+        write_training_shards(docs, p, tokens_per_shard=0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        write_training_shards(
+            docs.filter(F.col("doc_id") < 0), str(tmp_path / "e"), n_shards=2
+        )
