@@ -2125,3 +2125,116 @@ def pca_project(
         return pd.Series(list(y))
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+#: Quantization scale for mined-pair scores: cosines become
+#: floor(cos * 1e6 + 0.5) int64 BEFORE any cross-row arithmetic (the
+#: neighborhood averages and the margin ratio are exact integer ops on
+#: these), so the mined set is engine-exact — the same
+#: quantize-then-accumulate doctrine as the signature family.
+MARGIN_SCALE = 1_000_000
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    min_margin_ppm: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based bitext mining (the Artetxe & Schwenk 2019 ratio
+    criterion, the CCMatrix/LASER recipe): align two monolingual
+    corpora by their embedding spaces — for each source vector, its
+    best target candidate scored not by raw cosine (absolute cosine is
+    incomparable across hubs and deserts) but by the cosine NORMALIZED
+    by both endpoints' neighborhood density:
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    where avgNN_k(x) is the mean cosine of x's k nearest candidates on
+    the OTHER side. A hub whose whole neighborhood is ~0.9 needs more
+    than 0.9 to win; an isolated pair at 0.6 can. Output: one row per
+    source vector that found a mate — (src_id, tgt_id, cos_ppm,
+    margin_ppm), margin >= ``min_margin_ppm`` (1e6 = margin 1.0), ints
+    only, total tie-breaks everywhere.
+
+    All arithmetic after the Arrow cosine kernel is exact int64:
+    cosines quantize to ppm, neighborhood averages are SQL integral
+    division over exactly the k kept rows, and the margin is
+    (2e6 * cos_q) DIV (a_q + b_q). Pairs whose denominators are not
+    positive are dropped (a neighborhood anti-correlated with the
+    other corpus carries no alignment evidence).
+
+    Scale shape: with ``candidates=None`` the candidate set is the
+    broadcast cross product (src must be the small side — the
+    brute-force baseline, same contract as ``brute_force_topk``); at
+    corpus x corpus scale pass ``candidates`` — a skinny
+    (src_id, tgt_id) frame from the coarse ANN stages (``lsh_topk`` /
+    ``ivfpq_topk`` per direction) — and everything downstream is
+    candidate-sized equi-joins; vectors are touched once per candidate
+    pair by the Arrow kernel and never shuffle corpus-wide.
+    """
+    s = _spread(
+        src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_sv"))
+    )
+    t = _spread(
+        tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_tv"))
+    )
+    if candidates is None:
+        pairs = t.join(F.broadcast(s))
+    else:
+        pairs = (
+            candidates.select("src_id", "tgt_id")
+            .dropDuplicates(["src_id", "tgt_id"])
+            .join(s, "src_id")
+            .join(t, "tgt_id")
+        )
+    scored = pairs.select(
+        "src_id",
+        "tgt_id",
+        F.floor(
+            cosine_similarity_arrow(F.col("_sv"), F.col("_tv"))
+            * F.lit(float(MARGIN_SCALE))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cos_ppm"),
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("tgt_id").asc()
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("src_id").asc()
+    )
+    fwd = scored.withColumn("_rk", F.row_number().over(wf)).filter(
+        F.col("_rk") <= k
+    )
+    bwd = scored.withColumn("_rk", F.row_number().over(wb)).filter(
+        F.col("_rk") <= k
+    )
+    a = fwd.groupBy("src_id").agg(
+        F.expr("sum(cos_ppm) DIV count(1)").alias("_a")
+    )
+    b = bwd.groupBy("tgt_id").agg(
+        F.expr("sum(cos_ppm) DIV count(1)").alias("_b")
+    )
+    wm = Window.partitionBy("src_id").orderBy(
+        F.col("margin_ppm").desc(), F.col("tgt_id").asc()
+    )
+    return (
+        fwd.drop("_rk")
+        .join(a, "src_id")
+        .join(b, "tgt_id")
+        .filter(F.col("_a") + F.col("_b") > 0)
+        .withColumn(
+            "margin_ppm",
+            F.expr(f"({2 * MARGIN_SCALE} * cos_ppm) DIV (_a + _b)"),
+        )
+        .withColumn("_mrk", F.row_number().over(wm))
+        .filter(
+            (F.col("_mrk") == 1) & (F.col("margin_ppm") >= min_margin_ppm)
+        )
+        .select("src_id", "tgt_id", "cos_ppm", "margin_ppm")
+    )

@@ -1087,3 +1087,159 @@ def test_pca_whiten_unit_variance_on_fit_sample(spark):
     want = c0.eigval_q / float(SIG_SCALE) ** 2
     assert abs(var_plain - want) / want < 0.01
     assert abs(white.var() - 1.0) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# bitext mining (margin criterion)
+# ---------------------------------------------------------------------------
+
+
+def _bitext_fixture(spark, n_src=10, n_noise=24, dim=8):
+    """Deterministic planted-translation fixture: tgt i is src i
+    slightly perturbed (the aligned pair), plus unrelated noise
+    vectors on the target side. No RNG — md5-derived components."""
+    import hashlib
+
+    def vec(salt, i):
+        return [
+            (int(hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[:8], 16)
+             % 1000) / 500.0 - 1.0
+            for j in range(dim)
+        ]
+
+    src_rows = [(i, vec("s", i)) for i in range(n_src)]
+    tgt_rows = [
+        (100 + i, [x + 0.05 * ((i + j) % 3 - 1) for j, x in enumerate(v)])
+        for i, v in src_rows
+    ] + [(500 + i, vec("n", i)) for i in range(n_noise)]
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(src_rows, schema),
+        spark.createDataFrame(tgt_rows, schema),
+        dict(src_rows),
+        dict(tgt_rows),
+    )
+
+
+def _mine_python_model(src, tgt, k, min_margin_ppm):
+    """From-scratch margin mining with Spark's integral-division
+    semantics (DIV truncates toward zero)."""
+    import math
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def cos_ppm(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return math.floor(d / (na * nb) * 1_000_000 + 0.5)
+
+    scores = {
+        (si, ti): cos_ppm(sv, tv)
+        for si, sv in src.items()
+        for ti, tv in tgt.items()
+    }
+    fwd = {
+        si: sorted(
+            ((scores[(si, ti)], ti) for ti in tgt),
+            key=lambda p: (-p[0], p[1]),
+        )[:k]
+        for si in src
+    }
+    bwd = {
+        ti: sorted(
+            ((scores[(si, ti)], si) for si in src),
+            key=lambda p: (-p[0], p[1]),
+        )[:k]
+        for ti in tgt
+    }
+    a = {si: tdiv(sum(c for c, _ in nn), len(nn)) for si, nn in fwd.items()}
+    b = {ti: tdiv(sum(c for c, _ in nn), len(nn)) for ti, nn in bwd.items()}
+    out = {}
+    for si, nn in fwd.items():
+        best = None
+        for c, ti in nn:
+            den = a[si] + b[ti]
+            if den <= 0:
+                continue
+            m = tdiv(2_000_000 * c, den)
+            key = (-m, ti)
+            if best is None or key < best[0]:
+                best = (key, (ti, c, m))
+        if best and best[1][2] >= min_margin_ppm:
+            out[si] = best[1]
+    return out
+
+
+def test_bitext_margin_matches_python_model(spark):
+    """Mined set identical to the from-scratch model — pairs, quantized
+    cosines, margins, tie-breaks, truncating division semantics."""
+    from syncquill_spark.operators.similarity import bitext_margin_pairs
+
+    src_df, tgt_df, src, tgt = _bitext_fixture(spark)
+    got = {
+        r.src_id: (r.tgt_id, r.cos_ppm, r.margin_ppm)
+        for r in bitext_margin_pairs(src_df, tgt_df, k=4).collect()
+    }
+    want = _mine_python_model(src, tgt, k=4, min_margin_ppm=1_000_000)
+    assert got == want
+    # the planted translations are recovered (src i -> tgt 100+i)
+    assert len(got) == len(src)
+    assert all(got[i][0] == 100 + i for i in src)
+
+
+def test_bitext_margin_beats_raw_cosine_on_hubs(spark):
+    """The criterion's reason to exist: a planted pair whose absolute
+    cosine is LOWER than a hub's background similarity still mines,
+    because the margin normalizes by neighborhood density."""
+    from syncquill_spark.operators.similarity import bitext_margin_pairs
+
+    # hub region: several vectors on BOTH sides nearly parallel (every
+    # cross cosine ~0.999 — density, not alignment evidence); isolated
+    # pair: src 9 / tgt 900 share a direction nothing else is near
+    # (cos ~0.94, LOWER than every hub cosine).
+    iso_s = [0.0, 1.0, 0.3, 0.0]
+    iso_t = [0.0, 1.0, 0.0, 0.2]
+    rows_s = [
+        (i, [1.0, 0.005 * i, 0.0, 0.0]) for i in range(4)
+    ] + [(9, iso_s)]
+    rows_t = [
+        (100 + j, [1.0, 0.01 * j, 0.0, 0.0]) for j in range(6)
+    ] + [(900, iso_t)]
+    schema = "vec_id long, embedding array<double>"
+    src_df = spark.createDataFrame(rows_s, schema)
+    tgt_df = spark.createDataFrame(rows_t, schema)
+    got = {
+        r.src_id: (r.tgt_id, r.margin_ppm)
+        for r in bitext_margin_pairs(
+            src_df, tgt_df, k=3, min_margin_ppm=1_010_000
+        ).collect()
+    }
+    # the isolated pair clears the margin bar; no hub vector does,
+    # despite every hub cosine exceeding the isolated pair's
+    assert got and set(got) == {9} and got[9][0] == 900
+
+
+def test_bitext_margin_candidates_param_matches_default(spark):
+    """The scale path: an explicit candidate frame covering the full
+    cross product must reproduce the default output exactly."""
+    from syncquill_spark.operators.similarity import bitext_margin_pairs
+
+    src_df, tgt_df, _, _ = _bitext_fixture(spark, n_src=6, n_noise=10)
+    cand = src_df.select(F.col("vec_id").alias("src_id")).crossJoin(
+        tgt_df.select(F.col("vec_id").alias("tgt_id"))
+    )
+    full = sorted(
+        map(tuple, bitext_margin_pairs(src_df, tgt_df, k=3).collect())
+    )
+    via_cand = sorted(
+        map(
+            tuple,
+            bitext_margin_pairs(
+                src_df, tgt_df, k=3, candidates=cand
+            ).collect(),
+        )
+    )
+    assert full == via_cand and len(full) > 0

@@ -497,6 +497,21 @@ def main() -> None:
                 lambda c, _n=nm: train_bpe(c, n_merges=_n)[1]
             )
 
+    if "bitext" in families:
+        # margin-based mining, fixed src set (the probe's query set)
+        # against the growing tgt corpus: candidate volume per src is
+        # linear in the corpus on the brute path by construction — the
+        # deployment swaps in ANN candidates (the operator's
+        # `candidates` param), same knob story as topk_brute
+        from syncquill_spark.operators.similarity import bitext_margin_pairs
+
+        SIM_OPS["bitext_mine"] = lambda c, q: bitext_margin_pairs(
+            q.select(F.col("query_id").alias("vec_id"), "embedding"),
+            c,
+            k=4,
+            min_margin_ppm=0,
+        )
+
     if "fuzzy" in families:
         # planted name catalog (round-9 verdict #7): Zipf-skewed token
         # frequencies + typo twins every 7th id — see
@@ -771,7 +786,7 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
         corpus.unpersist()
 
-        if "sim" in families or "ivfpq" in families:
+        if families & {"sim", "ivfpq", "bitext"}:
             emb = scaled_embeddings(spark, sf_dir, m).persist()
             n_vecs = emb.count()
             queries = (
@@ -780,8 +795,13 @@ def main() -> None:
                 )
                 .select(F.col("vec_id").alias("query_id"), "embedding")
             )
-            if "sim" in families:
-                for name, fn in SIM_OPS.items():
+            if families & {"sim", "bitext"}:
+                sim_ops = (
+                    SIM_OPS
+                    if "sim" in families
+                    else {"bitext_mine": SIM_OPS["bitext_mine"]}
+                )
+                for name, fn in sim_ops.items():
                     sec, rows = probe(name, lambda c, _fn=fn: _fn(c, queries), emb)
                     print(
                         f"{name} m={m} vecs={n_vecs} rows={rows} "
