@@ -143,3 +143,52 @@ def test_export_by_token_budget_and_guards(spark, tmp_path):
         write_training_shards(
             docs.filter(F.col("doc_id") < 0), str(tmp_path / "e"), n_shards=2
         )
+
+
+def test_export_reads_correctly_when_files_split(spark, tmp_path):
+    """A big shard file splits across scan tasks at consumption time;
+    the verify aggregation is order-insensitive and pos recovers the
+    training order — pinned by forcing splits with a tiny
+    maxPartitionBytes."""
+    p = str(tmp_path / "split")
+    write_training_shards(_docs(spark, n=400), p, n_shards=2)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        frame, manifest = read_training_shards(spark, p, verify=True)
+        # order recovered by pos within each shard despite split scans
+        for shard in (0, 1):
+            rows = (
+                frame.filter(F.col("shard") == shard)
+                .orderBy("pos")
+                .select("pos")
+                .collect()
+            )
+            assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+        assert manifest["total_docs"] == 400
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_export_manifest_invariants_property(spark, tmp_path):
+    """Property over (n, n_shards): manifest totals equal the corpus,
+    per-shard pos is contiguous, fingerprints are nonzero and distinct
+    across shards (distinct (shard,pos,id) triples)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=120),
+        shards=st.integers(min_value=1, max_value=7),
+        salt_i=st.integers(min_value=0, max_value=99),
+    )
+    def prop(n, shards, salt_i):
+        p = str(tmp_path / f"prop_{n}_{shards}_{salt_i}")
+        m = write_training_shards(
+            _docs(spark, n=n), p, n_shards=shards, salt=f"s{salt_i}"
+        )
+        assert m["total_docs"] == n
+        assert sum(s["n_docs"] for s in m["shards"].values()) == n
+        read_training_shards(spark, p, verify=True)
+
+    prop()
