@@ -35,15 +35,33 @@ _LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
 
 
+def _still_cached(df: DataFrame) -> bool:
+    # NOT DataFrame.is_cached: that flag stays True after
+    # spark.catalog.clearCache() (measured on 4.1); the cache
+    # manager's actual answer is the storage level it still holds
+    try:
+        lvl = df.storageLevel
+        return bool(lvl.useMemory or lvl.useDisk or lvl.useOffHeap)
+    except Exception:  # stopped session: nothing left to hold
+        return False
+
+
 def tracked_persist(
     df: DataFrame,
     level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """``df.persist(level)``, recorded for later bulk release. The
     returned frame and its plan are identical to a plain ``persist``
-    call — only the Python-side registry entry is added."""
+    call — only the Python-side registry entry is added.
+
+    Each call also sweeps entries that are no longer cached (a caller
+    that cleans with ``spark.catalog.clearCache()`` instead of
+    :func:`release_cached_intermediates` would otherwise grow the
+    registry's strong references — and through them JVM plan objects —
+    without bound over a long-lived session)."""
     df = df.persist(level)
     with _LOCK:
+        _TRACKED[:] = [d for d in _TRACKED if _still_cached(d)]
         _TRACKED.append(df)
     return df
 
@@ -58,7 +76,7 @@ def release_cached_intermediates() -> int:
     released = 0
     for df in tracked:
         try:
-            if df.is_cached:
+            if _still_cached(df):
                 df.unpersist()
                 released += 1
         except Exception:

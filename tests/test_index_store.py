@@ -1122,3 +1122,24 @@ def test_nightly_merge_loop_releases_intermediates_per_batch(spark, tmp_path):
         want = sorted(map(tuple, full[part].collect()))
         assert got == want, part
     release_cached_intermediates()
+
+
+def test_tracked_persist_sweeps_dead_entries(spark):
+    """A session that cleans with spark.catalog.clearCache() instead
+    of release_cached_intermediates() must not grow the tracking
+    registry without bound: each tracked_persist sweeps entries whose
+    cache is already gone (they hold JVM plan references otherwise)."""
+    from syncquill_spark.operators import _cache
+    from syncquill_spark.operators._cache import (
+        release_cached_intermediates,
+        tracked_persist,
+    )
+
+    release_cached_intermediates()
+    for i in range(5):
+        df = tracked_persist(spark.range(10 + i))
+        df.count()
+        spark.catalog.clearCache()  # the "wrong" cleanup path
+    # the sweep keeps only the most recent (possibly-live) entry
+    assert len(_cache._TRACKED) == 1
+    assert release_cached_intermediates() == 0  # clearCache already won
