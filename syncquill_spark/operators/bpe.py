@@ -397,3 +397,84 @@ def bpe_fertility(
             F.expr("(1000000 * n_bpe_tokens) div n_words"),
         ).cast("long"),
     )
+
+
+def export_bpe_files(
+    merges: DataFrame,
+    vocab: DataFrame,
+    path: str,
+) -> dict[str, int]:
+    """Ship the trained tokenizer in the interchange format training
+    stacks consume (the GPT-2/huggingface file pair): ``merges.txt``
+    (one merge per line, rank order, ``#version: 0.2`` header) and
+    ``vocab.json`` (token -> id). Returns the vocab dict.
+
+    Token ids follow the same convention the format's consumers
+    assume: the base alphabet first (byte-wise sorted — every single
+    symbol observed in the final word table, which by construction is
+    the initial alphabet minus symbols that merged away everywhere,
+    plus every merge's left/right operand), then one token per merge
+    in rank order. Both files are model-sized driver artifacts (the
+    same class as the collected merge list every encoder ships); the
+    directory commits atomically via the staging swap, like every
+    persisted artifact here.
+
+    ``byte_level`` needs no flag: the base alphabet is recovered from
+    the model itself (final syms + merge operands), so the exported
+    files are faithful to whichever mode trained them.
+    """
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from syncquill_spark.sources._atomic import atomic_replace_dir
+
+    merge_rows = [
+        (r.left, r.right)
+        for r in merges.orderBy("rank").select("left", "right").collect()
+    ]
+    # base alphabet: every single symbol the model can emit that is
+    # not itself a merge product — observed final symbols plus merge
+    # operands (an operand consumed everywhere still needs an id for
+    # the merge line to reference), minus the merged tokens
+    observed = {
+        r.s
+        for r in vocab.select(F.explode("syms").alias("s")).distinct().collect()
+    }
+    for left, right in merge_rows:
+        observed.add(left)
+        observed.add(right)
+    merged_tokens = [left + right for left, right in merge_rows]
+    base = sorted(observed - set(merged_tokens))
+    ordered = base + [t for t in dict.fromkeys(merged_tokens)]
+    vocab_json = {tok: i for i, tok in enumerate(dict.fromkeys(ordered))}
+
+    staging = f"{path}.__staging_{_uuid.uuid4().hex[:8]}"
+    _os.makedirs(staging)
+    with open(_os.path.join(staging, "merges.txt"), "w", encoding="utf-8") as fh:
+        fh.write("#version: 0.2\n")
+        for left, right in merge_rows:
+            fh.write(f"{left} {right}\n")
+    with open(_os.path.join(staging, "vocab.json"), "w", encoding="utf-8") as fh:
+        _json.dump(vocab_json, fh, ensure_ascii=False, sort_keys=False)
+    atomic_replace_dir(staging, path)
+    return vocab_json
+
+
+def load_bpe_merge_list(path: str) -> list[tuple[str, str]]:
+    """Parse an exported ``merges.txt`` back into the rank-ordered
+    merge list ``_segment``/``bpe_encode`` consume — the round-trip
+    consumers use to verify a shipped tokenizer."""
+    import os as _os
+
+    out: list[tuple[str, str]] = []
+    with open(_os.path.join(path, "merges.txt"), encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            left, sep, right = line.partition(" ")
+            if not sep:
+                raise ValueError(f"malformed merges.txt line: {line!r}")
+            out.append((left, right))
+    return out

@@ -339,3 +339,62 @@ def test_bpe_encode_carries_nonlong_id_types(spark, docs):
         for r in bpe_encode(docs, merges_df).collect()
     }
     assert rows == base
+
+
+def test_export_bpe_files_round_trip(spark, docs, tmp_path):
+    """The tokenizer handoff artifact (GPT-2-style merges.txt +
+    vocab.json): the parsed-back merge list reproduces bpe_encode's
+    counts exactly, every emittable symbol has an id, ids follow the
+    base-alphabet-then-merge-order convention, and the export is
+    deterministic and atomic over rewrites."""
+    import json
+    import os
+
+    from syncquill_spark.operators.bpe import (
+        export_bpe_files,
+        load_bpe_merge_list,
+    )
+
+    merges_df, vocab_df = train_bpe(docs, n_merges=15)
+    p = str(tmp_path / "tok")
+    vocab_json = export_bpe_files(merges_df, vocab_df, p)
+
+    # files present, header written, merge list round-trips in order
+    parsed = load_bpe_merge_list(p)
+    want_merges = [
+        (r.left, r.right) for r in merges_df.orderBy("rank").collect()
+    ]
+    assert parsed == want_merges
+    with open(os.path.join(p, "merges.txt")) as fh:
+        assert fh.readline() == "#version: 0.2\n"
+    with open(os.path.join(p, "vocab.json")) as fh:
+        assert json.load(fh) == vocab_json
+
+    # every symbol the model emits has an id; merged tokens' ids come
+    # after the whole base alphabet, in rank order
+    emitted = {s for r in vocab_df.collect() for s in r.syms}
+    assert emitted <= set(vocab_json)
+    ids = list(vocab_json.values())
+    assert ids == sorted(ids)  # insertion order == id order
+    merged = [l + r for l, r in want_merges]
+    base_ids = [i for t, i in vocab_json.items() if t not in set(merged)]
+    merged_ids = [vocab_json[t] for t in dict.fromkeys(merged)]
+    assert base_ids and merged_ids and max(base_ids) < min(merged_ids)
+    assert merged_ids == sorted(merged_ids)
+
+    # encoding with the parsed merge list equals encoding with the
+    # trained frame — the consumer-side contract
+    enc_frame = {
+        r.doc_id: r.n_bpe_tokens for r in bpe_encode(docs, merges_df).collect()
+    }
+    from syncquill_spark.operators.bpe import _segment
+
+    def n_tokens(text):
+        return sum(len(_segment(w, parsed)) for w in text.lower().split())
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert {i: n_tokens(t) for i, t in texts.items()} == enc_frame
+
+    # deterministic re-export, atomic overwrite
+    assert export_bpe_files(merges_df, vocab_df, p) == vocab_json
+    assert sorted(os.listdir(p)) == ["merges.txt", "vocab.json"]
