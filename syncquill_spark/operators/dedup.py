@@ -124,7 +124,11 @@ def ngram_jaccard_pairs(
                 lambda s: F.xxhash64(s),
             )
         ).alias("_sh"),
-    ).withColumn("_n", F.size("_sh")).persist(StorageLevel.MEMORY_AND_DISK)
+    ).withColumn("_n", F.size("_sh"))
+    # feeds the prefix-filter frequency pass, both candidate-join
+    # sides, and the verify join's shingle lookups; tracked so a
+    # batch driver can release it between calls (_cache.py)
+    base = tracked_persist(base)
     sh = base.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
@@ -374,7 +378,11 @@ def minhash_lsh_pairs_against(
         F.col(id_col),
         "_side",
         F.array_distinct(word_shingles_from_tokens(F.col("_toks"), k)).alias("_sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # feeds the signature aggregation AND the verify join's shingle
+    # lookups; tracked so the per-batch ingest-gate loop can release
+    # it after each batch's terminal action (_cache.py)
+    sh = tracked_persist(sh)
     ex = sh.select(
         F.col(id_col), "_side", F.explode_outer("_sh").alias("_s")
     ).withColumn("_h", portable_hash60(F.col("_s")) % HASH_PRIME)
@@ -404,10 +412,11 @@ def minhash_lsh_pairs_against(
         .select(
             id_col, "_side", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
         )
-        # feeds both filtered join sides; unpersisted, the signature
-        # aggregation over the tagged union runs twice
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # feeds both filtered join sides; unpersisted, the signature
+    # aggregation over the tagged union runs twice; tracked for the
+    # same per-batch release discipline as the shingle frame above
+    buckets = tracked_persist(buckets)
     left = buckets.filter(F.col("_side") == "n").select(
         F.col("_band").alias("_lb"), F.col("_key").alias("_lk"),
         F.col(id_col).alias("id_new"),

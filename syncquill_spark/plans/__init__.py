@@ -56,14 +56,14 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # would break the invariant; that IS rule 3's structural break, met
 # proactively rather than discovered):
 #   - The registry is DECLARED FEATURE-COMPLETE AT 142 ROWS. r10
-#     registered 4 (below; 138 total). r11 registers the LAST 4:
-#     text_winnowing_spans + curation_remove_spans (the contaminate ->
-#     localize -> act story, the action path's only verification),
-#     text_clf_gate (the classifier family's only registry row), and
-#     curation_lm_buckets (the CCNet bucket deployment story) — then
-#     growth FREEZES: 142 rows, steady-state slack 50 - 142/3 = 2.6
-#     slots/round plus whatever touched rows already sit in the
-#     mandatory cohort.
+#     registered 4 (138 total). r11 registered the LAST 4 (executed —
+#     see R11 REGISTRATION below): text_winnowing_spans +
+#     curation_remove_spans (the contaminate -> localize -> act story,
+#     the action path's only verification), text_clf_gate (the
+#     classifier family's only registry row), and curation_lm_buckets
+#     (the CCNet bucket deployment story) — growth is now FROZEN:
+#     142 rows, steady-state slack 50 - 142/3 = 2.6 slots/round plus
+#     whatever touched rows already sit in the mandatory cohort.
 #   - The remaining 5 queued pairs become PERMANENTLY queue-verified:
 #     text_bigram_pruned_gate (variant of registered text_bigram_gate
 #     — delta is one HAVING on the model part), similarity_topk_rerank
@@ -72,12 +72,14 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #     registered curation_target_mix), text_lines_dedup (near-variant
 #     of registered curation_boilerplate), and text_normalize (pure
 #     projection, no shuffle — the least scale-critical row in the
-#     candidate set). Each keeps its full DuckDB fingerprint pin in
-#     `tests/test_queue_r1{0,1}.py`, run green every round at both
-#     SFs by the local replica; only the driver's re-verification is
-#     waived, and the waived rows are exactly the ones whose core
-#     semantics the driver ALREADY verifies through their registered
-#     base rows.
+#     candidate set). The five live in `plans/queue_permanent.py`;
+#     each keeps its full DuckDB fingerprint pin in
+#     `tests/test_queue_permanent.py` (one parametrized node per
+#     pair), run green every round at both SFs by the local replica
+#     (`tools/verify_local.py --queue`); only the driver's
+#     re-verification is waived, and the waived rows are exactly the
+#     ones whose core semantics the driver ALREADY verifies through
+#     their registered base rows.
 #   - After the freeze, a new operator family lands unit-pinned +
 #     queue-fingerprint-verified, and may enter the registry only by
 #     SWAP (net 0): retire an existing row to the permanent queue in
@@ -87,18 +89,67 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #     stable relational core verified by the local replica each
 #     round, driver slots reserved for changed/new/rotating plans.
 #
+# R11 REGISTRATION — EXECUTED, REGISTRY FROZEN AT 142: the final four
+# (text_winnowing_spans, curation_lm_buckets, curation_remove_spans,
+# text_clf_gate) moved from the r10/r11 queues into queries_ext,
+# completing the contamination detect -> localize -> cut story, the
+# classifier gate, and the CCNet bucket deployment as driver-verified
+# families. The five permanently queue-verified pairs consolidated
+# into `plans/queue_permanent.py` (one parametrized fingerprint test
+# node per pair in tests/test_queue_permanent.py; the old
+# queue_r10/queue_r11 modules are gone). From here, registry entry is
+# by SWAP only (net 0), recorded in this block.
+#
+# Round-11 window, in order:
+#  - the 41 rows whose last driver-green is r08 (staleness 2 — the
+#    round-10 verdict names them as mandatory leads; re-derived from
+#    all ten CORRECTNESS files before committing this order, set
+#    equality confirmed);
+#  - the 4 queries REGISTERED this round (new plans always enter) —
+#    the end-state's final four;
+#  - 5 staleness-1 rows whose plans this round touched (rule 2b; the
+#    tracked_persist migration of the ngram-Jaccard shingle table and
+#    the minhash-against band tables — a shared-helper change counts
+#    as touching every caller): dedup_ngram_jaccard, dedup_clusters,
+#    curation_leakage_split (ngram_jaccard_pairs callers),
+#    dedup_incremental, curation_fuzzy_decontaminate
+#    (minhash_lsh_pairs_against callers). These double as the rule-2c
+#    fill; the minhash_lsh_pairs sites (callers dedup_minhash_lsh,
+#    dedup_apply — 2 more slots than the window has) ride the r12
+#    rotation, as does the sync_* flagship trio.
+# Left outside at staleness 2 after this round (r09-green, untouched
+# — they MUST lead the r12 window; 42 rows): agg_distinct_users_exact,
+# cdc_incremental_agg, cdc_scd2_history, curation_domain_quota,
+# curation_pack_sequences, curation_redact_pii, curation_target_mix,
+# curation_target_mix_tokens, dedup_apply, dedup_cluster_stats,
+# dedup_exact, dedup_minhash_lsh, embedding_label_centroids,
+# embedding_pq_codes, embedding_quantize, funnel_click_purchase,
+# join_asof_signup, join_binned_range, join_excess_inventory,
+# join_range_shipments, pipeline_corpus_curation,
+# pipeline_training_mix, profile_documents, profile_referential,
+# similarity_ann_recall, similarity_topk_ivf,
+# similarity_topk_ivf_refined, similarity_topk_ivfpq, sync_diff_keyed,
+# sync_diff_positional, sync_validate, text_bigram_gate,
+# text_bigram_lm, text_bm25, text_chunk_documents, text_fingerprint,
+# text_quality_rules, text_readability, text_segment_dedup,
+# text_sentences_udtf, text_term_stats, text_token_counts.
+# r12 capacity check: 42 mandatory + 0 registrations (frozen) = 42,
+# leaving 8 slots for touched rows + early rotation (the
+# minhash_lsh_pairs migration's 2 callers first) — fits.
+# The 50 r10-green rows not in this window rotate out at staleness 1.
+# Registry 138 -> 142 (net +4, exactly the cap) — END STATE.
+#
 # R10 REGISTRATION — executed: storage_simhash_index,
 # dedup_simhash_against, storage_ivfpq_index, storage_bm25_index
-# moved from `plans/queue_r10.py` into queries_ext (the round-9
+# moved from the r10 queue into queries_ext (the round-9
 # verdict's recommended four; oracle identities documented at their
-# EXT_ORACLES entries). The three pairs still in queue_r10 plus the
-# six in queue_r11 follow the end-state schedule above. Media
+# EXT_ORACLES entries). Media
 # perceptual fingerprints (operators/multimodal.py
 # media_fingerprints/media_near_pairs) stay unit-only: the hash is a
 # mapInPandas stage with no SQL twin, the same honest posture as
 # compression_ratios.
 #
-# Round-10 window, in order:
+# Round-10 window (for the record):
 #  - the 39 rows whose last driver-green is r07 (staleness 2 — the
 #    round-9 verdict names them as mandatory leads; re-derived from
 #    all nine CORRECTNESS files before committing this order);
@@ -276,38 +327,36 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # r06-green rows rotate out at staleness 1.
 #
 _PRIORITY = [
-    # staleness-2 cohort (last driver-green r07 — the round-9 verdict
+    # staleness-2 cohort (last driver-green r08 — the round-10 verdict
     # names them as mandatory leads; policy rule 2a: ALL of it, first)
-    "sync_apply_keyed", "agg_distinct_users_approx",
-    "agg_quantiles_approx_check", "agg_rollup_orders",
-    "curation_blocklist", "curation_boilerplate",
-    "curation_decontaminate", "curation_eval_k_per_lang",
-    "curation_hash_split", "curation_pack_ffd",
-    "curation_sample_stratified", "curation_shuffle",
-    "dedup_embedding_cosine", "dedup_embedding_incremental",
-    "dedup_semantic_pairs", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_winnowing_pairs", "embedding_nearest_centroid",
-    "events_session_window", "events_sessionization",
-    "events_sliding_window", "events_tumbling_window",
-    "join_events_customers", "setop_except_all",
-    "similarity_knn_classify", "similarity_topk_cosine",
-    "similarity_topk_lsh", "storage_index_incremental",
-    "storage_index_roundtrip", "storage_zorder_key",
-    "text_language_id", "text_quality", "text_repetition",
-    "text_tfidf_terms", "text_vocab_coverage", "text_winnowing",
-    "window_moving_avg", "window_running_total",
-    # registered this round from queue_r10 (new plans always enter)
-    "storage_simhash_index", "dedup_simhash_against",
-    "storage_ivfpq_index", "storage_bm25_index",
-    # r09-green rows whose plans this round touched (see the window
-    # comment above: append_index layout guard, tracked persists)
-    "storage_winnowing_index", "storage_bigram_model",
-    "curation_quality_filter",
-    # staleness-1 fill (policy rule 2c): the last flagship row plus
-    # the storage/gate families nearest this round's changes —
-    # leaves r11's mandatory load at 41
-    "sync_upsert", "storage_versioned_roundtrip",
-    "storage_text_ingest_roundtrip", "dedup_winnowing_against",
+    "agg_cube_sales", "agg_customer_balance_stats",
+    "agg_customer_distribution", "agg_forecast_revenue",
+    "agg_grouping_sets", "agg_important_stock", "agg_order_priority",
+    "agg_pivot_status", "agg_pricing_summary", "agg_promo_revenue",
+    "agg_quantiles_status", "agg_status_sets",
+    "agg_supplier_part_types", "join_disjunctive_promo",
+    "join_large_orders", "join_lonely_returned_supplier",
+    "join_market_share", "join_min_cost_supplier", "join_nation_trade",
+    "join_priority_lines", "join_product_profit",
+    "join_returned_items", "join_revenue_by_nation",
+    "join_salted_revenue", "join_shipping_priority",
+    "join_small_qty_parts", "json_events_extract",
+    "multimodal_audio_decode", "multimodal_decode",
+    "multimodal_features", "multimodal_media_stats",
+    "scalar_functions", "setop_customers_without_orders",
+    "setop_idle_rich_customers", "setop_repeat_customers",
+    "storage_media_ingest_roundtrip", "storage_media_wav_roundtrip",
+    "subquery_exists_orders", "text_token_stats",
+    "window_top_supplier", "window_topk_orders",
+    # the FINAL FOUR, registered this round (new plans always enter) —
+    # registry end state 142, growth frozen
+    "text_winnowing_spans", "curation_lm_buckets",
+    "curation_remove_spans", "text_clf_gate",
+    # staleness-1 rows whose plans this round's tracked_persist
+    # migration touched (rule 2b; shared-helper change = touch to
+    # every caller); they double as the rule-2c fill
+    "dedup_ngram_jaccard", "dedup_clusters", "curation_leakage_split",
+    "dedup_incremental", "curation_fuzzy_decontaminate",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

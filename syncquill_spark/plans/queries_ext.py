@@ -4324,6 +4324,295 @@ def q_storage_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_from_index(reloaded, _BM25_TERMS)
 
 
+# --- registered in r11 from plans/queue_r10.py / queue_r11.py — the
+# FINAL FOUR of the declared 142-row end-state (registry policy,
+# plans/__init__.py): these complete the contamination
+# detect -> localize -> cut story and the classifier-gate and CCNet
+# bucket families, the only driver-unverified capabilities left. The
+# five pairs remaining in plans/queue_permanent.py stay PERMANENTLY
+# queue-verified; registry growth is FROZEN at 142. ----------------
+
+
+_LM_FRAC_HEAD, _LM_FRAC_TAIL = 0.1, 0.3
+
+
+def q_curation_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality buckets per language over the
+    corpus-bigram-LM signal — the complete CCNet deployment story:
+    ``bigram_commonness`` scores every document under the corpus's own
+    bigram model (exact integer sum of quantized conditional
+    frequencies), the per-doc rate lm_q = sum_q DIV n_bigrams is the
+    signal, and ``quality_value_buckets`` labels the best ~10% of each
+    language 'head' and the worst ~30% 'tail' by exact rank-k VALUE
+    thresholds (ties land in the better bucket) — computed with the
+    bracketed two-pass order statistic, so the dominant language never
+    whole-sorts. Docs with < 2 tokens have no bigrams and are absent
+    (same contract as text_bigram_lm)."""
+    from syncquill_spark.operators.curation import quality_value_buckets
+    from syncquill_spark.operators.text import bigram_commonness
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    scored = (
+        bigram_commonness(documents)
+        .join(documents.select("doc_id", "lang"), "doc_id")
+        .withColumn("lm_q", F.expr("sum_q DIV n_bigrams"))
+    )
+    return quality_value_buckets(
+        scored,
+        "lm_q",
+        frac_head=_LM_FRAC_HEAD,
+        frac_tail=_LM_FRAC_TAIL,
+        stratify_col="lang",
+    ).select("doc_id", "lang", F.col("lm_q").cast("long").alias("lm_q"), "bucket")
+
+
+def _lm_buckets_sql() -> str:
+    """Oracle twin of q_curation_lm_buckets: the text_bigram_lm CTEs
+    for the signal, then per-language rank-k cutoff VALUES via a plain
+    SQL window (DuckDB can afford the whole sort the Spark plan
+    avoids) and the same value-threshold CASE."""
+    toks = _TOKS_LOWER.format(src="text")
+    h1 = _H60.format(x="tk[i]")
+    h12 = _H60.format(x="(tk[i] || ' ' || tk[i+1])")
+    fh, ft = _LM_FRAC_HEAD, 1.0 - _LM_FRAC_TAIL
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+o AS (SELECT doc_id, UNNEST(range(1, len(tk))) AS i, tk FROM t),
+occ AS (
+  SELECT doc_id, {h1} AS h1, {h12} AS h12 FROM o
+),
+c12 AS (SELECT h12, COUNT(*) AS c12 FROM occ GROUP BY h12),
+c1 AS (SELECT h1, COUNT(*) AS c1 FROM occ GROUP BY h1),
+scored AS (
+  SELECT occ.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM((1000000 * c12.c12) // c1.c1) AS sum_q
+  FROM occ JOIN c12 ON occ.h12 = c12.h12 JOIN c1 ON occ.h1 = c1.h1
+  GROUP BY occ.doc_id
+),
+sig AS (
+  SELECT s.doc_id, d.lang, (s.sum_q // s.n_bigrams) AS lm_q
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, lang, lm_q,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY lm_q DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM sig
+),
+cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN rk = CAST(ceil({fh} * n) AS BIGINT)
+                  THEN lm_q END) AS v_head,
+         MAX(CASE WHEN rk = CAST(ceil({ft} * n) AS BIGINT)
+                  THEN lm_q END) AS v_tail
+  FROM ranked GROUP BY lang
+)
+SELECT sig.doc_id, sig.lang, CAST(sig.lm_q AS BIGINT) AS lm_q,
+       CASE WHEN sig.lm_q >= cuts.v_head THEN 'head'
+            WHEN sig.lm_q <  cuts.v_tail THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM sig JOIN cuts ON sig.lang = cuts.lang
+"""
+
+
+def q_text_winnowing_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style span localization of winnowing substring matches:
+    detected pairs (same parameters as ``dedup_winnowing_pairs``) are
+    localized to token spans by anchoring every shared fingerprint at
+    its positions in both documents and merging anchors on the same
+    DIAGONAL (pos_b - pos_a constant — a contiguous copied passage
+    advances both docs in lockstep) into runs wherever consecutive
+    anchors are <= window grams apart. All-int output
+    (id_a, id_b, start_a, end_a, start_b, end_b, n_anchors); the
+    oracle replays selection, positions, pair detection, and the
+    gaps-and-islands merge in plain SQL windows."""
+    from syncquill_spark.operators.text import winnowing_match_pairs
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_positions,
+        winnowing_match_spans,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    pairs = winnowing_match_pairs(
+        documents,
+        k=_WIN_K,
+        window=_WIN_W,
+        min_shared=_WIN_MIN_SHARED,
+        max_fp_df=_WIN_MAX_DF,
+    )
+    positions = build_winnowing_positions(documents, k=_WIN_K, window=_WIN_W)
+    return winnowing_match_spans(pairs, positions, k=_WIN_K, window=_WIN_W)
+
+
+def _winnowing_spans_sql() -> str:
+    k, gap = _WIN_K, _WIN_W
+    return f"""
+WITH pos AS (
+  SELECT doc_id, fp, gram_pos FROM ({_winnowing_sql()}) p0
+),
+pairs AS (
+  SELECT id_a, id_b FROM ({_winnowing_pairs_sql()}) pr
+),
+anchors AS (
+  SELECT p.id_a, p.id_b, a.gram_pos AS pa, b.gram_pos AS pb,
+         b.gram_pos - a.gram_pos AS diag
+  FROM pairs p
+  JOIN pos a ON a.doc_id = p.id_a
+  JOIN pos b ON b.doc_id = p.id_b AND b.fp = a.fp
+),
+marked AS (
+  SELECT id_a, id_b, diag, pa, pb,
+         CASE WHEN lag(pa) OVER w IS NULL
+                   OR pa - lag(pa) OVER w > {gap}
+              THEN 1 ELSE 0 END AS new_run
+  FROM anchors
+  WINDOW w AS (PARTITION BY id_a, id_b, diag ORDER BY pa)
+),
+runs AS (
+  SELECT id_a, id_b, diag, pa, pb,
+         SUM(new_run) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa
+                            ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+)
+SELECT id_a, id_b,
+       CAST(MIN(pa) AS BIGINT) AS start_a,
+       CAST(MAX(pa) + {k - 1} AS BIGINT) AS end_a,
+       CAST(MIN(pb) AS BIGINT) AS start_b,
+       CAST(MAX(pb) + {k - 1} AS BIGINT) AS end_b,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors
+FROM runs
+GROUP BY id_a, id_b, diag, run
+"""
+
+
+def q_curation_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-removal DECONTAMINATION end to end: detect within-corpus
+    substring matches (winnowing, ``text_winnowing_spans``' exact
+    parameters), localize them to token spans, and CUT the id_b side
+    (pairs orient id_a < id_b, so the later document loses the copied
+    passage — keep-first) with ``remove_spans`` at
+    pad = window - 1 (the selection-guarantee margin that makes the
+    cut cover the whole true match). Documents with no matches pass
+    through byte-exact; cut documents are rebuilt from surviving
+    tokens. The oracle replays detection + spans in SQL windows, then
+    the same pad/filter/rebuild with string_split_regex +
+    NOT EXISTS + ordered string_agg."""
+    from syncquill_spark.operators.curation import remove_spans
+    from syncquill_spark.operators.text import winnowing_match_pairs
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_positions,
+        winnowing_match_spans,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    pairs = winnowing_match_pairs(
+        documents,
+        k=_WIN_K,
+        window=_WIN_W,
+        min_shared=_WIN_MIN_SHARED,
+        max_fp_df=_WIN_MAX_DF,
+    )
+    positions = build_winnowing_positions(documents, k=_WIN_K, window=_WIN_W)
+    spans = winnowing_match_spans(pairs, positions, k=_WIN_K, window=_WIN_W)
+    return remove_spans(
+        documents,
+        spans,
+        span_id_col="id_b",
+        start_col="start_b",
+        end_col="end_b",
+        pad=_WIN_W - 1,
+    )
+
+
+def _remove_spans_sql() -> str:
+    pad = _WIN_W - 1
+    return f"""
+WITH sp AS (
+  SELECT id_b AS doc_id, GREATEST(start_b - {pad}, 0) AS s, end_b + {pad} AS e
+  FROM ({_winnowing_spans_sql()}) spans
+),
+flagged AS (SELECT DISTINCT doc_id FROM sp),
+tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks FROM documents
+),
+tok AS (
+  SELECT doc_id, UNNEST(range(1, len(tks) + 1)) AS i, tks FROM tk
+),
+tok2 AS (SELECT doc_id, i, tks[i] AS tok FROM tok),
+kept AS (
+  SELECT t.doc_id, t.i, t.tok FROM tok2 t
+  JOIN flagged f USING (doc_id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id AND t.i - 1 BETWEEN sp.s AND sp.e
+  )
+),
+reb AS (
+  SELECT doc_id, COUNT(*) AS nk, string_agg(tok, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(tk.tks) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN f.doc_id IS NULL THEN len(tk.tks)
+                 ELSE COALESCE(reb.nk, 0) END AS BIGINT) AS n_tokens_kept,
+       CASE WHEN f.doc_id IS NULL THEN d.text
+            ELSE COALESCE(reb.txt, '') END AS text_clean
+FROM documents d
+JOIN tk ON tk.doc_id = d.doc_id
+LEFT JOIN flagged f ON f.doc_id = d.doc_id
+LEFT JOIN reb ON reb.doc_id = d.doc_id
+"""
+
+
+def q_text_clf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised token-weight quality gate (fastText/LR-surrogate,
+    ``classifier_score_against``): train the (th, c_pos, c_neg) count
+    model on the labeled even-doc_id half (label = doc_id % 4 == 0 —
+    the deterministic seed-set stand-in), score the odd half against
+    it. Per-token weight is the add-one-smoothed quantized positive
+    rate (1e6*(c_pos+1)) div (c_pos+c_neg+2); unseen tokens score the
+    neutral 500000. The oracle replays the md5-derived token hashes
+    and the integer division exactly."""
+    from syncquill_spark.operators.text import (
+        build_token_classifier,
+        classifier_score_against,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("doc_id") % 4 == 0).cast("int")
+    )
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    return classifier_score_against(batch, build_token_classifier(corpus))
+
+
+def _clf_gate_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    th = _H60.format(x="tk[i]")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+o AS (SELECT doc_id, UNNEST(range(1, len(tk) + 1)) AS i, tk FROM t),
+occ AS (
+  SELECT doc_id, {th} AS th FROM o WHERE tk[i] <> ''
+),
+m AS (
+  SELECT th,
+         SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS c_pos,
+         SUM(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END) AS c_neg
+  FROM occ WHERE doc_id % 2 = 0 GROUP BY th
+)
+SELECT occ.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE((1000000 * (m.c_pos + 1)) // (m.c_pos + m.c_neg + 2),
+                         500000)) AS BIGINT) AS sum_w
+FROM occ
+LEFT JOIN m ON occ.th = m.th
+WHERE occ.doc_id % 2 = 1
+GROUP BY occ.doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_knn_classify": q_similarity_knn_classify,
     "embedding_nearest_centroid": q_embedding_nearest_centroid,
@@ -4421,6 +4710,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_against": q_dedup_simhash_against,
     "storage_ivfpq_index": q_storage_ivfpq_index,
     "storage_bm25_index": q_storage_bm25_index,
+    "text_winnowing_spans": q_text_winnowing_spans,
+    "curation_lm_buckets": q_curation_lm_buckets,
+    "curation_remove_spans": q_curation_remove_spans,
+    "text_clf_gate": q_text_clf_gate,
 }
 
 EXT_ORACLES: dict[str, str | None] = {
@@ -4537,4 +4830,10 @@ EXT_ORACLES: dict[str, str | None] = {
     # identical oracle to text_bm25 BY DESIGN: scores served after
     # save/load/merge/save/load must equal recomputing from text
     "storage_bm25_index": _bm25_sql(),
+    "text_winnowing_spans": _winnowing_spans_sql(),
+    "curation_lm_buckets": _lm_buckets_sql(),
+    # wraps the spans SQL: detection + localization + the same
+    # pad/filter/rebuild — the full detect -> localize -> cut story
+    "curation_remove_spans": _remove_spans_sql(),
+    "text_clf_gate": _clf_gate_sql(),
 }

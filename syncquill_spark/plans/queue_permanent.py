@@ -1,39 +1,38 @@
-"""R11 REGISTRATION QUEUE — query/oracle pairs finished and
-oracle-verified in round 9 but NOT registered, because the r10 driver
-window is already committed to its 39 staleness-2 leads plus the r10
-queue (window-capacity policy, `plans/__init__.py`). Registering later
-is mechanical: move entries into queries_ext's dicts and add the names
-to the front of `_PRIORITY`. Six entries: text_lines_dedup,
-text_clf_gate, text_normalize, similarity_topk_rerank,
-curation_remove_spans, curation_temperature_mix.
+"""PERMANENT verification queue — the five query/oracle pairs that
+stay queue-verified FOREVER under the registry end-state (round-10
+decision; full capacity arithmetic in `plans/__init__.py`).
 
-Every pair here is exercised by `tests/test_queue_r11.py` through the
-SAME fingerprint compare as the registered suite (row count + sorted
-columns + normalized value rows vs DuckDB at sf0.001), so promotion
-carries no correctness risk — only the driver re-verification that
-registration exists to provide.
+The registry froze FEATURE-COMPLETE AT 142 rows in r11 (the final four
+— text_winnowing_spans, curation_lm_buckets, curation_remove_spans,
+text_clf_gate — moved from the old queue_r10/queue_r11 modules into
+`queries_ext`). Each pair below is a VARIANT or COMPOSITION of an
+already-registered row, so the driver already verifies its core
+semantics through the registered base row; the full DuckDB fingerprint
+pin (row count + sorted columns + normalized value rows, the same
+compare the registered suite uses) keeps running every round at
+sf0.001 via `tests/test_queue_permanent.py` and at both SFs via the
+local replica (`tools/verify_local.py --queue`). Only the driver's
+re-verification is waived:
+
+- ``text_bigram_pruned_gate`` — registered ``text_bigram_gate`` with a
+  KenLM-style min-count HAVING on the model part.
+- ``similarity_topk_rerank`` — composition of registered
+  ``similarity_topk_ivfpq`` (candidates) + registered
+  ``similarity_topk_cosine``'s exact-cosine scoring (re-rank).
+- ``curation_temperature_mix`` — variant of registered
+  ``curation_target_mix`` (n**alpha weights vs explicit shares).
+- ``text_lines_dedup`` — near-variant of registered
+  ``curation_boilerplate`` (line-granular cross-doc dedup).
+- ``text_normalize`` — pure projection, no shuffle; the least
+  scale-critical row in the candidate set.
+
+After the freeze, a new operator family lands unit-pinned +
+queue-fingerprint-verified here, and may enter the registry only by
+SWAP (net 0): retire an existing row to this queue in the same commit.
 
 Reference: /root/reference/syncquill.py has none of this surface
 (242-line sheet-to-BigQuery sync); these are EXT-tier LLM-pipeline
 operators mandated by the BASELINE.json north star.
-
-QUEUE GROWTH STOPS AT SIX ENTRIES (late-r09 decision): 134 registered
-+ 7 queued for r10 + 6 queued here = 147 of the window policy's 150
-sustainable ceiling (plans/__init__.py). Registration over the next
-rounds must respect the <=4-net-growth cap, so r10/r11/r12 drain
-these queues selectively; new operator families from here land
-unit-pinned only until registry headroom exists.
-
-END-STATE SCHEDULE (round-10 decision — the full rationale and the
-capacity arithmetic live in plans/__init__.py): r11 registers
-curation_remove_spans + text_clf_gate from THIS queue plus
-text_winnowing_spans + curation_lm_buckets from queue_r10, taking the
-registry to its declared feature-complete 142. The other four here —
-similarity_topk_rerank, curation_temperature_mix, text_lines_dedup,
-text_normalize — stay PERMANENTLY queue-verified (each is a variant
-or composition of an already-registered row; the full DuckDB
-fingerprint pin keeps running every round via tests/test_queue_r11.py
-and the local replica).
 """
 
 from __future__ import annotations
@@ -51,6 +50,59 @@ from syncquill_spark.plans.queries_ext import (
     _TOPK,
     _ivfpq_sql,
 )
+
+_PRUNE_MIN_COUNT = 2
+
+
+def q_text_bigram_pruned_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram gate served from a PRUNED model (KenLM-style
+    min-count pruning for serve-time broadcast): bigram counts below
+    ``min_count`` are dropped from the stored c12 part at load time,
+    and a pruned bigram scores exactly like an unseen one (left-join
+    miss -> q = 0) while c1 stays untouched so survivor scores never
+    shift. The oracle replays the gate SQL with a HAVING clause on the
+    model CTE — it never sees the model tables."""
+    from syncquill_spark.operators.text import (
+        bigram_score_against,
+        build_bigram_model,
+        prune_bigram_model,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    c1, c12 = build_bigram_model(corpus)
+    p1, p12 = prune_bigram_model(c1, c12, min_count=_PRUNE_MIN_COUNT)
+    return bigram_score_against(batch, p1, p12)
+
+
+def _bigram_pruned_gate_sql() -> str:
+    toks = _TOKS_LOWER.format(src="text")
+    h1 = _H60.format(x="tk[i]")
+    h12 = _H60.format(x="(tk[i] || ' ' || tk[i+1])")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+o AS (SELECT doc_id, UNNEST(range(1, len(tk))) AS i, tk FROM t),
+occ AS (
+  SELECT doc_id, {h1} AS h1, {h12} AS h12 FROM o
+),
+c12 AS (
+  SELECT h12, COUNT(*) AS c12 FROM occ WHERE doc_id % 2 = 0 GROUP BY h12
+  HAVING COUNT(*) >= {_PRUNE_MIN_COUNT}
+),
+c1 AS (
+  SELECT h1, COUNT(*) AS c1 FROM occ WHERE doc_id % 2 = 0 GROUP BY h1
+)
+SELECT occ.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(COALESCE((1000000 * c12.c12) // c1.c1, 0)) AS BIGINT) AS sum_q
+FROM occ
+LEFT JOIN c12 ON occ.h12 = c12.h12
+LEFT JOIN c1 ON occ.h1 = c1.h1
+WHERE occ.doc_id % 2 = 1
+GROUP BY occ.doc_id
+"""
+
 
 # the fixture's documents are single-line word soup; both engines
 # apply the SAME deterministic literal replace to synthesize line
@@ -107,54 +159,6 @@ SELECT s.doc_id,
        CAST(COALESCE(reb.nk, 0) AS BIGINT) AS n_lines_kept,
        COALESCE(reb.txt, '') AS text_deduped
 FROM s LEFT JOIN reb USING (doc_id)
-"""
-
-
-def q_text_clf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supervised token-weight quality gate (fastText/LR-surrogate,
-    ``classifier_score_against``): train the (th, c_pos, c_neg) count
-    model on the labeled even-doc_id half (label = doc_id % 4 == 0 —
-    the deterministic seed-set stand-in), score the odd half against
-    it. Per-token weight is the add-one-smoothed quantized positive
-    rate (1e6*(c_pos+1)) div (c_pos+c_neg+2); unseen tokens score the
-    neutral 500000. The oracle replays the md5-derived token hashes
-    and the integer division exactly."""
-    from syncquill_spark.operators.text import (
-        build_token_classifier,
-        classifier_score_against,
-    )
-
-    (documents,) = load_tables(spark, sf_dir, "documents")
-    corpus = documents.filter(F.col("doc_id") % 2 == 0).withColumn(
-        "label", (F.col("doc_id") % 4 == 0).cast("int")
-    )
-    batch = documents.filter(F.col("doc_id") % 2 == 1)
-    return classifier_score_against(batch, build_token_classifier(corpus))
-
-
-def _clf_gate_sql() -> str:
-    toks = _TOKS_LOWER.format(src="text")
-    th = _H60.format(x="tk[i]")
-    return f"""
-WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
-o AS (SELECT doc_id, UNNEST(range(1, len(tk) + 1)) AS i, tk FROM t),
-occ AS (
-  SELECT doc_id, {th} AS th FROM o WHERE tk[i] <> ''
-),
-m AS (
-  SELECT th,
-         SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS c_pos,
-         SUM(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END) AS c_neg
-  FROM occ WHERE doc_id % 2 = 0 GROUP BY th
-)
-SELECT occ.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(COALESCE((1000000 * (m.c_pos + 1)) // (m.c_pos + m.c_neg + 2),
-                         500000)) AS BIGINT) AS sum_w
-FROM occ
-LEFT JOIN m ON occ.th = m.th
-WHERE occ.doc_id % 2 = 1
-GROUP BY occ.doc_id
 """
 
 
@@ -264,93 +268,6 @@ WHERE rk <= {_TOPK}
 """
 
 
-def q_curation_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-removal DECONTAMINATION end to end: detect within-corpus
-    substring matches (winnowing, ``text_winnowing_spans``' exact
-    parameters), localize them to token spans, and CUT the id_b side
-    (pairs orient id_a < id_b, so the later document loses the copied
-    passage — keep-first) with ``remove_spans`` at
-    pad = window - 1 (the selection-guarantee margin that makes the
-    cut cover the whole true match). Documents with no matches pass
-    through byte-exact; cut documents are rebuilt from surviving
-    tokens. The oracle replays detection + spans in SQL windows, then
-    the same pad/filter/rebuild with string_split_regex +
-    NOT EXISTS + ordered string_agg."""
-    from syncquill_spark.operators.curation import remove_spans
-    from syncquill_spark.operators.text import winnowing_match_pairs
-    from syncquill_spark.plans.queries_ext import (
-        _WIN_K,
-        _WIN_MAX_DF,
-        _WIN_MIN_SHARED,
-        _WIN_W,
-    )
-    from syncquill_spark.streaming.text_dedup import (
-        build_winnowing_positions,
-        winnowing_match_spans,
-    )
-
-    (documents,) = load_tables(spark, sf_dir, "documents")
-    pairs = winnowing_match_pairs(
-        documents,
-        k=_WIN_K,
-        window=_WIN_W,
-        min_shared=_WIN_MIN_SHARED,
-        max_fp_df=_WIN_MAX_DF,
-    )
-    positions = build_winnowing_positions(documents, k=_WIN_K, window=_WIN_W)
-    spans = winnowing_match_spans(pairs, positions, k=_WIN_K, window=_WIN_W)
-    return remove_spans(
-        documents,
-        spans,
-        span_id_col="id_b",
-        start_col="start_b",
-        end_col="end_b",
-        pad=_WIN_W - 1,
-    )
-
-
-def _remove_spans_sql() -> str:
-    from syncquill_spark.plans.queries_ext import _WIN_W
-    from syncquill_spark.plans.queue_r10 import _winnowing_spans_sql
-
-    pad = _WIN_W - 1
-    return f"""
-WITH sp AS (
-  SELECT id_b AS doc_id, GREATEST(start_b - {pad}, 0) AS s, end_b + {pad} AS e
-  FROM ({_winnowing_spans_sql()}) spans
-),
-flagged AS (SELECT DISTINCT doc_id FROM sp),
-tk AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks FROM documents
-),
-tok AS (
-  SELECT doc_id, UNNEST(range(1, len(tks) + 1)) AS i, tks FROM tk
-),
-tok2 AS (SELECT doc_id, i, tks[i] AS tok FROM tok),
-kept AS (
-  SELECT t.doc_id, t.i, t.tok FROM tok2 t
-  JOIN flagged f USING (doc_id)
-  WHERE NOT EXISTS (
-    SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id AND t.i - 1 BETWEEN sp.s AND sp.e
-  )
-),
-reb AS (
-  SELECT doc_id, COUNT(*) AS nk, string_agg(tok, ' ' ORDER BY i) AS txt
-  FROM kept GROUP BY doc_id
-)
-SELECT d.doc_id,
-       CAST(len(tk.tks) AS BIGINT) AS n_tokens,
-       CAST(CASE WHEN f.doc_id IS NULL THEN len(tk.tks)
-                 ELSE COALESCE(reb.nk, 0) END AS BIGINT) AS n_tokens_kept,
-       CASE WHEN f.doc_id IS NULL THEN d.text
-            ELSE COALESCE(reb.txt, '') END AS text_clean
-FROM documents d
-JOIN tk ON tk.doc_id = d.doc_id
-LEFT JOIN flagged f ON f.doc_id = d.doc_id
-LEFT JOIN reb ON reb.doc_id = d.doc_id
-"""
-
-
 _TEMP_TOTAL, _TEMP_ALPHA = 120, 0.5
 
 
@@ -421,19 +338,17 @@ FROM r JOIN k USING (lang) WHERE mix_rank <= kk
 # token blocking is either one giant block or nothing.
 
 QUEUE_QUERIES = {
+    "text_bigram_pruned_gate": q_text_bigram_pruned_gate,
     "text_lines_dedup": q_text_lines_dedup,
-    "text_clf_gate": q_text_clf_gate,
     "text_normalize": q_text_normalize,
     "similarity_topk_rerank": q_similarity_topk_rerank,
-    "curation_remove_spans": q_curation_remove_spans,
     "curation_temperature_mix": q_curation_temperature_mix,
 }
 
 QUEUE_ORACLES = {
+    "text_bigram_pruned_gate": _bigram_pruned_gate_sql(),
     "text_lines_dedup": _lines_dedup_sql(),
-    "text_clf_gate": _clf_gate_sql(),
     "text_normalize": _normalize_sql(),
     "similarity_topk_rerank": _rerank_sql(),
-    "curation_remove_spans": _remove_spans_sql(),
     "curation_temperature_mix": _temperature_mix_sql(),
 }

@@ -484,3 +484,33 @@ def test_levenshtein_unicode_divergence_documented(spark):
         "SELECT levenshtein('wídget', 'widget')"
     ).fetchone()
     assert dd == 2
+
+
+def test_migrated_persists_release_between_batches(spark, docs):
+    """r10 verdict #4: the ngram-Jaccard shingle table and the
+    minhash-against shingle/bucket tables are tracked_persist sites —
+    after the consuming action, release_cached_intermediates() frees
+    them all and the context holds no operator-leaked persistent RDDs
+    (the same pin train_bpe's checkpoint discipline carries)."""
+    from syncquill_spark.operators._cache import release_cached_intermediates
+    from syncquill_spark.operators.bpe import _persistent_rdd_ids
+    from syncquill_spark.operators.dedup import minhash_lsh_pairs_against
+
+    sc = spark.sparkContext
+    release_cached_intermediates()  # drain anything earlier tests left
+    base_ids = _persistent_rdd_ids(sc)
+
+    ngram_jaccard_pairs(docs, threshold=0.5, length_band=None).count()
+    # 1 tracked intermediate: the hashed-shingle frame feeding the
+    # prefix-filter pass, both join sides, and the verify lookups
+    assert release_cached_intermediates() == 1
+
+    new = docs.filter("doc_id % 2 = 1")
+    corpus = docs.filter("doc_id % 2 = 0")
+    minhash_lsh_pairs_against(new, corpus, threshold=0.5).count()
+    # 2 tracked intermediates: the tagged-union shingle frame and the
+    # band-bucket frame feeding both filtered join sides
+    assert release_cached_intermediates() == 2
+
+    leaked = _persistent_rdd_ids(sc) - base_ids
+    assert not leaked, f"operator persists leaked: {sorted(leaked)}"

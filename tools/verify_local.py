@@ -58,11 +58,24 @@ def _norm(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--queue"]
+    with_queue = "--queue" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from syncquill_spark import get_spark
     from syncquill_spark.plans import QUERIES, ORACLES
+
+    if with_queue:
+        # the five PERMANENTLY queue-verified pairs (registry end-state,
+        # plans/queue_permanent.py): same compare, driver-waived rows
+        from syncquill_spark.plans.queue_permanent import (
+            QUEUE_ORACLES,
+            QUEUE_QUERIES,
+        )
+
+        QUERIES = {**QUERIES, **QUEUE_QUERIES}
+        ORACLES = {**ORACLES, **QUEUE_ORACLES}
 
     spark = get_spark("verify-local")
     spark.sparkContext.setLogLevel("ERROR")
