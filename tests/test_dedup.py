@@ -422,7 +422,7 @@ def test_fuzzy_name_pairs_token_df_cap(spark):
 
 def test_fuzzy_name_pairs_levenshtein_agrees_with_duckdb(spark):
     """Cross-engine pin WITHOUT a registry row (the fixture's name
-    columns are degenerate for linkage — see plans/queue_r11.py):
+    columns are degenerate for linkage — see plans/queue_permanent.py):
     on ASCII names Spark's banded levenshtein and DuckDB's levenshtein
     are the same classic unit-cost DP — pair set and distances match
     exactly. (Non-ASCII diverges by design: Spark edits characters,
