@@ -4427,23 +4427,23 @@ def q_text_winnowing_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors are <= window grams apart. All-int output
     (id_a, id_b, start_a, end_a, start_b, end_b, n_anchors); the
     oracle replays selection, positions, pair detection, and the
-    gaps-and-islands merge in plain SQL windows."""
-    from syncquill_spark.operators.text import winnowing_match_pairs
-    from syncquill_spark.streaming.text_dedup import (
-        build_winnowing_positions,
-        winnowing_match_spans,
-    )
+    gaps-and-islands merge in plain SQL windows.
+
+    Runs through ``winnowing_self_spans`` — ONE winnowing pass feeds
+    the pair basis and both anchor sides (the naive composition pays
+    the selection subtree up to three times); pairs-from-positions ==
+    pairs-from-text is the index family's pinned identity, so the
+    oracle is unchanged."""
+    from syncquill_spark.streaming.text_dedup import winnowing_self_spans
 
     (documents,) = load_tables(spark, sf_dir, "documents")
-    pairs = winnowing_match_pairs(
+    return winnowing_self_spans(
         documents,
         k=_WIN_K,
         window=_WIN_W,
         min_shared=_WIN_MIN_SHARED,
         max_fp_df=_WIN_MAX_DF,
     )
-    positions = build_winnowing_positions(documents, k=_WIN_K, window=_WIN_W)
-    return winnowing_match_spans(pairs, positions, k=_WIN_K, window=_WIN_W)
 
 
 def _winnowing_spans_sql() -> str:
@@ -4498,24 +4498,21 @@ def q_curation_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     through byte-exact; cut documents are rebuilt from surviving
     tokens. The oracle replays detection + spans in SQL windows, then
     the same pad/filter/rebuild with string_split_regex +
-    NOT EXISTS + ordered string_agg."""
+    NOT EXISTS + ordered string_agg.
+
+    Detection + localization run through ``winnowing_self_spans``
+    (one winnowing pass — see ``text_winnowing_spans``)."""
     from syncquill_spark.operators.curation import remove_spans
-    from syncquill_spark.operators.text import winnowing_match_pairs
-    from syncquill_spark.streaming.text_dedup import (
-        build_winnowing_positions,
-        winnowing_match_spans,
-    )
+    from syncquill_spark.streaming.text_dedup import winnowing_self_spans
 
     (documents,) = load_tables(spark, sf_dir, "documents")
-    pairs = winnowing_match_pairs(
+    spans = winnowing_self_spans(
         documents,
         k=_WIN_K,
         window=_WIN_W,
         min_shared=_WIN_MIN_SHARED,
         max_fp_df=_WIN_MAX_DF,
     )
-    positions = build_winnowing_positions(documents, k=_WIN_K, window=_WIN_W)
-    spans = winnowing_match_spans(pairs, positions, k=_WIN_K, window=_WIN_W)
     return remove_spans(
         documents,
         spans,

@@ -584,6 +584,52 @@ def winnowing_match_spans(
     )
 
 
+def winnowing_self_spans(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    merge_gap: int | None = None,
+) -> DataFrame:
+    """Within-corpus substring-match detection + span localization
+    over ONE winnowing pass. Composing the pieces naively —
+    ``winnowing_match_pairs(corpus)`` then
+    ``winnowing_match_spans(pairs, build_winnowing_positions(corpus))``
+    — evaluates the winnowing selection subtree (tokenize, k-gram
+    hash, per-doc window minima) up to three times: once for the pair
+    basis and once per anchor side of the span join. At corpus scale
+    the selection IS the dominant cost, so here the positions frame is
+    computed once and persisted (tracked — a batch driver releases it
+    via ``operators._cache.release_cached_intermediates``), the pair
+    list derives from its distinct (corpus_id, fp) rows through
+    :func:`winnowing_pairs_from_index` (output-identical to
+    ``winnowing_match_pairs`` recomputing from text — the same pinned
+    identity the persisted index relies on), and the span merge reads
+    the same persisted frame on both anchor sides.
+
+    Output and parameters match
+    ``winnowing_match_spans(winnowing_match_pairs(...), ...)``
+    row-for-row (unit-pinned)."""
+    from syncquill_spark.operators._cache import tracked_persist
+
+    positions = build_winnowing_positions(
+        corpus, id_col=id_col, text_col=text_col, k=k, window=window
+    )
+    # feeds the distinct-fp pair basis AND both sides of the anchor
+    # join — one winnowing pass instead of three
+    positions = tracked_persist(positions)
+    fps = positions.select("corpus_id", "fp").dropDuplicates()
+    pairs = winnowing_pairs_from_index(
+        fps, min_shared=min_shared, max_fp_df=max_fp_df
+    )
+    return winnowing_match_spans(
+        pairs, positions, k=k, merge_gap=merge_gap, window=window
+    )
+
+
 def build_simhash_index(
     corpus: DataFrame,
     id_col: str = "doc_id",

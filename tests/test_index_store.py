@@ -1143,3 +1143,45 @@ def test_tracked_persist_sweeps_dead_entries(spark):
     # the sweep keeps only the most recent (possibly-live) entry
     assert len(_cache._TRACKED) == 1
     assert release_cached_intermediates() == 0  # clearCache already won
+
+
+def test_winnowing_self_spans_equals_naive_composition(spark, sf_dir):
+    """r11 one-pass composition: `winnowing_self_spans` (positions
+    computed once, persisted, pair basis derived from their distinct
+    (id, fp) rows) must equal the naive three-subtree composition —
+    winnowing_match_pairs from text + winnowing_match_spans over a
+    freshly-built positions frame — row for row, on real fixture data
+    with the registered parameters. Also pins the release discipline:
+    the persisted positions frame is tracked and freed by
+    release_cached_intermediates."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators._cache import release_cached_intermediates
+    from syncquill_spark.operators.text import winnowing_match_pairs
+    from syncquill_spark.streaming.text_dedup import (
+        build_winnowing_positions,
+        winnowing_match_spans,
+        winnowing_self_spans,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    args = dict(k=3, window=4, min_shared=2, max_fp_df=20)
+
+    release_cached_intermediates()
+    fused = sorted(map(tuple, winnowing_self_spans(docs, **args).collect()))
+    assert release_cached_intermediates() == 1  # the positions frame
+
+    pairs = winnowing_match_pairs(docs, **args)
+    naive = sorted(
+        map(
+            tuple,
+            winnowing_match_spans(
+                pairs, build_winnowing_positions(docs, k=3, window=4), k=3
+            ).collect(),
+        )
+    )
+    assert fused == naive and len(fused) > 0

@@ -412,18 +412,14 @@ def _pca_fit_project(c: DataFrame) -> DataFrame:
 
 def _remove_spans_probe(c: DataFrame) -> DataFrame:
     """Detect -> localize -> CUT within the scaled corpus (the full
-    decontamination composition). Matches stay within-replica by
-    fixture construction, so span volume grows ~m while the rebuild
-    cost is bounded by flagged docs."""
+    decontamination composition, via the one-pass
+    ``winnowing_self_spans`` — the registered rows' plan). Matches
+    stay within-replica by fixture construction, so span volume grows
+    ~m while the rebuild cost is bounded by flagged docs."""
     from syncquill_spark.operators.curation import remove_spans
-    from syncquill_spark.operators.text import winnowing_match_pairs
-    from syncquill_spark.streaming.text_dedup import (
-        build_winnowing_positions,
-        winnowing_match_spans,
-    )
+    from syncquill_spark.streaming.text_dedup import winnowing_self_spans
 
-    pairs = winnowing_match_pairs(c, min_shared=2, max_fp_df=20)
-    spans = winnowing_match_spans(pairs, build_winnowing_positions(c))
+    spans = winnowing_self_spans(c, min_shared=2, max_fp_df=20)
     return remove_spans(
         c, spans, span_id_col="id_b", start_col="start_b",
         end_col="end_b", pad=3,
