@@ -772,26 +772,53 @@ def winnowing_spans_against(
     Output: (id_new, id_corpus, start_new, end_new, start_corpus,
     end_corpus, n_anchors) — all exact int64 token indices
     (end = last gram + k - 1, inclusive).
+
+    One winnowing pass (r11): composing the gate and the span merge
+    naively winnows the batch text twice — once inside
+    ``winnowing_matches_against`` for the batch's fps and once here
+    for its positions. The batch positions are computed once instead,
+    persisted (tracked — release via
+    ``operators._cache.release_cached_intermediates`` between
+    batches), and the gate's match logic runs on their distinct
+    (id, fp) rows — replicating ``winnowing_matches_against``'s
+    union-basis hub cap exactly, which the rebuild-parity unit test
+    (report == within-corpus span merge over corpus+batch restricted
+    to cross pairs) polices against drift.
     """
+    from syncquill_spark.operators._cache import tracked_persist
     from syncquill_spark.operators.text import winnowing_fingerprints
 
-    matches = winnowing_matches_against(
-        new_df,
-        index_fps,
-        id_col=id_col,
-        text_col=text_col,
-        k=k,
-        window=window,
-        min_shared=min_shared,
-        max_fp_df=max_fp_df,
-        index_df=index_df,
+    batch_positions = winnowing_fingerprints(
+        new_df, k=k, window=window, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("corpus_id"), "fp", "gram_pos")
+    # feeds the gate's fps basis AND the span join's batch side
+    batch_positions = tracked_persist(batch_positions)
+
+    # the gate, on precomputed batch fingerprints — same logic as
+    # winnowing_matches_against (df over the union basis, both sides
+    # capped), minus the second winnowing pass over the batch text
+    new_fps = batch_positions.select(
+        F.col("corpus_id").alias("id_new"), "fp"
+    ).dropDuplicates(["id_new", "fp"])
+    corpus_fps = index_fps.select(F.col("corpus_id").alias("id_corpus"), "fp")
+    if max_fp_df is not None:
+        if index_df is not None:
+            rare = _rare_from_df(merge_winnowing_df(index_df, new_fps), max_fp_df)
+        else:
+            rare = _rare_fps(
+                corpus_fps.select("fp").unionAll(new_fps.select("fp")), max_fp_df
+            )
+        new_fps = new_fps.join(rare, "fp")
+        corpus_fps = corpus_fps.join(rare, "fp")
+    matches = (
+        new_fps.join(corpus_fps, "fp")
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
     pairs = matches.select(
         F.col("id_new").alias("id_a"), F.col("id_corpus").alias("id_b")
     )
-    batch_positions = winnowing_fingerprints(
-        new_df, k=k, window=window, text_col=text_col, id_col=id_col
-    ).select(F.col(id_col).alias("corpus_id"), "fp", "gram_pos")
     positions = batch_positions.unionByName(
         index_positions.select("corpus_id", "fp", "gram_pos")
     )
