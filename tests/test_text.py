@@ -1366,3 +1366,84 @@ def test_normalize_text_rejects_bad_form(spark):
     df = spark.createDataFrame([(1, "x")], DOCS)
     with _pytest.raises(ValueError, match="form"):
         normalize_text(df, form="NFX")
+
+
+def _spans_py(docs, k, w, min_shared, max_fp_df, merge_gap=None):
+    """Pure-python model of winnowing_self_spans: selection via
+    _winnow_py, pair detection with the distinct-doc hub cap, anchors
+    over ALL shared fingerprints (positions are never capped — the
+    operator's semantics), diagonal grouping, gaps-and-islands merge."""
+    from collections import Counter, defaultdict
+
+    if merge_gap is None:
+        merge_gap = w
+    pos = {i: _winnow_py(d, k, w) for i, d in enumerate(docs)}
+    fps = {i: {fp for _, fp in v} for i, v in pos.items()}
+    df_cnt = Counter(fp for s in fps.values() for fp in s)
+    ok = (lambda f: df_cnt[f] <= max_fp_df) if max_fp_df is not None else (
+        lambda f: True
+    )
+    out = []
+    ids = sorted(fps)
+    for xi in range(len(ids)):
+        for yi in range(xi + 1, len(ids)):
+            a, b = ids[xi], ids[yi]
+            if len({f for f in fps[a] & fps[b] if ok(f)}) < min_shared:
+                continue
+            by_diag = defaultdict(list)
+            for pa, fa in pos[a]:
+                for pb, fb in pos[b]:
+                    if fa == fb:
+                        by_diag[pb - pa].append((pa, pb))
+            for lst in by_diag.values():
+                lst.sort()
+                run = [lst[0]]
+                for pa, pb in lst[1:]:
+                    if pa - run[-1][0] > merge_gap:
+                        out.append((a, b, run))
+                        run = [(pa, pb)]
+                    else:
+                        run.append((pa, pb))
+                out.append((a, b, run))
+    return sorted(
+        (
+            a, b,
+            min(p for p, _ in r), max(p for p, _ in r) + k - 1,
+            min(p for _, p in r), max(p for _, p in r) + k - 1,
+            len(r),
+        )
+        for a, b, r in out
+    )
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(_doc, min_size=2, max_size=6),
+    min_shared=st.sampled_from([1, 2]),
+    cap=st.sampled_from([None, 2]),
+)
+def test_self_spans_matches_python_model(spark, docs, min_shared, cap):
+    """Third independent implementation of the spans family (next to
+    the Spark chain and the DuckDB oracle): detection + localization
+    end to end vs a loop-based python model on hypothesis-generated
+    word soup, including the hub cap's detection-only scope and the
+    rightmost-tie selection feeding real anchor sets."""
+    from syncquill_spark.operators._cache import release_cached_intermediates
+    from syncquill_spark.streaming.text_dedup import winnowing_self_spans
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    try:
+        got = sorted(
+            map(
+                tuple,
+                winnowing_self_spans(
+                    df, k=3, window=4, min_shared=min_shared, max_fp_df=cap
+                ).collect(),
+            )
+        )
+    finally:
+        release_cached_intermediates()
+    assert got == _spans_py(docs, 3, 4, min_shared, cap)
