@@ -130,9 +130,20 @@ def test_window_comment_names_next_rounds_mandatory_leads():
     src = open(
         os.path.join(REPO, "syncquill_spark", "plans", "__init__.py")
     ).read()
-    comment_names = set(re.findall(r"[a-z0-9_]+", src))
+    # Scope the name scan to the CURRENT round's leave-out block
+    # (ADVICE r11: matched against the whole file, a lead omitted from
+    # the current comment still passed whenever its name appeared in
+    # any HISTORICAL window comment or in _PRIORITY itself — which is
+    # almost always — making the check near-vacuous). Blocks are in
+    # reverse-chronological order, so the first "Left outside ..."
+    # through its "capacity check" line is this round's.
+    m = re.search(
+        r"Left outside at staleness 2.*?capacity check", src, re.DOTALL
+    )
+    assert m, "current leave-out comment block not found"
+    comment_names = set(re.findall(r"[a-z0-9_]+", m.group(0)))
     missing = [n for n in next_mandatory if n not in comment_names]
     assert not missing, (
-        f"next round's mandatory leads missing from the policy "
-        f"comment: {missing}"
+        f"next round's mandatory leads missing from the CURRENT "
+        f"leave-out comment block: {missing}"
     )
