@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyspark.storagelevel import StorageLevel
 
 from syncquill_spark.operators._cache import tracked_persist
 from syncquill_spark.functions.hashing import (
@@ -265,7 +264,10 @@ def minhash_lsh_pairs(
     ).select(
         F.col(id_col),
         F.array_distinct(word_shingles_from_tokens(F.col("_toks"), k)).alias("_sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # feeds the exploded signature path AND both verify-join sides;
+    # tracked so a batch driver can release it between calls (_cache.py)
+    sh = tracked_persist(sh)
     ex = sh.select(
         F.col(id_col), F.explode_outer("_sh").alias("_s")
     ).withColumn("_h", portable_hash60(F.col("_s")) % HASH_PRIME)
@@ -294,10 +296,11 @@ def minhash_lsh_pairs(
             F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
         )
         .select(id_col, F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
-        # feeds BOTH self-join sides; unpersisted, the n_perm-min
-        # signature aggregation runs twice
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # feeds BOTH self-join sides; unpersisted, the n_perm-min
+    # signature aggregation runs twice. Tracked (not a bare persist)
+    # so release_cached_intermediates() frees it between batches.
+    buckets = tracked_persist(buckets)
 
     left = buckets.select(
         F.col("_band").alias("_lb"), F.col("_key").alias("_lk"),

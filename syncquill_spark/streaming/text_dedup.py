@@ -420,6 +420,47 @@ def winnowing_pairs_from_index(
     )
 
 
+def _gated_winnowing_matches(
+    new_fps: DataFrame,
+    index_fps: DataFrame,
+    min_shared: int,
+    max_fp_df: int | None,
+    index_df: DataFrame | None,
+) -> DataFrame:
+    """The ingest gate's match logic on PRECOMPUTED batch fingerprints:
+    union-basis hub cap (df over stored + batch, both sides filtered)
+    then the (id_new, id_corpus, n_shared) match aggregation.
+
+    ONE body shared by ``winnowing_matches_against`` (which winnows the
+    batch text to produce ``new_fps``) and ``winnowing_spans_against``
+    (which reuses the batch's persisted positions frame) — factored out
+    in r12 (ADVICE r11: the duplicated inline copies could silently
+    diverge; now they cannot, and the cross-corpus parity test pins
+    both call paths with max_fp_df and index_df set).
+
+    ``new_fps``: per-doc-distinct (id_new, fp) rows for the batch.
+    ``index_df``: the persisted (fp, df) part — when given, the union
+    df is stored df + the batch's own per-fp counts (batch ids are
+    new, so counts simply add): one batch-sized aggregation + an outer
+    join instead of an index-wide groupBy per batch."""
+    corpus_fps = index_fps.select(F.col("corpus_id").alias("id_corpus"), "fp")
+    if max_fp_df is not None:
+        if index_df is not None:
+            rare = _rare_from_df(merge_winnowing_df(index_df, new_fps), max_fp_df)
+        else:
+            rare = _rare_fps(
+                corpus_fps.select("fp").unionAll(new_fps.select("fp")), max_fp_df
+            )
+        new_fps = new_fps.join(rare, "fp")
+        corpus_fps = corpus_fps.join(rare, "fp")
+    return (
+        new_fps.join(corpus_fps, "fp")
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnowing_matches_against(
     new_df: DataFrame,
     index_fps: DataFrame,
@@ -465,21 +506,8 @@ def winnowing_matches_against(
         .select(F.col(id_col).alias("id_new"), "fp")
         .dropDuplicates(["id_new", "fp"])
     )
-    corpus_fps = index_fps.select(F.col("corpus_id").alias("id_corpus"), "fp")
-    if max_fp_df is not None:
-        if index_df is not None:
-            rare = _rare_from_df(merge_winnowing_df(index_df, new_fps), max_fp_df)
-        else:
-            rare = _rare_fps(
-                corpus_fps.select("fp").unionAll(new_fps.select("fp")), max_fp_df
-            )
-        new_fps = new_fps.join(rare, "fp")
-        corpus_fps = corpus_fps.join(rare, "fp")
-    return (
-        new_fps.join(corpus_fps, "fp")
-        .groupBy("id_new", "id_corpus")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    return _gated_winnowing_matches(
+        new_fps, index_fps, min_shared, max_fp_df, index_df
     )
 
 
@@ -780,10 +808,11 @@ def winnowing_spans_against(
     persisted (tracked — release via
     ``operators._cache.release_cached_intermediates`` between
     batches), and the gate's match logic runs on their distinct
-    (id, fp) rows — replicating ``winnowing_matches_against``'s
-    union-basis hub cap exactly, which the rebuild-parity unit test
-    (report == within-corpus span merge over corpus+batch restricted
-    to cross pairs) polices against drift.
+    (id, fp) rows through the SAME ``_gated_winnowing_matches`` body
+    ``winnowing_matches_against`` uses (shared since r12 — the two
+    inline copies could previously diverge; the contamination-report
+    parity test additionally exercises the max_fp_df and index_df
+    branches of this path).
     """
     from syncquill_spark.operators._cache import tracked_persist
     from syncquill_spark.operators.text import winnowing_fingerprints
@@ -794,27 +823,14 @@ def winnowing_spans_against(
     # feeds the gate's fps basis AND the span join's batch side
     batch_positions = tracked_persist(batch_positions)
 
-    # the gate, on precomputed batch fingerprints — same logic as
-    # winnowing_matches_against (df over the union basis, both sides
-    # capped), minus the second winnowing pass over the batch text
+    # the gate, on precomputed batch fingerprints — THE SAME body as
+    # winnowing_matches_against (shared helper, ADVICE r11), minus the
+    # second winnowing pass over the batch text
     new_fps = batch_positions.select(
         F.col("corpus_id").alias("id_new"), "fp"
     ).dropDuplicates(["id_new", "fp"])
-    corpus_fps = index_fps.select(F.col("corpus_id").alias("id_corpus"), "fp")
-    if max_fp_df is not None:
-        if index_df is not None:
-            rare = _rare_from_df(merge_winnowing_df(index_df, new_fps), max_fp_df)
-        else:
-            rare = _rare_fps(
-                corpus_fps.select("fp").unionAll(new_fps.select("fp")), max_fp_df
-            )
-        new_fps = new_fps.join(rare, "fp")
-        corpus_fps = corpus_fps.join(rare, "fp")
-    matches = (
-        new_fps.join(corpus_fps, "fp")
-        .groupBy("id_new", "id_corpus")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    matches = _gated_winnowing_matches(
+        new_fps, index_fps, min_shared, max_fp_df, index_df
     )
     pairs = matches.select(
         F.col("id_new").alias("id_a"), F.col("id_corpus").alias("id_b")

@@ -512,5 +512,12 @@ def test_migrated_persists_release_between_batches(spark, docs):
     # band-bucket frame feeding both filtered join sides
     assert release_cached_intermediates() == 2
 
+    # r11 verdict #2 (executed r12): the self-join variant's two sites
+    # migrated from bare persist() to tracked_persist — the shingle
+    # frame (signature path + both verify-join sides) and the
+    # band-bucket frame (both self-join sides)
+    minhash_lsh_pairs(docs, threshold=0.5).count()
+    assert release_cached_intermediates() == 2
+
     leaked = _persistent_rdd_ids(sc) - base_ids
     assert not leaked, f"operator persists leaked: {sorted(leaked)}"

@@ -918,41 +918,63 @@ def test_append_index_with_replace_parts(spark, sf_dir, tmp_path):
         append_index(p, _replace={"fps": batch_fps}, fps=batch_fps)
 
 
-def test_winnowing_spans_against_contamination_report(spark, tmp_path):
+@pytest.mark.parametrize("gate", ["nogate", "cap", "cap_stored"])
+def test_winnowing_spans_against_contamination_report(spark, tmp_path, gate):
     """Cross-corpus span localization (the decontamination report):
     batch-vs-index matches localized to token spans must equal the
     within-corpus span merge over corpus+batch restricted to cross
     pairs — same diagonals, same runs — and the corpus side reads
-    only the stored fps + positions parts."""
+    only the stored fps + positions parts.
+
+    Parametrized over the hub-cap gate (ADVICE r11: the max_fp_df and
+    index_df branches of the spans path previously had no caller in
+    any test, so the inline copy of the gate could silently diverge
+    from winnowing_matches_against's — now both share
+    ``_gated_winnowing_matches`` AND this test drives the spans path
+    through all three branches):
+      nogate      — max_fp_df=None (the original case);
+      cap         — max_fp_df set, df aggregated over the union basis;
+      cap_stored  — max_fp_df set with the persisted (fp, df) part,
+                    union df = stored df + batch counts.
+    A planted boilerplate phrase in 2 corpus + 1 batch docs (its
+    interior fingerprints carry union df 3 > 2 = max_fp_df) makes the
+    gated result DIFFER from the ungated one (boilerplate-only pairs
+    vanish), proving the branch executed."""
     from pyspark.sql import functions as F
 
     from syncquill_spark.streaming.text_dedup import (
         build_winnowing_index,
         build_winnowing_positions,
+        winnowing_fp_df,
         winnowing_match_spans,
         winnowing_pairs_from_index,
         winnowing_spans_against,
     )
 
     shared = "the quick brown fox jumps over the lazy dog tonight again"
+    boiler = "subscribe to our newsletter for updates every single day"
     corpus = spark.createDataFrame(
         [
             (1, f"alpha beta {shared} gamma"),
-            (3, "completely unrelated text about something else entirely"),
+            (3, f"completely unrelated text about something else {boiler}"),
+            (5, f"{boiler} stapled onto an otherwise distinct page"),
         ],
         "doc_id long, text string",
     )
     batch = spark.createDataFrame(
         [
             (101, f"one two three four {shared}"),
-            (102, "another unrelated new document arriving at ingest"),
+            (102, f"another unrelated new document arriving {boiler}"),
         ],
         "doc_id long, text string",
     )
+    max_fp_df = None if gate == "nogate" else 2
     p = str(tmp_path / "win_spans_idx")
+    fps = build_winnowing_index(corpus)
     save_index(
         p,
-        fps=build_winnowing_index(corpus),
+        fps=fps,
+        fpdf=winnowing_fp_df(fps),
         positions=build_winnowing_positions(corpus),
     )
     loaded = load_index(spark, p)
@@ -961,15 +983,24 @@ def test_winnowing_spans_against_contamination_report(spark, tmp_path):
         map(
             tuple,
             winnowing_spans_against(
-                batch, loaded["fps"], loaded["positions"], min_shared=2
+                batch,
+                loaded["fps"],
+                loaded["positions"],
+                min_shared=2,
+                max_fp_df=max_fp_df,
+                index_df=loaded["fpdf"] if gate == "cap_stored" else None,
             ).collect(),
         )
     )
 
-    # rebuild equivalent: spans over corpus+batch, cross pairs only
+    # rebuild equivalent: spans over corpus+batch, cross pairs only —
+    # the hub cap's union basis IS the rebuild's basis, so the same
+    # max_fp_df applies on both sides of the identity
     both = corpus.unionByName(batch)
     fps_all = build_winnowing_index(both)
-    pairs_all = winnowing_pairs_from_index(fps_all, min_shared=2)
+    pairs_all = winnowing_pairs_from_index(
+        fps_all, min_shared=2, max_fp_df=max_fp_df
+    )
     cross = pairs_all.filter(
         ((F.col("id_a") < 100) & (F.col("id_b") >= 100))
         | ((F.col("id_a") >= 100) & (F.col("id_b") < 100))
@@ -985,11 +1016,20 @@ def test_winnowing_spans_against_contamination_report(spark, tmp_path):
         )
         for r in spans_all.collect()
     )
-    assert got == want and len(got) == 1
-    (row,) = got
-    # doc 101 carries the passage after a 4-token prefix, doc 1 after 2
-    assert row[0] == 101 and row[1] == 1
-    assert row[2] - row[4] == 2 and row[3] - row[5] == 2
+    assert got == want and len(got) >= 1
+    pairs_got = {(r[0], r[1]) for r in got}
+    if gate == "nogate":
+        # the boilerplate hub creates cross matches beyond the planted
+        # contamination pair — the material the cap exists to drop
+        assert (101, 1) in pairs_got and len(pairs_got) > 1
+    else:
+        # capped: the boilerplate's shared interior fps (df 3 > 2)
+        # are gone; only the distinctive passage (df 2) still matches
+        assert pairs_got == {(101, 1)}
+        (row,) = got
+        # doc 101 carries the passage after a 4-token prefix, doc 1
+        # after 2
+        assert row[2] - row[4] == 2 and row[3] - row[5] == 2
 
 
 def test_append_index_rejects_mismatched_partition_layout(spark, tmp_path):
