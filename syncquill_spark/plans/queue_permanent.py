@@ -1,6 +1,8 @@
-"""PERMANENT verification queue — the five query/oracle pairs that
-stay queue-verified FOREVER under the registry end-state (round-10
-decision; full capacity arithmetic in `plans/__init__.py`).
+"""PERMANENT verification queue — the query/oracle pairs that stay
+queue-verified FOREVER under the registry end-state (round-10
+decision; full capacity arithmetic in `plans/__init__.py`): the five
+end-state residue pairs plus curation_url_dedup (added r12 — queue
+growth is net-0 for the REGISTRY, the queue itself may grow).
 
 The registry froze FEATURE-COMPLETE AT 142 rows in r11 (the final four
 — text_winnowing_spans, curation_lm_buckets, curation_remove_spans,
@@ -25,6 +27,9 @@ re-verification is waived:
   ``curation_boilerplate`` (line-granular cross-doc dedup).
 - ``text_normalize`` — pure projection, no shuffle; the least
   scale-critical row in the candidate set.
+- ``curation_url_dedup`` (added r12, r11 verdict #5) — canonical-URL
+  dedup over a synthesized URL column; near-variant of registered
+  ``curation_blocklist``'s keep-ids join-back shape.
 
 After the freeze, a new operator family lands unit-pinned +
 queue-fingerprint-verified here, and may enter the registry only by
@@ -328,14 +333,103 @@ FROM r JOIN k USING (lang) WHERE mix_rank <= kk
 """
 
 
-# NOT queued, stated honestly (the url_dedup precedent): the fuzzy
-# record-linkage family (operators/dedup.py::fuzzy_name_pairs) stays
-# unit-only because every fixture name column is degenerate for
-# linkage — part.p_name has only ~64 distinct values, so the PAIR
+# the fixture carries no URL column; both engines synthesize one from
+# doc_id with ONE deterministic expression (the
+# text_lines_dedup precedent), injecting the canonicalization
+# pathologies the operator exists to fold: case, www, default ports,
+# tracking params (mixed-case keys), fragments, param order, trailing
+# slash, and an unparseable group. The SPARK side runs the real
+# parse_url-based operator on the URL STRINGS; the ORACLE never
+# parses — it derives each row's canonical form algebraically from
+# the same fixture columns, so any drift in the operator's parsing,
+# param filtering/sorting, or survivor rule breaks the fingerprint.
+_URL_CELL = 7
+
+
+def q_curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (the CC-pipeline pre-hash step): keep ONE
+    row per canonical URL (min doc_id survivor), keep every row whose
+    URL fails to canonicalize. Seven URL variants per id-cell: three
+    cosmetically-different spellings of one resource (plain;
+    uppercase+www+:443+trailing slash; tracking params+fragment), two
+    spellings of a second resource differing only in param order /
+    injected tracking param, one unparseable, one distinct http://
+    resource (scheme is identity-bearing). Near-variant of registered
+    curation_blocklist's join-back shape; the canonicalization rule
+    table lives at operators/curation.py::canonicalize_urls."""
+    from syncquill_spark.operators.curation import url_dedup
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    m = F.col("doc_id") % _URL_CELL
+    base = F.concat(
+        F.lit("docs/"), F.expr(f"doc_id div {_URL_CELL}").cast("string")
+    )
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://example.com/"), base))
+        .when(
+            m == 1,
+            F.concat(F.lit("HTTPS://WWW.Example.COM:443/"), base, F.lit("/")),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://example.com/"),
+                base,
+                F.lit("?UTM_Source=feed&fbclid=abc#sec-2"),
+            ),
+        )
+        .when(
+            m == 3, F.concat(F.lit("https://example.com/"), base, F.lit("?b=2&a=1"))
+        )
+        .when(
+            m == 4,
+            F.concat(
+                F.lit("https://example.com/"),
+                base,
+                F.lit("?a=1&utm_campaign=x&b=2"),
+            ),
+        )
+        .when(m == 5, F.lit("not a parseable url"))
+        .otherwise(F.concat(F.lit("http://www.example.com:80/"), base))
+    )
+    return url_dedup(documents.withColumn("url", url)).select("doc_id", "lang")
+
+
+def _url_dedup_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, lang, doc_id % {_URL_CELL} AS m,
+         CAST(doc_id // {_URL_CELL} AS VARCHAR) AS cell
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, lang,
+    CASE
+      WHEN m IN (0, 1, 2) THEN 'https://example.com/docs/' || cell
+      WHEN m IN (3, 4) THEN 'https://example.com/docs/' || cell || '?a=1&b=2'
+      WHEN m = 6 THEN 'http://example.com/docs/' || cell
+      ELSE NULL END AS uc
+  FROM u
+),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM canon WHERE uc IS NOT NULL GROUP BY uc
+  UNION ALL
+  SELECT doc_id FROM canon WHERE uc IS NULL
+)
+SELECT c.doc_id, c.lang FROM canon c JOIN keep USING (doc_id)
+"""
+
+
+# NOT queued, stated honestly: the fuzzy record-linkage family
+# (operators/dedup.py::fuzzy_name_pairs) stays unit-only because
+# every fixture name column is degenerate for linkage —
+# part.p_name has only ~64 distinct values, so the PAIR
 # output itself is quadratic in table size (~3e8 pairs at sf0.1, a
 # data property that would swamp bench, not an engine property), and
 # customer/supplier names are single-token serial strings on which
-# token blocking is either one giant block or nothing.
+# token blocking is either one giant block or nothing. (url_dedup,
+# formerly in this paragraph, got its synthesized-column pair above
+# in r12 — r11 verdict #5.)
 
 QUEUE_QUERIES = {
     "text_bigram_pruned_gate": q_text_bigram_pruned_gate,
@@ -343,6 +437,7 @@ QUEUE_QUERIES = {
     "text_normalize": q_text_normalize,
     "similarity_topk_rerank": q_similarity_topk_rerank,
     "curation_temperature_mix": q_curation_temperature_mix,
+    "curation_url_dedup": q_curation_url_dedup,
 }
 
 QUEUE_ORACLES = {
@@ -351,4 +446,5 @@ QUEUE_ORACLES = {
     "text_normalize": _normalize_sql(),
     "similarity_topk_rerank": _rerank_sql(),
     "curation_temperature_mix": _temperature_mix_sql(),
+    "curation_url_dedup": _url_dedup_sql(),
 }
