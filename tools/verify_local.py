@@ -67,7 +67,7 @@ def main() -> int:
     from syncquill_spark.plans import QUERIES, ORACLES
 
     if with_queue:
-        # the five PERMANENTLY queue-verified pairs (registry end-state,
+        # the PERMANENTLY queue-verified pairs (registry end-state,
         # plans/queue_permanent.py): same compare, driver-waived rows
         from syncquill_spark.plans.queue_permanent import (
             QUEUE_ORACLES,
