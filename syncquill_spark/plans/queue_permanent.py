@@ -30,6 +30,10 @@ re-verification is waived:
 - ``curation_url_dedup`` (added r12, r11 verdict #5) — canonical-URL
   dedup over a synthesized URL column; near-variant of registered
   ``curation_blocklist``'s keep-ids join-back shape.
+- ``dedup_fuzzy_names`` (added r12) — fuzzy record linkage over a
+  synthesized name catalog; the block-then-verify shape the
+  registered dedup rows share, previously unit/hypothesis-pinned
+  only (no fixture name column is linkage-usable).
 
 After the freeze, a new operator family lands unit-pinned +
 queue-fingerprint-verified here, and may enter the registry only by
@@ -420,16 +424,108 @@ SELECT c.doc_id, c.lang FROM canon c JOIN keep USING (doc_id)
 """
 
 
-# NOT queued, stated honestly: the fuzzy record-linkage family
-# (operators/dedup.py::fuzzy_name_pairs) stays unit-only because
-# every fixture name column is degenerate for linkage —
-# part.p_name has only ~64 distinct values, so the PAIR
-# output itself is quadratic in table size (~3e8 pairs at sf0.1, a
-# data property that would swamp bench, not an engine property), and
-# customer/supplier names are single-token serial strings on which
-# token blocking is either one giant block or nothing. (url_dedup,
-# formerly in this paragraph, got its synthesized-column pair above
-# in r12 — r11 verdict #5.)
+# the fuzzy record-linkage family's fixture blocker (every fixture
+# name column is degenerate: part.p_name has ~64 distinct values so
+# pair output is quadratic in table size; customer/supplier names are
+# single-token serial strings) falls to the same synthesized-column
+# precedent: both engines derive a name catalog from doc_id with pure
+# arithmetic + ASCII concatenation (the cross-engine Levenshtein
+# caveat — Spark edits CHARACTERS, DuckDB edits UTF-8 BYTES — is
+# byte-free on ASCII, the exact contract the operator's docstring
+# states). Planted per 7-id cell: a base "fn<i> ln<j>" name, a
+# 1-deletion twin, a 1-insertion twin (dist 2 to the deletion twin),
+# a same-first/shifted-last variant, a shifted-first/same-last
+# variant, a stopword-prefixed variant ('the ...' — its token df is
+# the CELL COUNT, blowing past max_token_df=20, so the hub cap
+# provably fires AND its +4-char prefix exercises the length
+# prefilter), and a single-token unique name (no pairs by the stated
+# recall contract).
+_FN_MOD, _LN_MOD, _NAME_CELL, _NAME_MAXDF = 89, 101, 7, 20
+
+
+def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (block on shared token + banded
+    Levenshtein verify, token-df hub cap ON): id pairs within 2 edits
+    over the synthesized catalog. The Spark side runs the real
+    operator (explode/distinct token table, df<=20 cap, candidate
+    self-join, length prefilter, thresholded levenshtein); the oracle
+    replays block-then-verify in SQL on the same derived names.
+    Unit/hypothesis pins for the operator live in tests/test_dedup.py
+    (planted Zipf catalog, tools/name_catalog.py); this pair adds the
+    missing cross-engine fingerprint."""
+    from syncquill_spark.operators.dedup import fuzzy_name_pairs
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    cell = F.expr(f"doc_id div {_NAME_CELL}")
+    m = F.col("doc_id") % _NAME_CELL
+    f = F.concat(F.lit("fn"), (cell % _FN_MOD).cast("string"))
+    l = F.concat(F.lit("ln"), (cell % _LN_MOD).cast("string"))
+    l_shift = F.concat(F.lit("ln"), ((cell + 1) % _LN_MOD).cast("string"))
+    f_shift = F.concat(F.lit("fn"), ((cell + 1) % _FN_MOD).cast("string"))
+    f_trunc = F.substring(f, 1, F.length(f) - F.lit(1))
+    sp = F.lit(" ")
+    name = (
+        F.when(m == 0, F.concat(f, sp, l))
+        .when(m == 1, F.concat(f_trunc, sp, l))
+        .when(m == 2, F.concat(f, F.lit("x"), sp, l))
+        .when(m == 3, F.concat(f, sp, l_shift))
+        .when(m == 4, F.concat(f_shift, sp, l))
+        .when(m == 5, F.concat(F.lit("the "), f, sp, l))
+        .otherwise(F.concat(F.lit("solo"), F.col("doc_id").cast("string")))
+    )
+    return fuzzy_name_pairs(
+        documents.select("doc_id", name.alias("name")),
+        max_dist=2,
+        max_token_df=_NAME_MAXDF,
+    )
+
+
+def _fuzzy_names_sql() -> str:
+    return f"""
+WITH names AS (
+  SELECT doc_id AS id,
+    CASE doc_id % {_NAME_CELL}
+      WHEN 0 THEN 'fn' || CAST((doc_id // {_NAME_CELL}) % {_FN_MOD} AS VARCHAR)
+           || ' ln' || CAST((doc_id // {_NAME_CELL}) % {_LN_MOD} AS VARCHAR)
+      WHEN 1 THEN substr('fn' || CAST((doc_id // {_NAME_CELL}) % {_FN_MOD} AS VARCHAR),
+                         1, length('fn' || CAST((doc_id // {_NAME_CELL}) % {_FN_MOD} AS VARCHAR)) - 1)
+           || ' ln' || CAST((doc_id // {_NAME_CELL}) % {_LN_MOD} AS VARCHAR)
+      WHEN 2 THEN 'fn' || CAST((doc_id // {_NAME_CELL}) % {_FN_MOD} AS VARCHAR) || 'x'
+           || ' ln' || CAST((doc_id // {_NAME_CELL}) % {_LN_MOD} AS VARCHAR)
+      WHEN 3 THEN 'fn' || CAST((doc_id // {_NAME_CELL}) % {_FN_MOD} AS VARCHAR)
+           || ' ln' || CAST(((doc_id // {_NAME_CELL}) + 1) % {_LN_MOD} AS VARCHAR)
+      WHEN 4 THEN 'fn' || CAST(((doc_id // {_NAME_CELL}) + 1) % {_FN_MOD} AS VARCHAR)
+           || ' ln' || CAST((doc_id // {_NAME_CELL}) % {_LN_MOD} AS VARCHAR)
+      WHEN 5 THEN 'the fn' || CAST((doc_id // {_NAME_CELL}) % {_FN_MOD} AS VARCHAR)
+           || ' ln' || CAST((doc_id // {_NAME_CELL}) % {_LN_MOD} AS VARCHAR)
+      ELSE 'solo' || CAST(doc_id AS VARCHAR)
+    END AS nm
+  FROM documents
+),
+toks AS (
+  SELECT DISTINCT id, tok FROM (
+    SELECT id, UNNEST(regexp_split_to_array(nm, '\\s+')) AS tok FROM names
+  ) WHERE tok <> ''
+),
+rare AS (
+  SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= {_NAME_MAXDF}
+),
+capped AS (
+  SELECT t.id, t.tok FROM toks t JOIN rare USING (tok)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b USING (tok)
+  WHERE a.id < b.id
+)
+SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+       CAST(levenshtein(na.nm, nb.nm) AS BIGINT) AS dist
+FROM cand c
+JOIN names na ON c.id_a = na.id
+JOIN names nb ON c.id_b = nb.id
+WHERE abs(length(na.nm) - length(nb.nm)) <= 2
+  AND levenshtein(na.nm, nb.nm) <= 2
+"""
 
 QUEUE_QUERIES = {
     "text_bigram_pruned_gate": q_text_bigram_pruned_gate,
@@ -438,6 +534,7 @@ QUEUE_QUERIES = {
     "similarity_topk_rerank": q_similarity_topk_rerank,
     "curation_temperature_mix": q_curation_temperature_mix,
     "curation_url_dedup": q_curation_url_dedup,
+    "dedup_fuzzy_names": q_dedup_fuzzy_names,
 }
 
 QUEUE_ORACLES = {
@@ -447,4 +544,5 @@ QUEUE_ORACLES = {
     "similarity_topk_rerank": _rerank_sql(),
     "curation_temperature_mix": _temperature_mix_sql(),
     "curation_url_dedup": _url_dedup_sql(),
+    "dedup_fuzzy_names": _fuzzy_names_sql(),
 }

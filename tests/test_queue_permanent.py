@@ -32,11 +32,12 @@ def duck(sf_dir):
 def test_queue_is_consistent():
     assert set(QUEUE_QUERIES) == set(QUEUE_ORACLES)
     # the end-state contract: the five declared permanent pairs plus
-    # curation_url_dedup (r12, r11 verdict #5 — the queue may grow;
-    # the REGISTRY stays frozen at 142)
+    # the r12 additions curation_url_dedup and dedup_fuzzy_names (the
+    # queue may grow; the REGISTRY stays frozen at 142)
     assert sorted(QUEUE_QUERIES) == [
         "curation_temperature_mix",
         "curation_url_dedup",
+        "dedup_fuzzy_names",
         "similarity_topk_rerank",
         "text_bigram_pruned_gate",
         "text_lines_dedup",
