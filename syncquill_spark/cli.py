@@ -292,14 +292,30 @@ def main(argv: list[str] | None = None) -> int:
     source = table_from_uri(_resolve(args.source, "SYNC_SOURCE"))
     target = table_from_uri(_resolve(args.target, "SYNC_TARGET"))
     spark = get_spark("syncquill-spark-cli")
-    if args.action == "sync":
-        result = sync(
-            spark, source, target, key=args.key, mode=args.mode, dry_run=args.dry_run
-        )
-        print(result.report if result.n_changes else "No changes.")
-    else:
-        upsert(spark, source, target)
-        print("Successfully added/updated table.")
+    from syncquill_spark.operators import ValidationError
+
+    try:
+        if args.action == "sync":
+            result = sync(
+                spark,
+                source,
+                target,
+                key=args.key,
+                mode=args.mode,
+                dry_run=args.dry_run,
+            )
+            print(result.report if result.n_changes else "No changes.")
+        else:
+            upsert(spark, source, target)
+            print("Successfully added/updated table.")
+    except ValidationError as exc:
+        # Reference parity (syncquill.py:66-74): a constraint violation
+        # PRINTS the "Error: ..." message to stdout and exits cleanly
+        # (the reference calls exit(0)) — the message is the contract,
+        # not a traceback. Library callers still get the raised
+        # ValidationError; only the CLI flattens it.
+        print(exc)
+        return 0
     return 0
 
 

@@ -128,3 +128,19 @@ def test_cli_export_training_shards(spark, tmp_path, capsys):
         assert json.load(fh) == manifest
     # guard rail: --out required
     assert main(["export", "--source", f"parquet:{docs_pq}"]) == 2
+
+
+def test_cli_sync_validation_error_prints_and_exits_clean(spark, tmp_path, capsys):
+    """Reference parity (syncquill.py:66-74): a constraint violation
+    at the CLI prints the "Error: ..." message to stdout and exits 0
+    (the reference calls exit(0)) — no traceback. Library callers
+    still get the raised ValidationError (tests/test_validate.py)."""
+    from syncquill_spark.cli import main
+
+    src = str(tmp_path / "nokey.pq")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(src)
+    tgt = str(tmp_path / "tgt.pq")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(tgt)
+    assert main(["sync", "--source", f"parquet:{src}", "--target", f"parquet:{tgt}"]) == 0
+    out = capsys.readouterr().out
+    assert "Error: Missing 'slno' column in header" in out
