@@ -469,6 +469,17 @@ def simhash_fingerprints(
     (per-bit +1/-1 votes), then pack sign bits — no interpreted lambda
     folds, map-side partial agg at scale. Votes from null tokens (null
     text) count 0, matching the fold form's all-zero fingerprint.
+
+    ``bits`` may go up to 64 (the int64 carrier; the r12 fix — bit 63
+    packs as the two's-complement sign-bit literal, a plain
+    ``lit(2**63)`` overflows the JVM long and crashed any bits=64
+    call). Entropy note: the token hash is 60-bit
+    (``portable_hash60``), so bit positions 60-63 draw their votes
+    from always-zero hash bits and pack to 0 for every document —
+    harmless (shared dead bits can never separate a pair) but
+    informationless; prefer ``bits <= 60`` when widening the
+    fingerprint with the corpus (the SCALE.md knob: band width must
+    grow with log2(corpus)).
     """
     ex = df.select(
         F.col(id_col), F.explode_outer(_tokens(text_col)).alias("_t")
@@ -484,7 +495,12 @@ def simhash_fingerprints(
     )
     packed = None
     for b in range(bits):
-        bit = F.when(F.col(f"_v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+        # b == 63 is the sign bit: its int64 value is -(2**63) in
+        # two's complement (lit(2**63) itself overflows the JVM long).
+        # Summing it last keeps every intermediate in range: the lower
+        # 63 bits total at most 2**63 - 1.
+        weight = 2**b if b < 63 else -(2**63)
+        bit = F.when(F.col(f"_v{b}") > 0, F.lit(weight).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         packed = bit if packed is None else packed + bit
@@ -526,7 +542,11 @@ def _simhash_banded(
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.shiftright(F.col("simhash"), off)
-                        .bitwiseAND(F.lit((1 << w) - 1))
+                        # w == 64 (one band over the full carrier,
+                        # legal at max_hamming=0): the all-ones mask
+                        # is -1 in two's complement; (1 << 64) - 1
+                        # overflows the JVM long
+                        .bitwiseAND(F.lit((1 << w) - 1 if w < 64 else -1))
                         .alias("val"),
                     )
                     for bi, (off, w) in enumerate(layout)

@@ -110,17 +110,18 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    dedup_apply — the two callers of the minhash_lsh_pairs
 #    tracked_persist migration queued for this round (rule 2b's
 #    touched rows and rule 2a's mandatory cohort coincide here);
-#  - 8 staleness-1 fill (rule 2c), chosen per policy — the sync_*
-#    flagship rows first, then the families this round's changes sit
-#    nearest: sync_apply_keyed, sync_upsert (flagship),
-#    dedup_winnowing_against (rule 2b: its plan path
-#    winnowing_matches_against shares the hub-cap gate factored into
-#    _gated_winnowing_matches this round — ADVICE r11 — a
-#    shared-helper change counts as touching every caller),
-#    dedup_winnowing_pairs, text_winnowing, storage_winnowing_index
-#    (winnowing family), storage_index_roundtrip,
-#    storage_index_incremental (MinHash-index family, nearest the
-#    minhash_lsh_pairs migration).
+#  - 8 staleness-1 fill: rule-2b touched rows first —
+#    dedup_winnowing_against (its plan path winnowing_matches_against
+#    shares the hub-cap gate factored into _gated_winnowing_matches
+#    this round, ADVICE r11; a shared-helper change counts as
+#    touching every caller) and the four simhash rows dedup_simhash,
+#    dedup_simhash_pairs, dedup_simhash_against, storage_simhash_index
+#    (simhash_fingerprints gained the bits=64 sign-bit fix this round;
+#    the bits=32 plan is expression-identical — touch out of caution,
+#    the r10 precedent; the fifth caller dedup_cluster_stats is in
+#    the mandatory 42) — then rule 2c: sync_apply_keyed, sync_upsert
+#    (flagship), storage_winnowing_index (the winnowing-index
+#    lifecycle row nearest the gate refactor).
 # Left outside at staleness 2 after this round (r10-green, untouched
 # — they MUST lead the r13 window; 42 rows):
 # agg_distinct_users_approx, agg_quantiles_approx_check,
@@ -129,17 +130,18 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # curation_hash_split, curation_pack_ffd, curation_quality_filter,
 # curation_sample_stratified, curation_shuffle,
 # dedup_embedding_cosine, dedup_embedding_incremental,
-# dedup_semantic_pairs, dedup_simhash, dedup_simhash_against,
-# dedup_simhash_pairs, embedding_nearest_centroid,
+# dedup_semantic_pairs, dedup_winnowing_pairs,
+# embedding_nearest_centroid,
 # events_session_window, events_sessionization, events_sliding_window,
 # events_tumbling_window, join_events_customers, setop_except_all,
 # similarity_knn_classify, similarity_topk_cosine,
 # similarity_topk_lsh, storage_bigram_model, storage_bm25_index,
-# storage_ivfpq_index, storage_simhash_index,
+# storage_index_incremental, storage_index_roundtrip,
+# storage_ivfpq_index,
 # storage_text_ingest_roundtrip, storage_versioned_roundtrip,
 # storage_zorder_key, text_language_id, text_quality, text_repetition,
-# text_tfidf_terms, text_vocab_coverage, window_moving_avg,
-# window_running_total.
+# text_tfidf_terms, text_vocab_coverage, text_winnowing,
+# window_moving_avg, window_running_total.
 # r13 capacity check: 42 mandatory + 0 registrations (frozen) = 42,
 # leaving 8 slots for touched rows + early rotation — fits; steady
 # state from here is 42 + 8 every round.
@@ -395,15 +397,19 @@ _PRIORITY = [
     "text_chunk_documents", "text_fingerprint", "text_quality_rules",
     "text_readability", "text_segment_dedup", "text_sentences_udtf",
     "text_term_stats", "text_token_counts",
-    # staleness-1 fill (rule 2c): flagship rows first, then the
-    # families this round's changes sit nearest.
-    # dedup_winnowing_against is also rule 2b: the hub-cap gate its
-    # plan path shares was factored into _gated_winnowing_matches
-    # (ADVICE r11).
+    # staleness-1 fill: rule-2b touched rows first —
+    # dedup_winnowing_against (the hub-cap gate its plan path shares
+    # was factored into _gated_winnowing_matches, ADVICE r11) and the
+    # four simhash rows (simhash_fingerprints gained the bits=64
+    # sign-bit fix mid-round; the emitted plan at the registry's
+    # bits=32 is expression-identical, counted as a touch out of
+    # caution per the r10 precedent; the fifth caller,
+    # dedup_cluster_stats, already sits in the mandatory 42) — then
+    # rule 2c: the sync flagship rows and the winnowing-index
+    # lifecycle row nearest this round's gate refactor.
     "sync_apply_keyed", "sync_upsert", "dedup_winnowing_against",
-    "dedup_winnowing_pairs", "text_winnowing",
-    "storage_winnowing_index", "storage_index_roundtrip",
-    "storage_index_incremental",
+    "storage_winnowing_index", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_simhash_against", "storage_simhash_index",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

@@ -58,6 +58,30 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (1, 4) not in pairs
 
 
+def test_simhash_full_width_fingerprint(docs):
+    """r12 fix: bits=64 used to crash at plan build — packing bit 63
+    as lit(2**63) overflows the JVM long (the int64 sign bit's value
+    is -(2**63)). Pinned: the full-width call runs; positions 60-63
+    pack to zero for every doc (the 60-bit token hash carries no
+    entropy there), so fp(64) == fp(60) exactly; the banded join
+    accepts the full-width fingerprint, including the single-band
+    w=64 mask edge (max_hamming=0, bands=1 — (1 << 64) - 1 also
+    overflows; the all-ones mask is -1)."""
+    fp64 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs, bits=64).collect()}
+    fp60 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs, bits=60).collect()}
+    assert fp64 == fp60 and len(fp64) > 0
+    near = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, bits=64, max_hamming=5).collect()
+    }
+    assert near[(1, 2)] == 0
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(docs, bits=64, max_hamming=0, bands=1).collect()
+    }
+    assert (1, 2) in exact
+
+
 def test_simhash_identical_docs_equal(docs):
     fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
     assert fp[1] == fp[2] == fp[5]
