@@ -23,7 +23,14 @@ from syncquill_spark.plans import QUERIES
 
 # The FULL registry is the headline set: every registered query gets a
 # per-round timing, so coverage can't silently drift as queries land.
-HEADLINE = list(QUERIES)
+# SORTED, not registry order (r12): the driver-window rotation reorders
+# the registry every round, and run position carries a measured
+# warm-up gradient (median 1.16x for positions 0-19 vs ~0.89x late) —
+# in registry order a query the rotation moves from late to early
+# reads 1.2-1.6x against its old self with no code change. A fixed
+# alphabetical order makes per-query numbers position-stable across
+# rounds; totals are unaffected.
+HEADLINE = sorted(QUERIES)
 
 
 def main() -> None:
