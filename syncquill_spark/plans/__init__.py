@@ -100,6 +100,48 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # queue_r10/queue_r11 modules are gone). From here, registry entry is
 # by SWAP only (net 0), recorded in this block.
 #
+# Round-13 window, in order (post-freeze maintenance rotation — no
+# registrations, pure staleness rotation + fill):
+#  - the 42 rows whose last driver-green is r10 (staleness 2 — the
+#    round-12 verdict names them as mandatory leads and re-derived the
+#    cohort independently, 42/42 match; re-derived again from
+#    CORRECTNESS_r10/r11/r12 before committing this order, set
+#    equality confirmed);
+#  - 8 staleness-1 fill (rule 2c — no registry plan is expected to
+#    change this round, so the fill purely flattens r14's mandatory
+#    load, drawn from the families this round's 64x scale probes
+#    exercise): dedup_ngram_jaccard, dedup_clusters, dedup_incremental
+#    (the ngram/minhash ladder families), curation_fuzzy_decontaminate,
+#    curation_leakage_split (their curation callers; leakage_split is
+#    also last round's run-position mover, re-greened under the new
+#    canonical bench order), curation_remove_spans,
+#    text_winnowing_spans (the span-localization story the winnowing
+#    ladder rides), text_clf_gate (the classifier gate, 8x-flat, due a
+#    fresh row).
+# Left outside at staleness 2 after this round (r11-green, untouched
+# — they MUST lead the r14 window; 42 rows): agg_cube_sales,
+# agg_customer_balance_stats,
+# agg_customer_distribution, agg_forecast_revenue, agg_grouping_sets,
+# agg_important_stock, agg_order_priority, agg_pivot_status,
+# agg_pricing_summary, agg_promo_revenue, agg_quantiles_status,
+# agg_status_sets, agg_supplier_part_types, curation_lm_buckets,
+# join_disjunctive_promo, join_large_orders,
+# join_lonely_returned_supplier, join_market_share,
+# join_min_cost_supplier, join_nation_trade, join_priority_lines,
+# join_product_profit, join_returned_items, join_revenue_by_nation,
+# join_salted_revenue, join_shipping_priority, join_small_qty_parts,
+# json_events_extract, multimodal_audio_decode, multimodal_decode,
+# multimodal_features, multimodal_media_stats, scalar_functions,
+# setop_customers_without_orders, setop_idle_rich_customers,
+# setop_repeat_customers, storage_media_ingest_roundtrip,
+# storage_media_wav_roundtrip, subquery_exists_orders,
+# text_token_stats, window_top_supplier, window_topk_orders.
+# r14 capacity check: 42 mandatory + 0 registrations (frozen) = 42,
+# leaving 8 slots for touched rows + early rotation — fits; the
+# steady-state 42 + 8 cadence holds for the third consecutive round.
+# The 50 r12-green rows not in this window rotate out at staleness 1.
+# Registry 142 — frozen, no change.
+#
 # Round-12 window, in order (the first post-freeze maintenance
 # rotation — no registrations, pure staleness rotation + fill):
 #  - the 42 rows whose last driver-green is r09 (staleness 2 — the
@@ -375,41 +417,34 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # r06-green rows rotate out at staleness 1.
 #
 _PRIORITY = [
-    # staleness-2 cohort (last driver-green r09 — the round-11 verdict
+    # staleness-2 cohort (last driver-green r10 — the round-12 verdict
     # names them as mandatory leads; policy rule 2a: ALL of it, first).
-    # dedup_minhash_lsh and dedup_apply double as this round's rule-2b
-    # touched rows (the minhash_lsh_pairs tracked_persist migration).
-    "agg_distinct_users_exact", "cdc_incremental_agg",
-    "cdc_scd2_history", "curation_domain_quota",
-    "curation_pack_sequences", "curation_redact_pii",
-    "curation_target_mix", "curation_target_mix_tokens",
-    "dedup_apply", "dedup_cluster_stats", "dedup_exact",
-    "dedup_minhash_lsh", "embedding_label_centroids",
-    "embedding_pq_codes", "embedding_quantize",
-    "funnel_click_purchase", "join_asof_signup", "join_binned_range",
-    "join_excess_inventory", "join_range_shipments",
-    "pipeline_corpus_curation", "pipeline_training_mix",
-    "profile_documents", "profile_referential",
-    "similarity_ann_recall", "similarity_topk_ivf",
-    "similarity_topk_ivf_refined", "similarity_topk_ivfpq",
-    "sync_diff_keyed", "sync_diff_positional", "sync_validate",
-    "text_bigram_gate", "text_bigram_lm", "text_bm25",
-    "text_chunk_documents", "text_fingerprint", "text_quality_rules",
-    "text_readability", "text_segment_dedup", "text_sentences_udtf",
-    "text_term_stats", "text_token_counts",
-    # staleness-1 fill: rule-2b touched rows first —
-    # dedup_winnowing_against (the hub-cap gate its plan path shares
-    # was factored into _gated_winnowing_matches, ADVICE r11) and the
-    # four simhash rows (simhash_fingerprints gained the bits=64
-    # sign-bit fix mid-round; the emitted plan at the registry's
-    # bits=32 is expression-identical, counted as a touch out of
-    # caution per the r10 precedent; the fifth caller,
-    # dedup_cluster_stats, already sits in the mandatory 42) — then
-    # rule 2c: the sync flagship rows and the winnowing-index
-    # lifecycle row nearest this round's gate refactor.
-    "sync_apply_keyed", "sync_upsert", "dedup_winnowing_against",
-    "storage_winnowing_index", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_simhash_against", "storage_simhash_index",
+    "agg_distinct_users_approx", "agg_quantiles_approx_check",
+    "agg_rollup_orders", "curation_blocklist", "curation_boilerplate",
+    "curation_decontaminate", "curation_eval_k_per_lang",
+    "curation_hash_split", "curation_pack_ffd",
+    "curation_quality_filter", "curation_sample_stratified",
+    "curation_shuffle", "dedup_embedding_cosine",
+    "dedup_embedding_incremental", "dedup_semantic_pairs",
+    "dedup_winnowing_pairs", "embedding_nearest_centroid",
+    "events_session_window", "events_sessionization",
+    "events_sliding_window", "events_tumbling_window",
+    "join_events_customers", "setop_except_all",
+    "similarity_knn_classify", "similarity_topk_cosine",
+    "similarity_topk_lsh", "storage_bigram_model",
+    "storage_bm25_index", "storage_index_incremental",
+    "storage_index_roundtrip", "storage_ivfpq_index",
+    "storage_text_ingest_roundtrip", "storage_versioned_roundtrip",
+    "storage_zorder_key", "text_language_id", "text_quality",
+    "text_repetition", "text_tfidf_terms", "text_vocab_coverage",
+    "text_winnowing", "window_moving_avg", "window_running_total",
+    # staleness-1 fill (rule 2c — no plan touches expected this round;
+    # chosen to flatten r14's mandatory load from the families the
+    # round's 64x scale probes exercise; see the round-13 window
+    # comment above).
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_incremental",
+    "curation_fuzzy_decontaminate", "curation_leakage_split",
+    "curation_remove_spans", "text_winnowing_spans", "text_clf_gate",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

@@ -134,16 +134,37 @@ def test_window_comment_names_next_rounds_mandatory_leads():
     # (ADVICE r11: matched against the whole file, a lead omitted from
     # the current comment still passed whenever its name appeared in
     # any HISTORICAL window comment or in _PRIORITY itself — which is
-    # almost always — making the check near-vacuous). Blocks are in
-    # reverse-chronological order, so the first "Left outside ..."
-    # through its "capacity check" line is this round's.
+    # almost always — making the check near-vacuous). ADVICE r12:
+    # don't rely on blocks staying reverse-chronological — anchor to
+    # the HIGHEST "Round-N window" heading, then take the first
+    # "Left outside ..." block after it.
+    headings = [
+        (int(n), m.end())
+        for n, m in (
+            (m.group(1), m)
+            for m in re.finditer(r"Round-(\d+) window", src)
+        )
+    ]
+    assert headings, "no 'Round-N window' heading found"
+    _, start = max(headings)
     m = re.search(
-        r"Left outside at staleness 2.*?capacity check", src, re.DOTALL
+        r"Left outside at staleness 2.*?capacity check",
+        src[start:],
+        re.DOTALL,
     )
-    assert m, "current leave-out comment block not found"
+    assert m, (
+        "current round's leave-out comment block not found after the "
+        "highest 'Round-N window' heading"
+    )
     comment_names = set(re.findall(r"[a-z0-9_]+", m.group(0)))
     missing = [n for n in next_mandatory if n not in comment_names]
     assert not missing, (
-        f"next round's mandatory leads missing from the CURRENT "
-        f"leave-out comment block: {missing}"
+        "ROTATION PENDING — this failure is the designed r(N+1) "
+        "first-commit trigger, not a code regression: the driver's "
+        "newest CORRECTNESS artifact has landed and the staleness rule "
+        "now makes these rows mandatory next-window leads, but the "
+        "current leave-out comment block doesn't name them. Fix: "
+        "rotate _PRIORITY in syncquill_spark/plans/__init__.py (the "
+        "staleness-2 cohort first, then 8 fill) and write the new "
+        f"round's window comment naming: {missing}"
     )
