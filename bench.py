@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -31,6 +32,30 @@ from syncquill_spark.plans import QUERIES
 # alphabetical order makes per-query numbers position-stable across
 # rounds; totals are unaffected.
 HEADLINE = sorted(QUERIES)
+
+
+def _side_file_names(tag: str) -> list[str]:
+    """Which side files this run writes (last entry is the one the
+    compact stdout line points at). Tagged (builder) runs write
+    BENCH_local_latest.json + the round-stamped copy; untagged runs —
+    the driver's post-round rerun — write ONLY
+    BENCH_local_untagged.json (round-12 verdict #6: the rerun used to
+    overwrite BENCH_local_latest.json, shadowing the committed final's
+    on-disk twin). The tag is validated against [A-Za-z0-9._-]+
+    (ADVICE r12: unsanitized, a tag containing '/' or '..' writes
+    outside the repo); an invalid tag is warned about and treated as
+    unset."""
+    tag = tag.strip()
+    if tag and not re.fullmatch(r"[A-Za-z0-9._-]+", tag):
+        print(
+            f"bench: ignoring invalid SPARK_GRAFT_BENCH_TAG {tag!r} "
+            "(must match [A-Za-z0-9._-]+)",
+            file=sys.stderr,
+        )
+        tag = ""
+    if tag:
+        return ["BENCH_local_latest.json", f"BENCH_local_{tag}.json"]
+    return ["BENCH_local_untagged.json"]
 
 
 def main() -> None:
@@ -132,7 +157,14 @@ def main() -> None:
     # been unparseable since r05. The compact line below stays well
     # under the capture window and sits at the very end of stdout, so
     # it always survives whole; the complete per-query map remains on
-    # the first line here and in BENCH_local_latest.json.
+    # the first line here and in the side file named below.
+    #
+    # Full per-query record to a STABLE side file (round-7 verdict #8):
+    # the driver's BENCH_r{N} artifact keeps only a truncated tail of
+    # stdout, so cross-round per-query comparison depended on tail
+    # overlap. The side file always carries the complete timing map;
+    # naming policy (tagged vs untagged) in _side_file_names.
+    names = _side_file_names(os.environ.get("SPARK_GRAFT_BENCH_TAG", ""))
     print(json.dumps(summary))
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
@@ -144,28 +176,13 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": summary["sf"],
         "slowest10": slowest,
-        "full_map": "BENCH_local_latest.json",
+        "full_map": names[-1],
     }
     if errors:
         compact["n_errors"] = len(errors)
     print(json.dumps(compact))
-    # Full per-query record to a STABLE side file (round-7 verdict #8):
-    # the driver's BENCH_r{N} artifact keeps only a truncated tail of
-    # stdout, so cross-round per-query comparison depended on tail
-    # overlap. This file always carries the complete timing map.
-    #
-    # Round-stamped copy (round-11 verdict #6): the driver's post-round
-    # rerun overwrites BENCH_local_latest.json in the working tree,
-    # shadowing the builder's committed final numbers on disk. The
-    # builder tags its runs (SPARK_GRAFT_BENCH_TAG=r12_pre /
-    # r12_final); the driver's bare invocation sets no tag and so can
-    # never touch a stamped file.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        names = ["BENCH_local_latest.json"]
-        tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "").strip()
-        if tag:
-            names.append(f"BENCH_local_{tag}.json")
         for name in names:
             with open(os.path.join(here, name), "w") as fh:
                 json.dump(summary, fh, indent=1)

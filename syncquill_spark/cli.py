@@ -105,6 +105,12 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--mode", choices=["keyed", "positional"], default="keyed")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument(
+        "--strict", action="store_true",
+        help="exit 1 (instead of the reference-parity exit 0) when "
+        "sync/upsert aborts on a validation error, so scripts can "
+        "distinguish a failed sync from a clean one",
+    )
+    p.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
         help="fixture dir for the `query` action (env: SPARK_GRAFT_SF_DIR)",
@@ -313,9 +319,11 @@ def main(argv: list[str] | None = None) -> int:
         # PRINTS the "Error: ..." message to stdout and exits cleanly
         # (the reference calls exit(0)) — the message is the contract,
         # not a traceback. Library callers still get the raised
-        # ValidationError; only the CLI flattens it.
+        # ValidationError; only the CLI flattens it. ADVICE r12:
+        # --strict opts into exit 1 so scripts can tell a failed sync
+        # from a clean one; parity stays the default.
         print(exc)
-        return 0
+        return 1 if args.strict else 0
     return 0
 
 

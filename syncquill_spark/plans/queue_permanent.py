@@ -436,11 +436,30 @@ SELECT c.doc_id, c.lang FROM canon c JOIN keep USING (doc_id)
 # 1-deletion twin, a 1-insertion twin (dist 2 to the deletion twin),
 # a same-first/shifted-last variant, a shifted-first/same-last
 # variant, a stopword-prefixed variant ('the ...' — its token df is
-# the CELL COUNT, blowing past max_token_df=20, so the hub cap
-# provably fires AND its +4-char prefix exercises the length
-# prefilter), and a single-token unique name (no pairs by the stated
-# recall contract).
+# the CELL COUNT, blowing past the df cap, so the hub cap provably
+# fires AND its +4-char prefix exercises the length prefilter), and a
+# single-token unique name (no pairs by the stated recall contract).
+#
+# The df cap SCALES with the fixture (ADVICE r12): at a fixed cap of
+# 20 the design only held below ~3400 docs — at the 5000-doc sf0.1
+# documents table every plain fn/ln blocking token reaches df 32-42
+# (ln<k> appears ~6x per owning cell-chain: m=0,1,2,4,5 of its own
+# cell + m=3 of the previous; fn<k> ~4x), so ALL planted twins were
+# silently capped and output came only from accidental 'fn<i>x'/
+# truncated-token blocks (cross-engine parity held; the planted-
+# structure claim didn't). Both engines now derive the cap from the
+# same arithmetic on the same table — max(20, 6*cells//_LN_MOD + 4):
+# 6*cells//_LN_MOD is the worst-case planted-token df, +4 is boundary
+# slack; 'the' (df = cells) still exceeds it for any cells > ~5, so
+# the hub-cap demonstration survives every scale. At 500-doc fixtures
+# (sf0.001/0.01) the computed cap is the floor 20 — the pinned
+# fingerprints there are unchanged.
 _FN_MOD, _LN_MOD, _NAME_CELL, _NAME_MAXDF = 89, 101, 7, 20
+
+
+def _name_maxdf(n_docs: int) -> int:
+    cells = n_docs // _NAME_CELL + 1
+    return max(_NAME_MAXDF, 6 * cells // _LN_MOD + 4)
 
 
 def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,10 +471,13 @@ def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays block-then-verify in SQL on the same derived names.
     Unit/hypothesis pins for the operator live in tests/test_dedup.py
     (planted Zipf catalog, tools/name_catalog.py); this pair adds the
-    missing cross-engine fingerprint."""
+    missing cross-engine fingerprint. The df cap scales with the
+    fixture's cell count (see _name_maxdf) so the planted twins
+    survive blocking at every SF, not just the 500-doc fixtures."""
     from syncquill_spark.operators.dedup import fuzzy_name_pairs
 
     (documents,) = load_tables(spark, sf_dir, "documents")
+    maxdf = _name_maxdf(documents.count())
     cell = F.expr(f"doc_id div {_NAME_CELL}")
     m = F.col("doc_id") % _NAME_CELL
     f = F.concat(F.lit("fn"), (cell % _FN_MOD).cast("string"))
@@ -476,7 +498,7 @@ def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_pairs(
         documents.select("doc_id", name.alias("name")),
         max_dist=2,
-        max_token_df=_NAME_MAXDF,
+        max_token_df=maxdf,
     )
 
 
@@ -508,7 +530,13 @@ toks AS (
   ) WHERE tok <> ''
 ),
 rare AS (
-  SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= {_NAME_MAXDF}
+  -- df cap scales with the fixture: same arithmetic as _name_maxdf
+  SELECT tok FROM toks GROUP BY tok
+  HAVING COUNT(*) <= (
+    SELECT GREATEST({_NAME_MAXDF},
+                    6 * (COUNT(*) // {_NAME_CELL} + 1) // {_LN_MOD} + 4)
+    FROM documents
+  )
 ),
 capped AS (
   SELECT t.id, t.tok FROM toks t JOIN rare USING (tok)

@@ -144,3 +144,10 @@ def test_cli_sync_validation_error_prints_and_exits_clean(spark, tmp_path, capsy
     assert main(["sync", "--source", f"parquet:{src}", "--target", f"parquet:{tgt}"]) == 0
     out = capsys.readouterr().out
     assert "Error: Missing 'slno' column in header" in out
+    # --strict (ADVICE r12): same message, exit 1, so scripts can tell
+    # a failed sync from a clean one; parity exit 0 stays the default.
+    assert main([
+        "sync", "--strict",
+        "--source", f"parquet:{src}", "--target", f"parquet:{tgt}",
+    ]) == 1
+    assert "Error: Missing 'slno' column in header" in capsys.readouterr().out
