@@ -1,5 +1,5 @@
-"""The r12 64x scale ladder — reproduces every round-12 SCALE.md
-table (r11 verdict #7 and the follow-ups it triggered).
+"""The 64x scale ladder — reproduces the SCALE.md 64x tables
+(r11 verdict #7 and the follow-ups it triggered; extended r13).
 
 Reuses scale_probe's corpus/embedding replication and measurement
 discipline (clearCache + driver GC per probe, per-replica token
@@ -15,10 +15,26 @@ only pins the m=1/8/64 ladder and the knob variants the tables cite:
 - ANN: topk_lsh, fixed-16-cells IVF (the linear-candidates control)
   and sqrt(n)-scaled cells (the build-once/serve-many knob; the
   one-shot probe honestly shows O(n*cells) assignment dominating —
-  SCALE.md explains).
+  SCALE.md explains);
+- text64 (r13, r12 verdict #3): the text/curation families previously
+  pinned only to 8x — cross-doc line dedup (the one text-sized
+  rebuild groupBy), the bracketed two-pass stratified order statistic
+  (quality_pctl), and the BM25 index BUILD (build + Hive-partitioned
+  save, the storage_bm25_index lifecycle's expensive half);
+- serve (r13, r12 verdict #4): the sqrt-cells story's positive half —
+  build the IVF-PQ index ONCE per corpus size (paying the O(n*cells)
+  assignment), persist it cell-partitioned, then time SERVING a fixed
+  query batch from the loaded parts: serve wall must grow with
+  probed-cell volume (nprobe*n/cells ~ sqrt(n)), not the corpus;
+- bpe (r13, r12 verdict #7): BPE train at 1/8/64 with the
+  per-iteration wall split out via an n_merges sweep (10/20/40) —
+  the merges-bound claim is slope(t, n_merges) flat-ish in m while
+  the one corpus pass (word_freqs) scales ~m.
 
-Usage: python tools/ladder64.py [sf_dir] [--families=dedup,simhash,docs,ann]
-Prints one JSON line per (operator, m).
+Usage: python tools/ladder64.py [sf_dir]
+           [--families=dedup,simhash,docs,ann,text64,serve,bpe]
+Prints one JSON line per (operator, m). Default families are the r12
+set (dedup,simhash,docs,ann); the r13 additions run opt-in.
 """
 
 from __future__ import annotations
@@ -129,6 +145,126 @@ def main() -> None:
             for name, fn in ops.items():
                 secs, rows = probe(name, fn, emb)
                 emit(name, m, secs, rows)
+
+    if "text64" in families:
+        import shutil
+        import tempfile
+        import time
+
+        from syncquill_spark.operators.text import build_bm25_index
+        from syncquill_spark.sources.index_store import (
+            load_index,
+            save_index,
+        )
+        from tools.scale_probe import _lines_drop, _quality_pctl
+
+        for m in LADDER:
+            corpus = scaled_corpus(spark, sf_dir, m)
+            for name, fn in (
+                ("lines_dedup_drop", _lines_drop),
+                ("quality_pctl", _quality_pctl),
+            ):
+                secs, rows = probe(name, fn, corpus)
+                emit(name, m, secs, rows)
+            # BM25 index BUILD: tokenize + 4 part aggregations + the
+            # Hive-partitioned (term_bucket) atomic save — the real
+            # lifecycle cost, not just the plan. Rows = postings size
+            # read back from the stored part.
+            tmp = tempfile.mkdtemp(prefix="ladder_bm25_")
+            try:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                idx = build_bm25_index(corpus)
+                save_index(
+                    f"{tmp}/bm25",
+                    _partition_by={"postings": ["term_bucket"]},
+                    **idx,
+                )
+                build_s = time.time() - t0
+                rows = load_index(spark, f"{tmp}/bm25")["postings"].count()
+                emit("bm25_build_save", m, build_s, rows)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+    if "serve" in families:
+        import shutil
+        import tempfile
+        import time
+
+        from syncquill_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_topk_from_index,
+        )
+        from syncquill_spark.sources.index_store import (
+            load_index,
+            save_index,
+        )
+
+        base_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        for m in LADDER:
+            emb = scaled_embeddings(spark, sf_dir, m)
+            queries = emb.filter(
+                (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < ID_OFFSET)
+            ).select(F.col("vec_id").alias("query_id"), "embedding")
+            n = base_n * m
+            cells = max(16, 2 ** int(round(math.log2(math.sqrt(n)))))
+            tmp = tempfile.mkdtemp(prefix="ladder_serve_")
+            try:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                idx = ivfpq_build_index(emb, n_cells=cells)
+                save_index(
+                    f"{tmp}/ivfpq",
+                    _partition_by={"codes": ["cell_id"]},
+                    **idx,
+                )
+                build_s = time.time() - t0
+                emit(f"ivfpq_build_cells{cells}", m, build_s, n)
+                loaded = load_index(spark, f"{tmp}/ivfpq")
+                # two timed serves: first pays plan compile, second is
+                # the steady per-batch cost the claim is about
+                for tag in ("cold", "warm"):
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    rows = ivfpq_topk_from_index(
+                        queries, loaded, k=10, nprobe=4
+                    ).count()
+                    emit(
+                        f"ivfpq_serve_{tag}_cells{cells}",
+                        m,
+                        time.time() - t0,
+                        rows,
+                    )
+                # probed-cell volume: the serve-side work driver —
+                # nprobe/cells of the corpus's code rows per query
+                emit(
+                    f"ivfpq_probed_rows_per_query_cells{cells}",
+                    m,
+                    0.0,
+                    int(4 * n / cells) * 8,  # nprobe * n/cells * m_sub
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+    if "bpe" in families:
+        from syncquill_spark.operators.bpe import train_bpe, word_freqs
+
+        for m in LADDER:
+            corpus = scaled_corpus(spark, sf_dir, m)
+            secs, rows = probe(
+                "bpe_wordfreqs", lambda c: word_freqs(c), corpus
+            )
+            emit("bpe_wordfreqs", m, secs, rows)
+            for nm in (10, 20, 40):
+                secs, rows = probe(
+                    f"bpe_train{nm}",
+                    lambda c, _n=nm: train_bpe(c, n_merges=_n)[1],
+                    corpus,
+                )
+                emit(f"bpe_train{nm}", m, secs, rows)
 
 
 if __name__ == "__main__":
