@@ -249,6 +249,128 @@ def main() -> None:
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
 
+    if "more64" in families:
+        # the remaining 8x-only corpus families (r13, beyond the
+        # verdict's named three): tf-idf's corpus df join, the
+        # bigram-LM c12 scoring join under Zipfian skew, the span
+        # decontamination composition, the classifier gate, and the
+        # fuzzy-linkage catalog probes
+        from tools.name_catalog import synth_name_catalog
+        from tools.scale_probe import (
+            _bigram_gate,
+            _bigram_lm,
+            _clf_gate,
+            _remove_spans_probe,
+            _tfidf_terms,
+        )
+
+        from syncquill_spark.operators.dedup import fuzzy_name_pairs
+
+        for m in LADDER:
+            corpus = scaled_corpus(spark, sf_dir, m)
+            for name, fn in (
+                ("tfidf_terms", _tfidf_terms),
+                ("bigram_lm", _bigram_lm),
+                ("bigram_gate", _bigram_gate),
+                ("remove_spans", _remove_spans_probe),
+                ("clf_gate", _clf_gate),
+                (
+                    "fuzzy_pairs",
+                    lambda c: fuzzy_name_pairs(
+                        synth_name_catalog(c.select("doc_id")),
+                        name_col="name",
+                        max_dist=2,
+                    ),
+                ),
+            ):
+                secs, rows = probe(name, fn, corpus)
+                emit(name, m, secs, rows)
+
+    if "serve2" in families:
+        import shutil
+        import tempfile
+        import time
+
+        from syncquill_spark.operators.text import (
+            bm25_from_index,
+            build_bm25_index,
+        )
+        from syncquill_spark.sources.index_store import (
+            load_index,
+            save_index,
+        )
+
+        # BM25 serve-from-persisted-index vs corpus size: postings are
+        # Hive-partitioned by term_bucket, so a fixed 4-term query
+        # reads only its <=4 buckets' files — serve wall should grow
+        # with bucket-file volume (~corpus/n_buckets), far below the
+        # corpus itself. Query terms are the registry row's; replicas
+        # tag-suffix their tokens, so matches stay in the base replica
+        # while bucket files still grow ~m (the pruning is what's
+        # under test, not the match count).
+        terms = ("spark", "hash", "merge", "window")
+        for m in LADDER:
+            corpus = scaled_corpus(spark, sf_dir, m)
+            tmp = tempfile.mkdtemp(prefix="ladder_bm25s_")
+            try:
+                idx = build_bm25_index(corpus)
+                save_index(
+                    f"{tmp}/bm25",
+                    _partition_by={"postings": ["term_bucket"]},
+                    **idx,
+                )
+                loaded = load_index(spark, f"{tmp}/bm25")
+                for tag in ("cold", "warm"):
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    rows = bm25_from_index(loaded, terms).count()
+                    emit(f"bm25_serve_{tag}", m, time.time() - t0, rows)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        # IVF-PQ serve vs QUERY BATCH size at the 64x corpus: per-batch
+        # cost should be ~linear in queries over a fixed floor (the
+        # probed-cell scan) — the other axis of the serve story.
+        from syncquill_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_topk_from_index,
+        )
+
+        base_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        m = 64
+        emb = scaled_embeddings(spark, sf_dir, m)
+        n = base_n * m
+        cells = max(16, 2 ** int(round(math.log2(math.sqrt(n)))))
+        tmp = tempfile.mkdtemp(prefix="ladder_srvq_")
+        try:
+            idx = ivfpq_build_index(emb, n_cells=cells)
+            save_index(
+                f"{tmp}/ivfpq", _partition_by={"codes": ["cell_id"]}, **idx
+            )
+            loaded = load_index(spark, f"{tmp}/ivfpq")
+            for mod in (40, 8, 1):  # 50 / 250 / 2000 queries
+                queries = emb.filter(
+                    (F.col("vec_id") % mod == 0)
+                    & (F.col("vec_id") < ID_OFFSET)
+                ).select(F.col("vec_id").alias("query_id"), "embedding")
+                nq = queries.count()
+                for tag in ("cold", "warm"):
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    rows = ivfpq_topk_from_index(
+                        queries, loaded, k=10, nprobe=4
+                    ).count()
+                    emit(
+                        f"ivfpq_serve_{tag}_q{nq}_cells{cells}",
+                        m,
+                        time.time() - t0,
+                        rows,
+                    )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     if "bpe" in families:
         from syncquill_spark.operators.bpe import train_bpe, word_freqs
 
