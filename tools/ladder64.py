@@ -29,10 +29,22 @@ only pins the m=1/8/64 ladder and the knob variants the tables cite:
 - bpe (r13, r12 verdict #7): BPE train at 1/8/64 with the
   per-iteration wall split out via an n_merges sweep (10/20/40) —
   the merges-bound claim is slope(t, n_merges) flat-ish in m while
-  the one corpus pass (word_freqs) scales ~m.
+  the one corpus pass (word_freqs) scales ~m;
+- stream (r13): the streaming ingest gates' scale claim — a FIXED
+  batch gated against a PERSISTED index built over a 1/8/64x corpus
+  (exact sha anti-join, MinHash band gate, SimHash band gate,
+  SRP vector gate). Batch texts/vectors come verbatim (or one-token
+  modified) from the BASE replica, so gate output is CONSTANT while
+  the index grows — gate wall must track the batch + its matches,
+  never the corpus; the one-time build walls (~corpus-sized) are
+  emitted alongside for contrast;
+- deep512 (r13): the 512x decade — m = 8/64/512 (2.56M docs at 512x)
+  for the headline corpus-wall families (minhash_lsh, winnow_pairs,
+  ngram+CC composition), hunting any super-linear term two full
+  decades above the test fixture.
 
 Usage: python tools/ladder64.py [sf_dir]
-           [--families=dedup,simhash,docs,ann,text64,serve,bpe]
+           [--families=dedup,simhash,docs,ann,text64,serve,bpe,stream,deep512]
 Prints one JSON line per (operator, m). Default families are the r12
 set (dedup,simhash,docs,ann); the r13 additions run opt-in.
 """
@@ -369,6 +381,185 @@ def main() -> None:
                         rows,
                     )
         finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    if "stream" in families:
+        import shutil
+        import tempfile
+        import time
+
+        from syncquill_spark.sources.index_store import (
+            load_index,
+            save_index,
+        )
+        from syncquill_spark.streaming.text_dedup import (
+            build_simhash_index,
+            build_text_hash_index,
+            build_text_minhash_index,
+            simhash_matches_against,
+            stream_drop_seen_text,
+            text_near_dups_against_index,
+        )
+        from syncquill_spark.streaming.vector_dedup import (
+            build_embedding_index,
+            stream_embedding_near_dups,
+        )
+
+        BATCH_OFFSET = 99 * ID_OFFSET
+
+        def _gate(name, m, fn, batch):
+            # serve-style timing: clearCache drops the persisted batch,
+            # so re-pin it (a microbatch arrives materialized — its
+            # read is not the cost under test), then time the gate.
+            for tag in ("cold", "warm"):
+                spark.catalog.clearCache()
+                batch.persist()
+                batch.count()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                rows = fn().count()
+                emit(f"{name}_{tag}", m, time.time() - t0, rows)
+
+        base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # fixed 1,000-doc batch from the BASE replica: half verbatim
+        # (exact + near-dup hits), half with one appended token
+        # (near-dup hits only). Replica tokens are tag-suffixed, so
+        # every match lands in the base replica — output constant in m.
+        batch = base_docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + BATCH_OFFSET).alias("doc_id"),
+            F.when(F.col("doc_id") % 10 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" ladderprobe")))
+            .alias("text"),
+            "lang",
+            "source",
+        )
+        for m in LADDER:
+            corpus = scaled_corpus(spark, sf_dir, m)
+            tmp = tempfile.mkdtemp(prefix="ladder_gate_")
+            try:
+                t0 = time.time()
+                save_index(f"{tmp}/exact", sha=build_text_hash_index(corpus))
+                emit("gate_exact_build", m, time.time() - t0, 0)
+                t0 = time.time()
+                keys, sh = build_text_minhash_index(corpus)
+                save_index(f"{tmp}/minhash", keys=keys, shingles=sh)
+                emit("gate_minhash_build", m, time.time() - t0, 0)
+                t0 = time.time()
+                save_index(
+                    f"{tmp}/simhash",
+                    fps=build_simhash_index(corpus, bits=60),
+                )
+                emit("gate_simhash_build", m, time.time() - t0, 0)
+
+                exact_idx = load_index(spark, f"{tmp}/exact")["sha"]
+                mh = load_index(spark, f"{tmp}/minhash")
+                sh_idx = load_index(spark, f"{tmp}/simhash")["fps"]
+                _gate(
+                    "gate_exact",
+                    m,
+                    lambda: stream_drop_seen_text(batch, exact_idx),
+                    batch,
+                )
+                _gate(
+                    "gate_minhash",
+                    m,
+                    lambda: text_near_dups_against_index(
+                        batch, mh["keys"], mh["shingles"], threshold=0.5
+                    ),
+                    batch,
+                )
+                _gate(
+                    "gate_simhash",
+                    m,
+                    lambda: simhash_matches_against(
+                        batch, sh_idx, bits=60, max_hamming=3
+                    ),
+                    batch,
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        # vector gate: fixed 500-vector batch, verbatim base-replica
+        # embeddings under new ids — exact self-matches at cos 1.0;
+        # sign-flipped replicas decorrelate, so matches stay constant.
+        # planes_per_band=12 per SCALE.md probe finding #1 (bucket
+        # count must scale with the corpus), threshold 0.55 per #2.
+        base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        vec_batch = base_emb.filter(F.col("vec_id") % 4 == 0).select(
+            (F.col("vec_id") + BATCH_OFFSET).alias("vec_id"),
+            "embedding",
+        )
+        for m in LADDER:
+            emb = scaled_embeddings(spark, sf_dir, m)
+            tmp = tempfile.mkdtemp(prefix="ladder_vgate_")
+            try:
+                t0 = time.time()
+                vkeys, vvecs = build_embedding_index(
+                    emb, bands=4, planes_per_band=12
+                )
+                save_index(f"{tmp}/vec", keys=vkeys, vecs=vvecs)
+                emit("gate_vector_build", m, time.time() - t0, 0)
+                vidx = load_index(spark, f"{tmp}/vec")
+                _gate(
+                    "gate_vector",
+                    m,
+                    lambda: stream_embedding_near_dups(
+                        vec_batch,
+                        vidx["keys"],
+                        vidx["vecs"],
+                        threshold=0.55,
+                        bands=4,
+                        planes_per_band=12,
+                    ).dropDuplicates(["stream_id", "corpus_id"]),
+                    vec_batch,
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+    if "deep512" in families:
+        # two full decades above the fixture: does any super-linear
+        # term hide beyond 64x? Headline corpus-wall families only —
+        # at 512x the corpus is 2.56M docs and a single probe is
+        # minutes, so this family is deliberately narrow.
+        #
+        # Unlike the 64x tables, the scaled corpus is MATERIALIZED to
+        # parquet first and the probe reads it back: at 512 replicas
+        # the fixture's union plan (512 scan branches + per-branch
+        # regexp) costs more driver/plan time than the operator under
+        # test (measured: minhash over 25k docs read 95s from the
+        # 512-way union vs seconds from a scan), and a real corpus is
+        # a parquet scan, not a 512-way union. Applied at every m in
+        # this family so the decade ratios stay like-for-like.
+        import shutil
+        import tempfile
+
+        for m in (8, 64, 512):
+            tmp = tempfile.mkdtemp(prefix="ladder_deep_")
+            scaled_corpus(spark, sf_dir, m).write.mode("overwrite").parquet(
+                f"{tmp}/corpus"
+            )
+            corpus = spark.read.parquet(f"{tmp}/corpus")
+            for name, fn in (
+                (
+                    "minhash_lsh",
+                    lambda c: minhash_lsh_pairs(c, k=3, threshold=0.2),
+                ),
+                ("winnow_pairs", _winnow_pairs),
+                (
+                    "dedup_clusters",
+                    lambda c: connected_components(
+                        ngram_jaccard_pairs(
+                            c,
+                            k=3,
+                            threshold=0.2,
+                            block_cols=("lang",),
+                            length_band=64,
+                        )
+                    ),
+                ),
+            ):
+                secs, rows = probe(name, fn, corpus)
+                emit(name, m, secs, rows)
             shutil.rmtree(tmp, ignore_errors=True)
 
     if "bpe" in families:
