@@ -41,10 +41,20 @@ only pins the m=1/8/64 ladder and the knob variants the tables cite:
 - deep512 (r13): the 512x decade — m = 8/64/512 (2.56M docs at 512x)
   for the headline corpus-wall families (minhash_lsh, winnow_pairs,
   ngram+CC composition), hunting any super-linear term two full
-  decades above the test fixture.
+  decades above the test fixture;
+- skew (r13): the skew-mitigation ladder — a fact table with ONE
+  planted hot key holding ~50% of all rows, joined to a 1,000-key
+  dim under four configs: session defaults (AQE broadcasts the dim —
+  skew never materializes, the first-line answer), broadcast
+  suppressed + AQE skew split (the 100 TB simulation: a dim too big
+  to broadcast), broadcast + AQE both off (the naive straggler), and
+  operators/skew.salted_join under the same suppression (the
+  explicit fallback). Plus plain-vs-salted_agg on the same hot key
+  (expected ~equal: map-side combine already de-skews decomposable
+  aggs — the docstring's claim, probed as a negative).
 
 Usage: python tools/ladder64.py [sf_dir]
-           [--families=dedup,simhash,docs,ann,text64,serve,bpe,stream,deep512]
+    [--families=dedup,simhash,docs,ann,text64,serve,bpe,stream,deep512,skew]
 Prints one JSON line per (operator, m). Default families are the r12
 set (dedup,simhash,docs,ann); the r13 additions run opt-in.
 """
@@ -561,6 +571,160 @@ def main() -> None:
                 secs, rows = probe(name, fn, corpus)
                 emit(name, m, secs, rows)
             shutil.rmtree(tmp, ignore_errors=True)
+
+    if "skew" in families:
+        import shutil
+        import tempfile
+        import time
+
+        from syncquill_spark.operators.skew import salted_agg, salted_join
+
+        def _timed(name, m, fn):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            rows = fn().count()
+            emit(name, m, time.time() - t0, rows)
+            return rows
+
+        for m in (8, 64):
+            tmp = tempfile.mkdtemp(prefix="ladder_skew_")
+            try:
+                # fact = one row per token; 90% of rows get the hot
+                # key 0 (carrying the token string as payload so the
+                # hot shuffle partition crosses AQE's 256 MB skew
+                # threshold), the rest spread over 1,000 keys.
+                # Materialized to parquet so every config times the
+                # JOIN, not the explode. Dim rows are unique per key,
+                # so join output == fact rows in every config
+                # (routing-only parity).
+                corpus = scaled_corpus(spark, sf_dir, m)
+                corpus.select(
+                    F.explode(F.split("text", r"\s+")).alias("tok"),
+                    "doc_id",
+                ).select(
+                    F.when(
+                        F.pmod(F.xxhash64("tok", "doc_id"), F.lit(10)) < 9,
+                        F.lit(0),
+                    )
+                    .otherwise(F.pmod(F.xxhash64("tok"), F.lit(1000)))
+                    .cast("long")
+                    .alias("k"),
+                    F.col("doc_id").alias("payload"),
+                    F.col("tok").alias("payload_s"),
+                ).write.mode("overwrite").parquet(f"{tmp}/fact")
+                fact = spark.read.parquet(f"{tmp}/fact")
+                dim = spark.range(1000).select(
+                    F.col("id").alias("k"), (F.col("id") * 7).alias("dim_val")
+                )
+                conf = spark.conf
+                base_thresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+                counts = set()
+                try:
+                    # A: session defaults — AQE broadcasts the dim
+                    counts.add(
+                        _timed(
+                            "skewjoin_defaults",
+                            m,
+                            lambda: fact.join(dim, "k"),
+                        )
+                    )
+                    # B: dim too big to broadcast (100 TB simulation),
+                    # AQE skew split on at DEFAULT thresholds
+                    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                    counts.add(
+                        _timed(
+                            "skewjoin_noBcast_aqe",
+                            m,
+                            lambda: fact.join(dim, "k"),
+                        )
+                    )
+                    # B2: AQE with skew thresholds scaled to the
+                    # fixture's POST-COMPRESSION bytes. AQE's skew
+                    # detector keys on compressed shuffle-partition
+                    # bytes: this fixture's 15.6M-row hot partition
+                    # lz4-compresses to ~2 MiB (repetitive tokens), so
+                    # the 256 MB default — and any threshold above
+                    # ~2 MB — never fires even though the partition is
+                    # row/CPU-skewed. At 1 MB/512 KB the split
+                    # demonstrably triggers.
+                    conf.set(
+                        "spark.sql.adaptive.skewJoin."
+                        "skewedPartitionThresholdInBytes",
+                        "1MB",
+                    )
+                    conf.set(
+                        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                        "512KB",
+                    )
+                    counts.add(
+                        _timed(
+                            "skewjoin_noBcast_aqeTuned",
+                            m,
+                            lambda: fact.join(dim, "k"),
+                        )
+                    )
+                    conf.unset(
+                        "spark.sql.adaptive.skewJoin."
+                        "skewedPartitionThresholdInBytes"
+                    )
+                    conf.unset(
+                        "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+                    )
+                    # C: the naive straggler — no broadcast, no AQE
+                    conf.set("spark.sql.adaptive.enabled", "false")
+                    counts.add(
+                        _timed(
+                            "skewjoin_noBcast_noAqe",
+                            m,
+                            lambda: fact.join(dim, "k"),
+                        )
+                    )
+                    # D: explicit salting under the same suppression
+                    counts.add(
+                        _timed(
+                            "skewjoin_salted_noAqe",
+                            m,
+                            lambda: salted_join(
+                                fact, dim, "k", salt_factor=32
+                            ),
+                        )
+                    )
+                    # agg: plain vs salted two-phase on the hot key,
+                    # AQE still off — expected ~equal (map-side
+                    # combine de-skews decomposable aggs on its own)
+                    _timed(
+                        "skewagg_plain_noAqe",
+                        m,
+                        lambda: fact.groupBy("k").agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.sum("payload").alias("s"),
+                        ),
+                    )
+                    _timed(
+                        "skewagg_salted_noAqe",
+                        m,
+                        lambda: salted_agg(
+                            fact,
+                            "k",
+                            {
+                                "n": (F.count(F.lit(1)), "count"),
+                                "s": (F.sum("payload"), "sum"),
+                            },
+                            salt_factor=32,
+                        ),
+                    )
+                finally:
+                    conf.set("spark.sql.adaptive.enabled", "true")
+                    conf.set(
+                        "spark.sql.autoBroadcastJoinThreshold", base_thresh
+                    )
+                if len(counts) != 1:
+                    raise AssertionError(
+                        f"skew join configs disagree on output rows: {counts}"
+                    )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
 
     if "bpe" in families:
         from syncquill_spark.operators.bpe import train_bpe, word_freqs
