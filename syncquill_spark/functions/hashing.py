@@ -52,7 +52,19 @@ def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     evaluation has no subexpression sharing, so inlining the split here
     re-runs it k+1 times (and transform-over-positions re-ran it once
     per shingle, ~n times, before the k-way zip_with form below).
+
+    ``k`` is bounded at 64: the k-way zip_with nests one level per k,
+    and Catalyst's converter/analyzer recurses per level — measured on
+    Spark 4.1, k=128 dies at plan BUILD (max-depth RuntimeError) and
+    k=10,000 with a JVM StackOverflowError, both before any data is
+    read. 64 compiles and runs fine and is far beyond any real
+    shingle size (found by the r13 boundary battery).
     """
+    if not 1 <= k <= 64:
+        raise ValueError(
+            f"shingle size k={k} out of range 1..64 — the k-way zip_with"
+            " plan nests per k and Catalyst overflows past ~64"
+        )
     m = F.greatest(F.size(toks) - (k - 1), F.lit(0))  # shingle count
     out = F.slice(toks, 1, m)
     for j in range(1, k):
@@ -60,6 +72,22 @@ def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
             out, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
         )
     return out
+
+
+def jaccard_verify(inter: Column, union: Column) -> Column:
+    """``inter/union`` as double, NULL when ``union`` is 0.
+
+    The LSH verify-stage guard: two EMPTY shingle sets collide in
+    every band (both carry the sentinel signature) yet have no content
+    to compare — 0/0 is undefined, and under Spark 4's default ANSI
+    mode the bare division ABORTS THE WHOLE JOB the first time a
+    corpus holds two documents shorter than k tokens. NULL matches
+    DuckDB's x/0 semantics exactly (0.0/0.0 IS NULL there), so the
+    oracle twin agrees: the pair fails ``jac >= t`` in both engines
+    and is dropped. Found by the r13 boundary battery — the minhash
+    sibling of the r12 simhash bits=64 overflow.
+    """
+    return F.when(union > 0, inter.cast("double") / union.cast("double"))
 
 
 def minhash_permutations(n_perm: int) -> list[tuple[int, int]]:

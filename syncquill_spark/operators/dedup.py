@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from syncquill_spark.operators._cache import tracked_persist
 from syncquill_spark.functions.hashing import (
     HASH_PRIME,
+    jaccard_verify,
     minhash_permutations,
     portable_hash60,
     word_shingles,
@@ -107,10 +108,19 @@ def ngram_jaccard_pairs(
     # (word_shingles_from_tokens references it k+1 times; inlined, the
     # interpreted evaluator would re-split per reference).
     band_cols = ["_band"] if length_band else []
+    # frames without a precomputed length column derive it from the
+    # text — same value (n_chars IS length(text) in this engine's
+    # loaders), so plans over the standard tables are unchanged; a
+    # bare (id, text, lang) frame no longer fails analysis
+    length_src = (
+        F.col(length_col)
+        if length_col in df.columns
+        else F.length(F.col(text_col))
+    )
     base = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        *( [ (F.col(length_col) / length_band).cast("long").alias("_band") ]
+        *( [ (length_src / length_band).cast("long").alias("_band") ]
            if length_band else [] ),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
     ).select(
@@ -333,7 +343,10 @@ def minhash_lsh_pairs(
         .select(
             "id_a",
             "id_b",
-            (inter.cast("double") / union.cast("double")).alias("jac"),
+            # NULL when both shingle sets are empty (sentinel-signature
+            # collisions) — ANSI 0/0 would abort the job; see
+            # functions.hashing.jaccard_verify
+            jaccard_verify(inter, union).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
     )
@@ -451,7 +464,10 @@ def minhash_lsh_pairs_against(
         .select(
             "id_new",
             "id_corpus",
-            (inter.cast("double") / union.cast("double")).alias("jac"),
+            # NULL on empty-vs-empty (see jaccard_verify): an empty
+            # batch doc must not crash the ingest gate against an
+            # empty corpus doc
+            jaccard_verify(inter, union).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
     )

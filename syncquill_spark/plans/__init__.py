@@ -107,25 +107,36 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    cohort independently, 42/42 match; re-derived again from
 #    CORRECTNESS_r10/r11/r12 before committing this order, set
 #    equality confirmed);
-#  - 8 staleness-1 fill (rule 2c — no registry plan is expected to
-#    change this round, so the fill purely flattens r14's mandatory
-#    load, drawn from the families this round's 64x scale probes
-#    exercise): dedup_ngram_jaccard, dedup_clusters, dedup_incremental
-#    (the ngram/minhash ladder families), curation_fuzzy_decontaminate,
-#    curation_leakage_split (their curation callers; leakage_split is
-#    also last round's run-position mover, re-greened under the new
-#    canonical bench order), curation_remove_spans,
+#  - 8 staleness-1 fill, REBALANCED mid-round when the boundary
+#    battery's ANSI-0/0 fix (jaccard_verify: sentinel-signature
+#    collisions between sub-k-token docs divided 0/0 at the minhash
+#    verify, aborting the job under Spark 4 ANSI; five sites, two
+#    modules) made the minhash callers rule-2b touched rows — the r12
+#    precedent exactly. Rule 2b first: dedup_minhash_lsh, dedup_apply
+#    (minhash_lsh_pairs callers; swapped IN for the 2c picks
+#    curation_remove_spans and text_clf_gate, which rotate out at
+#    staleness 1 and join the r14 mandatory leads), dedup_incremental,
+#    curation_fuzzy_decontaminate (minhash_lsh_pairs_against callers,
+#    already in the fill; storage_index_roundtrip and
+#    storage_index_incremental, the from-index/gate callers, are in
+#    the mandatory 42). ngram_jaccard_pairs also changed (derive the
+#    length band from text when the length column is absent) — its
+#    registry plans are expression-identical (the standard tables
+#    carry n_chars) but its callers dedup_ngram_jaccard,
+#    dedup_clusters, curation_leakage_split stay in the fill out of
+#    caution, the r12 simhash precedent. Remaining 2c:
 #    text_winnowing_spans (the span-localization story the winnowing
-#    ladder rides), text_clf_gate (the classifier gate, 8x-flat, due a
-#    fresh row).
-# Left outside at staleness 2 after this round (r11-green, untouched
-# — they MUST lead the r14 window; 42 rows): agg_cube_sales,
+#    ladder rides).
+# Left outside at staleness 2 after this round (42 r11-green rows
+# untouched, plus curation_remove_spans and text_clf_gate — r12-green
+# 2c fill picks displaced by the rule-2b rebalance above — they MUST
+# lead the r14 window; 44 rows): agg_cube_sales,
 # agg_customer_balance_stats,
 # agg_customer_distribution, agg_forecast_revenue, agg_grouping_sets,
 # agg_important_stock, agg_order_priority, agg_pivot_status,
 # agg_pricing_summary, agg_promo_revenue, agg_quantiles_status,
 # agg_status_sets, agg_supplier_part_types, curation_lm_buckets,
-# join_disjunctive_promo, join_large_orders,
+# curation_remove_spans, join_disjunctive_promo, join_large_orders,
 # join_lonely_returned_supplier, join_market_share,
 # join_min_cost_supplier, join_nation_trade, join_priority_lines,
 # join_product_profit, join_returned_items, join_revenue_by_nation,
@@ -134,11 +145,12 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # multimodal_features, multimodal_media_stats, scalar_functions,
 # setop_customers_without_orders, setop_idle_rich_customers,
 # setop_repeat_customers, storage_media_ingest_roundtrip,
-# storage_media_wav_roundtrip, subquery_exists_orders,
+# storage_media_wav_roundtrip, subquery_exists_orders, text_clf_gate,
 # text_token_stats, window_top_supplier, window_topk_orders.
-# r14 capacity check: 42 mandatory + 0 registrations (frozen) = 42,
-# leaving 8 slots for touched rows + early rotation — fits; the
-# steady-state 42 + 8 cadence holds for the third consecutive round.
+# r14 capacity check: 44 mandatory + 0 registrations (frozen) = 44,
+# leaving 6 slots for touched rows + early rotation — fits (the
+# 42 + 8 steady state resumes at r15; the 2-row bulge is the price of
+# re-verifying the ANSI-0/0 fix's callers this round).
 # The 50 r12-green rows not in this window rotate out at staleness 1.
 # Registry 142 — frozen, no change.
 #
@@ -438,13 +450,12 @@ _PRIORITY = [
     "storage_zorder_key", "text_language_id", "text_quality",
     "text_repetition", "text_tfidf_terms", "text_vocab_coverage",
     "text_winnowing", "window_moving_avg", "window_running_total",
-    # staleness-1 fill (rule 2c — no plan touches expected this round;
-    # chosen to flatten r14's mandatory load from the families the
-    # round's 64x scale probes exercise; see the round-13 window
-    # comment above).
-    "dedup_ngram_jaccard", "dedup_clusters", "dedup_incremental",
-    "curation_fuzzy_decontaminate", "curation_leakage_split",
-    "curation_remove_spans", "text_winnowing_spans", "text_clf_gate",
+    # staleness-1 fill (rebalanced mid-round: rule-2b touched rows
+    # from the jaccard_verify ANSI-0/0 fix first — see the round-13
+    # window comment above).
+    "dedup_minhash_lsh", "dedup_apply", "dedup_incremental",
+    "curation_fuzzy_decontaminate", "dedup_ngram_jaccard",
+    "dedup_clusters", "curation_leakage_split", "text_winnowing_spans",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

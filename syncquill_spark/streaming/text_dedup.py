@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from syncquill_spark.functions.hashing import jaccard_verify
+
 
 def build_text_hash_index(
     corpus: DataFrame, text_col: str = "text"
@@ -153,7 +155,9 @@ def text_near_dups_against_index(
         .select(
             "id_new",
             "id_corpus",
-            (inter.cast("double") / union.cast("double")).alias("jac"),
+            # NULL on empty-vs-empty sentinel collisions — ANSI 0/0 would
+            # abort the job; see functions.hashing.jaccard_verify
+            jaccard_verify(inter, union).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
     )
@@ -233,7 +237,9 @@ def minhash_pairs_from_index(
         .select(
             "id_a",
             "id_b",
-            (inter.cast("double") / union.cast("double")).alias("jac"),
+            # NULL on empty-vs-empty sentinel collisions — ANSI 0/0 would
+            # abort the job; see functions.hashing.jaccard_verify
+            jaccard_verify(inter, union).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
     )
@@ -274,7 +280,9 @@ def stream_text_near_dups(
         .select(
             "stream_id",
             "corpus_id",
-            (inter.cast("double") / union.cast("double")).alias("jac"),
+            # NULL on empty-vs-empty sentinel collisions — ANSI 0/0 would
+            # abort the job; see functions.hashing.jaccard_verify
+            jaccard_verify(inter, union).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
     )

@@ -545,3 +545,133 @@ def test_migrated_persists_release_between_batches(spark, docs):
 
     leaked = _persistent_rdd_ids(sc) - base_ids
     assert not leaked, f"operator persists leaked: {sorted(leaked)}"
+
+
+# ---------------------------------------------------------------------------
+# r13 boundary-battery regressions: the ANSI 0/0 sentinel-collision
+# crash (minhash sibling of the r12 simhash bits=64 overflow), the
+# zip_with k-depth plan overflow, and the n_chars schema coupling.
+# ---------------------------------------------------------------------------
+
+SHORT_ROWS = [
+    (1, "a b", "en"),                                              # < k tokens
+    (2, "c d", "en"),                                              # < k tokens
+    (3, "the quick brown fox jumps over the lazy dog", "en"),
+    (4, "the quick brown fox jumps over the lazy cat", "en"),
+]
+
+
+def test_minhash_short_docs_do_not_crash(spark):
+    """Two sub-k-token docs share the sentinel signature, collide in
+    every band, and reach the verify with EMPTY shingle sets. Before
+    the jaccard_verify guard, the 0/0 division aborted the whole job
+    under Spark 4's default ANSI mode (DIVIDE_BY_ZERO) — any real
+    corpus holds short docs, so this was a crash-in-waiting at every
+    scale. NULL jac (DuckDB's own x/0 value) drops the pair instead;
+    genuine near-dups are unaffected."""
+    docs = spark.createDataFrame(
+        SHORT_ROWS, "doc_id long, text string, lang string"
+    )
+    pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, k=3, threshold=0.5).collect()
+    )
+    assert pairs == [(3, 4)]  # no crash, no bogus empty-vs-empty pair
+
+
+def test_minhash_gates_short_docs_do_not_crash(spark):
+    """The same sentinel collision at the ingest gates: an empty batch
+    doc against a corpus holding an empty doc crashed every *_against
+    / from-index / stream-twin path; all five sites share the guard."""
+    from syncquill_spark.operators.dedup import minhash_lsh_pairs_against
+    from syncquill_spark.streaming.text_dedup import (
+        build_text_minhash_index,
+        minhash_pairs_from_index,
+        stream_text_near_dups,
+        text_near_dups_against_index,
+    )
+
+    docs = spark.createDataFrame(
+        SHORT_ROWS, "doc_id long, text string, lang string"
+    )
+    new = spark.createDataFrame(
+        [(10, "x", "en"), (11, SHORT_ROWS[2][1], "en")],
+        "doc_id long, text string, lang string",
+    )
+    expect = [(11, 3), (11, 4)]
+
+    got = sorted(
+        (r["id_new"], r["id_corpus"])
+        for r in minhash_lsh_pairs_against(new, docs, threshold=0.5).collect()
+    )
+    assert got == expect
+
+    keys, sh = build_text_minhash_index(docs)
+    got = sorted(
+        (r["id_new"], r["id_corpus"])
+        for r in text_near_dups_against_index(
+            new, keys, sh, threshold=0.5
+        ).collect()
+    )
+    assert got == expect
+
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_pairs_from_index(keys, sh, threshold=0.5).collect()
+    )
+    assert got == [(3, 4)]
+
+    got = sorted(
+        (r["stream_id"], r["corpus_id"])
+        for r in stream_text_near_dups(new, keys, sh, threshold=0.5)
+        .dropDuplicates(["stream_id", "corpus_id"])
+        .collect()
+    )
+    assert got == expect
+
+
+def test_shingle_k_bound_raises_cleanly(spark):
+    """k-way zip_with nests one plan level per k: k=128 died at plan
+    BUILD (Catalyst max-depth RuntimeError) and k=10,000 with a JVM
+    StackOverflowError — both before reading any data. The bound turns
+    that into an immediate ValueError."""
+    from syncquill_spark.functions.hashing import word_shingles_from_tokens
+
+    docs = spark.createDataFrame(
+        SHORT_ROWS, "doc_id long, text string, lang string"
+    )
+    for bad_k in (0, -1, 65, 128, 10_000):
+        with pytest.raises(ValueError, match="out of range 1..64"):
+            minhash_lsh_pairs(docs, k=bad_k)
+    # the boundary itself compiles and runs
+    import pyspark.sql.functions as F
+
+    out = docs.select(
+        word_shingles_from_tokens(
+            F.split(F.trim("text"), r"\s+"), 64
+        ).alias("s")
+    )
+    assert out.count() == 4
+
+
+def test_ngram_jaccard_derives_length_without_n_chars(spark):
+    """A bare (id, text, lang) frame used to fail analysis because the
+    default length banding hard-required an n_chars column; the length
+    now derives from the text when the column is absent — and the two
+    forms agree (n_chars IS length(text) in this engine's loaders)."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        SHORT_ROWS, "doc_id long, text string, lang string"
+    )
+    bare = sorted(
+        (r["id_a"], r["id_b"], r["jac"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    )
+    with_n = sorted(
+        (r["id_a"], r["id_b"], r["jac"])
+        for r in ngram_jaccard_pairs(
+            docs.withColumn("n_chars", F.length("text")), k=3, threshold=0.5
+        ).collect()
+    )
+    assert bare == with_n and [p[:2] for p in bare] == [(3, 4)]
