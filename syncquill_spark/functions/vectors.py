@@ -57,23 +57,111 @@ def _stack_f64(series):
     return np.stack([np.asarray(e, dtype=np.float64) for e in series])
 
 
+def _stack_f64_masked(a, b=None):
+    """(valid, xa, xb): ragged/null-tolerant stacking for the Arrow
+    kernels. valid[i] is False when row i is NULL, contains a
+    non-finite component, or (two-column form) the pair's lengths
+    differ; such rows land as zeros in the matrix and the CALLER must
+    emit NULL for them. Why each clause exists:
+
+    - NULL / length-mismatch rows made np.stack throw, ABORTING THE
+      JOB on one corrupt row (r13 boundary battery — the vector
+      sibling of the jaccard_verify 0/0 crash).
+    - non-finite rows poisoned rankings silently: Spark sorts NaN
+      ABOVE every double, so one NaN embedding would top every
+      desc-ordered top-k. NULL instead never passes a threshold
+      filter and sorts last under desc.
+
+    Shorter-than-batch-max valid pairs (both sides equal length) are
+    zero-padded; the extra +0.0 accumulation steps are IEEE no-ops, so
+    scores stay bit-identical to the per-pair fold.
+
+    Fast path: one np.stack + one vectorized isfinite scan when the
+    batch is clean (the overwhelmingly common case) — the per-row
+    Python loop runs only on batches that would previously have
+    crashed."""
+    import numpy as np
+
+    try:
+        xa = np.stack([np.asarray(e, dtype=np.float64) for e in a])
+        xb = (
+            None
+            if b is None
+            else np.stack([np.asarray(e, dtype=np.float64) for e in b])
+        )
+        if xb is None or xa.shape == xb.shape:
+            valid = np.isfinite(xa).all(axis=1)
+            if xb is not None:
+                valid &= np.isfinite(xb).all(axis=1)
+            if valid.all():
+                return valid, xa, xb
+            xa = np.where(valid[:, None], xa, 0.0)
+            if xb is not None:
+                xb = np.where(valid[:, None], xb, 0.0)
+            return valid, xa, xb
+    except (ValueError, TypeError):
+        pass
+    # slow path: per-row validity over a ragged/null-bearing batch
+    la = [None if e is None else np.asarray(e, dtype=np.float64) for e in a]
+    lb = (
+        None
+        if b is None
+        else [None if e is None else np.asarray(e, dtype=np.float64) for e in b]
+    )
+    n = len(la)
+    valid = np.zeros(n, dtype=bool)
+    for i in range(n):
+        ea = la[i]
+        if ea is None or ea.ndim != 1 or not np.isfinite(ea).all():
+            continue
+        if lb is not None:
+            eb = lb[i]
+            if (
+                eb is None
+                or eb.ndim != 1
+                or len(eb) != len(ea)
+                or not np.isfinite(eb).all()
+            ):
+                continue
+        valid[i] = True
+    dim = max((len(la[i]) for i in range(n) if valid[i]), default=0)
+    xa = np.zeros((n, dim), dtype=np.float64)
+    xb = None if lb is None else np.zeros((n, dim), dtype=np.float64)
+    for i in range(n):
+        if valid[i]:
+            xa[i, : len(la[i])] = la[i]
+            if xb is not None:
+                xb[i, : len(lb[i])] = lb[i]
+    return valid, xa, xb
+
+
+def _masked_series(values, valid):
+    """float64 pandas Series with NULL (None) at invalid rows."""
+    import pandas as pd
+
+    if valid.all():
+        return pd.Series(values)
+    out = [float(v) if ok else None for v, ok in zip(values, valid)]
+    return pd.Series(out, dtype=object)
+
+
 @pandas_udf(DoubleType())
 def dot_arrow(a, b):
     """Bit-identical Arrow replacement for `dot`: per-element product
     then LEFT-TO-RIGHT accumulation (loop over dims, vectorized over
     rows) — every rounding step matches the interpreted fold and
-    DuckDB's list_reduce. Arrays must be equal-length and null-free
-    (the fixture embeddings are)."""
+    DuckDB's list_reduce. NULL / ragged / non-finite rows yield NULL
+    (see _stack_f64_masked) instead of aborting the job."""
     import numpy as np
     import pandas as pd
 
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    xa, xb = _stack_f64(a), _stack_f64(b)
+    valid, xa, xb = _stack_f64_masked(a, b)
     acc = np.zeros(len(a), dtype=np.float64)
     for j in range(xa.shape[1]):
         acc = acc + xa[:, j] * xb[:, j]
-    return pd.Series(acc)
+    return _masked_series(acc, valid)
 
 
 @pandas_udf(DoubleType())
@@ -86,7 +174,7 @@ def cosine_similarity_arrow(a, b):
 
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    xa, xb = _stack_f64(a), _stack_f64(b)
+    valid, xa, xb = _stack_f64_masked(a, b)
     n = len(a)
     d = np.zeros(n, dtype=np.float64)
     na = np.zeros(n, dtype=np.float64)
@@ -96,7 +184,9 @@ def cosine_similarity_arrow(a, b):
         d = d + ca * cb
         na = na + ca * ca
         nb = nb + cb * cb
-    return pd.Series(d / (np.sqrt(na) * np.sqrt(nb)))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = d / (np.sqrt(na) * np.sqrt(nb))
+    return _masked_series(out, valid)
 
 
 @pandas_udf(DoubleType())
@@ -109,12 +199,12 @@ def squared_l2_arrow(a, b):
 
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    xa, xb = _stack_f64(a), _stack_f64(b)
+    valid, xa, xb = _stack_f64_masked(a, b)
     acc = np.zeros(len(a), dtype=np.float64)
     for j in range(xa.shape[1]):
         t = xa[:, j] - xb[:, j]
         acc = acc + t * t
-    return pd.Series(acc)
+    return _masked_series(acc, valid)
 
 
 @pandas_udf(ArrayType(DoubleType()))  # DataType object: a DDL string
@@ -130,14 +220,22 @@ def unit_vector_arrow(a):  #     would need an active context at import
 
     if len(a) == 0:
         return pd.Series([], dtype=object)
-    xa = _stack_f64(a)
+    valid, xa, _ = _stack_f64_masked(a)
+    lens = [None if e is None else len(e) for e in a]
     acc = np.zeros(len(a), dtype=np.float64)
     for j in range(xa.shape[1]):
         c = xa[:, j]
         acc = acc + c * c
     with np.errstate(divide="ignore", invalid="ignore"):
         u = xa / np.sqrt(acc)[:, None]
-    return pd.Series(list(u))
+    # slice each valid row back to its own length (padding is only an
+    # accumulation no-op, never an output column); invalid rows -> NULL
+    return pd.Series(
+        [
+            (u[i][: lens[i]] if valid[i] else None)
+            for i in range(len(a))
+        ]
+    )
 
 
 def max_abs(a: Column) -> Column:

@@ -153,7 +153,12 @@ def brute_force_topk(
         F.col("_score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        # NULL scores (rows whose embedding is NULL / ragged /
+        # non-finite — the kernels mask them, r13 boundary battery)
+        # are not neighbors: drop BEFORE ranking, or they'd fill
+        # trailing ranks whenever k exceeds the valid candidates
+        scored.filter(F.col("_score").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(query_id_col, "neighbor_id", "rk")
     )
@@ -240,12 +245,42 @@ def _make_sig_udf(bands: int, planes_per_band: int, dim: int):
                     "keys": pd.Series([], dtype=object),
                 }
             )
-        x = np.stack([np.asarray(e, dtype=np.float64) for e in v])
+        # NULL / wrong-length / non-finite rows get NULL fields instead
+        # of aborting the job (np.stack threw on ragged input; NaN
+        # quantizes to garbage int64) — posexplode drops NULL keys, so
+        # such rows simply never band-join (r13 boundary battery, the
+        # vector sibling of jaccard_verify)
+        rows = [None if e is None else np.asarray(e, dtype=np.float64) for e in v]
+        valid = np.array(
+            [
+                e is not None
+                and e.ndim == 1
+                and len(e) == dim
+                and bool(np.isfinite(e).all())
+                for e in rows
+            ],
+            dtype=bool,
+        )
+        x = np.zeros((n, dim), dtype=np.float64)
+        for i, e in enumerate(rows):
+            if valid[i]:
+                x[i] = e
         q = np.floor(x * float(SIG_SCALE) + 0.5).astype(np.int64)
         n2 = np.einsum("ij,ij->i", q, q)
         bits = (q @ pq.T) >= 0  # (n, P) sign pattern
         keys = bits.reshape(n, bands, planes_per_band).astype(np.int64) @ weights
-        return pd.DataFrame({"q": list(q), "n2": n2, "keys": list(keys)})
+        if valid.all():
+            return pd.DataFrame({"q": list(q), "n2": n2, "keys": list(keys)})
+        return pd.DataFrame(
+            {
+                "q": [qi if ok else None for qi, ok in zip(q, valid)],
+                "n2": pd.Series(
+                    [int(v2) if ok else None for v2, ok in zip(n2, valid)],
+                    dtype=object,
+                ),
+                "keys": [ki if ok else None for ki, ok in zip(keys, valid)],
+            }
+        )
 
     return sig
 
@@ -253,15 +288,30 @@ def _make_sig_udf(bands: int, planes_per_band: int, dim: int):
 @pandas_udf(LongType())  # DataType object: a DDL string would need an
 def _dotq(a, b):  #          active SparkContext to parse at import time
     """Exact int64 dot of two quantized vectors (one numpy pass per
-    Arrow batch). Integer sum -> order-independent -> engine-exact."""
+    Arrow batch). Integer sum -> order-independent -> engine-exact.
+    NULL / length-mismatched pairs yield NULL instead of aborting the
+    batch (np.stack threw on ragged input; r13 boundary battery)."""
     import numpy as np
     import pandas as pd
 
     if len(a) == 0:
         return pd.Series([], dtype="int64")
-    xa = np.stack([np.asarray(e, dtype=np.int64) for e in a])
-    xb = np.stack([np.asarray(e, dtype=np.int64) for e in b])
-    return pd.Series(np.einsum("ij,ij->i", xa, xb))
+    try:
+        xa = np.stack([np.asarray(e, dtype=np.int64) for e in a])
+        xb = np.stack([np.asarray(e, dtype=np.int64) for e in b])
+        if xa.shape == xb.shape:
+            return pd.Series(np.einsum("ij,ij->i", xa, xb))
+    except (ValueError, TypeError):
+        pass
+    out = []
+    for ea, eb in zip(a, b):
+        if ea is None or eb is None or len(ea) != len(eb):
+            out.append(None)
+        else:
+            xa = np.asarray(ea, dtype=np.int64)
+            xb = np.asarray(eb, dtype=np.int64)
+            out.append(int(xa @ xb))
+    return pd.Series(out, dtype=object)
 
 
 def _q_cos_ge(dot_col: Column, n2a: Column, n2b: Column, threshold: float) -> Column:
@@ -723,7 +773,12 @@ def ivf_topk(
         F.col("_score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        # NULL scores (rows whose embedding is NULL / ragged /
+        # non-finite — the kernels mask them, r13 boundary battery)
+        # are not neighbors: drop BEFORE ranking, or they'd fill
+        # trailing ranks whenever k exceeds the valid candidates
+        scored.filter(F.col("_score").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(query_id_col, "neighbor_id", "rk")
     )
@@ -920,7 +975,12 @@ def lsh_topk(
         F.col("_score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        # NULL scores (rows whose embedding is NULL / ragged /
+        # non-finite — the kernels mask them, r13 boundary battery)
+        # are not neighbors: drop BEFORE ranking, or they'd fill
+        # trailing ranks whenever k exceeds the valid candidates
+        scored.filter(F.col("_score").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(query_id_col, "neighbor_id", "rk")
     )
@@ -1849,7 +1909,12 @@ def exact_rerank(
         F.col("_score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        # NULL scores (rows whose embedding is NULL / ragged /
+        # non-finite — the kernels mask them, r13 boundary battery)
+        # are not neighbors: drop BEFORE ranking, or they'd fill
+        # trailing ranks whenever k exceeds the valid candidates
+        scored.filter(F.col("_score").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(query_id_col, "neighbor_id", "rk")
     )
@@ -1963,12 +2028,32 @@ def random_projection(
     def _project(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # NULL / wrong-length / non-finite rows -> NULL output instead
+        # of aborting the batch (r13 boundary battery)
+        rows_ = [None if v is None else np.asarray(v, dtype=np.float64) for v in vecs]
+        valid = np.array(
+            [
+                r is not None
+                and r.ndim == 1
+                and len(r) == planes.shape[1]
+                and bool(np.isfinite(r).all())
+                for r in rows_
+            ],
+            dtype=bool,
+        )
+        x = np.zeros((len(rows_), planes.shape[1]), dtype=np.float64)
+        for i, r in enumerate(rows_):
+            if valid[i]:
+                x[i] = r
         # fixed-order accumulation over dims: y = sum_j x[:, j] * P[:, j]
         y = np.zeros((x.shape[0], planes.shape[0]), dtype=np.float64)
         for j in range(x.shape[1]):
             y += np.outer(x[:, j], planes[:, j])
-        return pd.Series(list(y))
+        if valid.all():
+            return pd.Series(list(y))
+        return pd.Series(
+            [y[i] if valid[i] else None for i in range(len(rows_))]
+        )
 
     return df.withColumn(out_col, _project(F.col(vec_col)))
 
@@ -2022,9 +2107,25 @@ def pca_fit(
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            x = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            # drop NULL / wrong-length / non-finite rows from the fit
+            # sample: a covariance over them is meaningless and the
+            # bare np.stack aborted the whole fit on one corrupt row
+            # (r13 boundary battery)
+            rows_ = [
+                None if v is None else np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col]
+            ]
+            good = [
+                r
+                for r in rows_
+                if r is not None
+                and r.ndim == 1
+                and len(r) == dim
+                and bool(np.isfinite(r).all())
+            ]
+            if not good:
+                continue
+            x = np.stack(good)
             q = np.floor(x * float(SIG_SCALE) + 0.5).astype(np.int64)
             yield pd.DataFrame(
                 {
@@ -2117,12 +2218,32 @@ def pca_project(
     def _proj(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # NULL / wrong-length / non-finite rows -> NULL output instead
+        # of aborting the batch (r13 boundary battery)
+        rows_ = [None if v is None else np.asarray(v, dtype=np.float64) for v in vecs]
+        valid = np.array(
+            [
+                r is not None
+                and r.ndim == 1
+                and len(r) == C.shape[1]
+                and bool(np.isfinite(r).all())
+                for r in rows_
+            ],
+            dtype=bool,
+        )
+        x = np.zeros((len(rows_), C.shape[1]), dtype=np.float64)
+        for i, r in enumerate(rows_):
+            if valid[i]:
+                x[i] = r
         xc = x - mu
         y = np.zeros((x.shape[0], C.shape[0]), dtype=np.float64)
         for j in range(x.shape[1]):  # fixed-order over dims
             y += np.outer(xc[:, j], C[:, j])
-        return pd.Series(list(y))
+        if valid.all():
+            return pd.Series(list(y))
+        return pd.Series(
+            [y[i] if valid[i] else None for i in range(len(rows_))]
+        )
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
 

@@ -119,24 +119,41 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    curation_fuzzy_decontaminate (minhash_lsh_pairs_against callers,
 #    already in the fill; storage_index_roundtrip and
 #    storage_index_incremental, the from-index/gate callers, are in
-#    the mandatory 42). ngram_jaccard_pairs also changed (derive the
-#    length band from text when the length column is absent) — its
-#    registry plans are expression-identical (the standard tables
-#    carry n_chars) but its callers dedup_ngram_jaccard,
-#    dedup_clusters, curation_leakage_split stay in the fill out of
-#    caution, the r12 simhash precedent. Remaining 2c:
-#    text_winnowing_spans (the span-localization story the winnowing
-#    ladder rides).
+#    the mandatory 42). The battery's SECOND find rebalanced again:
+#    the vector kernels (functions/vectors.py Arrow folds,
+#    similarity._make_sig_udf/_dotq, the rp/pca projectors) crashed on
+#    NULL or ragged embeddings (np.stack throws — one corrupt row
+#    killed the job) and a NaN embedding silently TOPPED every
+#    desc-ranked top-k (Spark sorts NaN above every double). Kernels
+#    now mask NULL/ragged/non-finite rows to NULL outputs, and the
+#    four top-k ranking blocks (brute/lsh/ivf/exact_rerank) drop NULL
+#    scores BEFORE ranking — a plan change for the top-k rows, so
+#    rule 2b again: similarity_topk_ivf, similarity_topk_ivf_refined,
+#    similarity_ann_recall swap in (similarity_topk_cosine, _lsh, and
+#    similarity_knn_classify are already in the mandatory 42; the
+#    queue's similarity_topk_rerank re-fingerprints locally).
+#    Displaced to make room — plan-IDENTICAL callers held only out of
+#    caution: dedup_clusters, curation_leakage_split,
+#    text_winnowing_spans (they join the r14 mandatory leads; their
+#    compensating control is the full small-SF replica re-run after
+#    each fix, 149/149 both SFs). ngram_jaccard_pairs also changed
+#    (derive the length band from text when the length column is
+#    absent) — registry plans expression-identical (the standard
+#    tables carry n_chars); its most direct caller
+#    dedup_ngram_jaccard keeps the last caution slot.
 # Left outside at staleness 2 after this round (42 r11-green rows
-# untouched, plus curation_remove_spans and text_clf_gate — r12-green
-# 2c fill picks displaced by the rule-2b rebalance above — they MUST
-# lead the r14 window; 44 rows): agg_cube_sales,
+# untouched, plus curation_remove_spans, text_clf_gate,
+# dedup_clusters, curation_leakage_split, text_winnowing_spans —
+# r12-green 2c fill picks displaced by the two rule-2b rebalances
+# above — they MUST lead the r14 window; 47 rows): agg_cube_sales,
 # agg_customer_balance_stats,
 # agg_customer_distribution, agg_forecast_revenue, agg_grouping_sets,
 # agg_important_stock, agg_order_priority, agg_pivot_status,
 # agg_pricing_summary, agg_promo_revenue, agg_quantiles_status,
-# agg_status_sets, agg_supplier_part_types, curation_lm_buckets,
-# curation_remove_spans, join_disjunctive_promo, join_large_orders,
+# agg_status_sets, agg_supplier_part_types, curation_leakage_split,
+# curation_lm_buckets,
+# curation_remove_spans, dedup_clusters, join_disjunctive_promo,
+# join_large_orders,
 # join_lonely_returned_supplier, join_market_share,
 # join_min_cost_supplier, join_nation_trade, join_priority_lines,
 # join_product_profit, join_returned_items, join_revenue_by_nation,
@@ -146,11 +163,14 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # setop_customers_without_orders, setop_idle_rich_customers,
 # setop_repeat_customers, storage_media_ingest_roundtrip,
 # storage_media_wav_roundtrip, subquery_exists_orders, text_clf_gate,
-# text_token_stats, window_top_supplier, window_topk_orders.
-# r14 capacity check: 44 mandatory + 0 registrations (frozen) = 44,
-# leaving 6 slots for touched rows + early rotation — fits (the
-# 42 + 8 steady state resumes at r15; the 2-row bulge is the price of
-# re-verifying the ANSI-0/0 fix's callers this round).
+# text_token_stats, text_winnowing_spans, window_top_supplier,
+# window_topk_orders.
+# r14 capacity check: 47 mandatory + 0 registrations (frozen) = 47,
+# leaving 3 slots for touched rows + early rotation — tight but fits
+# (the 42 + 8 steady state resumes by r16; the 5-row bulge is the
+# price of re-verifying both boundary-battery fixes' callers this
+# round, and the displaced rows' plans were re-verified locally at
+# all SFs before displacement).
 # The 50 r12-green rows not in this window rotate out at staleness 1.
 # Registry 142 — frozen, no change.
 #
@@ -450,12 +470,13 @@ _PRIORITY = [
     "storage_zorder_key", "text_language_id", "text_quality",
     "text_repetition", "text_tfidf_terms", "text_vocab_coverage",
     "text_winnowing", "window_moving_avg", "window_running_total",
-    # staleness-1 fill (rebalanced mid-round: rule-2b touched rows
-    # from the jaccard_verify ANSI-0/0 fix first — see the round-13
-    # window comment above).
+    # staleness-1 fill (rebalanced mid-round twice: rule-2b touched
+    # rows from the jaccard_verify ANSI-0/0 fix and the vector-kernel
+    # null-guard fix — see the round-13 window comment above).
     "dedup_minhash_lsh", "dedup_apply", "dedup_incremental",
-    "curation_fuzzy_decontaminate", "dedup_ngram_jaccard",
-    "dedup_clusters", "curation_leakage_split", "text_winnowing_spans",
+    "curation_fuzzy_decontaminate", "similarity_topk_ivf",
+    "similarity_topk_ivf_refined", "similarity_ann_recall",
+    "dedup_ngram_jaccard",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

@@ -1243,3 +1243,113 @@ def test_bitext_margin_candidates_param_matches_default(spark):
         )
     )
     assert full == via_cand and len(full) > 0
+
+
+# ---------------------------------------------------------------------------
+# r13 boundary-battery regressions: NULL / ragged / non-finite
+# embeddings through the Arrow kernels and the top-k ranking blocks.
+# ---------------------------------------------------------------------------
+
+_BASE = [float(i % 7 - 3) for i in range(64)]
+
+
+def _pathological(spark):
+    rows = [
+        (1, _BASE),
+        (2, _BASE),
+        (3, None),                      # NULL embedding
+        (4, [float("nan")] * 64),       # NaN components
+        (5, [float("inf")] * 64),       # Inf components
+        (6, _BASE[:63]),                # ragged: 63-dim among 64
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kernels_mask_pathological_rows(spark):
+    """NULL / ragged rows made np.stack throw inside the Arrow kernels,
+    ABORTING THE JOB on one corrupt row (the vector sibling of the
+    jaccard_verify 0/0 crash); non-finite rows quantized to garbage
+    int64 signatures. All kernels now yield NULL for such rows."""
+    from syncquill_spark.functions.vectors import (
+        cosine_similarity_arrow,
+        dot_arrow,
+    )
+
+    df = _pathological(spark)
+    pairs = df.alias("a").crossJoin(
+        df.selectExpr(
+            "vec_id as vec_id_b", "embedding as embedding_b"
+        ).alias("b")
+    )
+    out = pairs.select(
+        "vec_id",
+        "vec_id_b",
+        dot_arrow(F.col("embedding"), F.col("embedding_b")).alias("d"),
+        cosine_similarity_arrow(
+            F.col("embedding"), F.col("embedding_b")
+        ).alias("c"),
+    ).collect()
+    bad = {3, 4, 5}  # NULL / NaN / Inf rows — no defined score with anyone
+    for r in out:
+        if r["vec_id"] in bad or r["vec_id_b"] in bad:
+            assert r["d"] is None and r["c"] is None, r
+    # ragged row 6 pairs only with itself (lengths match)
+    for r in out:
+        if 6 in (r["vec_id"], r["vec_id_b"]) and r["vec_id"] != r["vec_id_b"]:
+            if r["vec_id"] not in bad and r["vec_id_b"] not in bad:
+                assert r["d"] is None, r
+    clean = {(r["vec_id"], r["vec_id_b"]): r for r in out}
+    assert clean[(1, 2)]["c"] == pytest.approx(1.0)
+    assert clean[(6, 6)]["c"] == pytest.approx(1.0)
+
+
+def test_topk_excludes_pathological_corpus_rows(spark):
+    """Before the guard, a NaN cosine RANKED FIRST in every top-k
+    (Spark sorts NaN above every double) and NULL-scored rows filled
+    trailing ranks. Pathological corpus rows must simply not appear."""
+    df = _pathological(spark)
+    q = spark.createDataFrame(
+        [(100, _BASE)], "query_id long, embedding array<double>"
+    )
+    got = sorted(
+        (r["neighbor_id"], r["rk"])
+        for r in brute_force_topk(df, q, k=5).collect()
+    )
+    assert got == [(1, 1), (2, 2)]  # only the two valid 64-dim rows
+
+
+def test_near_dup_ignores_pathological_rows(spark):
+    from syncquill_spark.operators.similarity import embedding_near_dup_pairs
+
+    df = _pathological(spark)
+    pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.5).collect()
+    )
+    assert pairs == [(1, 2)]
+
+
+def test_projectors_mask_pathological_rows(spark):
+    from syncquill_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+        random_projection,
+    )
+
+    df = _pathological(spark)
+    rp = {
+        r["vec_id"]: r["rp"]
+        for r in random_projection(df, out_dim=8, out_col="rp").collect()
+    }
+    assert rp[1] is not None and len(rp[1]) == 8
+    for vid in (3, 4, 5, 6):
+        assert rp[vid] is None
+    # the fit must survive (and ignore) the corrupt rows
+    model = pca_fit(df, k=4)
+    proj = {
+        r["vec_id"]: r["pca"]
+        for r in pca_project(df, model, out_col="pca").collect()
+    }
+    assert proj[1] is not None and len(proj[1]) == 4
+    for vid in (3, 4, 5, 6):
+        assert proj[vid] is None
