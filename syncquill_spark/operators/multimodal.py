@@ -483,6 +483,76 @@ def media_stats(media: DataFrame) -> DataFrame:
     )
 
 
+TRIAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def media_triage(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(media_id, ok, modality, error) — the DECODABILITY gate.
+
+    ``media_stats`` triages by bytes alone (size, magic), which cannot
+    catch the corruption that actually kills a decode stage at corpus
+    scale: a TRUNCATED payload behind a valid magic (partial upload,
+    interrupted copy). The strict operators (``image_moments``,
+    ``media_fingerprints``, ...) raise in-stage by documented contract
+    — one such payload aborts the job. This operator ATTEMPTS the full
+    decode per payload inside the stage and reports the outcome as a
+    row instead: join its ``ok`` back to the media frame to quarantine
+    undecodable assets before any strict stage runs.
+
+    NULL payloads report ok=false (error 'null payload'), unknown
+    magics ok=false with the magic in the error — nothing raises. At
+    100 TB this is one Arrow-batched pass over the bytes (same single
+    payload read as the strict stages) producing skinny audit rows;
+    the quarantine join moves only (id, bool) columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, oks, mods, errs = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(mid)
+                if payload is None:
+                    oks.append(False)
+                    mods.append(None)
+                    errs.append("null payload")
+                    continue
+                p = bytes(payload)
+                try:
+                    if p[:2] in (b"P6", b"P5") or p[:2] == b"BM":
+                        decode_image(p)
+                        oks.append(True)
+                        mods.append("image")
+                        errs.append(None)
+                    elif p[:4] == b"RIFF":
+                        decode_wav(p)
+                        oks.append(True)
+                        mods.append("audio")
+                        errs.append(None)
+                    else:
+                        oks.append(False)
+                        mods.append(None)
+                        errs.append(f"no codec for magic {p[:4]!r}")
+                except Exception as e:  # report, never raise: the gate
+                    oks.append(False)  # must survive what it triages
+                    mods.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {"media_id": ids, "ok": oks, "modality": mods, "error": errs}
+            )
+
+    return media.mapInPandas(run, TRIAGE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual fingerprints — near-duplicate detection for decoded media.
 #
@@ -589,7 +659,9 @@ def media_fingerprints(
     bits=64, and a persisted fingerprint frame rides the same
     ``index_store`` lifecycle as the text SimHash family (one 16-byte
     row per asset). Payloads no codec handles raise in-stage, same
-    contract as ``image_moments`` — triage with ``media_stats`` first.
+    contract as ``image_moments`` — gate with ``media_triage`` first
+    (``media_stats`` covers byte-level triage only and cannot catch
+    truncation behind a valid magic).
 
     At 100 TB: payload bytes are read exactly once, inside this one
     Arrow-batched stage; everything after (band join, verify,
@@ -612,7 +684,7 @@ def media_fingerprints(
                     raise ValueError(
                         f"no fingerprint codec for magic {p[:4]!r} "
                         f"(media_id={mid}); gate undecodable payloads "
-                        "out with media_stats first"
+                        "out with media_triage first"
                     )
                 ids.append(mid)
             yield pd.DataFrame(

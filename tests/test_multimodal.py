@@ -321,3 +321,36 @@ def test_decode_ppm_16bit_odd_truncation_friendly_error():
     payload = b"P6\n1 1\n65535\n" + b"\x00" * 5  # want 6 bytes, have 5 (odd)
     with pytest.raises(ValueError, match="raster truncated"):
         decode_ppm(payload)
+
+
+def test_media_triage_reports_instead_of_raising(spark):
+    """The decodability gate (r13): media_stats triages by bytes alone
+    and cannot catch truncation behind a valid magic — exactly the
+    corruption that aborts the strict decode stages at corpus scale.
+    media_triage attempts the real decode per payload and reports the
+    outcome as a row; nothing raises, including NULL payloads and
+    unknown magics."""
+    import struct
+
+    from syncquill_spark.operators.multimodal import media_triage
+
+    good_ppm = _ppm_p6(2, 2, [255, 0, 0, 0, 255, 0, 0, 0, 255, 1, 2, 3])
+    truncated_ppm = good_ppm[:-5]          # valid magic, cut raster
+    good_wav = _wav(struct.pack("<2h", 1, -1))
+    truncated_wav = good_wav[:20]          # RIFF magic, cut chunks
+    rows = [
+        (1, good_ppm),
+        (2, truncated_ppm),
+        (3, good_wav),
+        (4, truncated_wav),
+        (5, b"\x89PNG\r\n\x1a\n garbage"),  # magic no codec handles
+        (6, None),                           # null payload
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in media_triage(df).collect()}
+    assert out[1]["ok"] and out[1]["modality"] == "image"
+    assert not out[2]["ok"] and "truncated" in out[2]["error"]
+    assert out[3]["ok"] and out[3]["modality"] == "audio"
+    assert not out[4]["ok"] and out[4]["error"]
+    assert not out[5]["ok"] and "no codec" in out[5]["error"]
+    assert not out[6]["ok"] and out[6]["error"] == "null payload"
