@@ -412,6 +412,8 @@ def pack_sequences(
             id_col, "n_tokens_bpeish"
         )
     with_toks = df.select(id_col, stratify_col).join(toks, id_col)
+    if budget <= 0:
+        raise ValueError(f"budget must be a positive token count, got {budget}")
     w = (
         Window.partitionBy(stratify_col)
         .orderBy(id_col)
@@ -459,6 +461,8 @@ def pack_sequences_ffd(
     """
     import pandas as pd
 
+    if budget <= 0:
+        raise ValueError(f"budget must be a positive token count, got {budget}")
     toks = token_counts(df, text_col=text_col, id_col=id_col).select(
         id_col, "n_tokens_bpeish"
     )

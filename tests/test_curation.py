@@ -1340,3 +1340,23 @@ def test_card_diff_release_review(spark):
     assert got[("strata", "lang=en")] == (70, 90, 20)
     assert got[("strata", "lang=fr")] == (30, None, None)
     assert got[("strata", "lang=de")] == (None, 30, None)
+
+
+def test_pack_budget_guard(spark, sf_dir):
+    """budget<=0 used to survive plan build (count() prunes pack_id
+    away) and DIVIDE_BY_ZERO only at the first real projection — a
+    delayed, confusing failure for a plain caller error. Both packers
+    now raise immediately (r13 boundary battery)."""
+    import pytest as _pytest
+
+    from syncquill_spark.operators.curation import (
+        pack_sequences,
+        pack_sequences_ffd,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    for bad in (0, -5):
+        with _pytest.raises(ValueError, match="positive token count"):
+            pack_sequences(docs, budget=bad)
+        with _pytest.raises(ValueError, match="positive token count"):
+            pack_sequences_ffd(docs, budget=bad)

@@ -140,6 +140,11 @@ def main() -> int:
         "vec_id long, embedding array<double>",
     ).select(quantize_int8(F.col("embedding")).alias("q")))
     case("chunk_1_token", lambda: chunk_documents(tiny, chunk_tokens=1, overlap=0))
+    case("chunk_overlap_ge_chunk", lambda: chunk_documents(tiny, chunk_tokens=16, overlap=16),
+         expect_error="ValueError")
+    case("pack_budget_0", lambda: __import__(
+        "syncquill_spark.operators.curation", fromlist=["pack_sequences"]
+    ).pack_sequences(tiny, budget=0), expect_error="ValueError")
     case("fuzzy_maxdist0", lambda: fuzzy_name_pairs(
         spark.createDataFrame(
             [(1, "anna lee"), (2, "anna lee"), (3, "bob ray")],
