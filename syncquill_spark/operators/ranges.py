@@ -37,6 +37,12 @@ def binned_range_join(
     `how` supports 'inner' and 'left' (unmatched points kept with null
     interval columns).
     """
+    # guard at call time: width 0 only fails at RUNTIME (ANSI
+    # DIVIDE_BY_ZERO mid-job) and a negative width silently flips bin
+    # order, dropping matches — both are plain caller errors (r13
+    # boundary battery)
+    if not bin_width > 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
 
     def bin_of(c: Column) -> Column:
         return F.floor(c.cast("double") / F.lit(float(bin_width))).cast("long")

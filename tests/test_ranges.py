@@ -59,3 +59,18 @@ def test_bin_width_invariance(spark, data, width):
         if i["lo"] <= p["v"] <= i["hi"]
     }
     assert got == naive
+
+
+def test_binned_range_join_bin_width_guard(spark):
+    """bin_width=0 used to fail only at RUNTIME (ANSI DIVIDE_BY_ZERO
+    mid-job) and a negative width silently flipped bin order; both are
+    caller errors and now raise immediately (r13 boundary battery)."""
+    import pytest as _pytest
+
+    from syncquill_spark.operators.ranges import binned_range_join
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, p double")
+    ivl = spark.createDataFrame([(10, 0.0, 10.0)], "iid long, lo double, hi double")
+    for bad in (0.0, -1.0):
+        with _pytest.raises(ValueError, match="bin_width must be > 0"):
+            binned_range_join(pts, ivl, "p", "lo", "hi", bin_width=bad)

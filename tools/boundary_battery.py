@@ -145,6 +145,34 @@ def main() -> int:
     case("pack_budget_0", lambda: __import__(
         "syncquill_spark.operators.curation", fromlist=["pack_sequences"]
     ).pack_sequences(tiny, budget=0), expect_error="ValueError")
+
+    # --- CDC / join edges ----------------------------------------------
+    from syncquill_spark.operators.asof import asof_join
+    from syncquill_spark.operators.ranges import binned_range_join
+    from syncquill_spark.operators.scd2 import scd2_history
+
+    L = spark.createDataFrame(
+        [(1, 10, "a"), (1, None, "b"), (2, 5, "c")],
+        "k long, ts long, lv string")
+    R = spark.createDataFrame(
+        [(1, 8, "x"), (1, None, "y"), (3, 1, "z")],
+        "k long, ts long, rv string")
+    case("asof_null_ts", lambda: asof_join(L, R, on="k", ts="ts"))
+    case("asof_empty_right", lambda: asof_join(L, R.limit(0), on="k", ts="ts"))
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, float("nan"))], "pid long, p double")
+    ivl = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, None, 5.0)], "iid long, lo double, hi double")
+    case("range_null_point", lambda: binned_range_join(pts, ivl, "p", "lo", "hi", bin_width=1.0))
+    case("range_binwidth_0", lambda: binned_range_join(pts, ivl, "p", "lo", "hi", bin_width=0.0),
+         expect_error="ValueError")
+    case("range_binwidth_neg", lambda: binned_range_join(pts, ivl, "p", "lo", "hi", bin_width=-1.0),
+         expect_error="ValueError")
+    S = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, None), (1, 3, None), (1, None, "b")],
+        "k long, t long, v string")
+    case("scd2_null_order", lambda: scd2_history(S, "k", "t", ["v"]))
+    case("scd2_empty", lambda: scd2_history(S.limit(0), "k", "t", ["v"]))
     case("fuzzy_maxdist0", lambda: fuzzy_name_pairs(
         spark.createDataFrame(
             [(1, "anna lee"), (2, "anna lee"), (3, "bob ray")],
