@@ -835,6 +835,13 @@ def winnowing_fingerprints(
         word_shingles_from_tokens,
     )
 
+    # window=0 silently selected ZERO fingerprints (an empty ROWS
+    # frame) — a wrong-by-construction result for a caller error; the
+    # winnowing guarantee needs window >= 1 (k is range-checked inside
+    # word_shingles_from_tokens). r13 boundary battery.
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
     # tokens staged in their own projection (repo HOF rule: the
     # shingle expression references its token input k+1 times and
     # interpreted evaluation has no subexpression sharing)

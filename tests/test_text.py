@@ -1447,3 +1447,18 @@ def test_self_spans_matches_python_model(spark, docs, min_shared, cap):
     finally:
         release_cached_intermediates()
     assert got == _spans_py(docs, 3, 4, min_shared, cap)
+
+
+def test_winnowing_window_guard(spark, sf_dir):
+    """window=0 used to select ZERO fingerprints silently (an empty
+    ROWS frame) — wrong by construction for a caller error; the
+    winnowing guarantee needs window >= 1 (r13 boundary battery)."""
+    import pytest as _pytest
+
+    from syncquill_spark.operators.text import winnowing_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3)
+    for bad in (0, -2):
+        with _pytest.raises(ValueError, match="window must be >= 1"):
+            winnowing_fingerprints(docs, k=3, window=bad)
+    assert winnowing_fingerprints(docs, k=3, window=1).count() > 0

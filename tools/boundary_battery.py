@@ -173,6 +173,11 @@ def main() -> int:
         "k long, t long, v string")
     case("scd2_null_order", lambda: scd2_history(S, "k", "t", ["v"]))
     case("scd2_empty", lambda: scd2_history(S.limit(0), "k", "t", ["v"]))
+    from syncquill_spark.operators.text import winnowing_fingerprints
+
+    case("winnow_window_0", lambda: winnowing_fingerprints(tiny, k=3, window=0),
+         expect_error="ValueError")
+    case("winnow_k1_w1", lambda: winnowing_fingerprints(tiny, k=1, window=1))
     case("fuzzy_maxdist0", lambda: fuzzy_name_pairs(
         spark.createDataFrame(
             [(1, "anna lee"), (2, "anna lee"), (3, "bob ray")],
