@@ -100,6 +100,45 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # queue_r10/queue_r11 modules are gone). From here, registry entry is
 # by SWAP only (net 0), recorded in this block.
 #
+# Round-14 window, in order (post-freeze maintenance rotation — no
+# registrations, pure staleness rotation + fill):
+#  - the 47 rows at staleness 2 (the round-13 verdict names them as
+#    mandatory leads and re-derived the cohort independently, 47/47
+#    match: the 42 rows whose last driver-green is r11 plus the five
+#    r12-green rule-2c picks displaced by r13's two mid-round rule-2b
+#    rebalances — curation_remove_spans, text_clf_gate, dedup_clusters,
+#    curation_leakage_split, text_winnowing_spans; re-derived again
+#    from CORRECTNESS_r11/r12/r13 before committing this order, set
+#    equality confirmed);
+#  - 3 staleness-1 fill (rule 2c — all the slack this round has; the
+#    verdict flags the over-subscription explicitly): the flagship
+#    sync rows sync_diff_keyed, sync_apply_keyed, sync_upsert. These
+#    are the designated displacement candidates if a mid-round fix
+#    makes an out-of-window row rule-2b touched (the r13 precedent);
+#    any such swap gets documented here, not silently applied.
+# Left outside at staleness 2 after this round (r12-green rows
+# untouched — they MUST lead the r15 window; 42 rows):
+# agg_distinct_users_exact, cdc_incremental_agg, cdc_scd2_history,
+# curation_domain_quota, curation_pack_sequences, curation_redact_pii,
+# curation_target_mix, curation_target_mix_tokens, dedup_cluster_stats,
+# dedup_exact, dedup_simhash, dedup_simhash_against,
+# dedup_simhash_pairs, dedup_winnowing_against,
+# embedding_label_centroids, embedding_pq_codes, embedding_quantize,
+# funnel_click_purchase, join_asof_signup, join_binned_range,
+# join_excess_inventory, join_range_shipments, pipeline_corpus_curation,
+# pipeline_training_mix, profile_documents, profile_referential,
+# similarity_topk_ivfpq, storage_simhash_index, storage_winnowing_index,
+# sync_diff_positional, sync_validate, text_bigram_gate, text_bigram_lm,
+# text_bm25, text_chunk_documents, text_fingerprint, text_quality_rules,
+# text_readability, text_segment_dedup, text_sentences_udtf,
+# text_term_stats, text_token_counts.
+# r15 capacity check: 42 mandatory + 0 registrations (frozen) = 42,
+# leaving 8 slots for touched rows + early rotation — the 42 + 8
+# steady state resumes, one round earlier than the r13 glide path
+# projected (the 5-row r13 bulge is absorbed this round).
+# The 50 r13-green rows not in this window rotate out at staleness 1.
+# Registry 142 — frozen, no change.
+#
 # Round-13 window, in order (post-freeze maintenance rotation — no
 # registrations, pure staleness rotation + fill):
 #  - the 42 rows whose last driver-green is r10 (staleness 2 — the
@@ -449,34 +488,36 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # r06-green rows rotate out at staleness 1.
 #
 _PRIORITY = [
-    # staleness-2 cohort (last driver-green r10 — the round-12 verdict
-    # names them as mandatory leads; policy rule 2a: ALL of it, first).
-    "agg_distinct_users_approx", "agg_quantiles_approx_check",
-    "agg_rollup_orders", "curation_blocklist", "curation_boilerplate",
-    "curation_decontaminate", "curation_eval_k_per_lang",
-    "curation_hash_split", "curation_pack_ffd",
-    "curation_quality_filter", "curation_sample_stratified",
-    "curation_shuffle", "dedup_embedding_cosine",
-    "dedup_embedding_incremental", "dedup_semantic_pairs",
-    "dedup_winnowing_pairs", "embedding_nearest_centroid",
-    "events_session_window", "events_sessionization",
-    "events_sliding_window", "events_tumbling_window",
-    "join_events_customers", "setop_except_all",
-    "similarity_knn_classify", "similarity_topk_cosine",
-    "similarity_topk_lsh", "storage_bigram_model",
-    "storage_bm25_index", "storage_index_incremental",
-    "storage_index_roundtrip", "storage_ivfpq_index",
-    "storage_text_ingest_roundtrip", "storage_versioned_roundtrip",
-    "storage_zorder_key", "text_language_id", "text_quality",
-    "text_repetition", "text_tfidf_terms", "text_vocab_coverage",
-    "text_winnowing", "window_moving_avg", "window_running_total",
-    # staleness-1 fill (rebalanced mid-round twice: rule-2b touched
-    # rows from the jaccard_verify ANSI-0/0 fix and the vector-kernel
-    # null-guard fix — see the round-13 window comment above).
-    "dedup_minhash_lsh", "dedup_apply", "dedup_incremental",
-    "curation_fuzzy_decontaminate", "similarity_topk_ivf",
-    "similarity_topk_ivf_refined", "similarity_ann_recall",
-    "dedup_ngram_jaccard",
+    # staleness-2 cohort (42 rows last driver-green r11 + the 5
+    # r12-green rule-2c picks displaced by r13's rule-2b rebalances —
+    # the round-13 verdict names all 47 as mandatory leads; policy
+    # rule 2a: ALL of it, first).
+    "agg_cube_sales", "agg_customer_balance_stats",
+    "agg_customer_distribution", "agg_forecast_revenue",
+    "agg_grouping_sets", "agg_important_stock", "agg_order_priority",
+    "agg_pivot_status", "agg_pricing_summary", "agg_promo_revenue",
+    "agg_quantiles_status", "agg_status_sets",
+    "agg_supplier_part_types", "curation_leakage_split",
+    "curation_lm_buckets", "curation_remove_spans", "dedup_clusters",
+    "join_disjunctive_promo", "join_large_orders",
+    "join_lonely_returned_supplier", "join_market_share",
+    "join_min_cost_supplier", "join_nation_trade",
+    "join_priority_lines", "join_product_profit", "join_returned_items",
+    "join_revenue_by_nation", "join_salted_revenue",
+    "join_shipping_priority", "join_small_qty_parts",
+    "json_events_extract", "multimodal_audio_decode",
+    "multimodal_decode", "multimodal_features",
+    "multimodal_media_stats", "scalar_functions",
+    "setop_customers_without_orders", "setop_idle_rich_customers",
+    "setop_repeat_customers", "storage_media_ingest_roundtrip",
+    "storage_media_wav_roundtrip", "subquery_exists_orders",
+    "text_clf_gate", "text_token_stats", "text_winnowing_spans",
+    "window_top_supplier", "window_topk_orders",
+    # staleness-1 fill (rule 2c — the round's only 3 slack slots;
+    # flagship sync rows, designated displacement candidates if a
+    # mid-round fix forces a rule-2b swap — see the round-14 window
+    # comment above).
+    "sync_diff_keyed", "sync_apply_keyed", "sync_upsert",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]
