@@ -168,7 +168,14 @@ def dot_arrow(a, b):
 def cosine_similarity_arrow(a, b):
     """Bit-identical Arrow replacement for `cosine_similarity`:
     dot/(|a|*|b|) with all three folds replayed left-to-right and the
-    final sqrt/multiply/divide in the same order as the HOF form."""
+    final sqrt/multiply/divide in the same order as the HOF form.
+
+    Zero-norm rows are masked to NULL (ADVICE r13): an all-zero
+    embedding is a FINITE input the isfinite mask cannot catch, its
+    0/0 cosine is NaN, and Spark sorts NaN above every double — one
+    zero vector in the corpus would top every desc-ranked top-k. NULL
+    matches both the quantized paths' explicit n2 > 0 guards and the
+    DuckDB oracle (x/0 is NULL there, floats included)."""
     import numpy as np
     import pandas as pd
 
@@ -186,7 +193,7 @@ def cosine_similarity_arrow(a, b):
         nb = nb + cb * cb
     with np.errstate(divide="ignore", invalid="ignore"):
         out = d / (np.sqrt(na) * np.sqrt(nb))
-    return _masked_series(out, valid)
+    return _masked_series(out, valid & (na > 0.0) & (nb > 0.0))
 
 
 @pandas_udf(DoubleType())

@@ -402,6 +402,8 @@ def pack_sequences(
     bpe-ish estimate — pass `bpe_encode(df, merges)` output (renamed
     n_bpe_tokens -> n_tokens) to pack by TOKENIZER-true counts.
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be a positive token count, got {budget}")
     if counts is not None:
         toks = counts.select(
             F.col(id_col),
@@ -412,8 +414,6 @@ def pack_sequences(
             id_col, "n_tokens_bpeish"
         )
     with_toks = df.select(id_col, stratify_col).join(toks, id_col)
-    if budget <= 0:
-        raise ValueError(f"budget must be a positive token count, got {budget}")
     w = (
         Window.partitionBy(stratify_col)
         .orderBy(id_col)

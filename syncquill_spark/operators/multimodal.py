@@ -515,6 +515,15 @@ def media_triage(
     100 TB this is one Arrow-batched pass over the bytes (same single
     payload read as the strict stages) producing skinny audit rows;
     the quarantine join moves only (id, bool) columns."""
+    # The id column passes through under its own name and type,
+    # derived from the input schema (ADVICE r13: a hard-coded
+    # long 'media_id' broke Arrow conversion for string-keyed or
+    # renamed-id frames before the quarantine join could run).
+    id_field = media.schema[id_col]
+    schema = T.StructType(
+        [T.StructField(id_field.name, id_field.dataType)]
+        + [f for f in TRIAGE_SCHEMA.fields if f.name != "media_id"]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -547,10 +556,10 @@ def media_triage(
                     mods.append(None)
                     errs.append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame(
-                {"media_id": ids, "ok": oks, "modality": mods, "error": errs}
+                {id_col: ids, "ok": oks, "modality": mods, "error": errs}
             )
 
-    return media.mapInPandas(run, TRIAGE_SCHEMA)
+    return media.mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------

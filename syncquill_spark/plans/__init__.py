@@ -110,14 +110,36 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    curation_leakage_split, text_winnowing_spans; re-derived again
 #    from CORRECTNESS_r11/r12/r13 before committing this order, set
 #    equality confirmed);
-#  - 3 staleness-1 fill (rule 2c — all the slack this round has; the
-#    verdict flags the over-subscription explicitly): the flagship
-#    sync rows sync_diff_keyed, sync_apply_keyed, sync_upsert. These
-#    are the designated displacement candidates if a mid-round fix
-#    makes an out-of-window row rule-2b touched (the r13 precedent);
-#    any such swap gets documented here, not silently applied.
-# Left outside at staleness 2 after this round (r12-green rows
-# untouched — they MUST lead the r15 window; 42 rows):
+#  - 3 staleness-1 fill, REBALANCED mid-round (rule 2b, the r13
+#    precedent): the ADVICE r13 medium item — a finite all-zero
+#    embedding divides 0/0 in cosine_similarity_arrow, the NaN sorts
+#    above every double, and the r13 isNotNull drop cannot catch it —
+#    is fixed IN the kernel (zero-norm rows mask to NULL,
+#    functions/vectors.py; DuckDB's x/0 is NULL too, so the oracle
+#    agrees by construction). That touches the kernel behind the
+#    float-cosine scoring blocks, so their r13-green registered
+#    callers are rule-2b rows. The 3 slots go to similarity_topk_cosine
+#    (the brute_force_topk block), similarity_topk_ivf_refined (the
+#    ivf_topk block), and similarity_ann_recall (the brute+lsh
+#    composition), displacing the provisional sync_diff_keyed,
+#    sync_apply_keyed, sync_upsert picks (r13-green at staleness 1;
+#    they rejoin the rotation as r15 mandatory leads).
+#    DOCUMENTED DEVIATION (the verdict's zero-slack contingency):
+#    similarity_knn_classify and similarity_topk_ivf are equally
+#    rule-2b touched but get NO slot this round — 47 + 5 > 50. Their
+#    scoring expressions are the SAME two blocks the three in-window
+#    rows drive (knn_classify composes brute_force_topk verbatim;
+#    topk_ivf is ivf_refined minus the Lloyd refinement), the fixture
+#    contains zero zero-norm embeddings at every SF (verified by
+#    DuckDB scan before commit — outputs provably unchanged), and both
+#    rows re-verified hash-identical in the local driver-protocol
+#    replica at sf0.001/0.01/0.1 after the fix. They are next-window
+#    mandatory alongside the r15 cohort below.
+# Left outside at staleness 2 after this round (the full 45-row
+# r12-green cohort — the three sync rows rejoin it after the rule-2b
+# displacement above — plus the 2 deviation rows
+# similarity_knn_classify and similarity_topk_ivf, r13-green but
+# kernel-touched without a slot; all 47 MUST lead the r15 window):
 # agg_distinct_users_exact, cdc_incremental_agg, cdc_scd2_history,
 # curation_domain_quota, curation_pack_sequences, curation_redact_pii,
 # curation_target_mix, curation_target_mix_tokens, dedup_cluster_stats,
@@ -127,15 +149,17 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # funnel_click_purchase, join_asof_signup, join_binned_range,
 # join_excess_inventory, join_range_shipments, pipeline_corpus_curation,
 # pipeline_training_mix, profile_documents, profile_referential,
-# similarity_topk_ivfpq, storage_simhash_index, storage_winnowing_index,
-# sync_diff_positional, sync_validate, text_bigram_gate, text_bigram_lm,
+# similarity_knn_classify, similarity_topk_ivf, similarity_topk_ivfpq,
+# storage_simhash_index, storage_winnowing_index, sync_apply_keyed,
+# sync_diff_keyed, sync_diff_positional, sync_upsert, sync_validate,
+# text_bigram_gate, text_bigram_lm,
 # text_bm25, text_chunk_documents, text_fingerprint, text_quality_rules,
 # text_readability, text_segment_dedup, text_sentences_udtf,
 # text_term_stats, text_token_counts.
-# r15 capacity check: 42 mandatory + 0 registrations (frozen) = 42,
-# leaving 8 slots for touched rows + early rotation — the 42 + 8
-# steady state resumes, one round earlier than the r13 glide path
-# projected (the 5-row r13 bulge is absorbed this round).
+# r15 capacity check: 45 staleness-2 + 2 deviation rows + 0
+# registrations (frozen) = 47 mandatory, leaving 3 slots — the same
+# tight-but-fits shape as this round (the 42 + 8 steady state now
+# resumes r16, as the r13 glide path originally projected).
 # The 50 r13-green rows not in this window rotate out at staleness 1.
 # Registry 142 — frozen, no change.
 #
@@ -513,11 +537,12 @@ _PRIORITY = [
     "storage_media_wav_roundtrip", "subquery_exists_orders",
     "text_clf_gate", "text_token_stats", "text_winnowing_spans",
     "window_top_supplier", "window_topk_orders",
-    # staleness-1 fill (rule 2c — the round's only 3 slack slots;
-    # flagship sync rows, designated displacement candidates if a
-    # mid-round fix forces a rule-2b swap — see the round-14 window
-    # comment above).
-    "sync_diff_keyed", "sync_apply_keyed", "sync_upsert",
+    # rule-2b fill (rebalanced mid-round: the cosine_similarity_arrow
+    # zero-norm mask touches the float-cosine scoring blocks — see the
+    # round-14 window comment above, incl. the documented 2-row
+    # deviation for similarity_knn_classify / similarity_topk_ivf).
+    "similarity_topk_cosine", "similarity_topk_ivf_refined",
+    "similarity_ann_recall",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

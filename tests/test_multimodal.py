@@ -354,3 +354,21 @@ def test_media_triage_reports_instead_of_raising(spark):
     assert not out[4]["ok"] and out[4]["error"]
     assert not out[5]["ok"] and "no codec" in out[5]["error"]
     assert not out[6]["ok"] and out[6]["error"] == "null payload"
+
+
+def test_media_triage_respects_id_name_and_type(spark):
+    """ADVICE r13: the triage output schema hard-coded a long
+    'media_id', so a string-keyed or renamed-id frame failed Arrow
+    conversion before the quarantine join could run. The id column now
+    passes through under its own name and type."""
+    from syncquill_spark.operators.multimodal import media_triage
+
+    df = spark.createDataFrame(
+        [("asset-1", _ppm_p6(1, 1, [9, 9, 9])), ("asset-2", None)],
+        "asset string, payload binary",
+    )
+    out = media_triage(df, id_col="asset")
+    assert out.schema["asset"].dataType.simpleString() == "string"
+    rows = {r["asset"]: r for r in out.collect()}
+    assert rows["asset-1"]["ok"] and rows["asset-1"]["modality"] == "image"
+    assert not rows["asset-2"]["ok"]

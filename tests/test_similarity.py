@@ -1353,3 +1353,50 @@ def test_projectors_mask_pathological_rows(spark):
     assert proj[1] is not None and len(proj[1]) == 4
     for vid in (3, 4, 5, 6):
         assert proj[vid] is None
+
+
+def test_zero_norm_rows_mask_to_null_and_never_rank(spark):
+    """A finite all-zero embedding is the pathological input the
+    isfinite mask cannot catch (ADVICE r13): its float cosine is
+    0/0 = NaN, and Spark sorts NaN above every double, so one zero
+    vector in the corpus topped every desc-ranked top-k while the
+    quantized paths' n2 > 0 guards correctly dropped it.
+    cosine_similarity_arrow now masks zero-norm rows to NULL — also
+    the DuckDB oracle's answer (x/0 is NULL there, floats included) —
+    and the ranking blocks' existing isNotNull drop keeps them out."""
+    from syncquill_spark.functions.vectors import cosine_similarity_arrow
+
+    zero = [0.0] * 64
+    df = spark.createDataFrame(
+        [(1, _BASE), (2, _BASE), (3, zero)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, _BASE), (101, zero)], "query_id long, embedding array<double>"
+    )
+    # kernel level: any pairing with a zero-norm side is NULL, never NaN
+    scores = {
+        (r["a"], r["b"]): r["c"]
+        for r in df.alias("x")
+        .crossJoin(
+            df.selectExpr("vec_id as b", "embedding as eb")
+        )
+        .select(
+            F.col("vec_id").alias("a"),
+            "b",
+            cosine_similarity_arrow(F.col("embedding"), F.col("eb")).alias(
+                "c"
+            ),
+        )
+        .collect()
+    }
+    assert scores[(1, 2)] == pytest.approx(1.0)
+    for pair in ((1, 3), (3, 1), (3, 3)):
+        assert scores[pair] is None, pair
+    # ranking level: the zero corpus row never appears, at ANY rank,
+    # and a zero-norm query gets no neighbors at all
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rk"])
+        for r in brute_force_topk(df, q, k=5).collect()
+    )
+    assert got == [(100, 1, 1), (100, 2, 2)]
