@@ -28,6 +28,7 @@ from syncquill_spark.streaming.sessionize import (
 )
 from syncquill_spark.streaming.vector_dedup import (
     build_embedding_index,
+    save_embedding_index,
     stream_embedding_near_dups,
 )
 from syncquill_spark.streaming.text_dedup import (
@@ -47,6 +48,7 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "build_embedding_index",
+    "save_embedding_index",
     "stream_embedding_near_dups",
     "build_text_hash_index",
     "stream_drop_seen_text",

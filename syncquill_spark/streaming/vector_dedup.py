@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from syncquill_spark.operators.similarity import (
     _make_sig_udf,
@@ -27,6 +28,21 @@ from syncquill_spark.operators.similarity import (
     _q_cos_ge,
     _sig_frame,
 )
+
+# Fixed width of the stored-keys hash-bucket space — a FORMAT constant,
+# not a tuning knob: bucket = pmod(xxhash64(band, key), 4096) must be
+# the same expression at build time (partition layout) and at gate time
+# (which buckets a batch's keys touch), and making it configurable
+# would re-introduce the silent-mismatch failure mode the fixed bands/
+# planes_per_band contract already has. 4096 one-level Hive partitions
+# keeps local builds sane (one file per bucket after the repartition in
+# save_embedding_index) while at corpus scale each bucket is simply a
+# directory of ordinary parquet files.
+VEC_GATE_BUCKETS = 4096
+
+
+def _bucket_expr(band_col, key_col):
+    return F.pmod(F.xxhash64(band_col, key_col), F.lit(VEC_GATE_BUCKETS))
 
 
 def build_embedding_index(
@@ -38,22 +54,49 @@ def build_embedding_index(
     dim: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """One-time corpus signature index for streaming dedup:
-    (keys, vecs) where keys = (corpus_id, band, key) for the bucket
-    join and vecs = (corpus_id, q, n2) for the verify. Both derive
-    from ONE persisted signature pass (_sig_frame); a production
-    pipeline writes them to tables partitioned/bucketed by (band, key)
-    and corpus_id respectively and refreshes on corpus growth."""
+    (keys, vecs) where keys = (corpus_id, band, key, bucket) for the
+    band join and vecs = (corpus_id, q, n2) for the verify. Both derive
+    from ONE persisted signature pass (_sig_frame).
+
+    ``_bucket`` = xxhash64(band, key) mod 4096 exists so the keys part
+    can be PERSISTED Hive-partitioned on it (``save_embedding_index``):
+    an ingest micro-batch touches at most |its distinct band keys|
+    buckets, so the gate's stored-keys read prunes to those partitions
+    instead of scanning the whole corpus index — the same
+    serve-I/O-scales-with-the-query discipline as the BM25 term-bucket
+    and IVF-PQ cell layouts. In memory the column is ~free (one hash
+    per key row)."""
     base = _sig_frame(corpus, id_col, vec_col, bands, planes_per_band, dim)
     keys = base.select(
         F.col(id_col).alias("corpus_id"),
         F.posexplode("_keys").alias("_band", "_key"),
-    )
+    ).withColumn("_bucket", _bucket_expr(F.col("_band"), F.col("_key")))
     vecs = base.select(
         F.col(id_col).alias("corpus_id"),
         F.col("_q").alias("_qc"),
         F.col("_n2").alias("_nc"),
     )
     return keys, vecs
+
+
+def save_embedding_index(path: str, keys: DataFrame, vecs: DataFrame) -> None:
+    """Persist the vector gate's index with the keys part
+    Hive-partitioned by ``_bucket`` (see ``build_embedding_index``).
+    The repartition puts each bucket's rows in ONE task so the write
+    produces one file per bucket instead of files-per-task-per-bucket;
+    load with the ordinary ``index_store.load_index``."""
+    from syncquill_spark.sources.index_store import save_index
+
+    if "_bucket" not in keys.columns:
+        keys = keys.withColumn(
+            "_bucket", _bucket_expr(F.col("_band"), F.col("_key"))
+        )
+    save_index(
+        path,
+        _partition_by={"keys": ["_bucket"]},
+        keys=keys.repartition(F.col("_bucket")),
+        vecs=vecs,
+    )
 
 
 def stream_embedding_near_dups(
@@ -85,6 +128,18 @@ def stream_embedding_near_dups(
     dropDuplicates here would grow state unboundedly on an unbounded
     stream; with an event-time column, use
     dropDuplicatesWithinWatermark instead.
+
+    Stored-keys pruning: when ``index_keys`` carries the ``_bucket``
+    partition column (an index persisted via ``save_embedding_index``)
+    and the batch is a materialized DataFrame (the foreachBatch /
+    serve shape — every micro-batch arrives that way), the gate first
+    collects the batch's DISTINCT bucket ids (bounded by the batch's
+    key count, corpus-independent) and filters the stored scan with
+    those literals — static partition pruning, so the read touches
+    only the batch's buckets instead of the whole corpus index. A
+    genuinely unbounded streaming frame cannot be collected; there the
+    join is unchanged (same rows either way — equal (band, key)
+    implies equal bucket, so the filter never removes a match).
     """
     sig = _make_sig_udf(bands, planes_per_band, dim).asNondeterministic()
     s = (
@@ -98,9 +153,23 @@ def stream_embedding_near_dups(
             F.posexplode("_s.keys").alias("_band", "_key"),
         )
     )
-    cand = s.join(index_keys, ["_band", "_key"]).select(
-        "stream_id", "corpus_id", "_qs", "_ns"
-    )
+    if "_bucket" in index_keys.columns and not s.isStreaming:
+        # one signature pass feeds both the bucket collection and the
+        # join (the persist is also the evaluate-once barrier the
+        # nondeterministic marking provides on the streaming path)
+        s = s.persist(StorageLevel.MEMORY_AND_DISK)
+        touched = [
+            r["_b"]
+            for r in s.select(
+                _bucket_expr(F.col("_band"), F.col("_key")).alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
+        index_keys = index_keys.filter(F.col("_bucket").isin(touched))
+    cand = s.join(
+        index_keys.select("corpus_id", "_band", "_key"), ["_band", "_key"]
+    ).select("stream_id", "corpus_id", "_qs", "_ns")
     return (
         cand.join(index_vecs, "corpus_id")
         .filter(

@@ -606,3 +606,76 @@ def test_stream_decontamination_cut_matches_batch(spark, tmp_path):
     assert rows[103][2] < rows[103][1]
     assert "quick" not in rows[101][3].split()
     assert rows[102][3] == "another unrelated new document arriving at ingest"
+
+
+def test_bucketed_vector_index_gate_identical_and_pruned(spark, tmp_path):
+    """The persisted stored-keys layout (r13 verdict: the one measured
+    scan term left) — keys Hive-partitioned by the fixed
+    xxhash64(band, key) mod 4096 bucket. The gate on a materialized
+    batch must (a) produce EXACTLY the legacy in-memory index's
+    matches, (b) prune the stored-keys scan to the batch's buckets
+    (partition filter visible in the physical plan), and (c) keep a
+    real readStream batch (no collect possible) on the unpruned join
+    with the same output."""
+    import numpy as np
+
+    from syncquill_spark.sources.index_store import load_index
+    from syncquill_spark.streaming import (
+        build_embedding_index,
+        save_embedding_index,
+        stream_embedding_near_dups,
+    )
+    from syncquill_spark.streaming.windows import run_available_now
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    corpus = spark.createDataFrame(
+        [(100 + i, base[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (200, (base[3] + 1e-6 * base[4]).tolist()),
+            (201, rng.normal(size=64).tolist()),
+            (202, base[7].tolist()),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    keys, vecs = build_embedding_index(corpus)
+    legacy = {
+        (r.stream_id, r.corpus_id)
+        for r in stream_embedding_near_dups(
+            batch, keys.drop("_bucket"), vecs, threshold=0.9
+        ).collect()
+    }
+    assert {(200, 103), (202, 107)} <= legacy
+
+    path = str(tmp_path / "vec_idx")
+    save_embedding_index(path, keys, vecs)
+    idx = load_index(spark, path)
+    assert "_bucket" in idx["keys"].columns  # partition column survives
+    gated = stream_embedding_near_dups(
+        batch, idx["keys"], idx["vecs"], threshold=0.9
+    )
+    assert {
+        (r.stream_id, r.corpus_id) for r in gated.collect()
+    } == legacy
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "_bucket" in plan and (
+        "PartitionFilters: [_bucket" in plan
+        or "_bucket#" in plan.split("PartitionFilters")[1][:200]
+    ), "stored-keys scan is not partition-pruned by the batch's buckets"
+
+    # true streaming micro-batch: collect is impossible, join unchanged
+    stream_dir = str(tmp_path / "stream_in")
+    batch.write.parquet(stream_dir)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(stream_dir)
+    out = run_available_now(
+        stream_embedding_near_dups(
+            stream, idx["keys"], idx["vecs"], threshold=0.9
+        ),
+        "t_vec_dedup_bucketed",
+    )
+    assert {(r.stream_id, r.corpus_id) for r in out} == legacy

@@ -489,16 +489,36 @@ def main() -> None:
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
 
-        # vector gate: fixed 500-vector batch, verbatim base-replica
+        # vector gate: fixed batches of verbatim base-replica
         # embeddings under new ids — exact self-matches at cos 1.0;
         # sign-flipped replicas decorrelate, so matches stay constant.
         # planes_per_band=12 per SCALE.md probe finding #1 (bucket
         # count must scale with the corpus), threshold 0.55 per #2.
-        base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        vec_batch = base_emb.filter(F.col("vec_id") % 4 == 0).select(
-            (F.col("vec_id") + BATCH_OFFSET).alias("vec_id"),
-            "embedding",
+        # r14: the stored-keys part is measured in BOTH layouts — flat
+        # (r13's, scan grows with the corpus) and Hive-partitioned by
+        # the fixed xxhash64(band, key) mod 4096 bucket
+        # (save_embedding_index; the gate prunes the scan to the
+        # batch's buckets, constant in corpus). Two batch sizes,
+        # because the pruning factor is touched-buckets/4096 — a
+        # property of the BATCH's key count, not of the corpus: a
+        # 50-vector micro-batch touches ~200 buckets (~6% of stored
+        # rows), a 500-vector batch ~1500 (~46%).
+        from syncquill_spark.streaming.vector_dedup import (
+            save_embedding_index,
         )
+
+        base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        batches = {
+            "b500": base_emb.filter(F.col("vec_id") % 4 == 0),
+            "b50": base_emb.filter(F.col("vec_id") % 40 == 0),
+        }
+        batches = {
+            name: b.select(
+                (F.col("vec_id") + BATCH_OFFSET).alias("vec_id"),
+                "embedding",
+            )
+            for name, b in batches.items()
+        }
         for m in LADDER:
             emb = scaled_embeddings(spark, sf_dir, m)
             tmp = tempfile.mkdtemp(prefix="ladder_vgate_")
@@ -507,22 +527,39 @@ def main() -> None:
                 vkeys, vvecs = build_embedding_index(
                     emb, bands=4, planes_per_band=12
                 )
-                save_index(f"{tmp}/vec", keys=vkeys, vecs=vvecs)
-                emit("gate_vector_build", m, time.time() - t0, 0)
-                vidx = load_index(spark, f"{tmp}/vec")
-                _gate(
-                    "gate_vector",
-                    m,
-                    lambda: stream_embedding_near_dups(
-                        vec_batch,
-                        vidx["keys"],
-                        vidx["vecs"],
-                        threshold=0.55,
-                        bands=4,
-                        planes_per_band=12,
-                    ).dropDuplicates(["stream_id", "corpus_id"]),
-                    vec_batch,
+                save_index(
+                    f"{tmp}/flat", keys=vkeys.drop("_bucket"), vecs=vvecs
                 )
+                emit("gate_vector_build_flat", m, time.time() - t0, 0)
+                spark.catalog.clearCache()
+                t0 = time.time()
+                vkeys, vvecs = build_embedding_index(
+                    emb, bands=4, planes_per_band=12
+                )
+                save_embedding_index(f"{tmp}/bkt", vkeys, vvecs)
+                emit("gate_vector_build_bucketed", m, time.time() - t0, 0)
+                spark.catalog.clearCache()
+                idxs = {
+                    "flat": load_index(spark, f"{tmp}/flat"),
+                    "bucketed": load_index(spark, f"{tmp}/bkt"),
+                }
+                for bname, vb in batches.items():
+                    for lname, vidx in idxs.items():
+                        _gate(
+                            f"gate_vector_{lname}_{bname}",
+                            m,
+                            lambda vidx=vidx, vb=vb: (
+                                stream_embedding_near_dups(
+                                    vb,
+                                    vidx["keys"],
+                                    vidx["vecs"],
+                                    threshold=0.55,
+                                    bands=4,
+                                    planes_per_band=12,
+                                ).dropDuplicates(["stream_id", "corpus_id"])
+                            ),
+                            vb,
+                        )
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
 
