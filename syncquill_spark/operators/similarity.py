@@ -590,7 +590,20 @@ def semantic_dedup_pairs(
         .withColumn("_nrm", l2_norm(F.col("_cv")))
         .select(
             "cell_id",
-            F.transform(F.col("_cv"), lambda x: x.cast("double") / F.col("_nrm")).alias("_ucv"),
+            # same guard as the Lloyd-mean normalization: a sampled
+            # zero-norm (or NULL) vector must yield a NULL centroid,
+            # not an ANSI 0/0 job abort (r14 battery find — the
+            # initial sample lacked the _mnrm > 0 guard the refine
+            # loop has). NULL centroids score NULL against everything
+            # and NULL sorts last under desc, so degenerate cells are
+            # never probed or assigned; on clean corpora the WHEN
+            # always takes the same branch — values bit-identical.
+            F.when(
+                F.col("_nrm") > 0,
+                F.transform(
+                    F.col("_cv"), lambda x: x.cast("double") / F.col("_nrm")
+                ),
+            ).alias("_ucv"),
         )
     )
     w_assign = Window.partitionBy(id_col).orderBy(
@@ -808,7 +821,20 @@ def _ivf_centroids(
         .withColumn("_nrm", l2_norm(F.col("_cv")))
         .select(
             "cell_id",
-            F.transform(F.col("_cv"), lambda x: x.cast("double") / F.col("_nrm")).alias("_ucv"),
+            # same guard as the Lloyd-mean normalization: a sampled
+            # zero-norm (or NULL) vector must yield a NULL centroid,
+            # not an ANSI 0/0 job abort (r14 battery find — the
+            # initial sample lacked the _mnrm > 0 guard the refine
+            # loop has). NULL centroids score NULL against everything
+            # and NULL sorts last under desc, so degenerate cells are
+            # never probed or assigned; on clean corpora the WHEN
+            # always takes the same branch — values bit-identical.
+            F.when(
+                F.col("_nrm") > 0,
+                F.transform(
+                    F.col("_cv"), lambda x: x.cast("double") / F.col("_nrm")
+                ),
+            ).alias("_ucv"),
         )
     )
 

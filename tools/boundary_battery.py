@@ -4,15 +4,16 @@ plan overflow, and the vector-kernel NULL/ragged/NaN crashes (the
 round-12 precedent was the simhash bits=64 overflow, found by the 64x
 ladder). Every case drives an operator with inputs a 100 TB corpus
 WILL eventually contain — empty frames, sub-k documents, NULL
-text/lang, NULL/NaN/Inf/ragged embeddings, truncated media payloads,
-parameter extremes — and prints one PASS/FAIL line per case.
+text/lang, NULL/NaN/Inf/ragged/all-zero embeddings, truncated media
+payloads, corrupted persisted indexes, degenerate streaming batches,
+parameter extremes.
 
-The fixes this battery forced are pinned as pytest regressions
-(tests/test_dedup.py, tests/test_similarity.py,
-tests/test_multimodal.py); this tool remains the exploration harness:
-re-run it after adding an operator, extend it with the new operator's
-edges, and treat any FAIL as a latent production crash until proven
-otherwise.
+r14 (verdict item #4): the battery is now a STANDING SUITE GATE — the
+case list lives in ``case_specs()`` and ``tests/test_boundary_battery
+.py`` parametrizes one pytest node per case, so a regression in any
+guard fails ``pytest tests/`` directly. This file stays runnable as
+the exploration harness (one PASS/FAIL line per case, exit code =
+failures) for probing new operators before their cases are committed.
 
 Usage: python tools/boundary_battery.py [sf_dir]
 Exit code: number of FAILed cases (0 = all green).
@@ -20,203 +21,461 @@ Exit code: number of FAILed cases (0 = all green).
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 import struct
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from syncquill_spark import get_spark  # noqa: E402
 
-RESULTS: list[tuple[str, str, object]] = []
+class Ctx:
+    """Shared fixtures for the battery, built lazily so importing the
+    case list never needs a SparkSession (pytest collects case names
+    without one)."""
 
+    def __init__(self, spark, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, object] = {}
 
-def case(name, fn, expect_error=None):
-    """Run one case. expect_error: exception type name expected to be
-    RAISED (a clean guard); anything else raising is a FAIL."""
-    try:
-        out = fn()
-        n = out.count() if hasattr(out, "count") else out
-        if expect_error:
-            RESULTS.append(("FAIL", name, f"expected {expect_error}, got rows={n}"))
-            print(f"FAIL {name}: expected {expect_error}, ran fine ({n})", flush=True)
+    def _get(self, name, builder):
+        if name not in self._cache:
+            self._cache[name] = builder()
+        return self._cache[name]
+
+    @property
+    def docs(self):
+        return self._get(
+            "docs",
+            lambda: self.spark.read.parquet(f"{self.sf_dir}/documents.parquet"),
+        )
+
+    @property
+    def emb(self):
+        return self._get(
+            "emb",
+            lambda: self.spark.read.parquet(f"{self.sf_dir}/embeddings.parquet"),
+        )
+
+    @property
+    def empty_docs(self):
+        return self._get("empty_docs", lambda: self.docs.limit(0))
+
+    @property
+    def empty_emb(self):
+        return self._get("empty_emb", lambda: self.emb.limit(0))
+
+    @property
+    def tiny(self):
+        return self._get("tiny", lambda: self.docs.limit(5))
+
+    @property
+    def short(self):
+        return self._get(
+            "short",
+            lambda: self.spark.createDataFrame(
+                [(1, "a b", "en"), (2, "c d", "en"),
+                 (3, "the quick brown fox jumps over the lazy dog", "en"),
+                 (4, "the quick brown fox jumps over the lazy cat", "en")],
+                "doc_id long, text string, lang string"),
+        )
+
+    @property
+    def nulldocs(self):
+        return self._get(
+            "nulldocs",
+            lambda: self.spark.createDataFrame(
+                [(1, None, "en"),
+                 (2, "the quick brown fox jumps over it", "en"),
+                 (3, "the quick brown fox jumps over it", None)],
+                "doc_id long, text string, lang string"),
+        )
+
+    @property
+    def base_vec(self):
+        return [float(i % 7 - 3) for i in range(64)]
+
+    @property
+    def patho(self):
+        base = self.base_vec
+        return self._get(
+            "patho",
+            lambda: self.spark.createDataFrame(
+                [(1, base), (2, base), (3, None), (4, [float("nan")] * 64),
+                 (5, [float("inf")] * 64), (6, base[:63]),
+                 (7, [0.0] * 64)],
+                "vec_id long, embedding array<double>"),
+        )
+
+    @property
+    def q1(self):
+        return self._get(
+            "q1",
+            lambda: self.spark.createDataFrame(
+                [(100, self.base_vec)],
+                "query_id long, embedding array<double>"),
+        )
+
+    @property
+    def media(self):
+        ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+        wav = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+               + b"data" + struct.pack("<I", 4) + struct.pack("<2h", 1, -1))
+        return self._get(
+            "media",
+            lambda: self.spark.createDataFrame(
+                [(1, ppm), (2, ppm[:-5]), (3, wav), (4, wav[:20]),
+                 (5, b"\x89PNG\r\n\x1a\n junk"), (6, None)],
+                "media_id long, payload binary"),
+        )
+
+    # --- persisted-index fixtures (built once, corrupted per case in
+    # fresh copies so cases stay order-independent) -------------------
+    @property
+    def good_index_dir(self):
+        def build():
+            from syncquill_spark.sources.index_store import save_index
+
+            d = tempfile.mkdtemp(prefix="battery_idx_")
+            save_index(
+                f"{d}/idx",
+                part_a=self.spark.createDataFrame(
+                    [(1, "x"), (2, "y")], "id long, v string"),
+                part_b=self.spark.createDataFrame(
+                    [(1, 10)], "id long, n long"),
+            )
+            return d
+
+        return self._get("good_index_dir", build)
+
+    def corrupted_index(self, kind: str) -> str:
+        """A fresh corrupted copy of the good index: 'truncated_manifest'
+        cuts the manifest JSON mid-token; 'missing_part' deletes a part
+        directory the manifest still names."""
+        src = f"{self.good_index_dir}/idx"
+        dst = tempfile.mkdtemp(prefix=f"battery_{kind}_") + "/idx"
+        shutil.copytree(src, dst)
+        if kind == "truncated_manifest":
+            p = os.path.join(dst, "_index_manifest.json")
+            raw = open(p, "rb").read()
+            open(p, "wb").write(raw[: len(raw) // 2])
+        elif kind == "missing_part":
+            shutil.rmtree(os.path.join(dst, "part_b"))
         else:
-            RESULTS.append(("PASS", name, n))
-            print(f"PASS {name}: {n}", flush=True)
-    except Exception as e:
-        kind = type(e).__name__
-        if expect_error and kind == expect_error:
-            RESULTS.append(("PASS", name, kind))
-            print(f"PASS {name}: clean {kind}", flush=True)
-        else:
-            msg = str(e).split("\n")[0][:160]
-            RESULTS.append(("FAIL", name, f"{kind}: {msg}"))
-            print(f"FAIL {name}: {kind}: {msg}", flush=True)
+            raise ValueError(kind)
+        return dst
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark("boundary-battery")
-    spark.sparkContext.setLogLevel("ERROR")
+def _load_index_part(ctx, kind, part):
+    from syncquill_spark.sources.index_store import load_index
 
-    from syncquill_spark.functions.vectors import quantize_int8
-    from syncquill_spark.functions.zorder import zorder_key
-    from syncquill_spark.operators.clusters import connected_components
-    from syncquill_spark.operators.dedup import (
-        exact_dedup,
-        fuzzy_name_pairs,
-        minhash_lsh_pairs,
-        ngram_jaccard_pairs,
-        simhash_near_pairs,
-    )
-    from syncquill_spark.operators.multimodal import media_triage
-    from syncquill_spark.operators.similarity import (
-        brute_force_topk,
-        embedding_near_dup_pairs,
-        pca_fit,
-        pca_project,
-        random_projection,
-    )
-    from syncquill_spark.operators.text import (
-        chunk_documents,
-        language_id,
-        quality_rules,
-    )
+    idx = load_index(ctx.spark, ctx.corrupted_index(kind))
+    return idx[part].count()
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    empty_docs, empty_emb, tiny = docs.limit(0), emb.limit(0), docs.limit(5)
+
+def case_specs():
+    """The committed battery: [(name, expect_error, fn(ctx))]. A case
+    PASSES when fn runs clean (expect_error None) or raises exactly
+    expect_error (a designed guard); any other exception is a latent
+    production crash. Keep every fn self-contained (imports inside) so
+    one broken module fails its own cases, not the whole list."""
+
+    def _curation():
+        import syncquill_spark.operators.curation as c
+
+        return c
+
+    specs = []
+    add = lambda name, fn, expect_error=None: specs.append(  # noqa: E731
+        (name, expect_error, fn))
 
     # --- empty inputs ---------------------------------------------------
-    case("minhash_empty", lambda: minhash_lsh_pairs(empty_docs, k=3, threshold=0.2))
-    case("simhash_empty", lambda: simhash_near_pairs(empty_docs, bits=32))
-    case("ngram_empty", lambda: ngram_jaccard_pairs(empty_docs, k=3, threshold=0.2))
-    case("exact_empty", lambda: exact_dedup(empty_docs))
-    case("cc_empty", lambda: connected_components(
-        spark.createDataFrame([], "id_a long, id_b long")))
-    case("brute_empty_corpus", lambda: brute_force_topk(
-        empty_emb,
-        emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding"),
+    def _dedup():
+        import syncquill_spark.operators.dedup as d
+
+        return d
+
+    def _sim():
+        import syncquill_spark.operators.similarity as s
+
+        return s
+
+    def _text():
+        import syncquill_spark.operators.text as t
+
+        return t
+
+    add("minhash_empty",
+        lambda ctx: _dedup().minhash_lsh_pairs(ctx.empty_docs, k=3, threshold=0.2))
+    add("simhash_empty",
+        lambda ctx: _dedup().simhash_near_pairs(ctx.empty_docs, bits=32))
+    add("ngram_empty",
+        lambda ctx: _dedup().ngram_jaccard_pairs(ctx.empty_docs, k=3, threshold=0.2))
+    add("exact_empty", lambda ctx: _dedup().exact_dedup(ctx.empty_docs))
+    add("cc_empty", lambda ctx: __import__(
+        "syncquill_spark.operators.clusters", fromlist=["connected_components"]
+    ).connected_components(
+        ctx.spark.createDataFrame([], "id_a long, id_b long")))
+    add("brute_empty_corpus", lambda ctx: _sim().brute_force_topk(
+        ctx.empty_emb,
+        ctx.emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding"),
         k=5))
-    case("brute_empty_queries", lambda: brute_force_topk(
-        emb, empty_emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+    add("brute_empty_queries", lambda ctx: _sim().brute_force_topk(
+        ctx.emb, ctx.empty_emb.select(F.col("vec_id").alias("query_id"), "embedding"),
         k=5))
 
     # --- short docs (the ANSI-0/0 find) --------------------------------
-    short = spark.createDataFrame(
-        [(1, "a b", "en"), (2, "c d", "en"),
-         (3, "the quick brown fox jumps over the lazy dog", "en"),
-         (4, "the quick brown fox jumps over the lazy cat", "en")],
-        "doc_id long, text string, lang string")
-    case("minhash_short_docs", lambda: minhash_lsh_pairs(short, k=3, threshold=0.5))
-    case("ngram_no_nchars_col", lambda: ngram_jaccard_pairs(short, k=3, threshold=0.5))
+    add("minhash_short_docs",
+        lambda ctx: _dedup().minhash_lsh_pairs(ctx.short, k=3, threshold=0.5))
+    add("ngram_no_nchars_col",
+        lambda ctx: _dedup().ngram_jaccard_pairs(ctx.short, k=3, threshold=0.5))
 
     # --- NULL text / lang ----------------------------------------------
-    nulldocs = spark.createDataFrame(
-        [(1, None, "en"), (2, "the quick brown fox jumps over it", "en"),
-         (3, "the quick brown fox jumps over it", None)],
-        "doc_id long, text string, lang string")
-    case("minhash_null_text", lambda: minhash_lsh_pairs(nulldocs, k=3, threshold=0.5))
-    case("simhash_null_text", lambda: simhash_near_pairs(nulldocs, bits=32))
-    case("langid_null_text", lambda: language_id(nulldocs))
-    case("quality_null_text", lambda: quality_rules(nulldocs))
-    case("chunk_null_text", lambda: chunk_documents(nulldocs))
+    add("minhash_null_text",
+        lambda ctx: _dedup().minhash_lsh_pairs(ctx.nulldocs, k=3, threshold=0.5))
+    add("simhash_null_text",
+        lambda ctx: _dedup().simhash_near_pairs(ctx.nulldocs, bits=32))
+    add("langid_null_text", lambda ctx: _text().language_id(ctx.nulldocs))
+    add("quality_null_text", lambda ctx: _text().quality_rules(ctx.nulldocs))
+    add("chunk_null_text", lambda ctx: _text().chunk_documents(ctx.nulldocs))
 
     # --- parameter extremes (clean guards must RAISE ValueError) -------
-    case("minhash_k_0", lambda: minhash_lsh_pairs(short, k=0),
-         expect_error="ValueError")
-    case("minhash_k_10000", lambda: minhash_lsh_pairs(short, k=10_000),
-         expect_error="ValueError")
-    case("minhash_k_64_boundary", lambda: minhash_lsh_pairs(short, k=64, threshold=0.2))
-    case("minhash_t0", lambda: minhash_lsh_pairs(short, k=3, threshold=0.0))
-    case("minhash_t1", lambda: minhash_lsh_pairs(short, k=3, threshold=1.0))
-    case("simhash_bits1", lambda: simhash_near_pairs(short, bits=1, max_hamming=0, bands=1))
-    case("simhash_bits64_full", lambda: simhash_near_pairs(short, bits=64, max_hamming=0, bands=1))
-    case("zorder_63bits", lambda: docs.select(zorder_key([F.col("doc_id")], bits=63).alias("z")))
-    case("quantize_extremes", lambda: spark.createDataFrame(
+    add("minhash_k_0",
+        lambda ctx: _dedup().minhash_lsh_pairs(ctx.short, k=0), "ValueError")
+    add("minhash_k_10000",
+        lambda ctx: _dedup().minhash_lsh_pairs(ctx.short, k=10_000), "ValueError")
+    add("minhash_k_64_boundary",
+        lambda ctx: _dedup().minhash_lsh_pairs(ctx.short, k=64, threshold=0.2))
+    add("minhash_t0",
+        lambda ctx: _dedup().minhash_lsh_pairs(ctx.short, k=3, threshold=0.0))
+    add("minhash_t1",
+        lambda ctx: _dedup().minhash_lsh_pairs(ctx.short, k=3, threshold=1.0))
+    add("simhash_bits1",
+        lambda ctx: _dedup().simhash_near_pairs(ctx.short, bits=1, max_hamming=0, bands=1))
+    add("simhash_bits64_full",
+        lambda ctx: _dedup().simhash_near_pairs(ctx.short, bits=64, max_hamming=0, bands=1))
+    add("zorder_63bits", lambda ctx: ctx.docs.select(__import__(
+        "syncquill_spark.functions.zorder", fromlist=["zorder_key"]
+    ).zorder_key([F.col("doc_id")], bits=63).alias("z")))
+    add("quantize_extremes", lambda ctx: ctx.spark.createDataFrame(
         [(1, [1e30, -1e30, 0.0]), (2, [0.0, 0.0, 0.0])],
         "vec_id long, embedding array<double>",
-    ).select(quantize_int8(F.col("embedding")).alias("q")))
-    case("chunk_1_token", lambda: chunk_documents(tiny, chunk_tokens=1, overlap=0))
-    case("chunk_overlap_ge_chunk", lambda: chunk_documents(tiny, chunk_tokens=16, overlap=16),
-         expect_error="ValueError")
-    case("pack_budget_0", lambda: __import__(
-        "syncquill_spark.operators.curation", fromlist=["pack_sequences"]
-    ).pack_sequences(tiny, budget=0), expect_error="ValueError")
+    ).select(__import__(
+        "syncquill_spark.functions.vectors", fromlist=["quantize_int8"]
+    ).quantize_int8(F.col("embedding")).alias("q")))
+    add("chunk_1_token",
+        lambda ctx: _text().chunk_documents(ctx.tiny, chunk_tokens=1, overlap=0))
+    add("chunk_overlap_ge_chunk",
+        lambda ctx: _text().chunk_documents(ctx.tiny, chunk_tokens=16, overlap=16),
+        "ValueError")
+    add("pack_budget_0",
+        lambda ctx: _curation().pack_sequences(ctx.tiny, budget=0), "ValueError")
 
     # --- CDC / join edges ----------------------------------------------
-    from syncquill_spark.operators.asof import asof_join
-    from syncquill_spark.operators.ranges import binned_range_join
-    from syncquill_spark.operators.scd2 import scd2_history
+    def _L(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, 10, "a"), (1, None, "b"), (2, 5, "c")],
+            "k long, ts long, lv string")
 
-    L = spark.createDataFrame(
-        [(1, 10, "a"), (1, None, "b"), (2, 5, "c")],
-        "k long, ts long, lv string")
-    R = spark.createDataFrame(
-        [(1, 8, "x"), (1, None, "y"), (3, 1, "z")],
-        "k long, ts long, rv string")
-    case("asof_null_ts", lambda: asof_join(L, R, on="k", ts="ts"))
-    case("asof_empty_right", lambda: asof_join(L, R.limit(0), on="k", ts="ts"))
-    pts = spark.createDataFrame(
-        [(1, 5.0), (2, None), (3, float("nan"))], "pid long, p double")
-    ivl = spark.createDataFrame(
-        [(10, 0.0, 10.0), (11, None, 5.0)], "iid long, lo double, hi double")
-    case("range_null_point", lambda: binned_range_join(pts, ivl, "p", "lo", "hi", bin_width=1.0))
-    case("range_binwidth_0", lambda: binned_range_join(pts, ivl, "p", "lo", "hi", bin_width=0.0),
-         expect_error="ValueError")
-    case("range_binwidth_neg", lambda: binned_range_join(pts, ivl, "p", "lo", "hi", bin_width=-1.0),
-         expect_error="ValueError")
-    S = spark.createDataFrame(
-        [(1, 1, "a"), (1, 2, None), (1, 3, None), (1, None, "b")],
-        "k long, t long, v string")
-    case("scd2_null_order", lambda: scd2_history(S, "k", "t", ["v"]))
-    case("scd2_empty", lambda: scd2_history(S.limit(0), "k", "t", ["v"]))
-    from syncquill_spark.operators.text import winnowing_fingerprints
+    def _R(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, 8, "x"), (1, None, "y"), (3, 1, "z")],
+            "k long, ts long, rv string")
 
-    case("winnow_window_0", lambda: winnowing_fingerprints(tiny, k=3, window=0),
-         expect_error="ValueError")
-    case("winnow_k1_w1", lambda: winnowing_fingerprints(tiny, k=1, window=1))
-    case("fuzzy_maxdist0", lambda: fuzzy_name_pairs(
-        spark.createDataFrame(
+    def _asof():
+        import syncquill_spark.operators.asof as a
+
+        return a
+
+    add("asof_null_ts", lambda ctx: _asof().asof_join(_L(ctx), _R(ctx), on="k", ts="ts"))
+    add("asof_empty_right",
+        lambda ctx: _asof().asof_join(_L(ctx), _R(ctx).limit(0), on="k", ts="ts"))
+
+    def _pts(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, float("nan"))], "pid long, p double")
+
+    def _ivl(ctx):
+        return ctx.spark.createDataFrame(
+            [(10, 0.0, 10.0), (11, None, 5.0)], "iid long, lo double, hi double")
+
+    def _ranges():
+        import syncquill_spark.operators.ranges as r
+
+        return r
+
+    add("range_null_point", lambda ctx: _ranges().binned_range_join(
+        _pts(ctx), _ivl(ctx), "p", "lo", "hi", bin_width=1.0))
+    add("range_binwidth_0", lambda ctx: _ranges().binned_range_join(
+        _pts(ctx), _ivl(ctx), "p", "lo", "hi", bin_width=0.0), "ValueError")
+    add("range_binwidth_neg", lambda ctx: _ranges().binned_range_join(
+        _pts(ctx), _ivl(ctx), "p", "lo", "hi", bin_width=-1.0), "ValueError")
+
+    def _S(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, None), (1, 3, None), (1, None, "b")],
+            "k long, t long, v string")
+
+    def _scd2():
+        import syncquill_spark.operators.scd2 as s
+
+        return s
+
+    add("scd2_null_order", lambda ctx: _scd2().scd2_history(_S(ctx), "k", "t", ["v"]))
+    add("scd2_empty", lambda ctx: _scd2().scd2_history(_S(ctx).limit(0), "k", "t", ["v"]))
+    add("winnow_window_0",
+        lambda ctx: _text().winnowing_fingerprints(ctx.tiny, k=3, window=0),
+        "ValueError")
+    add("winnow_k1_w1",
+        lambda ctx: _text().winnowing_fingerprints(ctx.tiny, k=1, window=1))
+    add("fuzzy_maxdist0", lambda ctx: _dedup().fuzzy_name_pairs(
+        ctx.spark.createDataFrame(
             [(1, "anna lee"), (2, "anna lee"), (3, "bob ray")],
             "doc_id long, name string"),
         name_col="name", max_dist=0))
-    case("fuzzy_empty_names", lambda: fuzzy_name_pairs(
-        spark.createDataFrame([(1, ""), (2, "")], "doc_id long, name string"),
+    add("fuzzy_empty_names", lambda ctx: _dedup().fuzzy_name_pairs(
+        ctx.spark.createDataFrame([(1, ""), (2, "")], "doc_id long, name string"),
         name_col="name", max_dist=2))
 
-    # --- pathological embeddings (the vector-kernel find) --------------
-    base = [float(i % 7 - 3) for i in range(64)]
-    patho = spark.createDataFrame(
-        [(1, base), (2, base), (3, None), (4, [float("nan")] * 64),
-         (5, [float("inf")] * 64), (6, base[:63])],
-        "vec_id long, embedding array<double>")
-    q1 = spark.createDataFrame([(100, base)], "query_id long, embedding array<double>")
-    case("neardup_pathological", lambda: embedding_near_dup_pairs(patho, threshold=0.5))
-    case("brute_pathological", lambda: brute_force_topk(patho, q1, k=5))
-    case("rp_pathological", lambda: random_projection(patho, out_dim=8))
-    case("pca_pathological", lambda: pca_project(patho, pca_fit(patho, k=4)))
-    case("neardup_zero_vectors", lambda: embedding_near_dup_pairs(
-        spark.createDataFrame([(1, [0.0] * 64), (2, [0.0] * 64)],
-                              "vec_id long, embedding array<double>"),
+    # --- pathological embeddings (the vector-kernel find + the r14
+    # zero-norm find: finite all-zero rows divide 0/0 in the float
+    # cosine; the NaN sorted above every double in desc top-k) -------
+    add("neardup_pathological",
+        lambda ctx: _sim().embedding_near_dup_pairs(ctx.patho, threshold=0.5))
+    add("brute_pathological",
+        lambda ctx: _sim().brute_force_topk(ctx.patho, ctx.q1, k=5))
+    add("rp_pathological",
+        lambda ctx: _sim().random_projection(ctx.patho, out_dim=8))
+    add("pca_pathological",
+        lambda ctx: _sim().pca_project(ctx.patho, _sim().pca_fit(ctx.patho, k=4)))
+    add("neardup_zero_vectors", lambda ctx: _sim().embedding_near_dup_pairs(
+        ctx.spark.createDataFrame([(1, [0.0] * 64), (2, [0.0] * 64)],
+                                  "vec_id long, embedding array<double>"),
         threshold=0.5))
 
-    # --- corrupt media payloads (the triage gate) ----------------------
-    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
-    wav = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
-           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
-           + b"data" + struct.pack("<I", 4) + struct.pack("<2h", 1, -1))
-    media = spark.createDataFrame(
-        [(1, ppm), (2, ppm[:-5]), (3, wav), (4, wav[:20]),
-         (5, b"\x89PNG\r\n\x1a\n junk"), (6, None)],
-        "media_id long, payload binary")
-    case("media_triage_corrupt", lambda: media_triage(media))
+    def _zero_topk_excludes(ctx):
+        got = _sim().brute_force_topk(ctx.patho, ctx.q1, k=7).collect()
+        ids = {r["neighbor_id"] for r in got}
+        assert 7 not in ids, "zero-norm corpus row ranked in top-k"
+        assert ids == {1, 2}, ids
+        return len(got)
 
-    fails = [r for r in RESULTS if r[0] == "FAIL"]
-    print(f"\n{len(RESULTS) - len(fails)}/{len(RESULTS)} passed, {len(fails)} failed")
-    return len(fails)
+    add("brute_zero_vector_never_ranks", _zero_topk_excludes)
+    add("lsh_zero_vector_never_ranks", lambda ctx: _sim().lsh_topk(
+        ctx.patho, ctx.q1, k=7))
+    add("ivf_pathological", lambda ctx: _sim().ivf_topk(
+        ctx.patho, ctx.q1, k=3, n_cells=2, nprobe=2))
+
+    # --- corrupt media payloads (the triage gate) ----------------------
+    def _mm():
+        import syncquill_spark.operators.multimodal as m
+
+        return m
+
+    add("media_triage_corrupt", lambda ctx: _mm().media_triage(ctx.media))
+
+    def _triage_string_ids(ctx):
+        df = ctx.media.select(
+            F.concat(F.lit("asset-"), F.col("media_id")).alias("asset"),
+            "payload")
+        return _mm().media_triage(df, id_col="asset")
+
+    add("media_triage_string_ids", _triage_string_ids)
+
+    # --- corrupted persisted indexes (r14, verdict item #4): fail-stop
+    # with a diagnosable error, never silently-wrong reads ------------
+    add("index_truncated_manifest",
+        lambda ctx: _load_index_part(ctx, "truncated_manifest", "part_a"),
+        "JSONDecodeError")
+    add("index_missing_part",
+        lambda ctx: _load_index_part(ctx, "missing_part", "part_b"),
+        "AnalysisException")
+
+    # --- streaming-gate degenerate batches (r14, verdict item #4) ------
+    def _streaming():
+        import syncquill_spark.streaming as s
+
+        return s
+
+    def _vec_index(ctx):
+        return ctx._get(
+            "vec_index",
+            lambda: _streaming().build_embedding_index(
+                ctx.emb.limit(200), bands=4, planes_per_band=4))
+
+    add("vgate_empty_batch", lambda ctx: _streaming().stream_embedding_near_dups(
+        ctx.empty_emb, *_vec_index(ctx)))
+    add("vgate_pathological_batch",
+        lambda ctx: _streaming().stream_embedding_near_dups(
+            ctx.patho, *_vec_index(ctx)))
+    add("vgate_empty_index", lambda ctx: _streaming().stream_embedding_near_dups(
+        ctx.emb.limit(5), *_streaming().build_embedding_index(ctx.empty_emb)))
+
+    def _text_index(ctx):
+        return ctx._get(
+            "text_index",
+            lambda: _streaming().build_text_minhash_index(ctx.docs.limit(200)))
+
+    def _tgate(ctx, batch):
+        keys, sh = _text_index(ctx)
+        from syncquill_spark.streaming.text_dedup import (
+            text_near_dups_against_index,
+        )
+
+        return text_near_dups_against_index(batch, keys, sh, threshold=0.5)
+
+    add("tgate_empty_batch", lambda ctx: _tgate(ctx, ctx.empty_docs))
+    add("tgate_null_batch_rows", lambda ctx: _tgate(ctx, ctx.nulldocs))
+    add("tgate_short_batch_rows", lambda ctx: _tgate(ctx, ctx.short))
+    add("exact_gate_empty_batch", lambda ctx: _streaming().stream_drop_seen_text(
+        ctx.empty_docs, ctx._get(
+            "sha_index",
+            lambda: _streaming().build_text_hash_index(ctx.docs.limit(200)))))
+    add("exact_gate_null_rows", lambda ctx: _streaming().stream_drop_seen_text(
+        ctx.nulldocs, ctx._get(
+            "sha_index",
+            lambda: _streaming().build_text_hash_index(ctx.docs.limit(200)))))
+
+    return specs
+
+
+def run_case(ctx, name, expect_error, fn):
+    """Shared PASS/FAIL semantics for the tool and the pytest module.
+    Returns (ok, detail)."""
+    try:
+        out = fn(ctx)
+        n = out.count() if hasattr(out, "count") else out
+        if expect_error:
+            return False, f"expected {expect_error}, ran fine (rows={n})"
+        return True, n
+    except Exception as e:  # noqa: BLE001 — the battery classifies them
+        kind = type(e).__name__
+        if expect_error and kind == expect_error:
+            return True, f"clean {kind}"
+        return False, f"{kind}: {str(e).split(chr(10))[0][:160]}"
+
+
+def main() -> int:
+    from syncquill_spark import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("boundary-battery")
+    spark.sparkContext.setLogLevel("ERROR")
+    ctx = Ctx(spark, sf_dir)
+    fails = 0
+    specs = case_specs()
+    for name, expect_error, fn in specs:
+        ok, detail = run_case(ctx, name, expect_error, fn)
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {detail}", flush=True)
+        fails += 0 if ok else 1
+    print(f"\n{len(specs) - fails}/{len(specs)} passed, {fails} failed")
+    return fails
 
 
 if __name__ == "__main__":
