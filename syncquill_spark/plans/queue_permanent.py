@@ -555,6 +555,87 @@ WHERE abs(length(na.nm) - length(nb.nm)) <= 2
   AND levenshtein(na.nm, nb.nm) <= 2
 """
 
+# --- multimodal_triage (added r14, r13 verdict #3): the decodability
+# gate's cross-engine fingerprint. The synthetic corpus knows
+# decodability BY CONSTRUCTION — per 6-id cell the payload is a valid
+# PPM (multimodal_decode's md5-raster build), the same PPM with the
+# raster cut at 32 of 48 bytes, a valid 4-sample PCM WAV (constant
+# header + 8 md5-derived data bytes), that WAV cut inside the fmt
+# chunk (RIFF magic intact — the exact partial-upload shape that
+# aborts strict decode stages), a PNG magic no codec handles, and a
+# NULL payload. The Spark side runs the REAL media_triage (actual
+# header parse + raster/chunk-walk decode per payload); the oracle
+# derives (ok, modality, error_class) ALGEBRAICALLY from doc_id % 6 —
+# a green fingerprint proves the real decoder classifies every
+# planted corruption exactly as constructed. Near-variant precedent:
+# registered multimodal_decode (same payload construction, strict
+# path); error CLASS not message text (messages are codec-internal).
+_WAV_HEADER = (
+    b"RIFF" + (36 + 8).to_bytes(4, "little") + b"WAVE"
+    + b"fmt " + (16).to_bytes(4, "little")
+    + (1).to_bytes(2, "little")      # PCM
+    + (1).to_bytes(2, "little")      # mono
+    + (8000).to_bytes(4, "little")   # sample rate
+    + (16000).to_bytes(4, "little")  # byte rate
+    + (2).to_bytes(2, "little")      # block align
+    + (16).to_bytes(2, "little")     # bits
+    + b"data" + (8).to_bytes(4, "little")
+)
+
+
+def q_multimodal_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syncquill_spark.operators.multimodal import media_triage
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    hx2 = F.concat(
+        F.md5(F.concat(F.col("text"), F.lit("|0"))),
+        F.md5(F.concat(F.col("text"), F.lit("|1"))),
+    )
+    hx3 = F.concat(hx2, F.md5(F.concat(F.col("text"), F.lit("|2"))))
+    ppm_hdr = F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8")
+    m = F.col("doc_id") % 6
+    payload = (
+        F.when(m == 0, F.concat(ppm_hdr, F.unhex(hx3)))
+        .when(m == 1, F.concat(ppm_hdr, F.unhex(hx2)))  # 32/48 raster bytes
+        .when(
+            m == 2,
+            F.concat(
+                F.lit(_WAV_HEADER),
+                F.unhex(F.substring(F.md5(F.col("text")), 1, 16)),
+            ),
+        )
+        .when(m == 3, F.lit(_WAV_HEADER[:20]))  # cut inside fmt chunk
+        .when(m == 4, F.lit(b"\x89PNG\r\n\x1a\n not a codec we ship"))
+        .otherwise(F.lit(None).cast("binary"))
+    )
+    out = media_triage(
+        documents.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    )
+    return out.select(
+        "media_id",
+        F.col("ok").cast("long").alias("ok"),
+        "modality",
+        F.when(F.col("ok"), F.lit(None).cast("string"))
+        .when(F.col("error") == "null payload", F.lit("null"))
+        .when(F.col("error").startswith("no codec"), F.lit("unknown_magic"))
+        .otherwise(F.lit("decode_error"))
+        .alias("error_class"),
+    )
+
+
+def _multimodal_triage_sql() -> str:
+    return """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 6 IN (0, 2) THEN 1 ELSE 0 END AS ok,
+  CASE doc_id % 6 WHEN 0 THEN 'image' WHEN 2 THEN 'audio'
+       ELSE NULL END AS modality,
+  CASE doc_id % 6 WHEN 1 THEN 'decode_error' WHEN 3 THEN 'decode_error'
+       WHEN 4 THEN 'unknown_magic' WHEN 5 THEN 'null'
+       ELSE NULL END AS error_class
+FROM documents
+"""
+
+
 QUEUE_QUERIES = {
     "text_bigram_pruned_gate": q_text_bigram_pruned_gate,
     "text_lines_dedup": q_text_lines_dedup,
@@ -563,6 +644,7 @@ QUEUE_QUERIES = {
     "curation_temperature_mix": q_curation_temperature_mix,
     "curation_url_dedup": q_curation_url_dedup,
     "dedup_fuzzy_names": q_dedup_fuzzy_names,
+    "multimodal_triage": q_multimodal_triage,
 }
 
 QUEUE_ORACLES = {
@@ -573,4 +655,5 @@ QUEUE_ORACLES = {
     "curation_temperature_mix": _temperature_mix_sql(),
     "curation_url_dedup": _url_dedup_sql(),
     "dedup_fuzzy_names": _fuzzy_names_sql(),
+    "multimodal_triage": _multimodal_triage_sql(),
 }
