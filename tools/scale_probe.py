@@ -611,11 +611,51 @@ def main() -> None:
             )
             fp = media_fingerprints(media).persist()
             fp.count()
+            # r14 (verdict #5): the 8x table showed media_pairs' wall
+            # growing super-linear-in-output from fixed-hash-space
+            # band-bucket saturation (7 bands of 9-10 bits; random
+            # dHashes fill every bucket, so per-bucket candidate
+            # volume grows quadratically with the corpus). Measure the
+            # two documented knobs instead of arguing them: the
+            # max_band_df hub cap (bounds per-bucket work at ANY
+            # scale) and the wider-band layout (max_hamming=3 -> 4
+            # bands of 16 bits = 65k buckets/band — unsaturated, at
+            # the policy cost of a tighter match radius). The UNCAPPED
+            # default is skipped above 8x — its candidate volume is
+            # quadratic in saturated buckets (~10^8 pairs at 64x) and
+            # the point of the knobs is exactly that nobody should run
+            # it there; the skip is printed, not silent.
+            if m <= 8:
+                t0 = time.time()
+                n_pairs = media_near_pairs(fp, max_hamming=6).count()
+                sec_pairs = time.time() - t0
+                print(
+                    f"media_pairs m={m} media={n_media} rows={n_pairs} "
+                    f"sec={sec_pairs:.2f} media_per_sec={n_media / sec_pairs:.0f}",
+                    flush=True,
+                )
+            else:
+                print(
+                    f"media_pairs m={m} SKIPPED (uncapped band join is "
+                    "quadratic in saturated buckets; the capped/wide "
+                    "variants below are the deployment configs)",
+                    flush=True,
+                )
             t0 = time.time()
-            n_pairs = media_near_pairs(fp, max_hamming=6).count()
+            n_pairs = media_near_pairs(
+                fp, max_hamming=6, max_band_df=100
+            ).count()
             sec_pairs = time.time() - t0
             print(
-                f"media_pairs m={m} media={n_media} rows={n_pairs} "
+                f"media_pairs_df100 m={m} media={n_media} rows={n_pairs} "
+                f"sec={sec_pairs:.2f} media_per_sec={n_media / sec_pairs:.0f}",
+                flush=True,
+            )
+            t0 = time.time()
+            n_pairs = media_near_pairs(fp, max_hamming=3).count()
+            sec_pairs = time.time() - t0
+            print(
+                f"media_pairs_wide_h3 m={m} media={n_media} rows={n_pairs} "
                 f"sec={sec_pairs:.2f} media_per_sec={n_media / sec_pairs:.0f}",
                 flush=True,
             )
