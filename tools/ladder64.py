@@ -393,6 +393,99 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    if "serve512" in families:
+        # r14 (verdict #7): the serve story at the same depth as the
+        # pair-finding story — BM25 serve and IVF-PQ serve from
+        # persisted indexes built over the 512x corpus (2.56M docs /
+        # 1.02M vectors). deep512 discipline: the scaled corpus is
+        # MATERIALIZED to parquet before the index build so the
+        # 512-way union plan never contaminates the build or the
+        # serve; the serve reads ONLY the stored index either way.
+        import shutil
+        import tempfile
+        import time
+
+        from syncquill_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_topk_from_index,
+        )
+        from syncquill_spark.operators.text import (
+            bm25_from_index,
+            build_bm25_index,
+        )
+        from syncquill_spark.sources.index_store import (
+            load_index,
+            save_index,
+        )
+
+        m = 512
+        terms = ("spark", "hash", "merge", "window")
+        tmp = tempfile.mkdtemp(prefix="ladder_s512_")
+        try:
+            t0 = time.time()
+            scaled_corpus(spark, sf_dir, m).write.mode("overwrite").parquet(
+                f"{tmp}/corpus"
+            )
+            corpus = spark.read.parquet(f"{tmp}/corpus")
+            emit("s512_corpus_materialize", m, time.time() - t0, corpus.count())
+            t0 = time.time()
+            idx = build_bm25_index(corpus)
+            save_index(
+                f"{tmp}/bm25",
+                _partition_by={"postings": ["term_bucket"]},
+                **idx,
+            )
+            emit("bm25_build", m, time.time() - t0, 0)
+            spark.catalog.clearCache()
+            loaded = load_index(spark, f"{tmp}/bm25")
+            emit("bm25_postings", m, 0.0, loaded["postings"].count())
+            for tag in ("cold", "warm"):
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                rows = bm25_from_index(loaded, terms).count()
+                emit(f"bm25_serve_{tag}", m, time.time() - t0, rows)
+            shutil.rmtree(f"{tmp}/bm25", ignore_errors=True)
+            shutil.rmtree(f"{tmp}/corpus", ignore_errors=True)
+
+            t0 = time.time()
+            scaled_embeddings(spark, sf_dir, m).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/emb")
+            emb = spark.read.parquet(f"{tmp}/emb")
+            n = emb.count()
+            emit("s512_emb_materialize", m, time.time() - t0, n)
+            cells = max(16, 2 ** int(round(math.log2(math.sqrt(n)))))
+            t0 = time.time()
+            idx = ivfpq_build_index(emb, n_cells=cells)
+            save_index(
+                f"{tmp}/ivfpq", _partition_by={"codes": ["cell_id"]}, **idx
+            )
+            emit(f"ivfpq_build_cells{cells}", m, time.time() - t0, 0)
+            spark.catalog.clearCache()
+            loaded = load_index(spark, f"{tmp}/ivfpq")
+            for mod in (40, 1):  # 50 / 2000 queries
+                queries = emb.filter(
+                    (F.col("vec_id") % mod == 0)
+                    & (F.col("vec_id") < ID_OFFSET)
+                ).select(F.col("vec_id").alias("query_id"), "embedding")
+                nq = queries.count()
+                for tag in ("cold", "warm"):
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    rows = ivfpq_topk_from_index(
+                        queries, loaded, k=10, nprobe=4
+                    ).count()
+                    emit(
+                        f"ivfpq_serve_{tag}_q{nq}_cells{cells}",
+                        m,
+                        time.time() - t0,
+                        rows,
+                    )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     if "stream" in families:
         import shutil
         import tempfile
