@@ -442,6 +442,51 @@ def case_specs():
             "sha_index",
             lambda: _streaming().build_text_hash_index(ctx.docs.limit(200)))))
 
+    # --- winnowing gate degenerate batches (r14) ------------------------
+    def _winnow_index(ctx):
+        from syncquill_spark.streaming.text_dedup import (
+            build_winnowing_index,
+        )
+
+        return ctx._get(
+            "winnow_index",
+            lambda: build_winnowing_index(ctx.docs.limit(200)))
+
+    def _wgate(ctx, batch):
+        from syncquill_spark.streaming.text_dedup import (
+            winnowing_matches_against,
+        )
+
+        return winnowing_matches_against(batch, _winnow_index(ctx))
+
+    add("wgate_empty_batch", lambda ctx: _wgate(ctx, ctx.empty_docs))
+    add("wgate_null_batch_rows", lambda ctx: _wgate(ctx, ctx.nulldocs))
+    add("wgate_short_batch_rows", lambda ctx: _wgate(ctx, ctx.short))
+    add("wgate_empty_index", lambda ctx: __import__(
+        "syncquill_spark.streaming.text_dedup",
+        fromlist=["winnowing_matches_against", "build_winnowing_index"],
+    ).winnowing_matches_against(
+        ctx.tiny,
+        __import__(
+            "syncquill_spark.streaming.text_dedup",
+            fromlist=["build_winnowing_index"],
+        ).build_winnowing_index(ctx.empty_docs)))
+
+    # --- media fingerprint gate (r14): triage-then-fingerprint is the
+    # documented contract — quarantined rows must make the strict
+    # fingerprint pass clean, and the gate must survive an empty batch
+    def _media_fp_quarantined(ctx):
+        triage = _mm().media_triage(ctx.media)
+        clean = ctx.media.join(
+            triage.filter(F.col("ok")).select("media_id"), "media_id"
+        )
+        return _mm().media_fingerprints(clean)
+
+    add("media_fp_after_triage", _media_fp_quarantined)
+    add("media_gate_empty_batch", lambda ctx: _mm().media_matches_against(
+        _mm().media_fingerprints(ctx.media.limit(0)),
+        _media_fp_quarantined(ctx)))
+
     return specs
 
 

@@ -486,6 +486,95 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    if "vgate512" in families:
+        # r14: the bucketed-vs-flat vector-gate comparison at the 512x
+        # decade (the SCALE.md crossover row), reproducible. deep512
+        # discipline: the 512x embeddings are materialized to parquet
+        # before the index build.
+        import shutil
+        import tempfile
+        import time
+
+        from syncquill_spark.sources.index_store import (
+            load_index,
+            save_index,
+        )
+        from syncquill_spark.streaming.vector_dedup import (
+            build_embedding_index,
+            save_embedding_index,
+            stream_embedding_near_dups,
+        )
+
+        BATCH_OFFSET = 99 * ID_OFFSET
+        base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        batches = {
+            "b500": base_emb.filter(F.col("vec_id") % 4 == 0),
+            "b50": base_emb.filter(F.col("vec_id") % 40 == 0),
+        }
+        batches = {
+            name: b.select(
+                (F.col("vec_id") + BATCH_OFFSET).alias("vec_id"),
+                "embedding",
+            )
+            for name, b in batches.items()
+        }
+        m = 512
+        tmp = tempfile.mkdtemp(prefix="ladder_vg512_")
+        try:
+            t0 = time.time()
+            scaled_embeddings(spark, sf_dir, m).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/emb")
+            emb = spark.read.parquet(f"{tmp}/emb")
+            emit("vg512_materialize", m, time.time() - t0, emb.count())
+            vkeys, vvecs = build_embedding_index(
+                emb, bands=4, planes_per_band=12
+            )
+            t0 = time.time()
+            save_index(f"{tmp}/flat", keys=vkeys.drop("_bucket"), vecs=vvecs)
+            emit("vg512_build_flat", m, time.time() - t0, 0)
+            spark.catalog.clearCache()
+            vkeys, vvecs = build_embedding_index(
+                emb, bands=4, planes_per_band=12
+            )
+            t0 = time.time()
+            save_embedding_index(f"{tmp}/bkt", vkeys, vvecs)
+            emit("vg512_build_bucketed", m, time.time() - t0, 0)
+            spark.catalog.clearCache()
+            idxs = {
+                "flat": load_index(spark, f"{tmp}/flat"),
+                "bucketed": load_index(spark, f"{tmp}/bkt"),
+            }
+            for bname, vb in batches.items():
+                for lname, vidx in idxs.items():
+                    for tag in ("cold", "warm"):
+                        spark.catalog.clearCache()
+                        vb.persist()
+                        vb.count()
+                        spark.sparkContext._jvm.System.gc()
+                        t0 = time.time()
+                        rows = (
+                            stream_embedding_near_dups(
+                                vb,
+                                vidx["keys"],
+                                vidx["vecs"],
+                                threshold=0.55,
+                                bands=4,
+                                planes_per_band=12,
+                            )
+                            .dropDuplicates(["stream_id", "corpus_id"])
+                            .count()
+                        )
+                        emit(
+                            f"vg512_gate_{lname}_{bname}_{tag}",
+                            m,
+                            time.time() - t0,
+                            rows,
+                        )
+                        vb.unpersist()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     if "stream" in families:
         import shutil
         import tempfile
