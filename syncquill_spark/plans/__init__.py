@@ -147,6 +147,20 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    and already in the r15 mandatory list below). All centroid-path
 #    rows re-verified hash-identical at sf0.01 after the fix; battery
 #    node ivf_pathological pins the regression.
+#    THIRD find, NO window action (dead-code shared-helper touch):
+#    the bucketed vector-gate append==rebuild test caught
+#    index_store's directory walkers treating `_bucket=7` partition
+#    dirs as hidden bookkeeping — _link_tree silently DROPPED the
+#    whole stored part on append and the layout guard was blind, for
+#    any underscore-named partition column. Fixed (_is_bookkeeping:
+#    `key=value` dirs are data). This is a Python-side walker, not a
+#    Spark plan, and NO existing registered part uses an
+#    underscore-named partition column (cell_id/term_bucket), so for
+#    every registered row the function output is bit-identical — the
+#    new branch is unreachable dead code for them. All nine storage_*
+#    rows re-verified hash-identical at sf0.01 after the change;
+#    tests/test_streaming.py pins append==rebuild on the one layout
+#    that exercises the new branch.
 # Left outside at staleness 2 after this round (the full 45-row
 # r12-green cohort — the three sync rows rejoin it after the rule-2b
 # displacement above — plus the 4 deviation rows

@@ -73,15 +73,29 @@ def load_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     }
 
 
+def _is_bookkeeping(entry: str) -> bool:
+    """Hidden/bookkeeping directory entries (``_SUCCESS``,
+    ``_index_manifest.json``, ``.crc`` files) — as distinct from
+    ``key=value`` PARTITION directories, which are data even when the
+    partition column name starts with an underscore (``_bucket=7``).
+    The old startswith(("_", ".")) test conflated the two: an
+    underscore-named partition column made ``_link_tree`` silently
+    DROP the whole stored part on append and blinded the layout guard
+    (caught r14 by the bucketed vector-gate append==rebuild test)."""
+    return entry.startswith(".") or (
+        entry.startswith("_") and "=" not in entry
+    )
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Replicate a parquet part directory via hardlinks — data bytes
     are shared, only directory entries are created (the versioned
     table's append trick). Partition subdirectories (e.g.
-    ``cell_id=3``) are recreated; ``_SUCCESS``/hidden bookkeeping
-    files are skipped at every level."""
+    ``cell_id=3``, ``_bucket=7``) are recreated; ``_SUCCESS``/hidden
+    bookkeeping files are skipped at every level."""
     os.makedirs(dst, exist_ok=True)
     for entry in os.listdir(src):
-        if entry.startswith((".", "_")):
+        if _is_bookkeeping(entry):
             continue
         s, d = os.path.join(src, entry), os.path.join(dst, entry)
         if os.path.isdir(s):
@@ -109,7 +123,7 @@ def _stored_partition_cols(part_dir: str) -> list[str] | None:
     cols: list[str] = []
     d = part_dir
     while True:
-        entries = [e for e in os.listdir(d) if not e.startswith((".", "_"))]
+        entries = [e for e in os.listdir(d) if not _is_bookkeeping(e)]
         if not entries:
             return None if not cols else cols
         subdirs = [

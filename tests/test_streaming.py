@@ -679,3 +679,64 @@ def test_bucketed_vector_index_gate_identical_and_pruned(spark, tmp_path):
         "t_vec_dedup_bucketed",
     )
     assert {(r.stream_id, r.corpus_id) for r in out} == legacy
+
+
+def test_bucketed_vector_index_append_equals_rebuild(spark, tmp_path):
+    """The nightly-merge lifecycle for the r14 bucketed keys layout:
+    append_index with the stored part's _partition_by writes ONLY the
+    batch's rows into the matching _bucket partitions (hardlink carry
+    for the rest), and the gate over the appended index must equal the
+    gate over a full rebuild. Also pins the layout guard: appending
+    WITHOUT the stored partition spec must refuse before writing."""
+    import numpy as np
+    import pytest as _pytest
+
+    from syncquill_spark.sources.index_store import append_index, load_index
+    from syncquill_spark.streaming import (
+        build_embedding_index,
+        save_embedding_index,
+        stream_embedding_near_dups,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 64))
+    corpus0 = spark.createDataFrame(
+        [(100 + i, base[i].tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    growth = spark.createDataFrame(
+        [(100 + i, base[i].tolist()) for i in range(20, 30)],
+        "vec_id long, embedding array<double>",
+    )
+    probe = spark.createDataFrame(
+        [(300, (base[25] + 1e-6 * base[1]).tolist()), (301, base[2].tolist())],
+        "vec_id long, embedding array<double>",
+    )
+
+    path = str(tmp_path / "vec_idx")
+    k0, v0 = build_embedding_index(corpus0)
+    save_embedding_index(path, k0, v0)
+
+    kb, vb = build_embedding_index(growth)
+    with _pytest.raises(ValueError, match="partitioned by"):
+        append_index(path, keys=kb, vecs=vb)  # missing the stored layout
+    append_index(
+        path, _partition_by={"keys": ["_bucket"]}, keys=kb, vecs=vb
+    )
+    idx = load_index(spark, path)
+
+    k_all, v_all = build_embedding_index(corpus0.unionByName(growth))
+    rebuilt = {
+        (r.stream_id, r.corpus_id)
+        for r in stream_embedding_near_dups(
+            probe, k_all, v_all, threshold=0.9
+        ).collect()
+    }
+    appended = {
+        (r.stream_id, r.corpus_id)
+        for r in stream_embedding_near_dups(
+            probe, idx["keys"], idx["vecs"], threshold=0.9
+        ).collect()
+    }
+    assert appended == rebuilt
+    assert (300, 125) in appended  # a match that only exists post-append
