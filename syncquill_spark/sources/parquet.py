@@ -282,9 +282,25 @@ class VersionedParquetTable(Table):
             shutil.rmtree(dst)
         os.makedirs(dst)
         for f in os.listdir(src):
-            if f.startswith((".", "_")):
-                continue  # skip _SUCCESS / hidden CRCs; data files only
-            os.link(os.path.join(src, f), os.path.join(dst, f))
+            # skip _SUCCESS / hidden CRCs — but a `key=value` entry is
+            # a PARTITION directory, not bookkeeping, even when the
+            # column name starts with '_' (the index_store walkers had
+            # the same conflation; fixed r14). ParquetTable's hardlink
+            # append is a flat-files contract: refuse partition trees
+            # loudly instead of silently skipping (underscore names)
+            # or dying on a raw os.link OSError (other names).
+            if f.startswith(".") or (f.startswith("_") and "=" not in f):
+                continue
+            s = os.path.join(src, f)
+            if os.path.isdir(s):
+                raise ValueError(
+                    f"versioned table at {self.path} holds a partition "
+                    f"subdirectory {f!r}; ParquetTable append supports "
+                    "flat parquet layouts only — store Hive-partitioned "
+                    "parts via index_store.append_index, which carries "
+                    "partition trees."
+                )
+            os.link(s, os.path.join(dst, f))
         df.write.mode("append").parquet(dst)
         m["versions"].append(n)
         m["current"] = n
