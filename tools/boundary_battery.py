@@ -487,6 +487,73 @@ def case_specs():
         _mm().media_fingerprints(ctx.media.limit(0)),
         _media_fp_quarantined(ctx)))
 
+    # --- the reference's own sync core (r14): diff/apply/validate on
+    # empty and degenerate frames — a nightly sync whose source table
+    # is empty (upstream outage) must produce a clean change set, and
+    # applying an empty change set must be the identity --------------
+    def _sync(ctx):
+        import syncquill_spark.operators.diff as d
+
+        return d
+
+    def _apply(ctx):
+        import syncquill_spark.operators.apply as a
+
+        return a
+
+    def _tbl(ctx, rows):
+        return ctx.spark.createDataFrame(
+            rows, "slno string, name string, val string")
+
+    def _diff_empty_source(ctx):
+        t = _tbl(ctx, [("1", "a", "x"), ("2", "b", "y")])
+        out = _sync(ctx).diff_keyed(t, t.limit(0))
+        n = out.count()
+        kinds = {r["change_type"] for r in out.collect()}
+        assert kinds == {"del_row"} and n == 2, (n, kinds)
+        return n
+
+    def _diff_empty_target(ctx):
+        s = _tbl(ctx, [("1", "a", "x")])
+        out = _sync(ctx).diff_keyed(s.limit(0), s)
+        kinds = {r["change_type"] for r in out.collect()}
+        assert kinds == {"extra_row"}, kinds
+        return out.count()
+
+    def _apply_empty_changes(ctx):
+        t = _tbl(ctx, [("1", "a", "x"), ("2", "b", "y")])
+        changes = _sync(ctx).diff_keyed(t, t)  # empty change set
+        out = _apply(ctx).apply_changes(t, changes, source=t)
+        assert out.count() == 2
+        return 2
+
+    def _diff_apply_roundtrip_empty_both(ctx):
+        e = _tbl(ctx, [])
+        changes = _sync(ctx).diff_keyed(e, e)
+        return _apply(ctx).apply_changes(e, changes, source=e)
+
+    add("sync_diff_empty_source", _diff_empty_source)
+    add("sync_diff_empty_target", _diff_empty_target)
+    add("sync_apply_empty_changes", _apply_empty_changes)
+    add("sync_both_empty", _diff_apply_roundtrip_empty_both)
+
+    def _validate_null_key(ctx):
+        from syncquill_spark.operators.validate import validate_sync_frame
+
+        bad = _tbl(ctx, [("1", "a", "x"), (None, "b", "y")])
+        validate_sync_frame(bad).count()
+
+    add("sync_validate_null_key", _validate_null_key, "ValidationError")
+
+    def _validate_missing_key_col(ctx):
+        from syncquill_spark.operators.validate import validate_sync_frame
+
+        validate_sync_frame(
+            ctx.spark.createDataFrame([("a",)], "name string"))
+
+    add("sync_validate_missing_key_col", _validate_missing_key_col,
+        "ValidationError")
+
     return specs
 
 
