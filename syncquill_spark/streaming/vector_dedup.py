@@ -20,8 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from syncquill_spark.operators._cache import tracked_persist
 from syncquill_spark.operators.similarity import (
     _make_sig_udf,
     _dotq,
@@ -156,8 +156,13 @@ def stream_embedding_near_dups(
     if "_bucket" in index_keys.columns and not s.isStreaming:
         # one signature pass feeds both the bucket collection and the
         # join (the persist is also the evaluate-once barrier the
-        # nondeterministic marking provides on the streaming path)
-        s = s.persist(StorageLevel.MEMORY_AND_DISK)
+        # nondeterministic marking provides on the streaming path).
+        # tracked_persist, not a bare persist: a foreachBatch gate
+        # calls this per micro-batch forever, and the batch driver
+        # reclaims these via release_cached_intermediates() instead
+        # of letting batch-sized caches accumulate (ADVICE r09
+        # pattern, same as the nightly merge_*_index loops).
+        s = tracked_persist(s)
         touched = [
             r["_b"]
             for r in s.select(
