@@ -100,6 +100,66 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # queue_r10/queue_r11 modules are gone). From here, registry entry is
 # by SWAP only (net 0), recorded in this block.
 #
+# Round-15 window, in order (post-freeze maintenance rotation — no
+# registrations, pure staleness rotation + fill):
+#  - the 49 mandatory rows the round-14 verdict names (re-derived from
+#    CORRECTNESS_r12/r13/r14 before committing this order, set
+#    equality confirmed): the full 45-row staleness-2 cohort (last
+#    driver-green r12 — includes the three sync rows displaced by
+#    r14's rule-2b rebalance) PLUS the 4 documented-deviation rows
+#    from r14 (similarity_knn_classify, similarity_topk_ivf,
+#    storage_ivfpq_index, dedup_semantic_pairs — r13-green but
+#    kernel/guard-touched without a slot; the deviation protocol makes
+#    them mandatory leads here);
+#  - 1 rule-2c fill: storage_versioned_roundtrip (r13-green). Picked
+#    because r14's final commit (485d9e0) added a refusal branch to
+#    the versioned-table hardlink append (sources/parquet.py —
+#    partition trees now error diagnosably instead of conflating
+#    siblings); existing flat layouts were verified locally
+#    bit-identical, but this row is the one registered driver of that
+#    exact code path, so it takes the round's single free slot and
+#    closes the loop with a driver-green row.
+#    Slot-free maintenance this round (no registered plan touched,
+#    verified by caller census before each change): (a) the HOF
+#    `cosine_similarity` gains the same zero-norm→NULL guard as its
+#    Arrow twin (ADVICE r14; the HOF form has ZERO registered callers
+#    — plans use cosine_similarity_arrow exclusively); (b) the
+#    streaming vector gate stamps VEC_GATE_BUCKETS into the persisted
+#    index manifest and verifies it before pruning (ADVICE r14; the
+#    gate module is driven only by tests/ladder/battery, no registry
+#    row); (c) the gate's pruned batch path releases its tracked
+#    persist deterministically (ADVICE r14, same module).
+# Left outside at staleness 2 after this round (the 43-row r13-green
+# cohort minus the one rule-2c pick above = 42 rows that MUST lead the
+# r16 window; the tripwire test derives the same set from
+# CORRECTNESS_r13/r14 minus this window):
+# agg_distinct_users_approx, agg_quantiles_approx_check,
+# agg_rollup_orders, curation_blocklist, curation_boilerplate,
+# curation_decontaminate, curation_eval_k_per_lang,
+# curation_fuzzy_decontaminate, curation_hash_split, curation_pack_ffd,
+# curation_quality_filter, curation_sample_stratified, curation_shuffle,
+# dedup_apply, dedup_embedding_cosine, dedup_embedding_incremental,
+# dedup_incremental, dedup_minhash_lsh, dedup_ngram_jaccard,
+# dedup_winnowing_pairs, embedding_nearest_centroid,
+# events_session_window, events_sessionization, events_sliding_window,
+# events_tumbling_window, join_events_customers, setop_except_all,
+# similarity_topk_lsh, storage_bigram_model, storage_bm25_index,
+# storage_index_incremental, storage_index_roundtrip,
+# storage_text_ingest_roundtrip, storage_zorder_key, text_language_id,
+# text_quality, text_repetition, text_tfidf_terms, text_vocab_coverage,
+# text_winnowing, window_moving_avg, window_running_total.
+# (storage_versioned_roundtrip is the 43rd r13-green row — in THIS
+# window, so it re-greens at r15 and is NOT an r16 mandatory lead.)
+# r16 capacity check: 42 staleness-2 + 0 registrations (frozen) = 42
+# mandatory, leaving 8 fill slots — the steady 42+8 rotation the
+# round-14 comment predicted resumes. No deviation rows carried
+# forward from r15 as of this rotation commit; if a mid-round rule-2b
+# change needs more than the fill slots, apply the documented-
+# deviation protocol (name the slotless touched rows here, verify at
+# all three SFs locally, make them r17 mandatory leads).
+# The 50 r14-green rows not in this window rotate out at staleness 1.
+# Registry 142 — frozen, no change.
+#
 # Round-14 window, in order (post-freeze maintenance rotation — no
 # registrations, pure staleness rotation + fill):
 #  - the 47 rows at staleness 2 (the round-13 verdict names them as
@@ -544,37 +604,38 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # r06-green rows rotate out at staleness 1.
 #
 _PRIORITY = [
-    # staleness-2 cohort (42 rows last driver-green r11 + the 5
-    # r12-green rule-2c picks displaced by r13's rule-2b rebalances —
-    # the round-13 verdict names all 47 as mandatory leads; policy
-    # rule 2a: ALL of it, first).
-    "agg_cube_sales", "agg_customer_balance_stats",
-    "agg_customer_distribution", "agg_forecast_revenue",
-    "agg_grouping_sets", "agg_important_stock", "agg_order_priority",
-    "agg_pivot_status", "agg_pricing_summary", "agg_promo_revenue",
-    "agg_quantiles_status", "agg_status_sets",
-    "agg_supplier_part_types", "curation_leakage_split",
-    "curation_lm_buckets", "curation_remove_spans", "dedup_clusters",
-    "join_disjunctive_promo", "join_large_orders",
-    "join_lonely_returned_supplier", "join_market_share",
-    "join_min_cost_supplier", "join_nation_trade",
-    "join_priority_lines", "join_product_profit", "join_returned_items",
-    "join_revenue_by_nation", "join_salted_revenue",
-    "join_shipping_priority", "join_small_qty_parts",
-    "json_events_extract", "multimodal_audio_decode",
-    "multimodal_decode", "multimodal_features",
-    "multimodal_media_stats", "scalar_functions",
-    "setop_customers_without_orders", "setop_idle_rich_customers",
-    "setop_repeat_customers", "storage_media_ingest_roundtrip",
-    "storage_media_wav_roundtrip", "subquery_exists_orders",
-    "text_clf_gate", "text_token_stats", "text_winnowing_spans",
-    "window_top_supplier", "window_topk_orders",
-    # rule-2b fill (rebalanced mid-round: the cosine_similarity_arrow
-    # zero-norm mask touches the float-cosine scoring blocks — see the
-    # round-14 window comment above, incl. the documented 2-row
-    # deviation for similarity_knn_classify / similarity_topk_ivf).
-    "similarity_topk_cosine", "similarity_topk_ivf_refined",
-    "similarity_ann_recall",
+    # 49 mandatory leads (policy rule 2a: ALL of them, first): the
+    # 45-row staleness-2 cohort (last driver-green r12) + the 4
+    # r14 documented-deviation rows (similarity_knn_classify,
+    # similarity_topk_ivf, storage_ivfpq_index, dedup_semantic_pairs —
+    # merged alphabetically below). Re-derived from
+    # CORRECTNESS_r12/r13/r14, set equality with the r14 verdict's
+    # cohort confirmed before committing this order.
+    "agg_distinct_users_exact", "cdc_incremental_agg",
+    "cdc_scd2_history", "curation_domain_quota",
+    "curation_pack_sequences", "curation_redact_pii",
+    "curation_target_mix", "curation_target_mix_tokens",
+    "dedup_cluster_stats", "dedup_exact", "dedup_semantic_pairs",
+    "dedup_simhash", "dedup_simhash_against", "dedup_simhash_pairs",
+    "dedup_winnowing_against", "embedding_label_centroids",
+    "embedding_pq_codes", "embedding_quantize",
+    "funnel_click_purchase", "join_asof_signup", "join_binned_range",
+    "join_excess_inventory", "join_range_shipments",
+    "pipeline_corpus_curation", "pipeline_training_mix",
+    "profile_documents", "profile_referential",
+    "similarity_knn_classify", "similarity_topk_ivf",
+    "similarity_topk_ivfpq", "storage_ivfpq_index",
+    "storage_simhash_index", "storage_winnowing_index",
+    "sync_apply_keyed", "sync_diff_keyed", "sync_diff_positional",
+    "sync_upsert", "sync_validate", "text_bigram_gate",
+    "text_bigram_lm", "text_bm25", "text_chunk_documents",
+    "text_fingerprint", "text_quality_rules", "text_readability",
+    "text_segment_dedup", "text_sentences_udtf", "text_term_stats",
+    "text_token_counts",
+    # 1 rule-2c fill: the registered driver of the versioned-table
+    # hardlink-append path r14's final commit hardened (see the
+    # round-15 window comment above).
+    "storage_versioned_roundtrip",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]
