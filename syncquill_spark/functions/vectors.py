@@ -45,8 +45,19 @@ def l2_norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """dot(a,b) / (|a|*|b|); sequential left-to-right accumulation in
     double — the same op order DuckDB's list aggregates use, so scores
-    compare (and order) identically cross-engine."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    compare (and order) identically cross-engine.
+
+    Zero-norm inputs yield NULL, not NaN — the same guard
+    `cosine_similarity_arrow` applies (r14): Spark sorts NaN ABOVE
+    every double, so a 0/0 here would top every desc-ordered top-k,
+    while NULL sorts last and never passes a threshold. DuckDB's
+    x/0 is NULL too, so oracles agree by construction. (ADVICE r15:
+    without this the two documented-equivalent forms diverged on
+    exactly the degenerate input the Arrow fix targets.)"""
+    return F.when(
+        (l2_norm(a) > F.lit(0.0)) & (l2_norm(b) > F.lit(0.0)),
+        dot(a, b) / (l2_norm(a) * l2_norm(b)),
+    )
 
 
 def _stack_f64(series):

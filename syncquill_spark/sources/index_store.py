@@ -37,6 +37,7 @@ from syncquill_spark.sources._atomic import atomic_replace_dir
 def save_index(
     path: str,
     _partition_by: dict[str, list[str]] | None = None,
+    _meta: dict | None = None,
     **parts: DataFrame,
 ) -> None:
     """Write named DataFrame parts + manifest, then swap the staging
@@ -48,7 +49,13 @@ def save_index(
     serve-time scans that join on the partition column read only the
     probed partitions (dynamic partition pruning) instead of the whole
     part. Reads are unchanged — spark.read.parquet discovers the
-    layout natively."""
+    layout natively.
+
+    ``_meta``: optional JSON-serializable dict recorded in the
+    manifest — format constants the index bytes depend on (hash-bucket
+    widths, band counts) that a reader must verify before relying on
+    them (``load_index_manifest``). Carried forward verbatim by
+    ``append_index``."""
     if not parts:
         raise ValueError("save_index needs at least one named part")
     staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
@@ -59,7 +66,7 @@ def save_index(
             writer = writer.partitionBy(*_partition_by[name])
         writer.parquet(os.path.join(staging, name))
     with open(os.path.join(staging, "_index_manifest.json"), "w") as fh:
-        json.dump({"parts": sorted(parts)}, fh)
+        json.dump({"parts": sorted(parts), "meta": _meta or {}}, fh)
     atomic_replace_dir(staging, path)
 
 
@@ -71,6 +78,15 @@ def load_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         name: spark.read.parquet(os.path.join(path, name))
         for name in manifest["parts"]
     }
+
+
+def load_index_manifest(path: str) -> dict:
+    """The stored manifest: ``{"parts": [...], "meta": {...}}`` —
+    ``meta`` is ``{}`` for indexes written before meta stamping."""
+    with open(os.path.join(path, "_index_manifest.json")) as fh:
+        manifest = json.load(fh)
+    manifest.setdefault("meta", {})
+    return manifest
 
 
 def _is_bookkeeping(entry: str) -> bool:
@@ -211,6 +227,14 @@ def append_index(
         writer.parquet(os.path.join(staging, name))
     with open(os.path.join(staging, "_index_manifest.json"), "w") as fh:
         json.dump(
-            {"parts": sorted(existing | set(batches) | set(_replace))}, fh
+            {
+                "parts": sorted(existing | set(batches) | set(_replace)),
+                # format constants travel with the index across appends —
+                # dropping them here would un-stamp a stamped index and
+                # silently disable the reader-side verification they exist
+                # for (vec_gate_buckets, ADVICE r15)
+                "meta": manifest.get("meta", {}),
+            },
+            fh,
         )
     atomic_replace_dir(staging, path)

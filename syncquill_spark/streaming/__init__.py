@@ -28,6 +28,7 @@ from syncquill_spark.streaming.sessionize import (
 )
 from syncquill_spark.streaming.vector_dedup import (
     build_embedding_index,
+    load_embedding_index,
     save_embedding_index,
     stream_embedding_near_dups,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "build_embedding_index",
+    "load_embedding_index",
     "save_embedding_index",
     "stream_embedding_near_dups",
     "build_text_hash_index",

@@ -83,8 +83,15 @@ def save_embedding_index(path: str, keys: DataFrame, vecs: DataFrame) -> None:
     """Persist the vector gate's index with the keys part
     Hive-partitioned by ``_bucket`` (see ``build_embedding_index``).
     The repartition puts each bucket's rows in ONE task so the write
-    produces one file per bucket instead of files-per-task-per-bucket;
-    load with the ordinary ``index_store.load_index``."""
+    produces one file per bucket instead of files-per-task-per-bucket.
+
+    The bucket width is STAMPED into the index manifest: stored
+    ``_bucket`` values were computed with this build's constant, and a
+    gate running a different width would prune with mismatched bucket
+    ids — true matches silently dropped, no error (ADVICE r15). Load
+    with ``load_embedding_index``, which verifies the stamp and falls
+    back to the unpruned join on mismatch; the raw
+    ``index_store.load_index`` skips that check."""
     from syncquill_spark.sources.index_store import save_index
 
     if "_bucket" not in keys.columns:
@@ -94,9 +101,44 @@ def save_embedding_index(path: str, keys: DataFrame, vecs: DataFrame) -> None:
     save_index(
         path,
         _partition_by={"keys": ["_bucket"]},
+        _meta={"vec_gate_buckets": VEC_GATE_BUCKETS},
         keys=keys.repartition(F.col("_bucket")),
         vecs=vecs,
     )
+
+
+def load_embedding_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(keys, vecs) from a persisted vector-gate index, with the
+    bucket-width stamp verified against this build's constant.
+
+    On mismatch — an index written under a different
+    ``VEC_GATE_BUCKETS`` — the ``_bucket`` column is DROPPED from the
+    keys frame, so ``stream_embedding_near_dups`` takes the unpruned
+    (band, key) join: every stored key row is scanned, nothing is
+    missed. Correctness over speed; rebuild the index to re-enable
+    pruning. An index with no stamp (written before meta stamping)
+    is treated the same way: without a recorded width the prune's
+    precondition cannot be verified, and a silent false-negative is
+    the one failure mode this loader exists to rule out."""
+    import sys
+
+    from syncquill_spark.sources.index_store import (
+        load_index,
+        load_index_manifest,
+    )
+
+    parts = load_index(spark, path)
+    keys, vecs = parts["keys"], parts["vecs"]
+    stored = load_index_manifest(path)["meta"].get("vec_gate_buckets")
+    if stored != VEC_GATE_BUCKETS and "_bucket" in keys.columns:
+        print(
+            f"load_embedding_index: stored bucket width {stored!r} != "
+            f"VEC_GATE_BUCKETS {VEC_GATE_BUCKETS} — disabling stored-keys "
+            "pruning (unpruned join; rebuild the index to re-enable)",
+            file=sys.stderr,
+        )
+        keys = keys.drop("_bucket")
+    return keys, vecs
 
 
 def stream_embedding_near_dups(
@@ -140,6 +182,17 @@ def stream_embedding_near_dups(
     genuinely unbounded streaming frame cannot be collected; there the
     join is unchanged (same rows either way — equal (band, key)
     implies equal bucket, so the filter never removes a match).
+
+    CALLER CONTRACT (pruned path): the one signature pass is held via
+    ``tracked_persist`` so the bucket collection and the join share
+    it; the returned plan still reads that cache, so it cannot be
+    unpersisted here. After the consuming action (the foreachBatch
+    write, a test's collect, a ladder run's count), call
+    ``operators._cache.release_cached_intermediates()`` — once per
+    micro-batch in a long-lived gate. Skipping it leaks one
+    batch-sized cached frame per invocation until executor storage
+    evicts under pressure (ADVICE r15; the contract previously lived
+    only in an inline comment).
     """
     sig = _make_sig_udf(bands, planes_per_band, dim).asNondeterministic()
     s = (

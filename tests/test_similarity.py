@@ -453,6 +453,40 @@ def test_arrow_fold_kernels_bit_identical_to_hof_folds(spark):
         assert list(r.u1) == list(r.u2)
 
 
+def test_cosine_hof_and_arrow_agree_on_zero_norm(spark):
+    """Both public cosine forms must yield NULL — not NaN — for a
+    zero-norm side (ADVICE r15: the r14 fix masked only the Arrow
+    kernel, so the documented-equivalent HOF form still produced the
+    NaN that tops every desc-ordered top-k). One all-zero vector, one
+    zero-vs-zero pair, one normal pair as the control."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_arrow,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),   # zero left
+        (1, [1.0, 2.0, 3.0], [0.0, 0.0, 0.0]),   # zero right
+        (2, [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]),   # zero both
+        (3, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),   # control
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    out = {
+        r.i: r
+        for r in df.select(
+            "i",
+            cosine_similarity(F.col("a"), F.col("b")).alias("c1"),
+            cosine_similarity_arrow(F.col("a"), F.col("b")).alias("c2"),
+        ).collect()
+    }
+    for i in (0, 1, 2):
+        assert out[i].c1 is None, f"HOF form row {i}: want NULL, got {out[i].c1}"
+        assert out[i].c2 is None, f"Arrow form row {i}: want NULL, got {out[i].c2}"
+    assert out[3].c1 is not None and out[3].c1 == out[3].c2
+
+
 def test_ann_recall_matches_duckdb_twin(spark, sf_dir):
     """ann_recall(lsh, brute) vs DuckDB computing the same recall join
     over the two REGISTRY oracles — registry-grade verification of the

@@ -740,3 +740,101 @@ def test_bucketed_vector_index_append_equals_rebuild(spark, tmp_path):
     }
     assert appended == rebuilt
     assert (300, 125) in appended  # a match that only exists post-append
+
+
+def test_embedding_index_bucket_width_stamped_and_verified(spark, tmp_path):
+    """ADVICE r15: VEC_GATE_BUCKETS is a format constant, but nothing
+    validated a persisted index against it — a width change would make
+    the gate prune with NEW bucket ids over OLD stored partitions and
+    silently drop true matches. Pins: (a) save_embedding_index stamps
+    the width in the manifest; (b) append_index carries the stamp
+    forward; (c) load_embedding_index keeps pruning on a matching
+    stamp; (d) on a mismatched or missing stamp it falls back to the
+    unpruned join (drops _bucket) with IDENTICAL matches."""
+    import json
+    import os
+
+    import numpy as np
+
+    from syncquill_spark.sources.index_store import (
+        append_index,
+        load_index_manifest,
+    )
+    from syncquill_spark.streaming import (
+        build_embedding_index,
+        load_embedding_index,
+        save_embedding_index,
+        stream_embedding_near_dups,
+    )
+    from syncquill_spark.streaming.vector_dedup import VEC_GATE_BUCKETS
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(25, 64))
+    corpus = spark.createDataFrame(
+        [(100 + i, base[i].tolist()) for i in range(25)],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(400, (base[5] + 1e-6 * base[6]).tolist()), (401, base[9].tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    keys, vecs = build_embedding_index(corpus)
+    want = {
+        (r.stream_id, r.corpus_id)
+        for r in stream_embedding_near_dups(
+            batch, keys.drop("_bucket"), vecs, threshold=0.9
+        ).collect()
+    }
+    assert {(400, 105), (401, 109)} <= want
+
+    path = str(tmp_path / "vec_idx")
+    save_embedding_index(path, keys, vecs)
+    assert (
+        load_index_manifest(path)["meta"]["vec_gate_buckets"]
+        == VEC_GATE_BUCKETS
+    )
+
+    # append carries the stamp forward
+    extra = spark.createDataFrame(
+        [(600, rng.normal(size=64).tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    ke, ve = build_embedding_index(extra)
+    append_index(path, _partition_by={"keys": ["_bucket"]}, keys=ke, vecs=ve)
+    assert (
+        load_index_manifest(path)["meta"]["vec_gate_buckets"]
+        == VEC_GATE_BUCKETS
+    )
+
+    # matching stamp: pruning column survives, matches identical
+    k, v = load_embedding_index(spark, path)
+    assert "_bucket" in k.columns
+    got = {
+        (r.stream_id, r.corpus_id)
+        for r in stream_embedding_near_dups(
+            batch, k, v, threshold=0.9
+        ).collect()
+    }
+    assert got == want
+
+    # mismatched stamp (simulated width change): pruning disabled,
+    # matches STILL identical — correctness survives the format drift
+    mpath = os.path.join(path, "_index_manifest.json")
+    manifest = json.load(open(mpath))
+    manifest["meta"]["vec_gate_buckets"] = 1024
+    json.dump(manifest, open(mpath, "w"))
+    k, v = load_embedding_index(spark, path)
+    assert "_bucket" not in k.columns
+    got = {
+        (r.stream_id, r.corpus_id)
+        for r in stream_embedding_near_dups(
+            batch, k, v, threshold=0.9
+        ).collect()
+    }
+    assert got == want
+
+    # missing stamp (pre-stamping index): same conservative fallback
+    del manifest["meta"]["vec_gate_buckets"]
+    json.dump(manifest, open(mpath, "w"))
+    k, _ = load_embedding_index(spark, path)
+    assert "_bucket" not in k.columns
