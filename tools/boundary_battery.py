@@ -171,6 +171,69 @@ class Ctx:
             raise ValueError(kind)
         return dst
 
+    # --- release-sink fixtures (r15): a good training-shard export and
+    # a good exported tokenizer, corrupted per case in fresh copies ----
+    @property
+    def good_export_dir(self):
+        def build():
+            from syncquill_spark.sources.training_export import (
+                write_training_shards,
+            )
+
+            d = tempfile.mkdtemp(prefix="battery_export_")
+            write_training_shards(
+                self.docs.limit(12), f"{d}/rel", n_shards=3
+            )
+            return d
+
+        return self._get("good_export_dir", build)
+
+    def corrupted_export(self, kind: str) -> str:
+        """A fresh corrupted copy of the good export: 'tampered_shard'
+        swaps one shard's data file for another shard's (rows exist,
+        wrong content); 'missing_shard' deletes a shard directory the
+        manifest still accounts for; 'truncated_manifest' cuts the
+        manifest JSON mid-token."""
+        import glob as _glob
+
+        src = f"{self.good_export_dir}/rel"
+        dst = tempfile.mkdtemp(prefix=f"battery_{kind}_") + "/rel"
+        shutil.copytree(src, dst)
+        if kind == "tampered_shard":
+            s0 = _glob.glob(os.path.join(dst, "data", "shard=0", "*.parquet"))
+            s1 = _glob.glob(os.path.join(dst, "data", "shard=1", "*.parquet"))
+            assert s0 and s1, "export fixture lost its shard files"
+            for f in s0:
+                os.remove(f)
+            shutil.copy(s1[0], os.path.join(dst, "data", "shard=0",
+                                            os.path.basename(s1[0])))
+        elif kind == "missing_shard":
+            shutil.rmtree(os.path.join(dst, "data", "shard=2"))
+        elif kind == "truncated_manifest":
+            p = os.path.join(dst, "_export_manifest.json")
+            raw = open(p, "rb").read()
+            open(p, "wb").write(raw[: len(raw) // 2])
+        else:
+            raise ValueError(kind)
+        return dst
+
+    @property
+    def bpe_model(self):
+        """A tiny hand-built (merges, vocab) pair in train_bpe's output
+        shape — export cases need the frames, not a training run."""
+        def build():
+            merges = self.spark.createDataFrame(
+                [(0, "a", "b", 5), (1, "ab", "c", 3)],
+                "rank long, left string, right string, pair_freq long",
+            )
+            vocab = self.spark.createDataFrame(
+                [("abc", 3, ["abc"]), ("ad", 2, ["a", "d"])],
+                "word string, freq long, syms array<string>",
+            )
+            return merges, vocab
+
+        return self._get("bpe_model", build)
+
 
 def _load_index_part(ctx, kind, part):
     from syncquill_spark.sources.index_store import load_index
@@ -553,6 +616,85 @@ def case_specs():
 
     add("sync_validate_missing_key_col", _validate_missing_key_col,
         "ValidationError")
+
+    # --- release sink (r15, verdict item #6): the LAST hop before a
+    # training job consumes the corpus. Storage corruption must
+    # fail-stop diagnosably at read_training_shards(verify=True) —
+    # a silently-wrong release poisons a training run, the most
+    # expensive downstream failure this engine can cause ---------------
+    def _export():
+        from syncquill_spark.sources import training_export as t
+
+        return t
+
+    add("export_empty_corpus", lambda ctx: _export().write_training_shards(
+        ctx.empty_docs, tempfile.mkdtemp(prefix="battery_e_") + "/rel",
+        n_shards=2), "ValueError")
+    add("export_zero_token_budget", lambda ctx: _export().write_training_shards(
+        ctx.tiny, tempfile.mkdtemp(prefix="battery_e_") + "/rel",
+        tokens_per_shard=0), "ValueError")
+    add("export_n_shards_0", lambda ctx: _export().write_training_shards(
+        ctx.tiny, tempfile.mkdtemp(prefix="battery_e_") + "/rel",
+        n_shards=0), "ValueError")
+    add("export_both_sizing_knobs", lambda ctx: _export().write_training_shards(
+        ctx.tiny, tempfile.mkdtemp(prefix="battery_e_") + "/rel",
+        n_shards=2, tokens_per_shard=100), "ValueError")
+
+    def _export_verify_roundtrip(ctx):
+        frame, manifest = _export().read_training_shards(
+            ctx.spark, f"{ctx.good_export_dir}/rel", verify=True)
+        n = frame.count()
+        assert n == manifest["total_docs"] == 12, (n, manifest["total_docs"])
+        return n
+
+    add("export_verify_roundtrip", _export_verify_roundtrip)
+    add("export_tampered_shard", lambda ctx: _export().read_training_shards(
+        ctx.spark, ctx.corrupted_export("tampered_shard"), verify=True),
+        "ValueError")
+    add("export_missing_shard", lambda ctx: _export().read_training_shards(
+        ctx.spark, ctx.corrupted_export("missing_shard"), verify=True),
+        "ValueError")
+    add("export_truncated_manifest", lambda ctx: _export().read_training_shards(
+        ctx.spark, ctx.corrupted_export("truncated_manifest"), verify=True),
+        "JSONDecodeError")
+
+    def _export_unverified_misses_tamper(ctx):
+        # verify=False is documented as trusting the manifest — pin that
+        # the tampered read still LOADS (the gate is opt-in, and this
+        # case documents exactly what skipping it forfeits)
+        frame, _ = _export().read_training_shards(
+            ctx.spark, ctx.corrupted_export("tampered_shard"), verify=False)
+        return frame.count()
+
+    add("export_unverified_read_is_trusting", _export_unverified_misses_tamper)
+
+    # --- exported tokenizer files (r15): merges.txt/vocab.json ---------
+    def _bpe():
+        from syncquill_spark.operators import bpe as b
+
+        return b
+
+    def _bpe_roundtrip_empty_merges(ctx):
+        merges, vocab = ctx.bpe_model
+        d = tempfile.mkdtemp(prefix="battery_bpe_") + "/tok"
+        _bpe().export_bpe_files(merges.limit(0), vocab, d)
+        got = _bpe().load_bpe_merge_list(d)
+        assert got == [], got
+        return 0
+
+    add("bpe_export_empty_merge_list", _bpe_roundtrip_empty_merges)
+
+    def _bpe_malformed_merges_line(ctx):
+        merges, vocab = ctx.bpe_model
+        d = tempfile.mkdtemp(prefix="battery_bpe_") + "/tok"
+        _bpe().export_bpe_files(merges, vocab, d)
+        with open(os.path.join(d, "merges.txt"), "a", encoding="utf-8") as fh:
+            fh.write("tokenwithoutspace\n")  # a truncated final line
+        return _bpe().load_bpe_merge_list(d)
+
+    add("bpe_merges_malformed_line", _bpe_malformed_merges_line, "ValueError")
+    add("bpe_merges_missing_file", lambda ctx: _bpe().load_bpe_merge_list(
+        tempfile.mkdtemp(prefix="battery_bpe_none_")), "FileNotFoundError")
 
     return specs
 
