@@ -636,6 +636,103 @@ FROM documents
 """
 
 
+# --- multimodal_media_pairs (added r15, r14 verdict #5): the
+# perceptual media near-dup family's cross-engine fingerprint — until
+# now the largest unit-only family. The corpus plants TWINS by
+# construction, per 6-id cell: m=0 a 16x8 P6 image with cell-derived
+# md5 raster; m=1 the SAME pixels under a byte-DIFFERENT container (a
+# '#' comment injected in the PPM header — the parser's documented
+# comment tolerance), so dHash must land hamming 0 through genuinely
+# different payload bytes; m=2 an unrelated image (independent raster
+# — expected hamming ~32 to everything, never pairs at max_hamming 6);
+# m=3 a 128-frame 16-bit mono WAV with cell-derived data; m=4 the SAME
+# data chunk under a DIFFERENT declared sample rate (8k vs 16k — the
+# energy hash is a pure function of decoded frames, so container
+# metadata must not separate them); m=5 an unrelated WAV. The Spark
+# side runs the REAL codecs + dHash/energy-hash + the bits=64
+# hamming-band machinery (media_fingerprints -> media_near_pairs);
+# the oracle derives the exact pair set ALGEBRAICALLY from doc_id
+# arithmetic — ('image', 6c, 6c+1, 0) and ('audio', 6c+3, 6c+4, 0)
+# per complete cell, nothing else (independent md5-derived rasters
+# collide below hamming 7 with probability ~1e-11 per pair; the
+# fixture is deterministic, so a green fingerprint at all three SFs
+# pins this forever). Near-variant precedent: registered
+# dedup_simhash_pairs (same band join at bits=64) and
+# multimodal_decode (same payload construction).
+_IMG_HDR = b"P6\n16 8\n255\n"                 # 384-byte raster = 24 md5s
+_IMG_HDR_TWIN = b"P6\n# container twin\n16 8\n255\n"
+
+
+def _media_wav_hdr(rate: int, data_size: int) -> bytes:
+    return (
+        b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")            # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")     # byte rate
+        + (2).to_bytes(2, "little")            # block align
+        + (16).to_bytes(2, "little")           # bits
+        + b"data" + data_size.to_bytes(4, "little")
+    )
+
+
+def _media_md5_chain(seed: str, n: int) -> F.Column:
+    """n*16 cell-derived pseudorandom bytes (NOT doc-derived: the m=0/
+    m=1 twins are different docs that must carry identical content)."""
+    cell = F.expr("doc_id div 6").cast("string")
+    return F.unhex(
+        F.concat(
+            *[
+                F.md5(F.concat(F.lit(f"{seed}:"), cell, F.lit(f":{i}")))
+                for i in range(n)
+            ]
+        )
+    )
+
+
+def q_multimodal_media_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syncquill_spark.operators.multimodal import (
+        media_fingerprints,
+        media_near_pairs,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    img = _media_md5_chain("img", 24)
+    aud = _media_md5_chain("aud", 16)          # 256 bytes = 128 frames
+    payload = (
+        F.when(m == 0, F.concat(F.lit(_IMG_HDR), img))
+        .when(m == 1, F.concat(F.lit(_IMG_HDR_TWIN), img))
+        .when(m == 2, F.concat(F.lit(_IMG_HDR), _media_md5_chain("imgy", 24)))
+        .when(m == 3, F.concat(F.lit(_media_wav_hdr(8000, 256)), aud))
+        .when(m == 4, F.concat(F.lit(_media_wav_hdr(16000, 256)), aud))
+        .otherwise(
+            F.concat(F.lit(_media_wav_hdr(8000, 256)), _media_md5_chain("audy", 16))
+        )
+    )
+    fp = media_fingerprints(
+        documents.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    )
+    return media_near_pairs(fp).select(
+        "modality", "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _multimodal_media_pairs_sql() -> str:
+    return """
+SELECT 'image' AS modality, a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 6 = 0
+UNION ALL
+SELECT 'audio' AS modality, a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 6 = 3
+"""
+
+
 QUEUE_QUERIES = {
     "text_bigram_pruned_gate": q_text_bigram_pruned_gate,
     "text_lines_dedup": q_text_lines_dedup,
@@ -645,6 +742,7 @@ QUEUE_QUERIES = {
     "curation_url_dedup": q_curation_url_dedup,
     "dedup_fuzzy_names": q_dedup_fuzzy_names,
     "multimodal_triage": q_multimodal_triage,
+    "multimodal_media_pairs": q_multimodal_media_pairs,
 }
 
 QUEUE_ORACLES = {
@@ -656,4 +754,5 @@ QUEUE_ORACLES = {
     "curation_url_dedup": _url_dedup_sql(),
     "dedup_fuzzy_names": _fuzzy_names_sql(),
     "multimodal_triage": _multimodal_triage_sql(),
+    "multimodal_media_pairs": _multimodal_media_pairs_sql(),
 }

@@ -32,13 +32,15 @@ def duck(sf_dir):
 def test_queue_is_consistent():
     assert set(QUEUE_QUERIES) == set(QUEUE_ORACLES)
     # the end-state contract: the five declared permanent pairs plus
-    # the r12 additions curation_url_dedup and dedup_fuzzy_names and
-    # the r14 addition multimodal_triage (the queue may grow; the
-    # REGISTRY stays frozen at 142)
+    # the r12 additions curation_url_dedup and dedup_fuzzy_names, the
+    # r14 addition multimodal_triage, and the r15 addition
+    # multimodal_media_pairs (the queue may grow; the REGISTRY stays
+    # frozen at 142)
     assert sorted(QUEUE_QUERIES) == [
         "curation_temperature_mix",
         "curation_url_dedup",
         "dedup_fuzzy_names",
+        "multimodal_media_pairs",
         "multimodal_triage",
         "similarity_topk_rerank",
         "text_bigram_pruned_gate",
