@@ -486,6 +486,91 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    if "bm25buckets512" in families:
+        # r15 (verdict #3): pin the BM25 serve law at 512x by MOVING
+        # THE KNOB. r14's serve512 showed 4.8s warm at n_buckets=64
+        # over 59.5M postings and inferred serve I/O ∝ corpus /
+        # n_buckets; this family rebuilds the SAME 512x index at
+        # n_buckets=512 (corpus-scaled per the recorded sizing rule)
+        # and re-serves the same 4-term query — if the law holds, the
+        # per-bucket posting volume drops 8x and the serve wall
+        # returns to ~the 64x-corpus constant. Both builds run in ONE
+        # process on ONE materialized corpus so the comparison is
+        # within-VM-day; postings-read per serve is emitted alongside
+        # the wall (the I/O the law is actually about).
+        import shutil
+        import tempfile
+        import time
+
+        from syncquill_spark.operators.text import (
+            bm25_from_index,
+            bm25_query_buckets,
+            build_bm25_index,
+        )
+        from syncquill_spark.sources.index_store import (
+            load_index,
+            save_index,
+        )
+
+        m = 512
+        terms = ("spark", "hash", "merge", "window")
+        tmp = tempfile.mkdtemp(prefix="ladder_b512_")
+        try:
+            t0 = time.time()
+            scaled_corpus(spark, sf_dir, m).write.mode("overwrite").parquet(
+                f"{tmp}/corpus"
+            )
+            corpus = spark.read.parquet(f"{tmp}/corpus")
+            emit("b512_corpus_materialize", m, time.time() - t0, corpus.count())
+            for n_buckets in (64, 512):
+                t0 = time.time()
+                idx = build_bm25_index(corpus, n_buckets=n_buckets)
+                save_index(
+                    f"{tmp}/bm25_{n_buckets}",
+                    _partition_by={"postings": ["term_bucket"]},
+                    **idx,
+                )
+                emit(f"bm25_build_nb{n_buckets}", m, time.time() - t0, 0)
+                spark.catalog.clearCache()
+                loaded = load_index(spark, f"{tmp}/bm25_{n_buckets}")
+                emit(
+                    f"bm25_postings_nb{n_buckets}",
+                    m,
+                    0.0,
+                    loaded["postings"].count(),
+                )
+                # the I/O the 1/n_buckets law governs: postings rows in
+                # the query's <= 4 pruned buckets
+                bkts = bm25_query_buckets(terms, n_buckets)
+                t0 = time.time()
+                pruned = (
+                    loaded["postings"]
+                    .filter(F.col("term_bucket").isin(bkts))
+                    .count()
+                )
+                emit(
+                    f"bm25_bucket_rows_nb{n_buckets}",
+                    m,
+                    time.time() - t0,
+                    pruned,
+                )
+                for tag in ("cold", "warm"):
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    rows = bm25_from_index(
+                        loaded, terms, n_buckets=n_buckets
+                    ).count()
+                    emit(
+                        f"bm25_serve_{tag}_nb{n_buckets}",
+                        m,
+                        time.time() - t0,
+                        rows,
+                    )
+                shutil.rmtree(f"{tmp}/bm25_{n_buckets}", ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     if "vgate512" in families:
         # r14: the bucketed-vs-flat vector-gate comparison at the 512x
         # decade (the SCALE.md crossover row), reproducible. deep512
