@@ -660,6 +660,118 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    if "vgate4096" in families:
+        # r15 (verdict #8): one step past the r14 crossover. At 512x
+        # the stored keys part is 4.1M rows and bucketed-vs-flat read
+        # parity-to-slight-win at 50-vec batches — the 4,096-small-file
+        # constant still offset the scan savings. This family scales
+        # the KEYS PART ALONE to 8x that (32.8M rows = 4096x the 1x
+        # keys volume) with synthetic non-colliding keys (corpus_id
+        # offset, _key rehashed per replica so no synthetic row can
+        # join a batch key — matches stay identical to the unscaled
+        # serve by construction, emitted for verification), so the
+        # comparison isolates exactly the term the layout governs: the
+        # stored-keys scan. Both layouts serve the SAME scaled frame.
+        import shutil
+        import tempfile
+        import time
+
+        from syncquill_spark.sources.index_store import (
+            load_index,
+            save_index,
+        )
+        from syncquill_spark.streaming.vector_dedup import (
+            _bucket_expr,
+            build_embedding_index,
+            save_embedding_index,
+            stream_embedding_near_dups,
+        )
+
+        BATCH_OFFSET = 99 * ID_OFFSET
+        SYN_OFFSET = 10**12
+        base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        batches = {
+            "b500": base_emb.filter(F.col("vec_id") % 4 == 0),
+            "b50": base_emb.filter(F.col("vec_id") % 40 == 0),
+        }
+        batches = {
+            name: b.select(
+                (F.col("vec_id") + BATCH_OFFSET).alias("vec_id"),
+                "embedding",
+            )
+            for name, b in batches.items()
+        }
+        m = 512
+        tmp = tempfile.mkdtemp(prefix="ladder_vg4k_")
+        try:
+            t0 = time.time()
+            scaled_embeddings(spark, sf_dir, m).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/emb")
+            emb = spark.read.parquet(f"{tmp}/emb")
+            emit("vg4k_materialize", m, time.time() - t0, emb.count())
+            vkeys, vvecs = build_embedding_index(
+                emb, bands=4, planes_per_band=12
+            )
+            syn = [vkeys]
+            for j in range(1, 8):
+                syn.append(
+                    vkeys.select(
+                        (F.col("corpus_id") + j * SYN_OFFSET).alias(
+                            "corpus_id"
+                        ),
+                        "_band",
+                        F.xxhash64(F.col("_key"), F.lit(j)).alias("_key"),
+                    ).withColumn(
+                        "_bucket", _bucket_expr(F.col("_band"), F.col("_key"))
+                    )
+                )
+            big_keys = syn[0]
+            for s in syn[1:]:
+                big_keys = big_keys.unionByName(s)
+            t0 = time.time()
+            save_index(f"{tmp}/flat", keys=big_keys.drop("_bucket"), vecs=vvecs)
+            emit("vg4k_build_flat", m, time.time() - t0, 0)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            save_embedding_index(f"{tmp}/bkt", big_keys, vvecs)
+            emit("vg4k_build_bucketed", m, time.time() - t0, 0)
+            spark.catalog.clearCache()
+            idxs = {
+                "flat": load_index(spark, f"{tmp}/flat"),
+                "bucketed": load_index(spark, f"{tmp}/bkt"),
+            }
+            emit("vg4k_keys_rows", m, 0.0, idxs["flat"]["keys"].count())
+            for bname, vb in batches.items():
+                for lname, vidx in idxs.items():
+                    for tag in ("cold", "warm"):
+                        spark.catalog.clearCache()
+                        vb.persist()
+                        vb.count()
+                        spark.sparkContext._jvm.System.gc()
+                        t0 = time.time()
+                        rows = (
+                            stream_embedding_near_dups(
+                                vb,
+                                vidx["keys"],
+                                vidx["vecs"],
+                                threshold=0.55,
+                                bands=4,
+                                planes_per_band=12,
+                            )
+                            .dropDuplicates(["stream_id", "corpus_id"])
+                            .count()
+                        )
+                        emit(
+                            f"vg4k_gate_{lname}_{bname}_{tag}",
+                            m,
+                            time.time() - t0,
+                            rows,
+                        )
+                        vb.unpersist()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     if "stream" in families:
         import shutil
         import tempfile
