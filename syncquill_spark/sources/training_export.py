@@ -88,7 +88,12 @@ def write_training_shards(
     expectation — at 100 TB "a shard is a few GB" is a token budget,
     not a count). An empty corpus is refused: a 0-doc release is
     always an upstream bug, and the parquet sink would write an
-    unreadable schema-less directory."""
+    unreadable schema-less directory. A document whose token count is
+    NULL (NULL text, or a NULL in ``token_col``) is refused the same
+    way: SUM skips NULLs and the verify gate recomputes the same SUM,
+    so such a doc would ride into the release uncounted and still
+    verify — the silent-wrong-release shape (r15 battery find). Any
+    failure discards the staging dir; the target is never touched."""
     if (n_shards is None) == (tokens_per_shard is None):
         raise ValueError(
             "pass exactly one of n_shards or tokens_per_shard"
@@ -129,46 +134,75 @@ def write_training_shards(
     )
     staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
     os.makedirs(staging)
-    (
-        ordered.select(
-            "shard", "pos",
-            F.col("_exp_id").alias(id_col),
-            F.col("_exp_text").alias(text_col),
-            "n_tokens",
+    try:
+        (
+            ordered.select(
+                "shard", "pos",
+                F.col("_exp_id").alias(id_col),
+                F.col("_exp_text").alias(text_col),
+                "n_tokens",
+            )
+            .write.partitionBy("shard")
+            .parquet(os.path.join(staging, "data"))
         )
-        .write.partitionBy("shard")
-        .parquet(os.path.join(staging, "data"))
-    )
-    stats = (
-        assigned.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            _order_fingerprint().alias("fingerprint"),
+        stats = (
+            assigned.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.count(F.when(F.col("n_tokens").isNull(), F.lit(1)))
+                .cast("long")
+                .alias("n_null"),
+                _order_fingerprint().alias("fingerprint"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    shards = {
-        int(r.shard): {
-            "n_docs": int(r.n_docs),
-            "n_tokens": int(r.n_tokens),
-            "fingerprint": int(r.fingerprint),
+        # a NULL token count (NULL text, or a NULL in a caller-supplied
+        # token_col) would ship a document the manifest cannot account:
+        # SUM skips NULLs, the verify gate recomputes the same SUM, so
+        # the release would pass verification with an uncounted doc
+        # inside — the silent-wrong-release shape this sink exists to
+        # rule out. Refuse diagnosably instead (before the atomic swap:
+        # the target is never touched).
+        null_docs = sum(int(r.n_null) for r in stats)
+        if null_docs:
+            raise ValueError(
+                f"refusing to export: {null_docs} document(s) have a "
+                f"NULL token count (NULL {text_col!r}"
+                + (f" or NULL {token_col!r}" if token_col else "")
+                + "); a release manifest must account every document — "
+                "filter or repair these rows upstream"
+            )
+        shards = {
+            int(r.shard): {
+                "n_docs": int(r.n_docs),
+                "n_tokens": int(r.n_tokens),
+                "fingerprint": int(r.fingerprint),
+            }
+            for r in stats
         }
-        for r in stats
-    }
-    manifest = {
-        "n_shards": n_shards,
-        "salt": salt,
-        "id_col": id_col,
-        "text_col": text_col,
-        "token_unit": token_col or "whitespace",
-        "total_docs": sum(s["n_docs"] for s in shards.values()),
-        "total_tokens": sum(s["n_tokens"] for s in shards.values()),
-        "shards": {str(k): shards[k] for k in sorted(shards)},
-    }
-    with open(os.path.join(staging, _MANIFEST), "w") as fh:
-        json.dump(manifest, fh, sort_keys=True)
-    atomic_replace_dir(staging, path)
+        manifest = {
+            "n_shards": n_shards,
+            "salt": salt,
+            "id_col": id_col,
+            "text_col": text_col,
+            "token_unit": token_col or "whitespace",
+            "total_docs": sum(s["n_docs"] for s in shards.values()),
+            "total_tokens": sum(s["n_tokens"] for s in shards.values()),
+            "shards": {str(k): shards[k] for k in sorted(shards)},
+        }
+        with open(os.path.join(staging, _MANIFEST), "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+        atomic_replace_dir(staging, path)
+    except BaseException:
+        # staging is pre-commit state: discard it on ANY failure so a
+        # refused/aborted export leaves neither a half-written tree nor
+        # an unswapped staging dir beside the target (the swap itself
+        # is all-or-nothing, so reaching it with a good tree commits)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return manifest
 
 
@@ -184,22 +218,39 @@ def read_training_shards(
     frame = spark.read.parquet(os.path.join(path, "data"))
     if verify:
         id_col = manifest["id_col"]
-        got = {
-            str(int(r.shard)): {
-                "n_docs": int(r.n_docs),
-                "n_tokens": int(r.n_tokens),
-                "fingerprint": int(r.fingerprint),
-            }
-            for r in frame.select(
+        stats = (
+            frame.select(
                 "shard", "pos", F.col(id_col).alias("_exp_id"), "n_tokens"
             )
             .groupBy("shard")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.count(F.when(F.col("n_tokens").isNull(), F.lit(1)))
+                .cast("long")
+                .alias("n_null"),
                 _order_fingerprint().alias("fingerprint"),
             )
             .collect()
+        )
+        # a NULL token count is invisible to the SUM comparison below
+        # (the writer refuses them since r15, but a tampered or legacy
+        # release could still carry one) — an uncounted doc must fail
+        # the integrity gate, not slide through it
+        null_docs = sum(int(r.n_null) for r in stats)
+        if null_docs:
+            raise ValueError(
+                f"training export at {path!r} fails verification: "
+                f"{null_docs} document(s) have a NULL token count, "
+                "which the manifest cannot account"
+            )
+        got = {
+            str(int(r.shard)): {
+                "n_docs": int(r.n_docs),
+                "n_tokens": int(r.n_tokens),
+                "fingerprint": int(r.fingerprint),
+            }
+            for r in stats
         }
         if got != manifest["shards"]:
             bad = {

@@ -668,6 +668,86 @@ def case_specs():
 
     add("export_unverified_read_is_trusting", _export_unverified_misses_tamper)
 
+    # r15 battery FIND: a NULL-text doc's token count is NULL, SUM
+    # skips it, and the verify gate recomputes the same SUM — the doc
+    # would ship uncounted and still verify. The writer now refuses
+    # diagnosably (and an all-NULL corpus under tokens_per_shard no
+    # longer dies with a bare TypeError after writing staging).
+    def _export_null_text(ctx):
+        bad = ctx.spark.createDataFrame(
+            [(1, "some text"), (2, None), (3, "more text")],
+            "doc_id long, text string")
+        return _export().write_training_shards(
+            bad, tempfile.mkdtemp(prefix="battery_e_") + "/rel", n_shards=2)
+
+    add("export_null_text_refused", _export_null_text, "ValueError")
+
+    def _export_all_null_token_budget(ctx):
+        bad = ctx.spark.createDataFrame(
+            [(1, None), (2, None)], "doc_id long, text string")
+        return _export().write_training_shards(
+            bad, tempfile.mkdtemp(prefix="battery_e_") + "/rel",
+            tokens_per_shard=100)
+
+    add("export_all_null_tokens_per_shard", _export_all_null_token_budget,
+        "ValueError")
+
+    def _export_null_token_col(ctx):
+        bad = ctx.spark.createDataFrame(
+            [(1, "a b", 2), (2, "c d", None)],
+            "doc_id long, text string, n_tok long")
+        return _export().write_training_shards(
+            bad, tempfile.mkdtemp(prefix="battery_e_") + "/rel",
+            n_shards=1, token_col="n_tok")
+
+    add("export_null_token_col_refused", _export_null_token_col, "ValueError")
+
+    def _export_refusal_leaves_no_staging(ctx):
+        import glob as _glob
+
+        base = tempfile.mkdtemp(prefix="battery_e_")
+        bad = ctx.spark.createDataFrame(
+            [(1, None)], "doc_id long, text string")
+        try:
+            _export().write_training_shards(bad, f"{base}/rel", n_shards=1)
+        except ValueError:
+            pass
+        leftovers = _glob.glob(f"{base}/rel*")
+        assert not leftovers, f"refused export left state behind: {leftovers}"
+        return 0
+
+    add("export_refusal_leaves_no_staging", _export_refusal_leaves_no_staging)
+
+    def _export_verify_catches_nulled_release(ctx):
+        # legacy/tampered shape: a valid release whose n_tokens column
+        # is NULLed in place — the verify gate must fail it, not let
+        # the SUM-vs-SUM comparison slide it through
+        import glob as _glob
+
+        src = f"{ctx.good_export_dir}/rel"
+        dst = tempfile.mkdtemp(prefix="battery_nulltok_") + "/rel"
+        shutil.copytree(src, dst)
+        files = _glob.glob(os.path.join(dst, "data", "shard=1", "*.parquet"))
+        assert files
+        pdf = __import__("pandas").read_parquet(files[0])
+        # keep the column's parquet type int64-nullable: a plain None
+        # assignment upcasts to float64 and breaks the Spark read with
+        # a schema error instead of exercising the NULL-count gate.
+        # Write under a NEW name (and remove the old file): an in-place
+        # overwrite leaves a stale size in the session's FileStatusCache
+        # and the read fails at the footer instead of reaching the gate.
+        pdf["n_tokens"] = pdf["n_tokens"].astype("Int64")
+        pdf.loc[pdf.index[:1], "n_tokens"] = None
+        pdf.to_parquet(
+            os.path.join(os.path.dirname(files[0]), "part-tampered.parquet"),
+            index=False,
+        )
+        os.remove(files[0])
+        return _export().read_training_shards(ctx.spark, dst, verify=True)
+
+    add("export_verify_catches_nulled_release",
+        _export_verify_catches_nulled_release, "ValueError")
+
     # --- exported tokenizer files (r15): merges.txt/vocab.json ---------
     def _bpe():
         from syncquill_spark.operators import bpe as b
