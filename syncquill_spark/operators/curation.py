@@ -260,6 +260,12 @@ def deterministic_shuffle(
     scales the sort width down with the data. This is exactly the
     "write shuffled training shards" job shape at 100 TB.
     """
+    # guard driver-side (r15 battery): n_shards = 0 otherwise dies
+    # mid-job with ANSI REMAINDER_BY_ZERO, and a NEGATIVE n_shards
+    # silently behaves like its absolute value (h60 is non-negative,
+    # so h % -3 lands in 0..2) — accepted nonsense, not an error
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     from pyspark.sql import Window
 
     h = portable_hash60(

@@ -447,6 +447,13 @@ def sample_frames(
     Arrow-sized, and downstream per-frame operators (resize, feature
     extract) parallelize over frame rows, not video rows.
     """
+    # guard driver-side (r15 battery): frame_bytes = 0 otherwise dies
+    # in the worker with a bare ZeroDivisionError; every_n = 0 would
+    # range-step-zero the same way
+    if frame_bytes <= 0:
+        raise ValueError(f"frame_bytes must be positive, got {frame_bytes}")
+    if every_n <= 0:
+        raise ValueError(f"every_n must be positive, got {every_n}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

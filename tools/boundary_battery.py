@@ -776,6 +776,64 @@ def case_specs():
     add("bpe_merges_missing_file", lambda ctx: _bpe().load_bpe_merge_list(
         tempfile.mkdtemp(prefix="battery_bpe_none_")), "FileNotFoundError")
 
+    # --- r15 second sweep: shuffle/frame parameter extremes + media
+    # pair/gate degenerate frames. deterministic_shuffle(0) previously
+    # died mid-job with ANSI REMAINDER_BY_ZERO and NEGATIVE n_shards
+    # silently behaved like its absolute value (h60 >= 0, so h % -3
+    # lands in 0..2 — accepted nonsense); sample_frames(0) died in the
+    # worker with a bare ZeroDivisionError. All three now refuse
+    # driver-side before any job launches -------------------------------
+    def _shuffle_frame(ctx):
+        return ctx.tiny.select(
+            F.col("doc_id").alias("_exp_id"),
+            F.col("text").alias("_exp_text"),
+            F.lit(1).alias("n_tokens"),
+        )
+
+    def _shuffle(n):
+        def fn(ctx):
+            from syncquill_spark.operators.curation import (
+                deterministic_shuffle,
+            )
+
+            return deterministic_shuffle(_shuffle_frame(ctx), n, id_col="_exp_id")
+
+        return fn
+
+    add("shuffle_0_shards", _shuffle(0), "ValueError")
+    add("shuffle_negative_shards", _shuffle(-3), "ValueError")
+    add("frames_zero_frame_bytes", lambda ctx: _mm().sample_frames(
+        ctx.media.limit(1), frame_bytes=0), "ValueError")
+    add("frames_zero_every_n", lambda ctx: _mm().sample_frames(
+        ctx.media.limit(1), frame_bytes=16, every_n=0), "ValueError")
+
+    def _empty_fp(ctx):
+        return ctx.spark.createDataFrame(
+            [], "media_id long, modality string, simhash long")
+
+    add("media_pairs_empty_fp", lambda ctx: _mm().media_near_pairs(
+        _empty_fp(ctx)))
+
+    def _media_pairs_single_modality(ctx):
+        fp = ctx.spark.createDataFrame(
+            [(1, "image", 5), (2, "image", 5), (3, "audio", 5)],
+            "media_id long, modality string, simhash long")
+        out = _mm().media_near_pairs(fp).collect()
+        # identical hashes pair WITHIN a modality only: the image twin
+        # pairs, the lone audio row (same simhash value!) never does
+        assert {(r.modality, r.id_a, r.id_b) for r in out} == {
+            ("image", 1, 2)
+        }, out
+        return len(out)
+
+    add("media_pairs_never_cross_modality", _media_pairs_single_modality)
+    add("media_gate_empty_corpus", lambda ctx: _mm().media_matches_against(
+        _mm().media_fingerprints(
+            ctx.media.join(
+                _mm().media_triage(ctx.media).filter(F.col("ok")).select(
+                    "media_id"), "media_id")),
+        _empty_fp(ctx)))
+
     return specs
 
 
