@@ -29,7 +29,17 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     ``len(cols) * bits`` must fit in a signed 64-bit key.
     """
     d = len(cols)
-    assert d >= 1 and d * bits <= 63, "interleaved key must fit in 63 bits"
+    # explicit raises, not asserts: stripped under -O, and bits=0
+    # previously fell through to reduce() over zero terms — a bare
+    # TypeError instead of a named refusal (r15 battery)
+    if d < 1:
+        raise ValueError("zorder_key needs at least one column")
+    if bits < 1:
+        raise ValueError(f"bits must be positive, got {bits}")
+    if d * bits > 63:
+        raise ValueError(
+            f"interleaved key must fit in 63 bits: {d} cols x {bits} bits"
+        )
     terms = []
     for j, c in enumerate(cols):
         col = (F.col(c) if isinstance(c, str) else c).cast("long")

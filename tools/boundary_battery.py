@@ -834,6 +834,71 @@ def case_specs():
                     "media_id"), "media_id")),
         _empty_fp(ctx)))
 
+    # --- r15 sweep 4: retrieval/cluster/key-function edges --------------
+    def _zorder(bits):
+        def fn(ctx):
+            z = __import__(
+                "syncquill_spark.functions.zorder", fromlist=["zorder_key"]
+            ).zorder_key([F.col("doc_id")], bits=bits)
+            return ctx.tiny.select(z.alias("z"))
+
+        return fn
+
+    add("zorder_bits0", _zorder(0), "ValueError")
+    add("zorder_key_too_wide", lambda ctx: __import__(
+        "syncquill_spark.functions.zorder", fromlist=["zorder_key"]
+    ).zorder_key([F.col("a"), F.col("b")], bits=32), "ValueError")
+
+    def _bm25_absent_term(ctx):
+        from syncquill_spark.operators.text import (
+            bm25_from_index,
+            build_bm25_index,
+        )
+
+        idx = ctx._get(
+            "bm25_idx", lambda: build_bm25_index(ctx.docs.limit(100)))
+        n = bm25_from_index(idx, ("zzzznotaterm",)).count()
+        assert n == 0, n  # absent term: empty result, never an error
+        return bm25_from_index(idx, ()).count()  # empty query: empty too
+
+    add("bm25_absent_and_empty_terms", _bm25_absent_term)
+
+    def _cc_self_loops(ctx):
+        from syncquill_spark.operators.clusters import connected_components
+
+        out = connected_components(
+            ctx.spark.createDataFrame(
+                [(1, 1), (2, 2), (1, 2)], "id_a long, id_b long")
+        ).collect()
+        labels = {r[0]: r[1] for r in out}
+        assert labels[1] == labels[2], out  # self-loops never split a CC
+        return len(out)
+
+    add("cc_self_loops", _cc_self_loops)
+
+    def _brute_k0_empty(ctx):
+        # top-0 / top-negative: EMPTY result is the pinned contract
+        # (rank <= k keeps nothing) — silent, but "no neighbors
+        # requested" has one sane answer and this is it
+        n = _sim().brute_force_topk(ctx.emb.limit(20), ctx.q1, k=0).count()
+        assert n == 0, n
+        return _sim().brute_force_topk(ctx.emb.limit(20), ctx.q1, k=-5).count()
+
+    add("brute_topk_k0_empty", _brute_k0_empty)
+
+    def _bigram_empty_model(ctx):
+        from syncquill_spark.operators.text import (
+            bigram_score_against,
+            build_bigram_model,
+        )
+
+        c1, c12 = build_bigram_model(ctx.empty_docs)
+        out = bigram_score_against(ctx.tiny, c1, c12)
+        assert out.count() == 5  # every doc scores (all-unseen, q=0)
+        return out.filter(F.col("sum_q") != 0).count()
+
+    add("bigram_gate_empty_model_scores_all", _bigram_empty_model)
+
     return specs
 
 
