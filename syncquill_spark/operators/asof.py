@@ -28,7 +28,18 @@ def asof_join(
     suffix: str = "_asof",
 ) -> DataFrame:
     """Left as-of join: every left row + latest right values at or
-    before its timestamp. Right value columns come back suffixed."""
+    before its timestamp. Right value columns come back suffixed.
+
+    Right rows TIED on (on, ts) resolve to the greatest value struct
+    (Spark's field-lexicographic struct order) — an explicit
+    deterministic rule. Without it the window's sort key is identical
+    for tied rows, their relative order is whatever the scan produced,
+    and `last()` silently returns a partition-layout-dependent answer:
+    same query, different results across runs — found by the r15
+    battery probing duplicate right timestamps, the shape any real
+    point-in-time feed (quotes, sensor reads) contains at scale.
+    (Fully identical tied rows were already indistinguishable; only
+    the arbitrary choice among DIFFERING tied rows is pinned down.)"""
     vals = right_value_cols or [c for c in right.columns if c not in (on, ts)]
 
     # The right-side payload rides as ONE struct so last(ignorenulls)
@@ -54,7 +65,15 @@ def asof_join(
 
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("__side").desc())
+        # __r asc_nulls_first: among right rows tied on ts, the
+        # GREATEST value struct sorts last and wins last(); left rows
+        # (__r NULL) keep their position at the front of each tie
+        # group, unaffected by the extra key
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("__side").desc(),
+            F.col("__r").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(

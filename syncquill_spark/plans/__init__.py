@@ -119,6 +119,16 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    bit-identical, but this row is the one registered driver of that
 #    exact code path, so it takes the round's single free slot and
 #    closes the loop with a driver-green row.
+#    One rule-2b change, covered by an IN-WINDOW row (no deviation):
+#    asof_join gains a deterministic tie-break for right rows tied on
+#    (key, ts) — previously last() returned a partition-layout-
+#    dependent answer among differing tied rows (r15 battery find;
+#    real point-in-time feeds contain ties). Its only registered
+#    caller join_asof_signup is in the mandatory 49 above, so this
+#    round's driver run re-verifies it; locally re-verified
+#    hash-identical at all three SFs (the fixture has no tied right
+#    timestamps, so output is unchanged — only the arbitrary choice
+#    is pinned).
 #    Slot-free maintenance this round (no registered plan touched,
 #    verified by caller census before each change): (a) the HOF
 #    `cosine_similarity` gains the same zero-norm→NULL guard as its

@@ -49,3 +49,20 @@ def test_asof_keeps_left_columns(spark):
     row = asof_join(left, right, on="u", ts="t").collect()[0]
     assert row["note"] == "payload"
     assert row["v_asof"] == 42
+
+
+def test_asof_tied_right_timestamps_resolve_deterministically(spark):
+    """Two DIFFERING right rows tied on (key, ts): without an explicit
+    tie-break the window's sort key is identical for both, their order
+    is whatever the scan produced, and last() returns a partition-
+    layout-dependent answer (r15 battery find). The pinned rule: the
+    greatest value struct wins, under every partitioning."""
+    left = spark.createDataFrame([(1, 10)], "u long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "x", 1.0), (1, 10, "y", 0.5)],
+        "u long, t long, v string, w double",
+    )
+    for parts in (1, 2, 8, 32):
+        row = asof_join(left, right.repartition(parts), on="u", ts="t").collect()[0]
+        # greatest struct = ("y", 0.5): first field dominates
+        assert row["v_asof"] == "y" and row["w_asof"] == 0.5, (parts, row)
