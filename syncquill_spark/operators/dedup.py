@@ -259,7 +259,8 @@ def minhash_lsh_pairs(
     candidate count ~ true-duplicate count, never O(n^2). Probability a
     pair at similarity s collides: 1-(1-s^r)^b with r = n_perm/bands.
     """
-    assert n_perm % bands == 0, "bands must divide n_perm"
+    if bands < 1 or n_perm % bands != 0:  # explicit raise: asserts vanish under -O (r15)
+        raise ValueError(f"bands={bands} must divide n_perm={n_perm}")
     r = n_perm // bands
 
     # Signatures come from explode + ONE groupBy with n_perm codegen
@@ -378,7 +379,8 @@ def minhash_lsh_pairs_against(
     an index and recomputes only the new side per snapshot (the join
     shape — equi-join on (band, key) — is identical).
     """
-    assert n_perm % bands == 0, "bands must divide n_perm"
+    if bands < 1 or n_perm % bands != 0:  # explicit raise: asserts vanish under -O (r15)
+        raise ValueError(f"bands={bands} must divide n_perm={n_perm}")
     r = n_perm // bands
 
     tagged = new_df.select(
@@ -536,10 +538,15 @@ def _resolve_bands(max_hamming: int, bands: int | None) -> int:
     n_bands = bands if bands is not None else max_hamming + 1
     # pigeonhole: with <= max_hamming differing bits and > max_hamming
     # bands, some band must be identical; fewer bands silently lose
-    # the full-recall guarantee
-    assert n_bands > max_hamming, (
-        f"bands={n_bands} must exceed max_hamming={max_hamming} for full recall"
-    )
+    # the full-recall guarantee. An explicit raise, not an assert:
+    # asserts vanish under python -O and this guard is the only thing
+    # standing between a mis-parameterized gate and silent recall loss
+    # (r15 battery sweep)
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"bands={n_bands} must exceed max_hamming={max_hamming} "
+            "for full recall"
+        )
     return n_bands
 
 

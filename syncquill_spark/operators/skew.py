@@ -40,7 +40,7 @@ def salted_join(
 
     Only big-side-preserving join types are allowed: with the small
     side replicated per salt, right/full outer would emit unmatched
-    small rows salt_factor times.
+    small rows salt_factor times. salt_factor must be >= 1.
     """
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
                "leftsemi", "left_anti", "leftanti", "semi", "anti"}
@@ -48,6 +48,12 @@ def salted_join(
         raise ValueError(
             f"salted_join supports big-side-preserving joins only, got {how!r}"
         )
+    # guard driver-side (r15 battery): salt_factor = 0 dies mid-job
+    # with ANSI REMAINDER_BY_ZERO; a NEGATIVE factor only joins
+    # correctly because sequence(0, n-1) happens to auto-step downward
+    # past the pmod values — accepted nonsense, not a contract
+    if salt_factor < 1:
+        raise ValueError(f"salt_factor must be >= 1, got {salt_factor}")
     cols = salt_from if salt_from is not None else big.columns
     b = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_factor))
@@ -91,6 +97,8 @@ def salted_agg(
     salting matters when merge-side state per key is still huge
     (e.g. collect_set-style), or under sort-based fallback.
     """
+    if salt_factor < 1:  # same guard as salted_join (r15 battery)
+        raise ValueError(f"salt_factor must be >= 1, got {salt_factor}")
     cols = salt_from if salt_from is not None else df.columns
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_factor))

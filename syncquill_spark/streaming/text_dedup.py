@@ -72,7 +72,8 @@ def _row_minhash(
         word_shingles,
     )
 
-    assert n_perm % bands == 0, "bands must divide n_perm"
+    if bands < 1 or n_perm % bands != 0:  # explicit raise: asserts vanish under -O (r15)
+        raise ValueError(f"bands={bands} must divide n_perm={n_perm}")
     r = n_perm // bands
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), k=k).alias("_sh")

@@ -886,6 +886,36 @@ def case_specs():
 
     add("brute_topk_k0_empty", _brute_k0_empty)
 
+    # --- r15 sweep 6: skew-salting + band-parameter guards. All were
+    # asserts (vanish under python -O) or mid-job ANSI crashes; all now
+    # raise named ValueErrors driver-side ------------------------------
+    def _skew(factor):
+        def fn(ctx):
+            from syncquill_spark.operators.skew import salted_join
+
+            L = ctx.spark.createDataFrame(
+                [(1, "a"), (1, "b")], "k long, v string")
+            R = ctx.spark.createDataFrame([(1, "x")], "k long, w string")
+            return salted_join(L, R, "k", salt_factor=factor)
+
+        return fn
+
+    add("salted_join_factor0", _skew(0), "ValueError")
+    add("salted_join_factor_negative", _skew(-2), "ValueError")
+
+    def _salted_agg_factor0(ctx):
+        from syncquill_spark.operators.skew import salted_agg
+
+        return salted_agg(
+            ctx.tiny, "lang",
+            {"n": (F.count(F.lit(1)), "sum")}, salt_factor=0)
+
+    add("salted_agg_factor0", _salted_agg_factor0, "ValueError")
+    add("simhash_bands_below_hamming", lambda ctx: _dedup().simhash_near_pairs(
+        ctx.short, bits=32, max_hamming=5, bands=3), "ValueError")
+    add("minhash_bands_not_dividing", lambda ctx: _dedup().minhash_lsh_pairs(
+        ctx.short, k=3, n_perm=64, bands=7), "ValueError")
+
     def _bigram_empty_model(ctx):
         from syncquill_spark.operators.text import (
             bigram_score_against,
