@@ -913,6 +913,19 @@ def case_specs():
     add("salted_agg_factor0", _salted_agg_factor0, "ValueError")
     add("simhash_bands_below_hamming", lambda ctx: _dedup().simhash_near_pairs(
         ctx.short, bits=32, max_hamming=5, bands=3), "ValueError")
+
+    def _range_inverted_interval(ctx):
+        # an interval with lo > hi matches NOTHING — empty, not garbage
+        # and not an error (degenerate intervals are data, not params)
+        out = _ranges().binned_range_join(
+            ctx.spark.createDataFrame([(1, 5.0)], "pid long, p double"),
+            ctx.spark.createDataFrame(
+                [(10, 8.0, 2.0)], "iid long, lo double, hi double"),
+            "p", "lo", "hi", bin_width=1.0)
+        assert out.count() == 0
+        return 0
+
+    add("range_inverted_interval_empty", _range_inverted_interval)
     add("minhash_bands_not_dividing", lambda ctx: _dedup().minhash_lsh_pairs(
         ctx.short, k=3, n_perm=64, bands=7), "ValueError")
 
