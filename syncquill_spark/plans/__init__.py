@@ -100,6 +100,65 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # queue_r10/queue_r11 modules are gone). From here, registry entry is
 # by SWAP only (net 0), recorded in this block.
 #
+# Round-16 window, in order (post-freeze maintenance rotation — no
+# registrations, pure staleness rotation + fill):
+#  - the 42 mandatory rows the round-15 verdict names (the full
+#    staleness-2 cohort, last driver-green r13; re-derived from
+#    CORRECTNESS_r13/r14/r15 before committing this order, set
+#    equality with the r15 leave-out comment confirmed — 42 == 42);
+#  - 8 fill, rule 2b first (this round's planned plan changes, named
+#    by the r15 verdict items 3-4):
+#    text_bm25 (r15-green; the BM25 doclens-prune plan change — its
+#    sibling storage_bm25_index is already in the mandatory 42),
+#    dedup_cluster_stats (r15-green), dedup_clusters and
+#    curation_leakage_split (both r14-green/staleness-1) — the three
+#    registered callers of connected_components, whose NULL-endpoint
+#    edge fix (r15 verdict What's-wrong #2, deferred from r15) changes
+#    their plans;
+#    then 4 rule-2c staleness-1 picks chosen to flatten r17 and sit
+#    nearest the families this round touches (text/curation):
+#    text_winnowing_spans, curation_remove_spans, curation_lm_buckets,
+#    text_clf_gate.
+#    Slot-free maintenance planned this round (Python-side,
+#    output-identical for every existing layout, the r15 vec-gate
+#    precedent): BM25's n_buckets STAMPED into its index manifest via
+#    save_index _meta and verified at load with an unpruned-scan
+#    fallback (r15 verdict What's-wrong #1 / ADVICE-promoted
+#    mandatory); ADVICE r15 low items (zorder_key_sql guards,
+#    asof_join docstring contract, vectors HOF norm reuse,
+#    load_embedding_index warnings.warn).
+# Left outside at staleness 2 after this round (the 50-row r14-green
+# cohort minus the 6 staleness-1 rows filled above = 44 rows that MUST
+# lead the r17 window; the tripwire test derives the same set from
+# CORRECTNESS_r14/r15 minus this window):
+# agg_cube_sales, agg_customer_balance_stats,
+# agg_customer_distribution, agg_forecast_revenue, agg_grouping_sets,
+# agg_important_stock, agg_order_priority, agg_pivot_status,
+# agg_pricing_summary, agg_promo_revenue, agg_quantiles_status,
+# agg_status_sets, agg_supplier_part_types, join_disjunctive_promo,
+# join_large_orders, join_lonely_returned_supplier, join_market_share,
+# join_min_cost_supplier, join_nation_trade, join_priority_lines,
+# join_product_profit, join_returned_items, join_revenue_by_nation,
+# join_salted_revenue, join_shipping_priority, join_small_qty_parts,
+# json_events_extract, multimodal_audio_decode, multimodal_decode,
+# multimodal_features, multimodal_media_stats, scalar_functions,
+# setop_customers_without_orders, setop_idle_rich_customers,
+# setop_repeat_customers, similarity_ann_recall,
+# similarity_topk_cosine, similarity_topk_ivf_refined,
+# storage_media_ingest_roundtrip, storage_media_wav_roundtrip,
+# subquery_exists_orders, text_token_stats, window_top_supplier,
+# window_topk_orders.
+# r17 capacity check: 44 staleness-2 + 0 registrations (frozen) = 44
+# mandatory, leaving 6 fill slots — within the steady-state band
+# (42+8); the 2-row bulge is the price of the two rule-2b fixes
+# above touching staleness-0 rows. No deviation rows carried into
+# r16 (r15 closed clean); if a mid-round rule-2b change needs more
+# than the fill slots, apply the documented-deviation protocol (name
+# the slotless touched rows here, verify at all three SFs locally,
+# make them r17 mandatory leads).
+# The 50 r15-green rows not in this window rotate out at staleness 1.
+# Registry 142 — frozen, no change.
+#
 # Round-15 window, in order (post-freeze maintenance rotation — no
 # registrations, pure staleness rotation + fill):
 #  - the 49 mandatory rows the round-14 verdict names (re-derived from
@@ -614,38 +673,35 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # r06-green rows rotate out at staleness 1.
 #
 _PRIORITY = [
-    # 49 mandatory leads (policy rule 2a: ALL of them, first): the
-    # 45-row staleness-2 cohort (last driver-green r12) + the 4
-    # r14 documented-deviation rows (similarity_knn_classify,
-    # similarity_topk_ivf, storage_ivfpq_index, dedup_semantic_pairs —
-    # merged alphabetically below). Re-derived from
-    # CORRECTNESS_r12/r13/r14, set equality with the r14 verdict's
-    # cohort confirmed before committing this order.
-    "agg_distinct_users_exact", "cdc_incremental_agg",
-    "cdc_scd2_history", "curation_domain_quota",
-    "curation_pack_sequences", "curation_redact_pii",
-    "curation_target_mix", "curation_target_mix_tokens",
-    "dedup_cluster_stats", "dedup_exact", "dedup_semantic_pairs",
-    "dedup_simhash", "dedup_simhash_against", "dedup_simhash_pairs",
-    "dedup_winnowing_against", "embedding_label_centroids",
-    "embedding_pq_codes", "embedding_quantize",
-    "funnel_click_purchase", "join_asof_signup", "join_binned_range",
-    "join_excess_inventory", "join_range_shipments",
-    "pipeline_corpus_curation", "pipeline_training_mix",
-    "profile_documents", "profile_referential",
-    "similarity_knn_classify", "similarity_topk_ivf",
-    "similarity_topk_ivfpq", "storage_ivfpq_index",
-    "storage_simhash_index", "storage_winnowing_index",
-    "sync_apply_keyed", "sync_diff_keyed", "sync_diff_positional",
-    "sync_upsert", "sync_validate", "text_bigram_gate",
-    "text_bigram_lm", "text_bm25", "text_chunk_documents",
-    "text_fingerprint", "text_quality_rules", "text_readability",
-    "text_segment_dedup", "text_sentences_udtf", "text_term_stats",
-    "text_token_counts",
-    # 1 rule-2c fill: the registered driver of the versioned-table
-    # hardlink-append path r14's final commit hardened (see the
-    # round-15 window comment above).
-    "storage_versioned_roundtrip",
+    # 42 mandatory leads (policy rule 2a: ALL of them, first): the
+    # staleness-2 cohort, last driver-green r13. Re-derived from
+    # CORRECTNESS_r13/r14/r15, set equality with the r15 verdict's
+    # leave-out comment confirmed before committing this order.
+    "agg_distinct_users_approx", "agg_quantiles_approx_check",
+    "agg_rollup_orders", "curation_blocklist", "curation_boilerplate",
+    "curation_decontaminate", "curation_eval_k_per_lang",
+    "curation_fuzzy_decontaminate", "curation_hash_split",
+    "curation_pack_ffd", "curation_quality_filter",
+    "curation_sample_stratified", "curation_shuffle", "dedup_apply",
+    "dedup_embedding_cosine", "dedup_embedding_incremental",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_winnowing_pairs", "embedding_nearest_centroid",
+    "events_session_window", "events_sessionization",
+    "events_sliding_window", "events_tumbling_window",
+    "join_events_customers", "setop_except_all", "similarity_topk_lsh",
+    "storage_bigram_model", "storage_bm25_index",
+    "storage_index_incremental", "storage_index_roundtrip",
+    "storage_text_ingest_roundtrip", "storage_zorder_key",
+    "text_language_id", "text_quality", "text_repetition",
+    "text_tfidf_terms", "text_vocab_coverage", "text_winnowing",
+    "window_moving_avg", "window_running_total",
+    # 8 fill — rule 2b first (this round's planned plan changes:
+    # BM25 doclens prune -> text_bm25; connected_components
+    # NULL-endpoint fix -> its three registered callers), then
+    # rule-2c staleness-1 picks (see the round-16 window comment).
+    "text_bm25", "dedup_cluster_stats", "dedup_clusters",
+    "curation_leakage_split", "text_winnowing_spans",
+    "curation_remove_spans", "curation_lm_buckets", "text_clf_gate",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]
