@@ -270,7 +270,7 @@ def bm25_scores(
 def _bm25_score_parts(
     tf: DataFrame,
     dfreq: DataFrame,
-    dl: DataFrame,
+    dl: DataFrame | None,
     stats: DataFrame,
     id_col: str,
     k1: float,
@@ -281,12 +281,13 @@ def _bm25_score_parts(
     ``bm25_from_index`` (parts loaded from a persisted index), so the
     two paths cannot drift. Inputs: tf (id, term, _tf) restricted to
     the query terms, dfreq (term, _df), dl (id, _dl), stats one row
-    (_n_docs, _total_len)."""
-    joined = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-    )
+    (_n_docs, _total_len). ``dl=None`` means tf ALREADY carries its
+    ``_dl`` column (the inline-dl serve path — postings rows store the
+    doc length, so no doclens join happens at serve time)."""
+    scored = tf.join(F.broadcast(dfreq), "term")
+    if dl is not None:
+        scored = scored.join(dl, id_col)
+    joined = scored.crossJoin(F.broadcast(stats))
     idf = F.log(
         (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
     )
@@ -323,14 +324,24 @@ def build_bm25_index(
     ``index_store.save_index(path, _partition_by={"postings":
     ["term_bucket"]}, **index)``:
 
-    - ``postings`` (term_bucket, term, doc_id, tf): the inverted
+    - ``postings`` (term_bucket, term, doc_id, tf, dl): the inverted
       index. ``term_bucket = crc32(term) % n_buckets`` so the part can
       be written Hive-partitioned on a BOUNDED key (per-term dirs are
       unbounded): a serve for q query terms reads only their <= q
       buckets' files — serve I/O scales with the query, not the
       corpus. crc32 is computable driver-side (zlib.crc32) for the
-      serve filter and engine-stable.
-    - ``doclens`` (doc_id, dl) — per-doc token counts;
+      serve filter and engine-stable. ``dl`` is the document's token
+      count DENORMALIZED onto its posting rows (the Lucene-norms
+      trick, columnar form): the BM25 length normalization needs dl
+      for every MATCHED doc, and reading it from a separate per-doc
+      part made serve I/O corpus-proportional — ``tf.join(doclens)``
+      scanned every doc's row to match a query-sized set (measured
+      r15, SCALE.md: 2.56M doclens rows read for 4,919 matches at
+      512x). Inlined, the serve reads ZERO doclens rows at any corpus
+      size for ~20% more bytes in the (already skinny) postings part.
+    - ``doclens`` (doc_id, dl) — per-doc token counts; the build/merge
+      source of truth for stats and the per-doc normalization, and the
+      serve fallback for indexes written before dl inlining;
     - ``dfreq`` (term, df) — per-term document frequency, maintained
       incrementally (batch counts add — same contract as winnowing's
       (fp, df) part);
@@ -342,17 +353,25 @@ def build_bm25_index(
     ``merge_bm25_index`` appends a batch without a corpus pass
     (append == rebuild: postings/doclens are per-doc rows, df counts
     and stats add over disjoint docs)."""
+    if n_buckets < 1:
+        # driver-side and named; the in-plan crc32 % n_buckets would
+        # ANSI-abort mid-job (n=0) or write junk buckets (n<0) instead
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     tok = df.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term"))
     tok = tracked_persist(tok)  # postings + doclens + dfreq
+    doclens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
     postings = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn(
             "term_bucket", (F.crc32(F.col("term").cast("binary")) % n_buckets).cast("int")
         )
-        .select("term_bucket", "term", "doc_id", "tf")
+        # one build-time shuffle join per corpus pass buys the inline
+        # dl; doclens is the small side of the two and broadcastable
+        # per-batch at merge time
+        .join(doclens, "doc_id")
+        .select("term_bucket", "term", "doc_id", "tf", "dl")
     )
-    doclens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = doclens.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -411,6 +430,10 @@ def bm25_query_buckets(
     source prunes on."""
     import zlib
 
+    if n_buckets < 1:
+        # mod by 0 raises here, driver-side and named — the in-plan
+        # twin (crc32 % n_buckets) would ANSI-abort mid-job instead
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     return sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in query_terms})
 
 
@@ -422,33 +445,166 @@ def bm25_from_index(
     n_buckets: int = BM25_BUCKETS,
 ) -> DataFrame:
     """BM25 retrieval SERVED from a persisted index (parts from
-    ``build_bm25_index``, typically via ``index_store.load_index``) —
+    ``build_bm25_index``, typically via ``load_bm25_index``) —
     identical output to ``bm25_scores`` over the corpus text with the
     same terms (both run ``_bm25_score_parts``; unit-pinned), but the
     serve plan never tokenizes anything: postings are filtered by the
     query's term_bucket LITERALS first (with the postings part
     Hive-partitioned by term_bucket, the parquet source reads only
     those <= |query| buckets' files) then by term; dfreq joins
-    broadcast; doclens joins only the matched docs. Per-batch serve
-    cost scales with posting-list sizes of the query terms, not the
-    corpus."""
-    buckets = bm25_query_buckets(query_terms, n_buckets)
-    qtf = (
-        index["postings"]
-        .filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(*query_terms))
-        .select("doc_id", "term", F.col("tf").alias("_tf"))
-    )
+    broadcast; per-doc lengths ride ON the posting rows (inline dl),
+    so the corpus-sized doclens part is never read at serve time.
+    Per-batch serve cost scales with posting-list sizes of the query
+    terms, not the corpus.
+
+    Degraded inputs stay correct, only slower:
+    - postings without ``term_bucket`` (``load_bm25_index`` dropped it
+      because the manifest's bucket-width stamp was missing or didn't
+      match ``n_buckets``): the bucket prune is SKIPPED — every
+      postings file is scanned, filtered on term alone. Pruning with
+      a mismatched width would read the WRONG buckets and silently
+      lose matches; that silent false-negative is the failure mode
+      the stamp rules out.
+    - postings without ``dl`` (an index built before dl inlining):
+      falls back to the doclens join — the corpus-proportional serve
+      term this layout exists to remove; rebuild to re-enable."""
+    postings = index["postings"]
+    if "term_bucket" in postings.columns:
+        buckets = bm25_query_buckets(query_terms, n_buckets)
+        postings = postings.filter(F.col("term_bucket").isin(buckets))
+    qtf = postings.filter(F.col("term").isin(*query_terms))
+    if "dl" in qtf.columns:
+        qtf = qtf.select(
+            "doc_id", "term", F.col("tf").alias("_tf"), F.col("dl").alias("_dl")
+        )
+        dl = None
+    else:
+        qtf = qtf.select("doc_id", "term", F.col("tf").alias("_tf"))
+        dl = index["doclens"].select("doc_id", F.col("dl").alias("_dl"))
     dfreq = (
         index["dfreq"]
         .filter(F.col("term").isin(*query_terms))
         .select("term", F.col("df").alias("_df"))
     )
-    dl = index["doclens"].select("doc_id", F.col("dl").alias("_dl"))
     stats = index["stats"].select(
         F.col("n_docs").alias("_n_docs"), F.col("total_len").alias("_total_len")
     )
     return _bm25_score_parts(qtf, dfreq, dl, stats, "doc_id", k1, b)
+
+
+def save_bm25_index(
+    path: str,
+    index: dict[str, DataFrame],
+    n_buckets: int = BM25_BUCKETS,
+) -> None:
+    """Persist a ``build_bm25_index`` result with the postings part
+    Hive-partitioned by term_bucket AND the bucket width STAMPED into
+    the index manifest. Stored term_bucket values were computed with
+    THIS build's ``n_buckets``; a serve running a different width
+    computes crc32 buckets with the new width, partition-prunes to the
+    wrong directories and returns silently incomplete postings — no
+    error (the vec-gate silent-misprune class, ADVICE r15 /
+    streaming/vector_dedup.save_embedding_index). Load with
+    ``load_bm25_index``, which verifies the stamp and falls back to an
+    unpruned scan on mismatch; the raw ``index_store.load_index``
+    skips that check."""
+    from syncquill_spark.sources.index_store import save_index
+
+    save_index(
+        path,
+        _partition_by={"postings": ["term_bucket"]},
+        _meta={"bm25_n_buckets": n_buckets},
+        **index,
+    )
+
+
+def load_bm25_index(
+    spark, path: str, n_buckets: int = BM25_BUCKETS
+) -> dict[str, DataFrame]:
+    """BM25 index parts from storage, with the manifest's bucket-width
+    stamp verified against the width THIS serve will prune with.
+
+    On mismatch — an index written under a different ``n_buckets`` —
+    or a missing stamp (written before meta stamping, width
+    unverifiable), ``term_bucket`` is DROPPED from the postings frame,
+    so ``bm25_from_index`` takes the unpruned scan: every postings
+    file is read and filtered on term, nothing is missed. Correctness
+    over speed; rebuild with ``save_bm25_index`` to re-enable
+    pruning."""
+    import warnings
+
+    from syncquill_spark.sources.index_store import (
+        load_index,
+        load_index_manifest,
+    )
+
+    parts = load_index(spark, path)
+    stored = load_index_manifest(path)["meta"].get("bm25_n_buckets")
+    if stored != n_buckets and "term_bucket" in parts["postings"].columns:
+        warnings.warn(
+            f"load_bm25_index: stored bucket width {stored!r} != serve "
+            f"width {n_buckets} — disabling postings partition pruning "
+            "(unpruned scan; rebuild the index with save_bm25_index to "
+            "re-enable)",
+            stacklevel=2,
+        )
+        parts["postings"] = parts["postings"].drop("term_bucket")
+    return parts
+
+
+def append_bm25_index(
+    path: str,
+    corpus_index: dict[str, DataFrame],
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = BM25_BUCKETS,
+) -> None:
+    """The complete nightly BM25 merge in ONE atomic commit: tokenize
+    only the batch, append its row parts (postings, doclens)
+    batch-sized, rewrite the small aggregated parts (dfreq, stats)
+    with their merged frames — ``index_store.append_index`` semantics,
+    so readers see the whole old or the whole new index.
+
+    Refuses (named errors, before anything is written) when the stored
+    index can't legally take this append:
+    - bucket-width stamp missing or != ``n_buckets``: batch postings
+      would carry term_bucket values from a DIFFERENT hash space than
+      the stored directories — every future pruned serve silently
+      loses the batch;
+    - stored postings lack the inline ``dl`` column (pre-inlining
+      format): appending dl-bearing rows would commit a mixed parquet
+      schema that only fails (or silently drops dl) at read time.
+    Rebuild with ``save_bm25_index`` in either case."""
+    from syncquill_spark.sources.index_store import (
+        append_index,
+        load_index_manifest,
+    )
+
+    stored = load_index_manifest(path)["meta"].get("bm25_n_buckets")
+    if stored != n_buckets:
+        raise ValueError(
+            f"append_bm25_index: stored bucket width {stored!r} != batch "
+            f"width {n_buckets}; appending would mix two term_bucket hash "
+            "spaces in one part (silently wrong pruned serves). Rebuild "
+            "with save_bm25_index."
+        )
+    if "dl" not in corpus_index["postings"].columns:
+        raise ValueError(
+            "append_bm25_index: stored postings have no inline dl column "
+            "(index built before dl inlining); appending dl-bearing rows "
+            "would commit a mixed parquet schema. Rebuild with "
+            "save_bm25_index."
+        )
+    merged = merge_bm25_index(corpus_index, batch, text_col, id_col, n_buckets)
+    batch_only = build_bm25_index(batch, text_col, id_col, n_buckets)
+    append_index(
+        path,
+        _partition_by={"postings": ["term_bucket"]},
+        _replace={"dfreq": merged["dfreq"], "stats": merged["stats"]},
+        postings=batch_only["postings"],
+        doclens=batch_only["doclens"],
+    )
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

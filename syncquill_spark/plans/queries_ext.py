@@ -4280,47 +4280,39 @@ def q_storage_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     doclens, incrementally-maintained dfreq, one stats row) over half
     the corpus, persist via ``index_store.save_index`` with the
     postings part Hive-partitioned by term_bucket, reload, extend with
-    the other half via ``merge_bm25_index`` (only the batch is
-    tokenized; df counts and stats ADD), persist OVER the first
-    (atomic exchange), reload, and serve the registered query terms
-    from the stored parts alone — the serve scan reads only the
-    query's term buckets (partition pruning, plan-asserted in unit
-    tests). Oracle = ``text_bm25``'s own SQL: a served score after
-    save/load/merge/save/load must be indistinguishable from
-    recomputing over all text."""
+    the other half via ``append_bm25_index`` (only the batch is
+    tokenized; row parts append, df counts and stats ADD — one atomic
+    commit), reload, and serve the registered query terms from the
+    stored parts alone — the serve scan reads only the query's term
+    buckets (partition pruning via the manifest-stamped bucket width,
+    plan-asserted in unit tests) and ZERO doclens rows (per-doc
+    lengths ride inline on the posting rows since r16; the doclens
+    join was the serve's last corpus-proportional term, SCALE.md r15).
+    Oracle = ``text_bm25``'s own SQL: a served score after
+    save/load/append/load must be indistinguishable from recomputing
+    over all text."""
     import os as _os
     import tempfile as _tempfile
 
     from syncquill_spark.operators.text import (
+        append_bm25_index,
         bm25_from_index,
         build_bm25_index,
-        merge_bm25_index,
-    )
-    from syncquill_spark.sources.index_store import (
-        append_index,
-        load_index,
-        save_index,
+        load_bm25_index,
+        save_bm25_index,
     )
 
     (documents,) = load_tables(spark, sf_dir, "documents")
     first_half = documents.filter(F.col("doc_id") % 2 == 0)
     batch = documents.filter(F.col("doc_id") % 2 == 1)
-    part_by = {"postings": ["term_bucket"]}
     path = _os.path.join(_tempfile.mkdtemp(prefix="sq_bm25_"), "bm25_idx")
-    save_index(path, _partition_by=part_by, **build_bm25_index(first_half))
+    save_bm25_index(path, build_bm25_index(first_half))
     # the full nightly merge in ONE atomic commit: row parts appended
     # batch-sized (postings, doclens), the small aggregated parts
-    # (dfreq, stats) rewritten with their merged frames
-    merged = merge_bm25_index(load_index(spark, path), batch)
-    batch_only = build_bm25_index(batch)
-    append_index(
-        path,
-        _partition_by=part_by,
-        _replace={"dfreq": merged["dfreq"], "stats": merged["stats"]},
-        postings=batch_only["postings"],
-        doclens=batch_only["doclens"],
-    )
-    reloaded = load_index(spark, path)
+    # (dfreq, stats) rewritten with their merged frames; the stamp
+    # check refuses a width-mismatched or pre-inline-dl stored index
+    append_bm25_index(path, load_bm25_index(spark, path), batch)
+    reloaded = load_bm25_index(spark, path)
     return bm25_from_index(reloaded, _BM25_TERMS)
 
 

@@ -882,6 +882,211 @@ def test_bm25_serve_plan_prunes_partitions(spark, sf_dir, tmp_path):
     assert scan_lines, plan
 
 
+def test_bm25_stamp_roundtrip_and_pruned_serve(spark, sf_dir, tmp_path):
+    """save_bm25_index stamps the bucket width into the manifest;
+    load_bm25_index under the SAME width keeps term_bucket, the serve
+    plan still partition-prunes, and scores equal recompute."""
+    from syncquill_spark.operators.text import (
+        bm25_from_index,
+        bm25_scores,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from syncquill_spark.sources.index_store import load_index_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "bm25_stamped")
+    save_bm25_index(p, build_bm25_index(docs))
+    assert load_index_manifest(p)["meta"]["bm25_n_buckets"] == 64
+    loaded = load_bm25_index(spark, p)
+    assert "term_bucket" in loaded["postings"].columns
+    plan = (
+        bm25_from_index(loaded, _BM25_Q)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "term_bucket" in plan and "PartitionFilters: [" in plan
+    served = sorted(
+        (r.doc_id, r.bm25) for r in bm25_from_index(loaded, _BM25_Q).collect()
+    )
+    recomputed = sorted(
+        (r.doc_id, r.bm25) for r in bm25_scores(docs, _BM25_Q).collect()
+    )
+    assert served == recomputed and len(served) > 0
+
+
+def test_bm25_stamp_mismatch_falls_back_unpruned(spark, sf_dir, tmp_path):
+    """An index written under a DIFFERENT bucket width must not be
+    pruned with this serve's width (wrong buckets -> silently missing
+    postings): load_bm25_index warns, drops term_bucket, and the
+    unpruned serve still equals recompute exactly."""
+    import warnings as _w
+
+    from syncquill_spark.operators.text import (
+        bm25_from_index,
+        bm25_scores,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "bm25_width32")
+    save_bm25_index(p, build_bm25_index(docs, n_buckets=32), n_buckets=32)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        loaded = load_bm25_index(spark, p)  # serve width: default 64
+    assert any("bucket width" in str(c.message) for c in caught)
+    assert "term_bucket" not in loaded["postings"].columns
+    served = sorted(
+        (r.doc_id, r.bm25) for r in bm25_from_index(loaded, _BM25_Q).collect()
+    )
+    recomputed = sorted(
+        (r.doc_id, r.bm25) for r in bm25_scores(docs, _BM25_Q).collect()
+    )
+    assert served == recomputed and len(served) > 0
+
+
+def test_bm25_unstamped_index_falls_back_unpruned(spark, sf_dir, tmp_path):
+    """An index persisted before meta stamping (raw save_index, no
+    _meta) has an unverifiable layout: load_bm25_index must take the
+    unpruned path rather than trust the width."""
+    import warnings as _w
+
+    from syncquill_spark.operators.text import build_bm25_index, load_bm25_index
+    from syncquill_spark.sources.index_store import save_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    p = str(tmp_path / "bm25_unstamped")
+    save_index(
+        p, _partition_by={"postings": ["term_bucket"]}, **build_bm25_index(docs)
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        loaded = load_bm25_index(spark, p)
+    assert any("bucket width" in str(c.message) for c in caught)
+    assert "term_bucket" not in loaded["postings"].columns
+
+
+def test_bm25_serve_reads_zero_doclens(spark, sf_dir, tmp_path):
+    """With dl inlined on posting rows, the serve plan must not touch
+    the doclens part at all — the corpus-proportional term SCALE.md
+    r15 measured (2.56M doclens rows read for 4,919 matches) is gone
+    by construction, not by pruning fraction."""
+    from syncquill_spark.operators.text import (
+        bm25_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "bm25_nodoclens")
+    save_bm25_index(p, build_bm25_index(docs))
+    loaded = load_bm25_index(spark, p)
+    plan = (
+        bm25_from_index(loaded, _BM25_Q)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the doclens scan's ReadSchema signature (paths are elided in the
+    # plan string, so match the scan's schema, not the directory name)
+    assert "struct<doc_id:bigint,dl:bigint>" not in plan, plan
+
+
+def test_bm25_pre_inline_dl_index_serves_via_doclens(spark, sf_dir, tmp_path):
+    """Backward compat: an index whose postings predate dl inlining
+    (no dl column) must still serve correct scores — bm25_from_index
+    falls back to the doclens join."""
+    from syncquill_spark.operators.text import (
+        bm25_from_index,
+        bm25_scores,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = build_bm25_index(docs)
+    old["postings"] = old["postings"].drop("dl")  # the pre-r16 layout
+    p = str(tmp_path / "bm25_oldfmt")
+    save_bm25_index(p, old)
+    loaded = load_bm25_index(spark, p)
+    plan = (
+        bm25_from_index(loaded, _BM25_Q)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the fallback doclens scan is in the plan (its ReadSchema — plan
+    # strings elide directory paths)
+    assert "struct<doc_id:bigint,dl:bigint>" in plan, plan
+    served = sorted(
+        (r.doc_id, r.bm25) for r in bm25_from_index(loaded, _BM25_Q).collect()
+    )
+    recomputed = sorted(
+        (r.doc_id, r.bm25) for r in bm25_scores(docs, _BM25_Q).collect()
+    )
+    assert served == recomputed and len(served) > 0
+
+
+def test_append_bm25_index_equals_rebuild_and_refuses_mismatch(
+    spark, sf_dir, tmp_path
+):
+    """append_bm25_index: (a) one atomic nightly merge equals a
+    one-shot rebuild part for part; (b) a width-mismatched append and
+    a pre-inline-dl stored index are REFUSED with named errors before
+    anything is written."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.text import (
+        append_bm25_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "bm25_append")
+    save_bm25_index(p, build_bm25_index(half))
+    append_bm25_index(p, load_bm25_index(spark, p), batch)
+    loaded = load_bm25_index(spark, p)
+    rebuilt = build_bm25_index(docs)
+    for part in ("postings", "doclens", "dfreq", "stats"):
+        cols = rebuilt[part].columns  # partitioned read reorders them
+        got = sorted(map(tuple, loaded[part].select(*cols).collect()))
+        want = sorted(map(tuple, rebuilt[part].collect()))
+        assert got == want, part
+
+    with pytest.raises(ValueError, match="bucket width"):
+        append_bm25_index(p, loaded, batch, n_buckets=32)
+
+    old = build_bm25_index(half)
+    old["postings"] = old["postings"].drop("dl")
+    p2 = str(tmp_path / "bm25_append_oldfmt")
+    save_bm25_index(p2, old)
+    with pytest.raises(ValueError, match="inline dl"):
+        append_bm25_index(p2, load_bm25_index(spark, p2), batch)
+
+
+def test_bm25_n_buckets_guard():
+    """mod-by-zero/negative bucket widths raise named errors
+    driver-side (the in-plan crc32 % n would ANSI-abort mid-job)."""
+    import pytest
+
+    from syncquill_spark.operators.text import bm25_query_buckets
+
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="n_buckets"):
+            bm25_query_buckets(("x",), n_buckets=bad)
+
+
 def test_bm25_topk_from_index(spark, sf_dir, tmp_path):
     """Top-k serve = the k best of the full serve scores under the
     (bm25 desc, doc_id asc) total order."""
