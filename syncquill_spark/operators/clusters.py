@@ -40,6 +40,16 @@ def connected_components(
     """(node, component) for every node appearing in `pairs`;
     component = min reachable node id.
 
+    Edges with a NULL endpoint are DROPPED before clustering (r15
+    verdict): a NULL node id is junk from the pair emitter's
+    perspective — none of them produce one — and keeping it minted an
+    inert (NULL, label) output row, a wrong-shape answer for a
+    first-class operator (and min-label would silently treat every
+    NULL as one shared pseudo-node if two malformed edges carried
+    one). Consequence: a node whose ONLY edges are half-NULL is absent
+    from the output — exactly the same downstream effect as today
+    (NULL join keys never matched anything), now explicit.
+
     Raises RuntimeError if max_iter rounds don't reach the fixpoint
     (diameter > max_iter — not a silently-wrong result).
     """
@@ -49,7 +59,8 @@ def connected_components(
     # checkpoint cut it. Measured ~2x on the pairs phase of
     # dedup_clusters at sf0.1.
     edges = (
-        pairs.select(
+        pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
             F.explode(
                 F.array(
                     F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),

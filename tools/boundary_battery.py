@@ -942,6 +942,78 @@ def case_specs():
 
     add("bigram_gate_empty_model_scores_all", _bigram_empty_model)
 
+    # --- r16: CC NULL-endpoint edges + BM25 manifest-stamp fallback ----
+    def _cc_null_edges(ctx):
+        from syncquill_spark.operators.clusters import connected_components
+
+        out = connected_components(
+            ctx.spark.createDataFrame(
+                [(1, 2), (None, 3), (4, None), (None, None), (2, 5)],
+                "id_a long, id_b long",
+            )
+        ).collect()
+        labels = {r[0]: r[1] for r in out}
+        # NULL never appears as a node; half-NULL edges drop whole
+        # (nodes 3 and 4 had only NULL edges -> absent); the real
+        # component {1,2,5} is intact
+        assert None not in labels, out
+        assert set(labels) == {1, 2, 5}, out
+        assert labels[1] == labels[2] == labels[5] == 1, out
+        return len(out)
+
+    add("cc_null_endpoint_edges_dropped", _cc_null_edges)
+
+    def _bm25_tampered_stamp(ctx):
+        import json as _json
+
+        from syncquill_spark.operators.text import (
+            bm25_from_index,
+            build_bm25_index,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        d = tempfile.mkdtemp(prefix="battery_bm25_stamp_") + "/idx"
+        save_bm25_index(d, build_bm25_index(ctx.docs.limit(100)))
+        terms = ("the", "of")
+        pruned = bm25_from_index(load_bm25_index(ctx.spark, d), terms).count()
+        # tamper: manifest claims a different bucket width than the
+        # directories were written with (the silent-misprune class)
+        mp = os.path.join(d, "_index_manifest.json")
+        m = _json.load(open(mp))
+        m["meta"]["bm25_n_buckets"] = 32
+        _json.dump(m, open(mp, "w"))
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            loaded = load_bm25_index(ctx.spark, d)
+        assert any("bucket width" in str(c.message) for c in caught)
+        assert "term_bucket" not in loaded["postings"].columns
+        unpruned = bm25_from_index(loaded, terms).count()
+        assert unpruned == pruned, (unpruned, pruned)  # nothing lost
+        return unpruned
+
+    add("bm25_tampered_stamp_falls_back_unpruned", _bm25_tampered_stamp)
+
+    def _bm25_append_width_mismatch(ctx):
+        from syncquill_spark.operators.text import (
+            append_bm25_index,
+            build_bm25_index,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        d = tempfile.mkdtemp(prefix="battery_bm25_appw_") + "/idx"
+        save_bm25_index(d, build_bm25_index(ctx.tiny))
+        append_bm25_index(
+            d, load_bm25_index(ctx.spark, d), ctx.docs.limit(8),
+            n_buckets=32,
+        )
+
+    add("bm25_append_width_mismatch_refused", _bm25_append_width_mismatch,
+        "ValueError")
+
     return specs
 
 
