@@ -47,6 +47,16 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     double — the same op order DuckDB's list aggregates use, so scores
     compare (and order) identically cross-engine.
 
+    ONE fold computes all three accumulators (dot, |a|^2, |b|^2) as a
+    struct; the zero-norm guard and the division read them from the
+    aggregate's finish lambda, where the accumulator is a bound
+    variable — evaluated once, unlike a repeated Column subtree, which
+    HOFs re-fold per reference (they are CodegenFallback, so no
+    common-subexpression elimination rescues them; ADVICE r15: the
+    guard-plus-division form folded each norm three times). Each
+    accumulator's per-element sequence is unchanged, so values stay
+    bit-identical to the previous form, the Arrow twin, and DuckDB.
+
     Zero-norm inputs yield NULL, not NaN — the same guard
     `cosine_similarity_arrow` applies (r14): Spark sorts NaN ABOVE
     every double, so a 0/0 here would top every desc-ordered top-k,
@@ -54,9 +64,26 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     x/0 is NULL too, so oracles agree by construction. (ADVICE r15:
     without this the two documented-equivalent forms diverged on
     exactly the degenerate input the Arrow fix targets.)"""
-    return F.when(
-        (l2_norm(a) > F.lit(0.0)) & (l2_norm(b) > F.lit(0.0)),
-        dot(a, b) / (l2_norm(a) * l2_norm(b)),
+    pairs = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.struct(
+            x.cast("double").alias("x"), y.cast("double").alias("y")
+        ),
+    )
+    zero = F.lit(0.0)
+    return F.aggregate(
+        pairs,
+        F.struct(zero.alias("d"), zero.alias("na"), zero.alias("nb")),
+        lambda acc, p: F.struct(
+            (acc["d"] + p["x"] * p["y"]).alias("d"),
+            (acc["na"] + p["x"] * p["x"]).alias("na"),
+            (acc["nb"] + p["y"] * p["y"]).alias("nb"),
+        ),
+        lambda acc: F.when(
+            (acc["na"] > zero) & (acc["nb"] > zero),
+            acc["d"] / (F.sqrt(acc["na"]) * F.sqrt(acc["nb"])),
+        ),
     )
 
 

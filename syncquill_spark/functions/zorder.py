@@ -50,8 +50,19 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
 
 
 def zorder_key_sql(exprs: list[str], bits: int = 16) -> str:
-    """The identical key as engine-portable SQL (oracle twin)."""
+    """The identical key as engine-portable SQL (oracle twin) — with
+    the identical refusals (ADVICE r15: bits=0 emitted the invalid SQL
+    '()' and an over-wide key silently diverged from the Python form's
+    raise)."""
     d = len(exprs)
+    if d < 1:
+        raise ValueError("zorder_key_sql needs at least one expression")
+    if bits < 1:
+        raise ValueError(f"bits must be positive, got {bits}")
+    if d * bits > 63:
+        raise ValueError(
+            f"interleaved key must fit in 63 bits: {d} exprs x {bits} bits"
+        )
     terms = [
         f"(((CAST({e} AS BIGINT) >> {i}) & 1) << {i * d + j})"
         for j, e in enumerate(exprs)

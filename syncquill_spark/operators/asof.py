@@ -39,7 +39,15 @@ def asof_join(
     battery probing duplicate right timestamps, the shape any real
     point-in-time feed (quotes, sensor reads) contains at scale.
     (Fully identical tied rows were already indistinguishable; only
-    the arbitrary choice among DIFFERING tied rows is pinned down.)"""
+    the arbitrary choice among DIFFERING tied rows is pinned down.)
+
+    Contract narrowed by the tie-break (ADVICE r15): right VALUE
+    columns must be orderable types — the value struct is a window
+    sort key now, so a map-typed (or otherwise unorderable) right
+    value column fails at ANALYSIS time, loudly, where it previously
+    joined with the layout-dependent answer. Project a map column to
+    orderable fields (or map_entries) before the join if you need one
+    carried."""
     vals = right_value_cols or [c for c in right.columns if c not in (on, ts)]
 
     # The right-side payload rides as ONE struct so last(ignorenulls)

@@ -120,7 +120,7 @@ def load_embedding_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     is treated the same way: without a recorded width the prune's
     precondition cannot be verified, and a silent false-negative is
     the one failure mode this loader exists to rule out."""
-    import sys
+    import warnings
 
     from syncquill_spark.sources.index_store import (
         load_index,
@@ -131,11 +131,13 @@ def load_embedding_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     keys, vecs = parts["keys"], parts["vecs"]
     stored = load_index_manifest(path)["meta"].get("vec_gate_buckets")
     if stored != VEC_GATE_BUCKETS and "_bucket" in keys.columns:
-        print(
+        # warnings.warn, not print-to-stderr: library callers can
+        # capture/filter it (ADVICE r15)
+        warnings.warn(
             f"load_embedding_index: stored bucket width {stored!r} != "
             f"VEC_GATE_BUCKETS {VEC_GATE_BUCKETS} — disabling stored-keys "
             "pruning (unpruned join; rebuild the index to re-enable)",
-            file=sys.stderr,
+            stacklevel=2,
         )
         keys = keys.drop("_bucket")
     return keys, vecs

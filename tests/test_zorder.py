@@ -63,3 +63,22 @@ def test_zorder_sort_bounds_both_dimensions(spark):
     assert u_u < z_u          # single-dim sort wins on its own dimension
     assert u_v > 2 * z_v      # ...but leaves v at ~full range; z bounds it
     assert z_u < 600 and z_v < 600  # both dimensions bounded under z-order
+
+
+def test_zorder_sql_twin_refuses_identically():
+    """The SQL oracle twin must refuse exactly the parameters the
+    Python form refuses (ADVICE r15: bits=0 emitted the invalid SQL
+    '()' and an over-wide key silently diverged from zorder_key's
+    raise)."""
+    import pytest
+
+    from syncquill_spark.functions.zorder import zorder_key_sql
+
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key_sql([])
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key_sql(["a"], bits=0)
+    with pytest.raises(ValueError, match="63 bits"):
+        zorder_key_sql(["a", "b"], bits=32)
+    # valid params still emit well-formed SQL
+    assert zorder_key_sql(["a"], bits=2).startswith("(")
