@@ -733,6 +733,88 @@ WHERE a.doc_id % 6 = 3
 """
 
 
+# --- multimodal_video_pairs (added r16, r15 verdict #6): the video
+# frame-vote near-dup path (`operators/multimodal.py video_near_pairs`)
+# — the one media surface pair 9 left out (it covers image + audio
+# single-fingerprint pairing; video pairs on DISTINCT-FRAME VOTES).
+# The corpus plants per-cell frame sequences whose matching pairs are
+# derivable from id arithmetic, per 3-id cell: m=0 a 4-frame "video"
+# (each frame a complete 16x8 P6 image of exactly 395 bytes, raster
+# md5-derived from (cell, frame)); m=1 the SAME sequence with frame 1
+# replaced by an independent raster — 3 shared frames, so the pair
+# (3c, 3c+1) votes n_frame_matches=3 (>= min_frames=2); m=2 an
+# unrelated 4-frame sequence (independent rasters never land within
+# hamming 6 — the pair-9 ~1e-11 collision argument, deterministic
+# fixture, pinned at all three SFs). The Spark side runs the REAL
+# 1->K frame expansion (sample_frames), per-frame PPM decode + dHash,
+# the synthetic-frame-id band join, and the distinct-frame-pair vote;
+# the oracle derives ('3c', '3c+1', 3) per complete cell
+# algebraically. Near-variant precedent: queued
+# multimodal_media_pairs (same codecs + band machinery) and
+# registered dedup_simhash_pairs (same band join).
+_VID_FRAME_HDR = b"P6\n16 8\n255\n"
+_VID_FRAME_BYTES = len(_VID_FRAME_HDR) + 384  # 395: header + 16x8x3 raster
+_VID_N_FRAMES = 4
+
+
+def _vid_frame(seed: str, frame: int) -> F.Column:
+    """One complete 395-byte PPM frame; raster bytes derive from
+    (cell, seed, frame) — NOT from doc_id, so the m=0/m=1 twins carry
+    identical shared frames across different docs."""
+    cell = F.expr("doc_id div 3").cast("string")
+    raster = F.unhex(
+        F.concat(
+            *[
+                F.md5(F.concat(F.lit(f"{seed}:"), cell, F.lit(f":{frame}:{i}")))
+                for i in range(24)
+            ]
+        )
+    )
+    return F.concat(F.lit(_VID_FRAME_HDR), raster)
+
+
+def _vid_payload(frames: list[F.Column]) -> F.Column:
+    out = frames[0]
+    for fr in frames[1:]:
+        out = F.concat(out, fr)
+    return out
+
+
+def q_multimodal_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syncquill_spark.operators.multimodal import (
+        video_frame_fingerprints,
+        video_near_pairs,
+    )
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    base = [_vid_frame("vid", j) for j in range(_VID_N_FRAMES)]
+    twin = list(base)
+    twin[1] = _vid_frame("vidB", 1)  # one frame differs -> 3 shared
+    other = [_vid_frame("vidY", j) for j in range(_VID_N_FRAMES)]
+    payload = (
+        F.when(m == 0, _vid_payload(base))
+        .when(m == 1, _vid_payload(twin))
+        .otherwise(_vid_payload(other))
+    )
+    fps = video_frame_fingerprints(
+        documents.select(
+            F.col("doc_id").alias("media_id"), payload.alias("payload")
+        ),
+        frame_bytes=_VID_FRAME_BYTES,
+    )
+    return video_near_pairs(fps, min_frames=2)
+
+
+def _multimodal_video_pairs_sql() -> str:
+    return f"""
+SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+       CAST({_VID_N_FRAMES - 1} AS BIGINT) AS n_frame_matches
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 3 = 0
+"""
+
+
 QUEUE_QUERIES = {
     "text_bigram_pruned_gate": q_text_bigram_pruned_gate,
     "text_lines_dedup": q_text_lines_dedup,
@@ -743,6 +825,7 @@ QUEUE_QUERIES = {
     "dedup_fuzzy_names": q_dedup_fuzzy_names,
     "multimodal_triage": q_multimodal_triage,
     "multimodal_media_pairs": q_multimodal_media_pairs,
+    "multimodal_video_pairs": q_multimodal_video_pairs,
 }
 
 QUEUE_ORACLES = {
@@ -755,4 +838,5 @@ QUEUE_ORACLES = {
     "dedup_fuzzy_names": _fuzzy_names_sql(),
     "multimodal_triage": _multimodal_triage_sql(),
     "multimodal_media_pairs": _multimodal_media_pairs_sql(),
+    "multimodal_video_pairs": _multimodal_video_pairs_sql(),
 }

@@ -58,6 +58,7 @@ def save_index(
     ``append_index``."""
     if not parts:
         raise ValueError("save_index needs at least one named part")
+    _refuse_bookkeeping_part_names(parts)
     staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
     os.makedirs(staging)
     for name, df in parts.items():
@@ -87,6 +88,25 @@ def load_index_manifest(path: str) -> dict:
         manifest = json.load(fh)
     manifest.setdefault("meta", {})
     return manifest
+
+
+def _refuse_bookkeeping_part_names(parts) -> None:
+    """Refuse part NAMES that the directory walkers would classify as
+    hidden bookkeeping (r15 verdict battery item): a part saved as
+    ``_stats`` writes fine and loads fine — then the FIRST append
+    silently omits its directory from the hardlinked staging tree
+    (``_link_tree`` skips bookkeeping entries), and the atomic swap
+    commits an index whose manifest names a part that no longer
+    exists. The data loss only surfaces at the next load, after the
+    good index is gone. Fail at save/append time instead, by name."""
+    bad = sorted(n for n in parts if _is_bookkeeping(n))
+    if bad:
+        raise ValueError(
+            f"index part names {bad} start with '_' or '.' — the index "
+            "walkers treat such directory entries as hidden bookkeeping "
+            "(skipped on append, invisible to the layout guard). Rename "
+            "the parts."
+        )
 
 
 def _is_bookkeeping(entry: str) -> bool:
@@ -189,6 +209,7 @@ def append_index(
     _replace = _replace or {}
     if not batches and not _replace:
         raise ValueError("append_index needs at least one batch or _replace part")
+    _refuse_bookkeeping_part_names({**batches, **_replace})
     overlap = set(batches) & set(_replace)
     if overlap:
         raise ValueError(f"parts cannot be both appended and replaced: {sorted(overlap)}")

@@ -33,8 +33,9 @@ def test_queue_is_consistent():
     assert set(QUEUE_QUERIES) == set(QUEUE_ORACLES)
     # the end-state contract: the five declared permanent pairs plus
     # the r12 additions curation_url_dedup and dedup_fuzzy_names, the
-    # r14 addition multimodal_triage, and the r15 addition
-    # multimodal_media_pairs (the queue may grow; the REGISTRY stays
+    # r14 addition multimodal_triage, the r15 addition
+    # multimodal_media_pairs, and the r16 addition
+    # multimodal_video_pairs (the queue may grow; the REGISTRY stays
     # frozen at 142)
     assert sorted(QUEUE_QUERIES) == [
         "curation_temperature_mix",
@@ -42,6 +43,7 @@ def test_queue_is_consistent():
         "dedup_fuzzy_names",
         "multimodal_media_pairs",
         "multimodal_triage",
+        "multimodal_video_pairs",
         "similarity_topk_rerank",
         "text_bigram_pruned_gate",
         "text_lines_dedup",

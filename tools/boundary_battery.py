@@ -1014,6 +1014,137 @@ def case_specs():
     add("bm25_append_width_mismatch_refused", _bm25_append_width_mismatch,
         "ValueError")
 
+    # --- r16: index part names colliding with bookkeeping prefixes ----
+    def _index_underscore_part_name(ctx):
+        from syncquill_spark.sources.index_store import save_index
+
+        save_index(
+            tempfile.mkdtemp(prefix="battery_uspart_") + "/idx",
+            _stats=ctx.tiny.select("doc_id"),
+        )
+
+    add("index_underscore_part_name_refused", _index_underscore_part_name,
+        "ValueError")
+
+    def _index_append_underscore_part(ctx):
+        from syncquill_spark.sources.index_store import (
+            append_index,
+            save_index,
+        )
+
+        d = tempfile.mkdtemp(prefix="battery_usapp_") + "/idx"
+        save_index(d, good=ctx.tiny.select("doc_id"))
+        # a NEW part whose name the walkers would hide: the next append
+        # after this one would hardlink-skip its directory and commit
+        # the loss atomically — refused at this append instead
+        append_index(d, **{".hidden": ctx.tiny.select("doc_id")})
+
+    add("index_append_bookkeeping_part_refused", _index_append_underscore_part,
+        "ValueError")
+
+    # --- r16: engine.sync under degenerate connector frames -----------
+    def _sync_tables(ctx, src_df, tgt_df):
+        from syncquill_spark.sources.parquet import ParquetTable
+
+        d = tempfile.mkdtemp(prefix="battery_sync_")
+        src_df.write.mode("overwrite").parquet(f"{d}/src")
+        tgt_df.write.mode("overwrite").parquet(f"{d}/tgt")
+        return ParquetTable(f"{d}/src"), ParquetTable(f"{d}/tgt")
+
+    def _sync_empty_both(ctx):
+        from syncquill_spark.engine import sync
+
+        empty = ctx.spark.createDataFrame(
+            [], "slno string, name string, val string")
+        s, t = _sync_tables(ctx, empty, empty)
+        r = sync(ctx.spark, s, t)
+        assert r.n_changes == 0 and r.report == "No changes.", r
+        return 0
+
+    add("sync_empty_source_and_target", _sync_empty_both)
+
+    def _sync_source_missing_key(ctx):
+        from syncquill_spark.engine import sync
+
+        src = ctx.spark.createDataFrame([("a", "x")], "name string, val string")
+        tgt = ctx.spark.createDataFrame(
+            [("1", "a", "x")], "slno string, name string, val string")
+        s, t = _sync_tables(ctx, src, tgt)
+        sync(ctx.spark, s, t)
+
+    add("sync_source_missing_key_column", _sync_source_missing_key,
+        "ValidationError")
+
+    def _sync_empty_source_deletes_all(ctx):
+        from syncquill_spark.engine import sync
+
+        src = ctx.spark.createDataFrame(
+            [], "slno string, name string, val string")
+        tgt = ctx.spark.createDataFrame(
+            [(str(i), f"n{i}", f"v{i}") for i in range(20)],
+            "slno string, name string, val string")
+        s, t = _sync_tables(ctx, src, tgt)
+        r = sync(ctx.spark, s, t)
+        # a full wipe is a legal change set: 20 del_rows, applied
+        assert r.n_changes == 20, r.n_changes
+        assert t.read(ctx.spark).count() == 0
+        return r.n_changes
+
+    add("sync_empty_source_deletes_all", _sync_empty_source_deletes_all)
+
+    def _sync_all_null_key(ctx):
+        from syncquill_spark.engine import sync
+
+        src = ctx.spark.createDataFrame(
+            [(None, "a", "x")], "slno string, name string, val string")
+        tgt = ctx.spark.createDataFrame(
+            [("1", "a", "x")], "slno string, name string, val string")
+        s, t = _sync_tables(ctx, src, tgt)
+        sync(ctx.spark, s, t)
+
+    add("sync_null_key_rows_refused", _sync_all_null_key, "ValidationError")
+
+    def _upsert_empty_source(ctx):
+        from syncquill_spark.engine import upsert
+
+        src = ctx.spark.createDataFrame(
+            [], "slno string, name string, val string")
+        tgt = ctx.spark.createDataFrame(
+            [("1", "a", "x")], "slno string, name string, val string")
+        s, t = _sync_tables(ctx, src, tgt)
+        upsert(ctx.spark, s, t)
+        # truncate-and-load semantics: an empty source EMPTIES the
+        # target (the reference's WRITE_TRUNCATE does the same)
+        assert t.read(ctx.spark).count() == 0
+        return 0
+
+    add("upsert_empty_source_truncates", _upsert_empty_source)
+
+    def _bm25_null_doc_id(ctx):
+        from syncquill_spark.operators.text import (
+            bm25_from_index,
+            bm25_scores,
+            build_bm25_index,
+        )
+
+        docs = ctx.spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha delta"),
+             (None, "alpha beta")],
+            "doc_id long, text string")
+        idx = build_bm25_index(docs)
+        # the NULL-id doc never reaches postings (the inline-dl join
+        # drops NULL keys at build; the pre-r16 serve dropped them at
+        # its doclens join — same served rows, earlier and explicit)
+        assert idx["postings"].filter(F.col("doc_id").isNull()).count() == 0
+        served = {r.doc_id for r in bm25_from_index(idx, ("alpha",)).collect()}
+        recomputed = {
+            r.doc_id for r in bm25_scores(docs, ("alpha",)).collect()
+        }
+        assert served == recomputed == {1, 2}, (served, recomputed)
+        return len(served)
+
+    add("bm25_null_doc_id_excluded_consistently", _bm25_null_doc_id)
+
     return specs
 
 

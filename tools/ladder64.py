@@ -571,6 +571,81 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    if "bm25doclens512" in families:
+        # r16 (r15 verdict #3): the doclens term, killed by inlining dl
+        # onto posting rows — measured by serving the SAME materialized
+        # 512x index both ways in ONE process (within-VM-day): the
+        # inline-dl serve (the shipped plan) vs the pre-r16 shape
+        # (postings.drop("dl") forces the doclens-join fallback). The
+        # law: the join path's scan side is the WHOLE doclens part
+        # (corpus-sized, 2.56M rows at 512x) regardless of matches; the
+        # inline path reads ZERO doclens rows at any corpus size
+        # (plan-asserted), with matches constant at 4,919 both ways.
+        import shutil
+        import tempfile
+        import time
+
+        from syncquill_spark.operators.text import (
+            bm25_from_index,
+            build_bm25_index,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        m = 512
+        n_buckets = 512  # the corpus-scaled width per the r15 sizing rule
+        terms = ("spark", "hash", "merge", "window")
+        tmp = tempfile.mkdtemp(prefix="ladder_dl512_")
+        try:
+            t0 = time.time()
+            scaled_corpus(spark, sf_dir, m).write.mode("overwrite").parquet(
+                f"{tmp}/corpus"
+            )
+            corpus = spark.read.parquet(f"{tmp}/corpus")
+            emit("dl512_corpus_materialize", m, time.time() - t0, corpus.count())
+            t0 = time.time()
+            save_bm25_index(
+                f"{tmp}/bm25", build_bm25_index(corpus, n_buckets=n_buckets),
+                n_buckets=n_buckets,
+            )
+            emit("bm25_build_inline_dl", m, time.time() - t0, 0)
+            spark.catalog.clearCache()
+            loaded = load_bm25_index(spark, f"{tmp}/bm25", n_buckets=n_buckets)
+            emit("bm25_doclens_part_rows", m, 0.0, loaded["doclens"].count())
+            serves = {
+                # the shipped plan: dl rides the pruned postings read
+                "inline": loaded,
+                # the pre-r16 serve shape on the same stored bytes
+                "joined": {**loaded, "postings": loaded["postings"].drop("dl")},
+            }
+            for name, idx in serves.items():
+                plan = (
+                    bm25_from_index(idx, terms, n_buckets=n_buckets)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+                has_dl_scan = "struct<doc_id:bigint,dl:bigint>" in plan
+                # doclens rows the serve scan touches: the whole part on
+                # the join path, zero on the inline path (plan-proven)
+                dl_rows = (
+                    loaded["doclens"].count() if has_dl_scan else 0
+                )
+                assert has_dl_scan == (name == "joined"), (name, plan)
+                emit(f"bm25_doclens_scan_rows_{name}", m, 0.0, dl_rows)
+                for tag in ("cold", "warm"):
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    rows = bm25_from_index(
+                        idx, terms, n_buckets=n_buckets
+                    ).count()
+                    emit(
+                        f"bm25_serve_{tag}_{name}", m, time.time() - t0, rows
+                    )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     if "vgate512" in families:
         # r14: the bucketed-vs-flat vector-gate comparison at the 512x
         # decade (the SCALE.md crossover row), reproducible. deep512
