@@ -535,6 +535,12 @@ def simhash_band_layout(bits: int, bands: int) -> list[tuple[int, int]]:
 
 
 def _resolve_bands(max_hamming: int, bands: int | None) -> int:
+    if max_hamming < 0:
+        # r16 battery probe: max_hamming=-1 defaulted to ZERO bands,
+        # which slid under the pigeonhole check (0 <= -1 is false) and
+        # surfaced as a baffling VOID-type AnalysisException from the
+        # empty band array; refuse by name instead
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     n_bands = bands if bands is not None else max_hamming + 1
     # pigeonhole: with <= max_hamming differing bits and > max_hamming
     # bands, some band must be identical; fewer bands silently lose

@@ -794,6 +794,13 @@ def video_near_pairs(
     map-side-combinable aggregation over id pairs."""
     from syncquill_spark.operators.dedup import simhash_pairs_from_fingerprints
 
+    if max_frames_per_video < 1:
+        # a parameter error knowable driver-side; the in-plan
+        # raise_error below is reserved for genuine data overflow
+        # (a frame_idx reaching a sane cap), not cap<=0 (r16 battery)
+        raise ValueError(
+            f"max_frames_per_video must be >= 1, got {max_frames_per_video}"
+        )
     k = max_frames_per_video
     fid = frame_fp.select(
         F.when(

@@ -126,7 +126,19 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    fallback (r15 verdict What's-wrong #1 / ADVICE-promoted
 #    mandatory); ADVICE r15 low items (zorder_key_sql guards,
 #    asof_join docstring contract, vectors HOF norm reuse,
-#    load_embedding_index warnings.warn).
+#    load_embedding_index warnings.warn). Mid-round additions, same
+#    category (driver-side raises that are DEAD CODE for every
+#    registered caller — no plan expression changes, caller census +
+#    sf0.01 hash re-verification before commit): (d) _resolve_bands
+#    refuses max_hamming<0 (previously zero bands slid under the
+#    pigeonhole check and died as a VOID-type AnalysisException — r16
+#    battery probe; all five registered simhash rows re-verified
+#    hash-identical); (e) video_near_pairs refuses
+#    max_frames_per_video<1 driver-side (no registered callers — the
+#    family is queue pair 10); (f) save_index/append_index refuse
+#    part NAMES the walkers classify as bookkeeping (existing parts
+#    all use clean names — the guard is unreachable for them; all
+#    storage_* rows re-verified via the full suite).
 # Left outside at staleness 2 after this round (the 50-row r14-green
 # cohort minus the 6 staleness-1 rows filled above = 44 rows that MUST
 # lead the r17 window; the tripwire test derives the same set from

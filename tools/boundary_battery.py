@@ -1145,6 +1145,41 @@ def case_specs():
 
     add("bm25_null_doc_id_excluded_consistently", _bm25_null_doc_id)
 
+    # --- r16 probe sweep: video frame-vote parameter edges -------------
+    def _video_fp(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, 0, 5), (1, 1, 9), (2, 0, 5), (2, 1, 9), (3, 0, 1000)],
+            "media_id long, frame_idx long, simhash long",
+        )
+
+    def _mm_pairs(ctx, **kw):
+        return _mm().video_near_pairs(_video_fp(ctx), **kw)
+
+    add("video_cap_0_refused",
+        lambda ctx: _mm_pairs(ctx, max_frames_per_video=0), "ValueError")
+    add("video_cap_negative_refused",
+        lambda ctx: _mm_pairs(ctx, max_frames_per_video=-4), "ValueError")
+    add("simhash_negative_hamming_refused",
+        lambda ctx: _dedup().simhash_near_pairs(
+            ctx.short, bits=32, max_hamming=-1), "ValueError")
+    add("video_negative_hamming_refused",
+        lambda ctx: _mm_pairs(ctx, max_hamming=-1), "ValueError")
+
+    def _video_min_frames_edges(ctx):
+        # min_frames <= 0 keeps every voted pair (votes are >= 1 by
+        # construction) — harmless, pinned as the contract
+        n0 = _mm_pairs(ctx, min_frames=0).count()
+        n1 = _mm_pairs(ctx, min_frames=1).count()
+        assert n0 == n1 == 3, (n0, n1)
+        return n0
+
+    add("video_min_frames_0_keeps_all_voted", _video_min_frames_edges)
+
+    def _video_empty_fp(ctx):
+        return _mm().video_near_pairs(_video_fp(ctx).limit(0))
+
+    add("video_empty_fingerprints", _video_empty_fp)
+
     return specs
 
 
