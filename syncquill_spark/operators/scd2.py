@@ -40,9 +40,25 @@ def scd2_history(
     Change detection is null-safe (``eqNullSafe``): NULL -> value and
     value -> NULL transitions open new versions; NULL -> NULL does not.
     ``tie_cols`` breaks order ties deterministically.
+
+    Observations tied on (key, order, *tie_cols) with DIFFERING
+    tracked values additionally order by the tracked-value struct
+    (ascending, Spark's field-lexicographic struct order) — an
+    explicit deterministic rule, the asof_join tie-break's twin (r16
+    battery probe): without it the tie group's sequence is whatever
+    the scan produced, and the emitted VERSIONS differ run to run —
+    the probe showed the same 4-observation stream collapsing to 3
+    versions under one partition layout and 4 under another. Fully
+    identical tied observations were already indistinguishable; only
+    the arbitrary sequence among DIFFERING ones is pinned. Narrowed
+    contract (same as asof_join): tracked columns must be orderable
+    types, enforced at analysis time by the sort.
     """
     ties = tie_cols or []
-    w = Window.partitionBy(key_col).orderBy(order_col, *ties)
+    tie_break = F.struct(*[F.col(c) for c in tracked_cols])
+    w = Window.partitionBy(key_col).orderBy(
+        order_col, *ties, tie_break.asc()
+    )
     changed = F.lag(order_col).over(w).isNull()
     for c in tracked_cols:
         changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))

@@ -139,6 +139,18 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    part NAMES the walkers classify as bookkeeping (existing parts
 #    all use clean names — the guard is unreachable for them; all
 #    storage_* rows re-verified via the full suite).
+#    DOCUMENTED DEVIATION (rule 2b, no slack — the 50 slots were
+#    committed at rotation): the r16 battery probe found scd2_history
+#    returning partition-layout-dependent VERSION HISTORIES for
+#    observations tied on (key, order) with differing tracked values
+#    (the r15 asof class — probe showed 3 vs 4 versions from the same
+#    stream); fixed with a tracked-struct-ascending tie-break in the
+#    window sort (operators/scd2.py). Its only registered caller
+#    cdc_scd2_history is r15-green and OUTSIDE this window — it
+#    already passes a unique event_id tie_col, so the fixture output
+#    is provably unchanged (re-verified hash-identical at
+#    sf0.001/0.01/0.1 after the fix); per the deviation protocol it
+#    is a MANDATORY r17 lead alongside the staleness cohort below.
 # Left outside at staleness 2 after this round (the 50-row r14-green
 # cohort minus the 6 staleness-1 rows filled above = 44 rows that MUST
 # lead the r17 window; the tripwire test derives the same set from
@@ -160,14 +172,13 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # storage_media_ingest_roundtrip, storage_media_wav_roundtrip,
 # subquery_exists_orders, text_token_stats, window_top_supplier,
 # window_topk_orders.
-# r17 capacity check: 44 staleness-2 + 0 registrations (frozen) = 44
-# mandatory, leaving 6 fill slots — within the steady-state band
-# (42+8); the 2-row bulge is the price of the two rule-2b fixes
-# above touching staleness-0 rows. No deviation rows carried into
-# r16 (r15 closed clean); if a mid-round rule-2b change needs more
-# than the fill slots, apply the documented-deviation protocol (name
-# the slotless touched rows here, verify at all three SFs locally,
-# make them r17 mandatory leads).
+# r17 capacity check: 44 staleness-2 + 1 deviation row
+# (cdc_scd2_history — the scd2 tie-break fix above, slotless, locally
+# three-SF verified) + 0 registrations (frozen) = 45 mandatory,
+# leaving 5 fill slots — within the steady-state band (42+8); the
+# bulge is the price of the two rule-2b fixes above touching
+# staleness-0 rows plus the mid-round probe find. No deviation rows
+# were carried INTO r16 (r15 closed clean).
 # The 50 r15-green rows not in this window rotate out at staleness 1.
 # Registry 142 — frozen, no change.
 #

@@ -1180,6 +1180,31 @@ def case_specs():
 
     add("video_empty_fingerprints", _video_empty_fp)
 
+    def _scd2_tied_observations_deterministic(ctx):
+        # the r16 probe find (the asof class): observations tied on
+        # (key, order) with DIFFERING tracked values must collapse to
+        # the SAME version history under every input layout — pinned
+        # to the tracked-struct-ascending tie rule
+        from syncquill_spark.operators.scd2 import scd2_history
+
+        rows = [(1, 10, "a"), (1, 20, "b"), (1, 20, "c"), (1, 30, "b")]
+        want = [("a", 1, 10, 20, 1), ("b", 2, 20, 20, 1),
+                ("c", 3, 20, 30, 1), ("b", 4, 30, None, 1)]
+        for data in (rows, list(reversed(rows)),
+                     [rows[2], rows[0], rows[3], rows[1]]):
+            df = ctx.spark.createDataFrame(
+                data, "k int, ts int, v string").repartition(4)
+            got = [
+                (r.v, r.version, r.valid_from, r.valid_to, r.n_obs)
+                for r in scd2_history(df, "k", "ts", ["v"])
+                .orderBy("version").collect()
+            ]
+            assert got == want, got
+        return len(want)
+
+    add("scd2_tied_observations_deterministic",
+        _scd2_tied_observations_deterministic)
+
     return specs
 
 
