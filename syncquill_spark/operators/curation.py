@@ -381,6 +381,31 @@ def decontaminate(
     )
 
 
+def _refuse_null_tokens() -> F.Column:
+    """``n_tokens_bpeish``, refusing NULL by name (r16, the export
+    sink's r15 class): the token-budget operators pack/select with
+    NULL-skipping SUMs, so a NULL token count — NULL text through the
+    built-in estimate, a NULL in a caller-supplied counts frame, or a
+    document the counts frame simply doesn't cover (the left join
+    surfaces it as NULL) — would ride through every budget uncounted,
+    silently oversizing packs and mixes. A data error found mid-scan,
+    so an in-plan raise (named, actionable), not a driver-side
+    pre-pass."""
+    return F.when(
+        F.col("n_tokens_bpeish").isNotNull(), F.col("n_tokens_bpeish")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "NULL token count (NULL text, a NULL in the counts "
+                "frame, or a document missing from it): token-budget "
+                "sums skip NULLs, so this document would ride through "
+                "the budget uncounted. Count or drop such documents "
+                "first."
+            )
+        ).cast("long")
+    ).alias("n_tokens_bpeish")
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
@@ -419,7 +444,9 @@ def pack_sequences(
         toks = token_counts(df, text_col=text_col, id_col=id_col).select(
             id_col, "n_tokens_bpeish"
         )
-    with_toks = df.select(id_col, stratify_col).join(toks, id_col)
+    with_toks = df.select(id_col, stratify_col).join(
+        toks, id_col, "left"
+    ).select(id_col, stratify_col, _refuse_null_tokens())
     w = (
         Window.partitionBy(stratify_col)
         .orderBy(id_col)
@@ -472,7 +499,9 @@ def pack_sequences_ffd(
     toks = token_counts(df, text_col=text_col, id_col=id_col).select(
         id_col, "n_tokens_bpeish"
     )
-    skinny = df.select(id_col, stratify_col).join(toks, id_col)
+    skinny = df.select(id_col, stratify_col).join(
+        toks, id_col, "left"
+    ).select(id_col, stratify_col, _refuse_null_tokens())
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(
@@ -693,7 +722,8 @@ def target_mix_tokens(
     w = Window.partitionBy(stratify_col).orderBy(h.asc(), F.col(id_col).asc())
     ranked = (
         df.select(id_col, stratify_col)
-        .join(toks, id_col)
+        .join(toks, id_col, "left")
+        .select(id_col, stratify_col, _refuse_null_tokens())
         .withColumn("mix_rank", F.row_number().over(w))
         .withColumn(
             "_cum_before",

@@ -151,6 +151,18 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    is provably unchanged (re-verified hash-identical at
 #    sf0.001/0.01/0.1 after the fix); per the deviation protocol it
 #    is a MANDATORY r17 lead alongside the staleness cohort below.
+#    SECOND deviation, same handling (the r15 export sink's
+#    NULL-skipping-SUM class, found by auditing the token-budget
+#    operators): pack_sequences / pack_sequences_ffd /
+#    target_mix_tokens let a NULL token count — or a document MISSING
+#    from a caller-supplied counts frame, which the old inner join
+#    silently dropped — ride through their budget sums uncounted; all
+#    three now left-join and refuse NULL counts with a named in-plan
+#    error. Registered callers: curation_pack_ffd is IN this window
+#    (rule 9); curation_pack_sequences and curation_target_mix_tokens
+#    are r15-green OUTSIDE it — both re-verified hash-identical at
+#    sf0.001/0.01/0.1 (fixture has no NULL-text docs) and join
+#    cdc_scd2_history as MANDATORY r17 leads.
 # Left outside at staleness 2 after this round (the 50-row r14-green
 # cohort minus the 6 staleness-1 rows filled above = 44 rows that MUST
 # lead the r17 window; the tripwire test derives the same set from
@@ -172,13 +184,14 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # storage_media_ingest_roundtrip, storage_media_wav_roundtrip,
 # subquery_exists_orders, text_token_stats, window_top_supplier,
 # window_topk_orders.
-# r17 capacity check: 44 staleness-2 + 1 deviation row
-# (cdc_scd2_history — the scd2 tie-break fix above, slotless, locally
-# three-SF verified) + 0 registrations (frozen) = 45 mandatory,
-# leaving 5 fill slots — within the steady-state band (42+8); the
-# bulge is the price of the two rule-2b fixes above touching
-# staleness-0 rows plus the mid-round probe find. No deviation rows
-# were carried INTO r16 (r15 closed clean).
+# r17 capacity check: 44 staleness-2 + 3 deviation rows
+# (cdc_scd2_history, curation_pack_sequences,
+# curation_target_mix_tokens — the two slotless rule-2b fixes above,
+# all locally three-SF verified) + 0 registrations (frozen) = 47
+# mandatory, leaving 3 fill slots — tight but within the r14
+# precedent (47+3); the bulge is the price of two battery-class finds
+# fixed in-round on staleness-0 rows. No deviation rows were carried
+# INTO r16 (r15 closed clean).
 # The 50 r15-green rows not in this window rotate out at staleness 1.
 # Registry 142 — frozen, no change.
 #

@@ -1205,6 +1205,53 @@ def case_specs():
     add("scd2_tied_observations_deterministic",
         _scd2_tied_observations_deterministic)
 
+    # --- r16: NULL/missing token counts refused by the budget ops ------
+    # NOTE: these consume with collect(), not count() — a bare count()
+    # column-prunes the guarded token projection and the refusal never
+    # evaluates (any real consumer reads the token-dependent columns)
+    def _pack_null_text(ctx):
+        from syncquill_spark.operators.curation import pack_sequences
+
+        return pack_sequences(ctx.nulldocs, budget=16).collect()
+
+    add("pack_sequences_null_text_refused", _pack_null_text,
+        "SparkRuntimeException")
+
+    def _pack_missing_counts_row(ctx):
+        from syncquill_spark.operators.curation import pack_sequences
+
+        counts = ctx.spark.createDataFrame(
+            [(2, 8)], "doc_id long, n_tokens long")  # rows 1 and 3 missing
+        return pack_sequences(ctx.nulldocs, budget=16, counts=counts).collect()
+
+    add("pack_sequences_missing_counts_row_refused",
+        _pack_missing_counts_row, "SparkRuntimeException")
+
+    def _mix_tokens_null_text(ctx):
+        from syncquill_spark.operators.curation import target_mix_tokens
+
+        return target_mix_tokens(ctx.nulldocs, {"en": 32}).collect()
+
+    add("target_mix_tokens_null_text_refused", _mix_tokens_null_text,
+        "SparkRuntimeException")
+
+    def _ffd_null_text(ctx):
+        from syncquill_spark.operators.curation import pack_sequences_ffd
+
+        return pack_sequences_ffd(ctx.nulldocs, budget=16).collect()
+
+    add("pack_ffd_null_text_refused", _ffd_null_text,
+        "SparkRuntimeException")
+
+    def _pack_clean_still_packs(ctx):
+        from syncquill_spark.operators.curation import pack_sequences
+
+        out = pack_sequences(ctx.short, budget=8).collect()
+        assert all(r.n_tokens is not None for r in out), out
+        return len(out)
+
+    add("pack_sequences_clean_docs_unchanged", _pack_clean_still_packs)
+
     return specs
 
 
