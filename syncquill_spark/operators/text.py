@@ -360,10 +360,20 @@ def build_bm25_index(
     tok = df.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term"))
     tok = tracked_persist(tok)  # postings + doclens + dfreq
     doclens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tf_rows = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # dfreq BEFORE the doclens join: the join drops NULL-id rows (a
+    # NULL doc can never be served), but such a document still
+    # CONTAINS its terms — df must count it, exactly as bm25_scores'
+    # text path does, or serve scores diverge from recompute on
+    # corpora with a corrupt NULL-id row (stats' n_docs likewise
+    # counts it via doclens' NULL group)
+    dfreq = tf_rows.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
     postings = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn(
+        tf_rows.withColumn(
             "term_bucket", (F.crc32(F.col("term").cast("binary")) % n_buckets).cast("int")
         )
         # one build-time shuffle join per corpus pass buys the inline
@@ -372,7 +382,6 @@ def build_bm25_index(
         .join(doclens, "doc_id")
         .select("term_bucket", "term", "doc_id", "tf", "dl")
     )
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = doclens.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),

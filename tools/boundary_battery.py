@@ -1136,11 +1136,19 @@ def case_specs():
         # drops NULL keys at build; the pre-r16 serve dropped them at
         # its doclens join — same served rows, earlier and explicit)
         assert idx["postings"].filter(F.col("doc_id").isNull()).count() == 0
-        served = {r.doc_id for r in bm25_from_index(idx, ("alpha",)).collect()}
-        recomputed = {
-            r.doc_id for r in bm25_scores(docs, ("alpha",)).collect()
-        }
-        assert served == recomputed == {1, 2}, (served, recomputed)
+        # ...but it still COUNTS toward df and n_docs (it contains its
+        # terms), so serve SCORES — not just the served id set — must
+        # equal the text-path recompute exactly
+        served = sorted(
+            (r.doc_id, r.bm25, r.n_matched)
+            for r in bm25_from_index(idx, ("alpha",)).collect()
+        )
+        recomputed = sorted(
+            (r.doc_id, r.bm25, r.n_matched)
+            for r in bm25_scores(docs, ("alpha",)).collect()
+        )
+        assert served == recomputed, (served, recomputed)
+        assert [r[0] for r in served] == [1, 2], served
         return len(served)
 
     add("bm25_null_doc_id_excluded_consistently", _bm25_null_doc_id)
