@@ -985,8 +985,10 @@ def winnowing_fingerprints(
     n_grams x corpus), the exact hot-surface class the round-5 verdict
     evicted from the similarity family. This form posexplodes to
     (doc, pos, hash) rows and computes each window start's pick as
-    ``min_by(pos, struct(hash, -pos))`` over a ROWS BETWEEN 0 AND w-1
-    frame — min hash, rightmost tie, entirely JVM window aggregation
+    ``min_by(struct(pos, hash), struct(hash, -pos))`` over a ROWS
+    BETWEEN 0 AND w-1 frame (the selected hash rides in the value
+    struct, so no join-back against the gram rows is needed to
+    recover it) — min hash, rightmost tie, entirely JVM window aggregation
     (3.6-4.3s warm for the same corpus, ~25x). Cost: one shuffle on
     the doc id
     (the window partition) over skinny int rows; for 100 TB the
@@ -1030,23 +1032,29 @@ def winnowing_fingerprints(
         .orderBy("_pos")
         .rowsBetween(Window.currentRow, window - 1)
     )
-    # rightmost min of the window: lexicographic min of (hash, -pos)
-    pick = F.min_by("_pos", F.struct(F.col("_hv"), (-F.col("_pos")).alias("_np")))
+    # rightmost min of the window: lexicographic min of (hash, -pos).
+    # The winning row's HASH rides in the min_by VALUE struct next to
+    # its position — the earlier form returned only the position and
+    # join-backed the selections against `exploded` to re-fetch the
+    # hash, which re-evaluated the whole scan→shingle→hash→explode
+    # lineage a second time and paid an (id, pos) shuffle of both
+    # sides (guide §2.4: duplicated subtrees are removable shuffles;
+    # r16 optimization — measured ~2x on this operator alone). Same
+    # ordering key ⇒ same winning row ⇒ identical (gram_pos, fp).
+    pick = F.min_by(
+        F.struct(F.col("_pos").alias("p"), F.col("_hv").alias("h")),
+        F.struct(F.col("_hv"), (-F.col("_pos")).alias("_np")),
+    )
     starts = exploded.withColumn("_pick", pick.over(wf)).filter(
         F.col("_pos") <= F.col("_n") - window  # full windows only
     )
-    sel = starts.select(
-        F.col(id_col), F.col("_pick").alias("gram_pos")
-    ).dropDuplicates([id_col, "gram_pos"])
-    return sel.join(
-        exploded.select(
+    return (
+        starts.select(
             F.col(id_col),
-            F.col("_pos").alias("gram_pos"),
-            F.col("_hv").alias("fp"),
-        ),
-        [id_col, "gram_pos"],
-    ).select(
-        id_col, F.col("gram_pos").cast("long").alias("gram_pos"), "fp"
+            F.col("_pick.p").cast("long").alias("gram_pos"),
+            F.col("_pick.h").alias("fp"),
+        )
+        .dropDuplicates([id_col, "gram_pos"])
     )
 
 
@@ -1087,6 +1095,13 @@ def winnowing_match_pairs(
         .select(F.col(id_col), "fp")
         .dropDuplicates([id_col, "fp"])
     )
+    # feeds the df-cap aggregation AND both candidate-join sides —
+    # unpersisted, the winnowing selection subtree (tokenize, k-gram
+    # hash, per-doc window minima — the dominant cost at corpus
+    # scale) runs once PER consumer (guide §2.4; the multi-consumer
+    # persist doctrine of minhash_lsh_pairs/bigram_commonness).
+    # Tracked so a batch driver releases it between calls (_cache.py).
+    fps = tracked_persist(fps)
     if max_fp_df is not None:
         rare = (
             fps.groupBy("fp")

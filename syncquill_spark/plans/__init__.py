@@ -115,10 +115,20 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    registered callers of connected_components, whose NULL-endpoint
 #    edge fix (r15 verdict What's-wrong #2, deferred from r15) changes
 #    their plans;
-#    then 4 rule-2c staleness-1 picks chosen to flatten r17 and sit
+#    then 2 rule-2c staleness-1 picks chosen to flatten r17 and sit
 #    nearest the families this round touches (text/curation):
-#    text_winnowing_spans, curation_remove_spans, curation_lm_buckets,
-#    text_clf_gate.
+#    text_winnowing_spans, curation_remove_spans; and 2 rule-2b slots
+#    taken mid-round by the OPTIMIZATION pass (see OPTIMIZATION_r16.md):
+#    dedup_winnowing_against and storage_winnowing_index (both
+#    r15-green), whose plans change with the winnowing-fingerprint
+#    join-back removal + multi-consumer persists — plan-changed rows
+#    must sit in the window (rule 2b), so they displaced the
+#    staleness-1 picks curation_lm_buckets and text_clf_gate, which
+#    move to the r17 mandatory leads below. (The other plan-changed
+#    rows of the optimization pass — text_winnowing,
+#    dedup_winnowing_pairs, text_winnowing_spans,
+#    curation_remove_spans, storage_index_roundtrip,
+#    storage_index_incremental — were already in this window.)
 #    Slot-free maintenance planned this round (Python-side,
 #    output-identical for every existing layout, the r15 vec-gate
 #    precedent): BM25's n_buckets STAMPED into its index manifest via
@@ -164,9 +174,11 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    sf0.001/0.01/0.1 (fixture has no NULL-text docs) and join
 #    cdc_scd2_history as MANDATORY r17 leads.
 # Left outside at staleness 2 after this round (the 50-row r14-green
-# cohort minus the 6 staleness-1 rows filled above = 44 rows that MUST
+# cohort minus the 4 staleness-1 rows filled above = 46 rows that MUST
 # lead the r17 window; the tripwire test derives the same set from
 # CORRECTNESS_r14/r15 minus this window):
+# curation_lm_buckets, text_clf_gate (displaced by the optimization
+# pass's two plan-changed rows — see the fill note above),
 # agg_cube_sales, agg_customer_balance_stats,
 # agg_customer_distribution, agg_forecast_revenue, agg_grouping_sets,
 # agg_important_stock, agg_order_priority, agg_pivot_status,
@@ -184,13 +196,14 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 # storage_media_ingest_roundtrip, storage_media_wav_roundtrip,
 # subquery_exists_orders, text_token_stats, window_top_supplier,
 # window_topk_orders.
-# r17 capacity check: 44 staleness-2 + 3 deviation rows
+# r17 capacity check: 46 staleness-2 + 3 deviation rows
 # (cdc_scd2_history, curation_pack_sequences,
 # curation_target_mix_tokens — the two slotless rule-2b fixes above,
-# all locally three-SF verified) + 0 registrations (frozen) = 47
-# mandatory, leaving 3 fill slots — tight but within the r14
-# precedent (47+3); the bulge is the price of two battery-class finds
-# fixed in-round on staleness-0 rows. No deviation rows were carried
+# all locally three-SF verified) + 0 registrations (frozen) = 49
+# mandatory, leaving 1 fill slot — tighter than the r14 precedent
+# (47+3); the bulge is the price of two battery-class finds fixed
+# in-round on staleness-0 rows plus the optimization pass's two
+# displaced staleness-1 picks. No deviation rows were carried
 # INTO r16 (r15 closed clean).
 # The 50 r15-green rows not in this window rotate out at staleness 1.
 # Registry 142 — frozen, no change.
@@ -737,7 +750,8 @@ _PRIORITY = [
     # rule-2c staleness-1 picks (see the round-16 window comment).
     "text_bm25", "dedup_cluster_stats", "dedup_clusters",
     "curation_leakage_split", "text_winnowing_spans",
-    "curation_remove_spans", "curation_lm_buckets", "text_clf_gate",
+    "curation_remove_spans", "dedup_winnowing_against",
+    "storage_winnowing_index",
 ]
 
 _ORDER = _PRIORITY + [k for k in _ALL_QUERIES if k not in set(_PRIORITY)]

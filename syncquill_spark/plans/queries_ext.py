@@ -4018,14 +4018,22 @@ def q_storage_winnowing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnowing_pairs_from_index,
     )
 
+    from syncquill_spark.operators._cache import tracked_persist
+
     (documents,) = load_tables(spark, sf_dir, "documents")
     first_half = documents.filter(F.col("doc_id") % 2 == 0)
     batch = documents.filter(F.col("doc_id") % 2 == 1)
-    fps = build_winnowing_index(first_half, k=_WIN_K, window=_WIN_W)
+    # each build feeds TWO write/aggregate consumers (fps: the fps
+    # part write + the fpdf aggregation; batch_fps: the df merge + the
+    # append write) — persisted, the corpus is winnowed once per half
+    # instead of once per consumer (guide §2.4; r16 optimization)
+    fps = tracked_persist(build_winnowing_index(first_half, k=_WIN_K, window=_WIN_W))
     path = _os.path.join(_tempfile.mkdtemp(prefix="sq_win_idx_"), "win_idx")
     save_index(path, fps=fps, fpdf=winnowing_fp_df(fps))
     loaded = load_index(spark, path)
-    batch_fps = build_winnowing_index(batch, k=_WIN_K, window=_WIN_W)
+    batch_fps = tracked_persist(
+        build_winnowing_index(batch, k=_WIN_K, window=_WIN_W)
+    )
     merged_df = merge_winnowing_df(loaded["fpdf"], batch_fps)
     append_index(path, fps=batch_fps, _replace={"fpdf": merged_df})
     reloaded = load_index(spark, path)
@@ -4054,10 +4062,18 @@ def q_dedup_winnowing_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnowing_matches_against,
     )
 
+    from syncquill_spark.operators._cache import tracked_persist
+
     (documents,) = load_tables(spark, sf_dir, "documents")
     corpus = documents.filter(F.col("doc_id") % 2 == 0)
     batch = documents.filter(F.col("doc_id") % 2 == 1)
-    index_fps = build_winnowing_index(corpus, k=_WIN_K, window=_WIN_W)
+    # consumed twice (the gate's corpus join side + the fp_df
+    # aggregation) — persisted, the corpus half is winnowed once
+    # (guide §2.4; in deployment this side is the STORED index, so
+    # the persist models the stored part, not a new cost)
+    index_fps = tracked_persist(
+        build_winnowing_index(corpus, k=_WIN_K, window=_WIN_W)
+    )
     return winnowing_matches_against(
         batch,
         index_fps,

@@ -78,6 +78,17 @@ def _row_minhash(
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), k=k).alias("_sh")
     )
+    # every caller consumes BOTH returned frames (index build: the
+    # keys part write + the shingles part write; gates: the band join
+    # + the exact-Jaccard verify), and both derive from this shingle
+    # projection — unpersisted, the regex split + k-way zip_with runs
+    # once per consumer (guide §2.4; the minhash_lsh_pairs doctrine).
+    # Streaming frames cannot persist, so the per-row stream gate
+    # (stream_text_near_dups) keeps its recompute semantics.
+    if not df.isStreaming:
+        from syncquill_spark.operators._cache import tracked_persist
+
+        sh = tracked_persist(sh)
     sig = (
         sh.select(id_col, "_sh", shingle_hashes(F.col("_sh")).alias("_h"))
         .select(id_col, "_sh", minhash_from_hashes(F.col("_h"), n_perm).alias("_sig"))
@@ -508,6 +519,8 @@ def winnowing_matches_against(
     the same shape as the incremental-sync recipe."""
     from syncquill_spark.operators.text import winnowing_fingerprints
 
+    from syncquill_spark.operators._cache import tracked_persist
+
     new_fps = (
         winnowing_fingerprints(
             new_df, k=k, window=window, text_col=text_col, id_col=id_col
@@ -515,6 +528,13 @@ def winnowing_matches_against(
         .select(F.col(id_col).alias("id_new"), "fp")
         .dropDuplicates(["id_new", "fp"])
     )
+    # the gate consumes the batch fingerprints up to three times (the
+    # union-basis df merge, the rare-fp filter join, the match join) —
+    # unpersisted, each consumer re-winnows the batch text (guide
+    # §2.4). Tracked for release between micro-batches (_cache.py);
+    # winnowing is a window aggregation, so new_df is always a batch
+    # frame here (foreachBatch deployment — see docstring).
+    new_fps = tracked_persist(new_fps)
     return _gated_winnowing_matches(
         new_fps, index_fps, min_shared, max_fp_df, index_df
     )
