@@ -9,13 +9,15 @@ fixpoint independent of iteration/join order, which is what makes an
 iterative distributed algorithm oracle-checkable against a DuckDB
 recursive CTE.
 
-Scale notes: min-label propagation converges in O(component diameter)
-rounds — near-dup clusters are shallow (pairs all connect through
-shared content), so a handful of rounds suffices; max_iter bounds the
-pathological chain. Each round is one shuffle (join on node) + one
-groupBy min; lineage is cut per round with localCheckpoint so plans
-don't grow unboundedly (the standard iterative-algorithm discipline on
-Spark — same pattern as GraphFrames' internal CC).
+Scale notes: min-label propagation with a per-step pointer jump
+(comp <- min(comp, comp[comp])) converges in O(log diameter) rounds —
+near-dup clusters are shallow (pairs all connect through shared
+content), so a handful of rounds suffices even without the jump;
+max_iter bounds the pathological chain. Each round is one edge-table
+join + one groupBy min + one node-sized label self-join; lineage is
+cut per round with localCheckpoint so plans don't grow unboundedly
+(the standard iterative-algorithm discipline on Spark — same pattern
+as GraphFrames' internal CC).
 
 Production note: localCheckpoint stores blocks on executors
 (non-replicated) — fast, but a lost executor aborts the job instead of
@@ -86,10 +88,26 @@ def connected_components(
     comp_type = labels.schema["comp"].dataType
 
     def step(lab: DataFrame, rider: str | None) -> DataFrame:
-        """One min-label propagation step. When `rider` names a column
-        of lab, it rides through unchanged (null on neighbor rows, so
-        max() recovers the node's own value) — lets the cycle carry an
-        earlier label for change detection without an extra join."""
+        """One min-label propagation step + POINTER JUMP. When `rider`
+        names a column of lab, it rides through unchanged (null on
+        neighbor rows, so max() recovers the node's own value) — lets
+        the cycle carry an earlier label for change detection without
+        an extra join.
+
+        The jump (comp <- min(comp, comp[comp])) is the classic
+        pointer-doubling trick: neighbor-min alone moves a label one
+        hop per step, so a component converges in O(distance to its
+        min node) steps; composing each step with one label-table
+        self-join doubles the covered distance per step and the loop
+        converges in O(log d) cycles instead of O(d) (measured on the
+        sf0.1 simhash graph, diameter ~10: 5 cycles -> 3, identical
+        labels). Cost: one extra |V|-row self-join per step — the
+        LABEL table, never the edge table, so the added shuffle is
+        node-sized. A LEFT join, deliberately: every comp value is a
+        node id of the same graph (mins of initial ids), so the match
+        is total today, but an inner join would silently DROP nodes if
+        that invariant ever broke; F.least skips the null from a
+        non-matching left row."""
         riders = [rider] if rider else []
         nbr = edges.join(lab, edges["v"] == lab["node"]).select(
             edges["u"].alias("node"),
@@ -97,9 +115,20 @@ def connected_components(
             *[F.lit(None).cast(comp_type).alias(r) for r in riders],
         )
         base = lab.select("node", "comp", *riders)
-        return base.union(nbr).groupBy("node").agg(
+        stepped = base.union(nbr).groupBy("node").agg(
             F.min("comp").alias("comp"),
             *[F.max(r).alias(r) for r in riders],
+        )
+        jump_side = stepped.select(
+            F.col("node").alias("_jn"), F.col("comp").alias("_jc")
+        )
+        return (
+            stepped.join(jump_side, stepped["comp"] == F.col("_jn"), "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.col("_jc")).alias("comp"),
+                *riders,
+            )
         )
 
     # TWO propagation steps per materialization cycle: per-cycle fixed

@@ -61,14 +61,55 @@ def save_index(
     _refuse_bookkeeping_part_names(parts)
     staging = f"{path}.__staging_{uuid.uuid4().hex[:8]}"
     os.makedirs(staging)
-    for name, df in parts.items():
-        writer = df.write.mode("overwrite")
-        if _partition_by and name in _partition_by:
-            writer = writer.partitionBy(*_partition_by[name])
-        writer.parquet(os.path.join(staging, name))
+    _write_parts(
+        staging,
+        [("overwrite", name, df) for name, df in parts.items()],
+        _partition_by,
+    )
     with open(os.path.join(staging, "_index_manifest.json"), "w") as fh:
         json.dump({"parts": sorted(parts), "meta": _meta or {}}, fh)
     atomic_replace_dir(staging, path)
+
+
+def _write_parts(
+    staging: str,
+    writes: list[tuple[str, str, DataFrame]],
+    _partition_by: dict[str, list[str]] | None,
+) -> None:
+    """Run the part writes (mode, name, df) CONCURRENTLY from a small
+    thread pool — each part is an independent Spark job writing its own
+    directory, and the driver calling them sequentially serialized
+    their scheduling/commit tails and their shared-subtree
+    materializations (a 4-part BM25 save spent most of its wall-clock
+    waiting on one job at a time; Spark's scheduler happily overlaps
+    jobs, guide-standard back-fill). Bytes on disk are identical to
+    the sequential form — only wall-clock ordering changes; the
+    manifest is written strictly after every part committed, and any
+    write error propagates before the atomic swap (the staging dir is
+    simply abandoned, same as the sequential failure path).
+
+    Parts often share a persisted upstream frame (the tokenization /
+    fingerprint subtree): concurrent first readers may each compute a
+    not-yet-cached partition — duplicated work bounded by the pool
+    width, paid in idle cores, never in wall-clock (the cache fills
+    with identical deterministic blocks either way)."""
+
+    def _write_one(write: tuple[str, str, DataFrame]) -> None:
+        mode, name, df = write
+        writer = df.write.mode(mode)
+        if _partition_by and name in _partition_by:
+            writer = writer.partitionBy(*_partition_by[name])
+        writer.parquet(os.path.join(staging, name))
+
+    if len(writes) <= 1:
+        for w in writes:
+            _write_one(w)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(writes), 4)) as pool:
+        # list() drains the iterator so the first exception re-raises
+        list(pool.map(_write_one, writes))
 
 
 def load_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
@@ -236,16 +277,17 @@ def append_index(
     os.makedirs(staging)
     for name in existing - set(_replace):
         _link_tree(os.path.join(path, name), os.path.join(staging, name))
-    for name, df in batches.items():
-        writer = df.write.mode("append")
-        if _partition_by and name in _partition_by:
-            writer = writer.partitionBy(*_partition_by[name])
-        writer.parquet(os.path.join(staging, name))
-    for name, df in _replace.items():
-        writer = df.write.mode("overwrite")
-        if _partition_by and name in _partition_by:
-            writer = writer.partitionBy(*_partition_by[name])
-        writer.parquet(os.path.join(staging, name))
+    # append-mode batch writes land in already-hardlinked directories
+    # (their stored files were linked above, before any job starts);
+    # _replace parts overwrite never-linked directories. All writes
+    # target disjoint part dirs, so they run concurrently (same
+    # independence argument as save_index's _write_parts).
+    _write_parts(
+        staging,
+        [("append", name, df) for name, df in batches.items()]
+        + [("overwrite", name, df) for name, df in _replace.items()],
+        _partition_by,
+    )
     with open(os.path.join(staging, "_index_manifest.json"), "w") as fh:
         json.dump(
             {

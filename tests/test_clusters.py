@@ -42,3 +42,19 @@ def test_apply_dedup_keeps_one_per_cluster(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
     kept = sorted(r.doc_id for r in apply_dedup(docs, pairs).collect())
     assert kept == [0, 1, 4, 5, 7]  # min id survives each cluster
+
+
+def test_deep_chain_converges_via_pointer_jump(spark):
+    """An 80-node path needs 79 propagation hops; 6 cycles = 12
+    neighbor-min steps can only cover 12 of them, so convergence
+    within max_iter=6 REQUIRES the per-step pointer jump (coverage
+    doubles per step). Pins the jump: removing it turns this test
+    into the nonconvergence RuntimeError."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(79)], "id_a long, id_b long"
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs, max_iter=6).collect()
+    }
+    assert comp == {i: 0 for i in range(80)}

@@ -1225,3 +1225,27 @@ def test_winnowing_self_spans_equals_naive_composition(spark, sf_dir):
         )
     )
     assert fused == naive and len(fused) > 0
+
+
+def test_concurrent_part_write_failure_aborts_before_swap(spark, tmp_path):
+    """save_index writes parts from a thread pool; an execution-time
+    failure in ANY part must propagate to the caller BEFORE the atomic
+    swap — the live index (if any) stays untouched and the target path
+    is never half-written."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "idx")
+    ok = spark.createDataFrame([(1,)], "x long")
+    save_index(p, part=ok)  # live index to protect
+
+    boom = spark.createDataFrame([(1,)], "x long").select(
+        F.udf(lambda v: (_ for _ in ()).throw(RuntimeError("part boom")), "long")(
+            "x"
+        ).alias("x")
+    )
+    with pytest.raises(Exception):
+        save_index(p, part=ok, bad=boom)
+    # live index intact, readable, and still only the old parts
+    idx = load_index(spark, p)
+    assert sorted(idx) == ["part"]
+    assert [r.x for r in idx["part"].collect()] == [1]
