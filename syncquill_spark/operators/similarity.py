@@ -67,6 +67,24 @@ from syncquill_spark.functions.vectors import (
     squared_l2_arrow,
     unit_vector_arrow,
 )
+from syncquill_spark.operators._cache import tracked_persist
+
+
+def _materialize_small(df: DataFrame) -> DataFrame:
+    """Lazily persist a TINY frame (tens to hundreds of rows: sampled
+    centroids, PQ codebooks, top-k audit lists) whose lineage is a
+    full corpus pass and which feeds two or more downstream subtrees
+    (broadcast joins, saved index parts). Unpersisted, every consumer
+    re-runs the corpus lineage — one extra scan + TakeOrdered/fold
+    job per consumer; persisted, the first consumer materializes it
+    and the rest read the cached rows (concurrent consumers are
+    serialized per-block by the BlockManager, so the subtree still
+    runs at most ~once). Deliberately NO eager count: an A/B at sf0.1
+    measured the extra count action costing more than the dedup saves
+    on small inputs — the lazy form keeps the at-scale dedup without
+    adding a job. Tracked so batch drivers can release via
+    release_cached_intermediates."""
+    return tracked_persist(df)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -748,6 +766,12 @@ def ivf_topk(
             "cell_id", F.col("centroid").alias("_ucv")
         )
     else:
+        # NOTE (r16 optimization round): a _materialize_small persist
+        # here (cents has two broadcast consumers) was implemented,
+        # A/B-measured flat at sf0.1, and REVERTED — it saves one
+        # corpus TakeOrdered of this query's eight corpus passes, too
+        # small to justify spending a driver-window slot on the two
+        # callers' plan change (window-capacity policy above).
         cents = _ivf_centroids(corpus, n_cells, refine_iters, id_col, vec_col)
 
     def best_cells(side: DataFrame, side_id: str, n: int) -> DataFrame:
@@ -1199,6 +1223,11 @@ def ann_recall(
     int pairs only — plus two per-query count aggregations; nothing
     touches vectors.
     """
+    # `exact` is consumed twice (the per-query count AND the hit
+    # semi-join) but its lineage is typically a full brute-force pass
+    # over the corpus — materialize the skinny (query, neighbor) pairs
+    # once so the baseline is computed once, not per consumer
+    exact = _materialize_small(exact.select(query_id_col, neighbor_col))
     e = exact.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_exact"))
     h = (
         exact.select(query_id_col, neighbor_col)
@@ -1505,6 +1534,117 @@ def _pq_best_codes(
     )
 
 
+def _pq_code_arrays(
+    frame: DataFrame,
+    cb: DataFrame,
+    m_sub: int,
+    sd: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, _codes array<long>): per-vector nearest-codeword ids, one
+    entry per subspace in subspace order — `_pq_best_codes`' exact
+    assignment (the same min(struct(_d, code)) over the same scored
+    rows, same tie-break) collapsed into ONE map-side-combinable
+    groupBy(id) with m_sub conditional mins. The ADC serve path then
+    shuffles one skinny row per vector instead of m_sub, and scores by
+    array lookup instead of a per-subspace 3-key join plus a second
+    aggregation (guide §2.3: aggregate before you shuffle)."""
+    vx = _spread(frame.select(id_col, vec_col)).select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice(vec_col, s * sd + 1, sd) for s in range(m_sub)])
+        ).alias("sub", "_xv"),
+    )
+    scored = vx.join(F.broadcast(cb), "sub").withColumn(
+        "_d", squared_l2_arrow(F.col("_xv"), F.col("_cbv"))
+    )
+    best = scored.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.when(F.col("sub") == s, F.struct(F.col("_d"), F.col("code")))
+            ).alias(f"_b{s}")
+            for s in range(m_sub)
+        ]
+    )
+    return best.select(
+        F.col(id_col),
+        F.array(
+            *[F.col(f"_b{s}.code").cast("long") for s in range(m_sub)]
+        ).alias("_codes"),
+    )
+
+
+def _adc_lut_arrays(
+    queries: DataFrame,
+    cb: DataFrame,
+    m_sub: int,
+    sd: int,
+    query_id_col: str,
+    vec_col: str,
+    score_scale: int,
+) -> DataFrame:
+    """(query_id, _lut array<long>): the per-query ADC lookup table as
+    ONE array ordered by (sub, code) — entry sub*k_codes + code (codes
+    are 1-based row_numbers; k_codes = size/m_sub) is the
+    floor-half-up-quantized partial dot of the query's subvector with
+    that codeword, exactly the `_part_q` of the exploded row form this
+    replaces. The scoring join then carries one broadcast row per
+    query and an m_sub-step integer fold instead of m_sub rows per
+    candidate + a 3-key broadcast join + a re-aggregation."""
+    q_sub = queries.select(
+        F.col(query_id_col),
+        F.posexplode(
+            F.array(*[F.slice(vec_col, s * sd + 1, sd) for s in range(m_sub)])
+        ).alias("sub", "_qv"),
+    )
+    entries = q_sub.join(F.broadcast(cb), "sub").select(
+        F.col(query_id_col),
+        F.struct(
+            F.col("sub").cast("long").alias("sub"),
+            F.col("code").cast("long").alias("code"),
+            F.floor(
+                dot_arrow(F.col("_qv"), F.col("_cbv")) * score_scale + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        ).alias("_e"),
+    )
+    # array_sort on (sub, code, q) structs: (sub, code) is unique per
+    # query, so the order — and hence every array position — is total
+    # and deterministic regardless of collect_list's arrival order
+    return entries.groupBy(query_id_col).agg(
+        F.transform(F.array_sort(F.collect_list("_e")), lambda s: s["q"]).alias(
+            "_lut"
+        )
+    )
+
+
+def _adc_score(codes_col: Column, lut_col: Column, m_sub: int) -> Column:
+    """Exact-integer ADC score from a codes array and a LUT array:
+    sum over subspaces of lut[sub*k_codes + code[sub]]. NULL partials
+    (an invalid query subvector quantizes to a NULL LUT entry) are
+    skipped exactly like SUM over the exploded row form, and the
+    result is NULL when every partial is NULL — bit-identical to the
+    join + SUM(_part_q) formulation this replaces (integer sum, so
+    accumulation order is irrelevant)."""
+    k = (F.size(lut_col) / F.lit(m_sub)).cast("long")
+    parts = F.transform(
+        F.sequence(F.lit(1), F.lit(m_sub)),
+        lambda i: F.element_at(
+            lut_col,
+            ((i.cast("long") - F.lit(1)) * k + F.element_at(codes_col, i)).cast(
+                "int"
+            ),
+        ),
+    )
+    valid = F.filter(parts, lambda v: v.isNotNull())
+    return F.when(
+        F.size(valid) > 0,
+        F.aggregate(valid, F.lit(0).cast("long"), lambda a, v: a + v),
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1568,8 +1708,17 @@ def ivfpq_topk(
         # silently drop the trailing dims from both codes and LUT and
         # return plausible-but-wrong neighbors instead of an error
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
-    cents = _ivf_centroids(corpus, n_cells, 0, id_col, vec_col)
+    # centroids and codebook are tiny frames with full-corpus lineage
+    # and two consumers each (assignment + probe; encoding + LUT):
+    # materialize each once instead of re-running the corpus
+    # TakeOrdered per broadcast (guide §5 / §2.4)
+    cents = _materialize_small(_ivf_centroids(corpus, n_cells, 0, id_col, vec_col))
     sd = dim // m_sub
+
+    # queries feed BOTH the LUT build and the cell probe — persist the
+    # projection so the (usually unpushable) query-set filter scans
+    # the corpus once, not twice
+    queries = _materialize_small(queries.select(query_id_col, vec_col))
 
     # corpus -> best cell (argmax dot on unit centroids; ties -> lower
     # cell): min of (-dot, cell_id) structs, map-side combinable.
@@ -1584,27 +1733,16 @@ def ivfpq_topk(
         frame, fcol = _pq_residual_frame(corpus, cents, id_col, vec_col), "_rv"
     else:
         frame, fcol = corpus.select(id_col, vec_col), vec_col
-    cb = _pq_codebook(frame, m_sub, k_codes, dim, id_col, fcol, lloyd_iters)
-    codes = _pq_best_codes(frame, cb, m_sub, sd, id_col, fcol, []).select(
-        id_col,
-        F.col("sub").cast("long").alias("sub"),
-        F.col("_best.code").cast("long").alias("code"),
+    cb = _materialize_small(
+        _pq_codebook(frame, m_sub, k_codes, dim, id_col, fcol, lloyd_iters)
     )
-    q_sub = queries.select(
-        F.col(query_id_col),
-        F.posexplode(
-            F.array(*[F.slice(vec_col, s * sd + 1, sd) for s in range(m_sub)])
-        ).alias("sub", "_qv"),
-    )
-    lut = q_sub.join(F.broadcast(cb), "sub").select(
-        query_id_col,
-        F.col("sub").cast("long").alias("sub"),
-        F.col("code").cast("long").alias("code"),
-        F.floor(
-            dot_arrow(F.col("_qv"), F.col("_cbv")) * score_scale + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("_part_q"),
+    # array layout for codes and LUT (see the helpers): the candidate
+    # scoring join shrinks from m_sub rows per candidate + a 3-key
+    # broadcast join + a second aggregation to one row per candidate,
+    # one broadcast join on query_id, and an m_sub-step integer fold
+    codes = _pq_code_arrays(frame, cb, m_sub, sd, id_col, fcol)
+    lut = _adc_lut_arrays(
+        queries, cb, m_sub, sd, query_id_col, vec_col, score_scale
     )
 
     q_scored = queries.join(F.broadcast(cents)).select(
@@ -1630,9 +1768,8 @@ def ivfpq_topk(
     cands = probed.join(assigned, "cell_id").select(query_id_col, id_col, "_qc")
     scored = (
         cands.join(codes, id_col)
-        .join(F.broadcast(lut), [query_id_col, "sub", "code"])
-        .groupBy(query_id_col, id_col, "_qc")
-        .agg(F.sum("_part_q").cast("long").alias("_sq"))
+        .join(F.broadcast(lut), query_id_col)
+        .withColumn("_sq", _adc_score(F.col("_codes"), F.col("_lut"), m_sub))
         .select(
             query_id_col,
             id_col,
@@ -1678,12 +1815,15 @@ def ivfpq_build_index(
 
     - ``centroids`` (cell_id, centroid) — unit centroids, tiny;
     - ``codebook`` (code, sub, cbv) — m_sub*k_codes rows, tiny;
-    - ``codes`` (cell_id, vec_id, sub, code) — the corpus's 8-byte PQ
-      codes WITH their cell assignment attached at build time. Written
-      Hive-partitioned by cell_id, a serve-time probe join on cell_id
-      reads only the probed cells' files (dynamic partition pruning) —
-      serve I/O scales with nprobe/n_cells of the corpus, not the
-      corpus.
+    - ``codes`` (cell_id, vec_id, codes array<long>) — the corpus's
+      8-byte PQ codes (one row per vector, one array entry per
+      subspace in subspace order — r16: was m_sub rows per vector;
+      the array row is smaller on disk, 8x fewer rows to scan, and
+      serves without any per-subspace join) WITH the cell assignment
+      attached at build time. Written Hive-partitioned by cell_id, a
+      serve-time probe join on cell_id reads only the probed cells'
+      files (dynamic partition pruning) — serve I/O scales with
+      nprobe/n_cells of the corpus, not the corpus.
 
     The corpus's float vectors are read during THIS build and never
     again: `ivfpq_topk_from_index` serves entirely from these parts.
@@ -1709,7 +1849,9 @@ def ivfpq_build_index(
     if centroids is not None:
         cents = centroids.select("cell_id", F.col("centroid").alias("_ucv"))
     else:
-        cents = _ivf_centroids(corpus, n_cells, 0, id_col, vec_col)
+        # tiny, corpus-lineage, two consumers (cell assignment + the
+        # returned centroids part): materialize once — see ivfpq_topk
+        cents = _materialize_small(_ivf_centroids(corpus, n_cells, 0, id_col, vec_col))
     assigned = _pq_assign_cells(corpus, cents, id_col, vec_col)
     if residual:
         frame, fcol = _pq_residual_frame(corpus, cents, id_col, vec_col), "_rv"
@@ -1718,17 +1860,16 @@ def ivfpq_build_index(
     if codebook is not None:
         cb = codebook.select("code", "sub", F.col("cbv").alias("_cbv"))
     else:
-        cb = _pq_codebook(frame, m_sub, k_codes, dim, id_col, fcol, lloyd_iters)
-    codes = _pq_best_codes(frame, cb, m_sub, sd, id_col, fcol, []).select(
-        id_col,
-        F.col("sub").cast("long").alias("sub"),
-        F.col("_best.code").cast("long").alias("code"),
-    )
+        # two consumers: code assignment + the returned codebook part
+        cb = _materialize_small(
+            _pq_codebook(frame, m_sub, k_codes, dim, id_col, fcol, lloyd_iters)
+        )
+    codes = _pq_code_arrays(frame, cb, m_sub, sd, id_col, fcol)
     return {
         "centroids": cents.select("cell_id", F.col("_ucv").alias("centroid")),
         "codebook": cb.select("code", "sub", F.col("_cbv").alias("cbv")),
         "codes": codes.join(assigned, id_col).select(
-            "cell_id", id_col, "sub", "code"
+            "cell_id", id_col, F.col("_codes").alias("codes")
         ),
     }
 
@@ -1776,7 +1917,7 @@ def merge_ivfpq_index(
         # normalize column order: a LOADED codes part has the Hive
         # partition column (cell_id) appended last by discovery
         "codes": index["codes"]
-        .select("cell_id", id_col, "sub", "code")
+        .select("cell_id", id_col, "codes")
         .unionByName(batch_parts["codes"]),
     }
 
@@ -1817,21 +1958,12 @@ def ivfpq_topk_from_index(
     cb = index["codebook"].select("code", "sub", F.col("cbv").alias("_cbv"))
     codes = index["codes"]
 
-    q_sub = queries.select(
-        F.col(query_id_col),
-        F.posexplode(
-            F.array(*[F.slice(vec_col, s * sd + 1, sd) for s in range(m_sub)])
-        ).alias("sub", "_qv"),
-    )
-    lut = q_sub.join(F.broadcast(cb), "sub").select(
-        query_id_col,
-        F.col("sub").cast("long").alias("sub"),
-        F.col("code").cast("long").alias("code"),
-        F.floor(
-            dot_arrow(F.col("_qv"), F.col("_cbv")) * score_scale + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("_part_q"),
+    # the serving batch feeds both the LUT build and the cell probe —
+    # persist the projection so it is computed once (lazy: see
+    # _materialize_small)
+    queries = _materialize_small(queries.select(query_id_col, vec_col))
+    lut = _adc_lut_arrays(
+        queries, cb, m_sub, sd, query_id_col, vec_col, score_scale
     )
 
     q_scored = queries.join(F.broadcast(cents)).select(
@@ -1855,12 +1987,14 @@ def ivfpq_topk_from_index(
     )
 
     # THE layout payoff: candidates + codes in one broadcast join on
-    # the co-location key — DPP prunes unprobed cell partitions
+    # the co-location key — DPP prunes unprobed cell partitions — and
+    # since r16 the codes arrive as ONE array row per vector, so the
+    # ADC score is a broadcast-LUT lookup fold with NO aggregation
+    # (the serve plan's only shuffle is the final top-k window)
     scored = (
         codes.join(F.broadcast(probed), "cell_id")
-        .join(F.broadcast(lut), [query_id_col, "sub", "code"])
-        .groupBy(query_id_col, id_col, "_qc")
-        .agg(F.sum("_part_q").cast("long").alias("_sq"))
+        .join(F.broadcast(lut), query_id_col)
+        .withColumn("_sq", _adc_score(F.col("codes"), F.col("_lut"), m_sub))
         .select(
             query_id_col,
             id_col,

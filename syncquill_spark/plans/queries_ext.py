@@ -1644,14 +1644,19 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages fuse into ~3 shuffles total (dedup window, doc_id joins,
     final agg); nothing materializes between stages.
     """
+    from syncquill_spark.operators._cache import tracked_persist
+
     (documents,) = load_tables(spark, sf_dir, "documents")
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    keep = (
+    # `keep` feeds the quality filter AND its join's left side;
+    # `curated` feeds THREE downstream projections (language, tokens,
+    # chars) — unpersisted, the dedup window ran up to 4x (r16)
+    keep = tracked_persist(
         documents.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "text")
     )
-    curated = keep.join(quality_filter(keep), "doc_id")
+    curated = tracked_persist(keep.join(quality_filter(keep), "doc_id"))
     stats = (
         language_id(curated)
         .join(token_counts(curated), "doc_id")
@@ -2701,6 +2706,7 @@ def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting. One declarative plan end to end — nothing
     materializes between stages, and every stage reuses a registry
     operator whose oracle twin composes into this query's oracle."""
+    from syncquill_spark.operators._cache import tracked_persist
     from syncquill_spark.operators.curation import fuzzy_decontaminate, target_mix
 
     (documents,) = load_tables(spark, sf_dir, "documents")
@@ -2715,7 +2721,10 @@ def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("doc_id", "lang", "text")
     )
-    mixed = target_mix(keep, _PIPE_MIX_TARGETS)
+    # `mixed` feeds BOTH the token-count projection and the final join
+    # — unpersisted, the whole decontaminate -> dedup -> mix subtree
+    # (including the MinHash band join) evaluates twice (r16, guide §5)
+    mixed = tracked_persist(target_mix(keep, _PIPE_MIX_TARGETS))
     toks = token_counts(mixed).select("doc_id", "n_tokens_bpeish")
     return (
         mixed.join(toks, "doc_id")
@@ -3549,12 +3558,17 @@ def q_curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bracketed order-statistic (round-7 verdict #2), so only the
     ~2*delta*N boundary rows of each language are ever ranked — the
     oracle ranks everything, the engine must not."""
+    from syncquill_spark.operators._cache import tracked_persist
     from syncquill_spark.operators.curation import quality_percentile_filter
     from syncquill_spark.operators.text import quality_features
 
     (documents,) = load_tables(spark, sf_dir, "documents")
     feats = quality_features(documents).select("doc_id", "n_unique_tokens")
-    scored = documents.select("doc_id", "lang").join(feats, "doc_id")
+    # quality_percentile_filter's final membership join re-evaluates
+    # its input frame — persisted, the tokenizing feature pass runs
+    # once instead of twice (the filter's own skinny persist only
+    # covers the cutoff passes; r16, guide §5)
+    scored = tracked_persist(documents.select("doc_id", "lang").join(feats, "doc_id"))
     kept = quality_percentile_filter(
         scored, "n_unique_tokens", keep_frac=_QPF_KEEP, stratify_col="lang"
     )
@@ -4356,11 +4370,15 @@ def q_curation_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bracketed two-pass order statistic, so the dominant language never
     whole-sorts. Docs with < 2 tokens have no bigrams and are absent
     (same contract as text_bigram_lm)."""
+    from syncquill_spark.operators._cache import tracked_persist
     from syncquill_spark.operators.curation import quality_value_buckets
     from syncquill_spark.operators.text import bigram_commonness
 
     (documents,) = load_tables(spark, sf_dir, "documents")
-    scored = (
+    # quality_value_buckets' final bucket join re-evaluates its input
+    # frame — persisted, the bigram scoring (3-way join + per-doc agg
+    # over the occurrence rows) runs once instead of twice (r16)
+    scored = tracked_persist(
         bigram_commonness(documents)
         .join(documents.select("doc_id", "lang"), "doc_id")
         .withColumn("lm_q", F.expr("sum_q DIV n_bigrams"))

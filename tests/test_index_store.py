@@ -706,8 +706,9 @@ def test_ivfpq_index_merge_appends_against_frozen_quantizer(spark, tmp_path, sf_
             want = sorted(map(tuple, rebuilt[part].collect()))
             assert got == want, f"residual={residual}: {part} differs"
 
-        # stored codes untouched by the append
-        cols = ["cell_id", "vec_id", "sub", "code"]
+        # stored codes untouched by the append (r16: one array row per
+        # vector — (cell_id, vec_id, codes array<long>))
+        cols = ["cell_id", "vec_id", "codes"]
         stored_codes = sorted(map(tuple, stored["codes"].select(*cols).collect()))
         merged_half = sorted(
             map(

@@ -1434,3 +1434,29 @@ def test_zero_norm_rows_mask_to_null_and_never_rank(spark):
         for r in brute_force_topk(df, q, k=5).collect()
     )
     assert got == [(100, 1, 1), (100, 2, 2)]
+
+
+def test_ivfpq_code_arrays_match_row_codes(spark, sf_dir):
+    """r16 optimization pin: the ADC paths' array-of-codes layout
+    (one row per vector, entry s = nearest codeword of subspace s)
+    must agree exactly with pq_encode's per-(vector, sub) row
+    assignment — same sampled codebook, same min(struct(dist, code))
+    tie-break — so the serve-path rewrite cannot drift from the
+    oracle-checked encoder."""
+    from syncquill_spark.operators.similarity import (
+        _pq_code_arrays,
+        _pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    frame = emb.select("vec_id", "embedding")
+    cb = _pq_codebook(frame, 8, 16, 64, "vec_id", "embedding", 0)
+    arrays = {
+        r.vec_id: r._codes
+        for r in _pq_code_arrays(frame, cb, 8, 8, "vec_id", "embedding").collect()
+    }
+    rows = pq_encode(emb, m_sub=8, k_codes=16, dim=64).collect()
+    assert arrays and len(rows) == 8 * len(arrays)
+    for r in rows:
+        assert arrays[r.vec_id][r.sub] == r.code
