@@ -1075,6 +1075,131 @@ def _order_stat_cutoff(
     return boundary_val.unionByName(fallback_val)
 
 
+def _order_stat_cutoff_pair(
+    skinny: DataFrame,
+    signal_col: str,
+    frac_a: float,
+    frac_b: float,
+    id_col: str,
+    strat: list[str],
+    accuracy: int,
+    bracket_delta: float | None,
+) -> DataFrame:
+    """TWO exact order-statistic cutoff VALUES per stratum from ONE
+    set of passes over an already-persisted skinny frame — the fused
+    form of calling ``_order_stat_cutoff`` twice (``quality_value_buckets``
+    needs a head and a tail cutoff over the same signal). Fewer passes,
+    same answer:
+
+    - ONE stats aggregation builds a single percentile sketch queried
+      at both brackets (was: two aggregations, two sketches over the
+      same rows);
+    - ONE exact counting pass splits every stratum at both brackets
+      (was: two);
+    - ONE tagged window ranks the candidate rows of both cutoffs —
+      each row emits a candidate struct per cutoff it qualifies for
+      (bracket rows when the bracket holds its guarantee, every row of
+      a fallback stratum otherwise), so the separate boundary/fallback
+      subplans and their union collapse into one window over
+      ~2*delta*N rows per healthy cutoff.
+
+    Exactness is unchanged: the sketch only PLACES the brackets; the
+    returned value is the exact rank-``ceil(frac*N)`` row (signal
+    desc, nulls last, id asc) whether it comes from a bracket or a
+    fallback stratum — the same contract ``_order_stat_cutoff`` pins.
+
+    Output: one row per stratum — (*strat, cutoff_a, cutoff_b), each
+    cutoff in the signal's type.
+    """
+    for frac in (frac_a, frac_b):
+        if not (0.0 < frac <= 1.0):
+            raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if bracket_delta is None:
+        bracket_delta = max(4.0 / accuracy, 1e-6)
+    sig = F.col(signal_col)
+    pcts: list[float] = []
+    for frac in (frac_a, frac_b):
+        q = 1.0 - frac
+        pcts += [max(0.0, q - bracket_delta), min(1.0, q + bracket_delta)]
+    stats = (
+        skinny.groupBy(*strat)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.percentile_approx(signal_col, pcts, accuracy).alias("_pv"),
+        )
+        .select(
+            *strat,
+            F.ceil(F.lit(frac_a) * F.col("_n")).cast("long").alias("_k_a"),
+            F.ceil(F.lit(frac_b) * F.col("_n")).cast("long").alias("_k_b"),
+            F.col("_pv")[0].alias("_v_lo_a"),
+            F.col("_pv")[1].alias("_v_hi_a"),
+            F.col("_pv")[2].alias("_v_lo_b"),
+            F.col("_pv")[3].alias("_v_hi_b"),
+        )
+    )
+    region_counts = (
+        skinny.join(F.broadcast(stats), strat)
+        .groupBy(*strat)
+        .agg(
+            *[
+                agg
+                for t in ("a", "b")
+                for agg in (
+                    F.sum(F.when(sig > F.col(f"_v_hi_{t}"), 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"_n_hi_{t}"),
+                    F.sum(
+                        F.when(
+                            (sig >= F.col(f"_v_lo_{t}"))
+                            & (sig <= F.col(f"_v_hi_{t}")),
+                            1,
+                        ).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias(f"_n_mid_{t}"),
+                )
+            ]
+        )
+    )
+    meta = stats.join(region_counts, strat)
+
+    def _cand(tag: str):
+        k = F.col(f"_k_{tag}")
+        n_hi = F.col(f"_n_hi_{tag}")
+        # same bracket guarantee as _order_stat_cutoff: n_hi == k means
+        # the value lies ABOVE the bracket -> fallback
+        ok = (n_hi < k) & (n_hi + F.col(f"_n_mid_{tag}") >= k)
+        qual = F.when(
+            ok,
+            (sig >= F.col(f"_v_lo_{tag}")) & (sig <= F.col(f"_v_hi_{tag}")),
+        ).otherwise(F.lit(True))
+        target = F.when(ok, k - n_hi).otherwise(k)
+        return F.when(
+            qual, F.struct(F.lit(tag).alias("_tag"), target.alias("_target"))
+        )
+
+    # null signals: the bracket predicate is NULL for them -> excluded
+    # from healthy-bracket candidates (as before); fallback strata tag
+    # them unconditionally and desc_nulls_last ranks them past every
+    # non-null row (as before)
+    cands = F.filter(F.array(_cand("a"), _cand("b")), lambda c: c.isNotNull())
+    w = Window.partitionBy(*strat, "_tag").orderBy(
+        sig.desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        skinny.join(F.broadcast(meta), strat)
+        .select(*strat, id_col, signal_col, F.explode(cands).alias("_c"))
+        .select(*strat, id_col, signal_col, "_c._tag", "_c._target")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == F.col("_target"))
+        .groupBy(*strat)
+        .agg(
+            F.max(F.when(F.col("_tag") == "a", sig)).alias("cutoff_a"),
+            F.max(F.when(F.col("_tag") == "b", sig)).alias("cutoff_b"),
+        )
+    )
+
+
 def quality_value_buckets(
     df: DataFrame,
     signal_col: str,
@@ -1118,21 +1243,22 @@ def quality_value_buckets(
             f"got {frac_head} / {frac_tail}"
         )
     strat = [stratify_col] if stratify_col else ["_strat"]
-    # ONE persisted skinny feeds both cutoff extractions (each scans it
-    # three times: stats, region counts, boundary/fallback rank) — the
-    # upstream signal subtree (often a full tokenization) is paid once,
-    # not once per cutoff (the quality_percentile_filter doctrine).
+    # ONE persisted skinny feeds the fused head+tail cutoff extraction
+    # (stats, region counts, tagged boundary/fallback rank — three
+    # scans total for BOTH cutoffs) — the upstream signal subtree
+    # (often a full tokenization) is paid once, not once per cutoff
+    # (the quality_percentile_filter doctrine).
     skinny = df.select(id_col, signal_col, *([stratify_col] if stratify_col else []))
     if not stratify_col:
         skinny = skinny.withColumn("_strat", F.lit(0))
     skinny = tracked_persist(skinny)
-    heads = _order_stat_cutoff(
-        skinny, signal_col, frac_head, id_col, strat, accuracy, None
-    ).withColumnRenamed("cutoff", "_v_head")
-    tails = _order_stat_cutoff(
-        skinny, signal_col, 1.0 - frac_tail, id_col, strat, accuracy, None
-    ).withColumnRenamed("cutoff", "_v_tail")
-    cuts = heads.join(tails, strat)
+    cuts = _order_stat_cutoff_pair(
+        skinny, signal_col, frac_head, 1.0 - frac_tail, id_col, strat, accuracy, None
+    ).select(
+        *strat,
+        F.col("cutoff_a").alias("_v_head"),
+        F.col("cutoff_b").alias("_v_tail"),
+    )
     base = df if stratify_col else df.withColumn("_strat", F.lit(0))
     joined = base.join(F.broadcast(cuts), strat)
     if not stratify_col:

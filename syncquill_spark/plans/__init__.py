@@ -205,6 +205,13 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #    similarity_ann_recall, similarity_topk_ivf_refined — are already
 #    staleness-2 rows in the cohort below (r17 leads regardless), so
 #    the deviation protocol adds no extra r17 burden for them.
+#    curation_lm_buckets took a SECOND output-identical optimization
+#    in the same pass (fused head+tail order-statistic extraction in
+#    quality_value_buckets — _order_stat_cutoff_pair: one sketch, one
+#    region count, one tagged window for both cutoffs; lm_buckets is
+#    its only registered caller) — same handling, re-verified
+#    hash-identical at sf0.001/0.01/0.1 post-change; it was already an
+#    r17 mandatory lead above, so no extra burden.
 # Left outside at staleness 2 after this round (the 50-row r14-green
 # cohort minus the 4 staleness-1 rows filled above = 46 rows that MUST
 # lead the r17 window; the tripwire test derives the same set from
