@@ -938,25 +938,34 @@ def quality_percentile_filter(
     bracket_ok = (F.col("_n_hi") <= F.col("_k")) & (
         F.col("_n_hi") + F.col("_n_mid") >= F.col("_k")
     )
-    ok_meta = meta.filter(bracket_ok)
-    bad_meta = meta.filter(~bracket_ok)
 
+    # Two branches over ONE broadcast-joined frame (r16 optimization —
+    # was three subplans: top, boundary, fallback, each with its own
+    # join, plus a three-way union):
+    #  - `direct`: healthy-bracket rows above the bracket are kept
+    #    outright, never ranked (n_hi can be nearly the whole stratum
+    #    at scale — ranking them would reintroduce the big sort);
+    #  - `ranked`: ONE window covers boundary rows of healthy strata
+    #    AND every row of fallback strata (a stratum is entirely one
+    #    or the other, so the shared per-stratum window partitions
+    #    never mix semantics) with a per-stratum target rank —
+    #    k - n_hi inside a bracket, k in a fallback stratum. Null
+    #    signals: the bracket predicate is NULL for them (excluded,
+    #    as before); fallback strata rank them last (as before).
+    with_meta = skinny.join(F.broadcast(meta), strat)
+    direct = with_meta.filter(bracket_ok & (sig > F.col("_v_hi"))).select(id_col)
+    rank_input = F.when(
+        bracket_ok, (sig >= F.col("_v_lo")) & (sig <= F.col("_v_hi"))
+    ).otherwise(F.lit(True))
+    target = F.when(bracket_ok, F.col("_k") - F.col("_n_hi")).otherwise(F.col("_k"))
     w = Window.partitionBy(*strat).orderBy(sig.desc(), F.col(id_col).asc())
-    with_ok = skinny.join(F.broadcast(ok_meta), strat)
-    top = with_ok.filter(sig > F.col("_v_hi")).select(id_col)
-    boundary = (
-        with_ok.filter((sig >= F.col("_v_lo")) & (sig <= F.col("_v_hi")))
+    ranked = (
+        with_meta.filter(rank_input)
         .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= F.col("_k") - F.col("_n_hi"))
+        .filter(F.col("_rk") <= target)
         .select(id_col)
     )
-    fallback = (
-        skinny.join(F.broadcast(bad_meta), strat)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= F.col("_k"))
-        .select(id_col)
-    )
-    kept = top.unionByName(boundary).unionByName(fallback)
+    kept = direct.unionByName(ranked)
     return df.join(kept, id_col)
 
 

@@ -744,6 +744,37 @@ def test_order_stat_cutoff_pair_matches_two_single_cutoffs(spark):
         assert fused == {k: tuple(v) for k, v in single.items()}, (frac_a, frac_b, acc)
 
 
+def test_percentile_filter_fallback_and_nulls(spark):
+    """quality_percentile_filter through the fused branch structure
+    (r16: direct-keep + ONE shared rank window with a per-stratum
+    target, replacing the top/boundary/fallback triple): accuracy=1
+    forces every stratum through the fallback path, and the kept set
+    must still be the exact per-stratum top-k; null signals rank last
+    (kept only when k exceeds the non-null count — the all-null 'xx'
+    stratum keeps its k smallest ids)."""
+    import math
+
+    from syncquill_spark.operators.curation import quality_percentile_filter
+
+    df = _sig_frame(spark)
+    data = df.collect()
+    for frac, acc in ((0.25, 1), (0.9, 1), (0.5, 10000)):
+        got = sorted(
+            r.doc_id
+            for r in quality_percentile_filter(
+                df, "sig", keep_frac=frac, stratify_col="lang", accuracy=acc
+            ).collect()
+        )
+        want = []
+        for lang in ("en", "fr", "xx"):
+            grp = sorted(
+                (r for r in data if r.lang == lang),
+                key=lambda r: (r.sig is None, -(r.sig or 0), r.doc_id),
+            )
+            want += [r.doc_id for r in grp[: math.ceil(frac * len(grp))]]
+        assert got == sorted(want), (frac, acc)
+
+
 def test_quality_value_buckets_semantics(spark):
     """Value-threshold buckets: ties at a cutoff land in the better
     bucket; null signals land in tail; per-stratum cutoffs are
