@@ -1084,32 +1084,31 @@ def _order_stat_cutoff(
     return boundary_val.unionByName(fallback_val)
 
 
-def _order_stat_cutoff_pair(
+def _order_stat_cutoff_multi(
     skinny: DataFrame,
     signal_col: str,
-    frac_a: float,
-    frac_b: float,
+    fracs: list[float],
     id_col: str,
     strat: list[str],
     accuracy: int,
     bracket_delta: float | None,
 ) -> DataFrame:
-    """TWO exact order-statistic cutoff VALUES per stratum from ONE
-    set of passes over an already-persisted skinny frame — the fused
-    form of calling ``_order_stat_cutoff`` twice (``quality_value_buckets``
-    needs a head and a tail cutoff over the same signal). Fewer passes,
-    same answer:
+    """N exact order-statistic cutoff VALUES per stratum from ONE set
+    of passes over an already-persisted skinny frame — the fused form
+    of calling ``_order_stat_cutoff`` N times (``quality_value_buckets``
+    needs a head and a tail cutoff; ``dataset_card`` needs four length
+    quantiles — all over the same signal). Fewer passes, same answer:
 
     - ONE stats aggregation builds a single percentile sketch queried
-      at both brackets (was: two aggregations, two sketches over the
+      at all N brackets (was: N aggregations, N sketches over the
       same rows);
-    - ONE exact counting pass splits every stratum at both brackets
-      (was: two);
-    - ONE tagged window ranks the candidate rows of both cutoffs —
+    - ONE exact counting pass splits every stratum at all N brackets
+      (was: N);
+    - ONE tagged window ranks the candidate rows of all N cutoffs —
       each row emits a candidate struct per cutoff it qualifies for
       (bracket rows when the bracket holds its guarantee, every row of
       a fallback stratum otherwise), so the separate boundary/fallback
-      subplans and their union collapse into one window over
+      subplans and their unions collapse into one window over
       ~2*delta*N rows per healthy cutoff.
 
     Exactness is unchanged: the sketch only PLACES the brackets; the
@@ -1117,17 +1116,19 @@ def _order_stat_cutoff_pair(
     desc, nulls last, id asc) whether it comes from a bracket or a
     fallback stratum — the same contract ``_order_stat_cutoff`` pins.
 
-    Output: one row per stratum — (*strat, cutoff_a, cutoff_b), each
-    cutoff in the signal's type.
+    Output: one row per stratum — (*strat, cutoff_0, ..,
+    cutoff_{n-1}), positions matching ``fracs``, each cutoff in the
+    signal's type.
     """
-    for frac in (frac_a, frac_b):
+    tags = [str(i) for i in range(len(fracs))]
+    for frac in fracs:
         if not (0.0 < frac <= 1.0):
             raise ValueError(f"frac must be in (0, 1], got {frac}")
     if bracket_delta is None:
         bracket_delta = max(4.0 / accuracy, 1e-6)
     sig = F.col(signal_col)
     pcts: list[float] = []
-    for frac in (frac_a, frac_b):
+    for frac in fracs:
         q = 1.0 - frac
         pcts += [max(0.0, q - bracket_delta), min(1.0, q + bracket_delta)]
     stats = (
@@ -1138,12 +1139,18 @@ def _order_stat_cutoff_pair(
         )
         .select(
             *strat,
-            F.ceil(F.lit(frac_a) * F.col("_n")).cast("long").alias("_k_a"),
-            F.ceil(F.lit(frac_b) * F.col("_n")).cast("long").alias("_k_b"),
-            F.col("_pv")[0].alias("_v_lo_a"),
-            F.col("_pv")[1].alias("_v_hi_a"),
-            F.col("_pv")[2].alias("_v_lo_b"),
-            F.col("_pv")[3].alias("_v_hi_b"),
+            *[
+                F.ceil(F.lit(frac) * F.col("_n")).cast("long").alias(f"_k_{t}")
+                for t, frac in zip(tags, fracs)
+            ],
+            *[
+                col
+                for i, t in enumerate(tags)
+                for col in (
+                    F.col("_pv")[2 * i].alias(f"_v_lo_{t}"),
+                    F.col("_pv")[2 * i + 1].alias(f"_v_hi_{t}"),
+                )
+            ],
         )
     )
     region_counts = (
@@ -1152,7 +1159,7 @@ def _order_stat_cutoff_pair(
         .agg(
             *[
                 agg
-                for t in ("a", "b")
+                for t in tags
                 for agg in (
                     F.sum(F.when(sig > F.col(f"_v_hi_{t}"), 1).otherwise(0))
                     .cast("long")
@@ -1191,7 +1198,7 @@ def _order_stat_cutoff_pair(
     # from healthy-bracket candidates (as before); fallback strata tag
     # them unconditionally and desc_nulls_last ranks them past every
     # non-null row (as before)
-    cands = F.filter(F.array(_cand("a"), _cand("b")), lambda c: c.isNotNull())
+    cands = F.filter(F.array(*[_cand(t) for t in tags]), lambda c: c.isNotNull())
     w = Window.partitionBy(*strat, "_tag").orderBy(
         sig.desc_nulls_last(), F.col(id_col).asc()
     )
@@ -1203,8 +1210,10 @@ def _order_stat_cutoff_pair(
         .filter(F.col("_rk") == F.col("_target"))
         .groupBy(*strat)
         .agg(
-            F.max(F.when(F.col("_tag") == "a", sig)).alias("cutoff_a"),
-            F.max(F.when(F.col("_tag") == "b", sig)).alias("cutoff_b"),
+            *[
+                F.max(F.when(F.col("_tag") == t, sig)).alias(f"cutoff_{t}")
+                for t in tags
+            ]
         )
     )
 
@@ -1261,12 +1270,13 @@ def quality_value_buckets(
     if not stratify_col:
         skinny = skinny.withColumn("_strat", F.lit(0))
     skinny = tracked_persist(skinny)
-    cuts = _order_stat_cutoff_pair(
-        skinny, signal_col, frac_head, 1.0 - frac_tail, id_col, strat, accuracy, None
+    cuts = _order_stat_cutoff_multi(
+        skinny, signal_col, [frac_head, 1.0 - frac_tail], id_col, strat,
+        accuracy, None
     ).select(
         *strat,
-        F.col("cutoff_a").alias("_v_head"),
-        F.col("cutoff_b").alias("_v_tail"),
+        F.col("cutoff_0").alias("_v_head"),
+        F.col("cutoff_1").alias("_v_tail"),
     )
     base = df if stratify_col else df.withColumn("_strat", F.lit(0))
     joined = base.join(F.broadcast(cuts), strat)
@@ -1776,20 +1786,34 @@ def corpus_card(
     parts.append(uniq)
     # exact nearest-rank quantiles WITHOUT a global sort: ascending
     # q-quantile == -(descending-rank ceil(qN) value of the negated
-    # count), via the bracketed two-pass order statistic
-    neg = toks.select(
-        id_col, (-F.col("n_tokens_ws")).cast("long").alias("_neg")
+    # count), via the bracketed two-pass order statistic. All four
+    # quantiles come from ONE fused extraction (r16 optimization —
+    # was four independent pipelines: four sketches, four counting
+    # passes, up to eight rank subplans over the same frame), then one
+    # stack projection emits the four card rows from its single output
+    # row — identical values, a quarter of the passes.
+    neg = tracked_persist(
+        toks.select(
+            id_col, (-F.col("n_tokens_ws")).cast("long").alias("_neg")
+        ).withColumn("_strat", F.lit(0))
     )
-    qparts = []
-    for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)):
-        cut = stratum_order_stat_values(neg, "_neg", q, id_col=id_col)
-        qparts.append(
-            cut.select(
-                F.lit("length").alias("section"),
-                F.lit(f"{name}_tokens").alias("metric"),
-                (-F.col("cutoff")).cast("long").alias("value"),
-            )
+    names_fracs = (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95))
+    cuts = _order_stat_cutoff_multi(
+        neg, "_neg", [q for _, q in names_fracs], id_col, ["_strat"],
+        10000, None
+    )
+    stack_args = ", ".join(
+        f"'{name}_tokens', -cutoff_{i}" for i, (name, _) in enumerate(names_fracs)
+    )
+    qparts = [
+        cuts.selectExpr(
+            f"stack({len(names_fracs)}, {stack_args}) AS (metric, value)"
+        ).select(
+            F.lit("length").alias("section"),
+            "metric",
+            F.col("value").cast("long"),
         )
+    ]
     out = parts[0]
     for p in parts[1:] + qparts:
         out = out.unionByName(p)

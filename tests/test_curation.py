@@ -712,36 +712,41 @@ def test_stratum_order_stat_fallback_on_tiny_bracket(spark):
     assert [r.cutoff for r in got] == [_kth_largest(vals, math.ceil(0.25 * len(vals)))]
 
 
-def test_order_stat_cutoff_pair_matches_two_single_cutoffs(spark):
-    """The fused two-cutoff extraction (r16 optimization: one stats
-    sketch, one region count, one tagged window for BOTH cutoffs) must
-    return exactly the values of two independent single-cutoff runs —
+def test_order_stat_cutoff_multi_matches_single_cutoffs(spark):
+    """The fused N-cutoff extraction (r16 optimization: one stats
+    sketch, one region count, one tagged window for ALL cutoffs) must
+    return exactly the values of N independent single-cutoff runs —
     including on the all-null stratum (null cutoff), tie-heavy strata,
     and with accuracy=1 forcing every stratum through the fallback
     path (which in the fused form is a tag over every row, not a
     separate subplan)."""
     from syncquill_spark.operators.curation import (
         _order_stat_cutoff,
-        _order_stat_cutoff_pair,
+        _order_stat_cutoff_multi,
         tracked_persist,
     )
 
     df = _sig_frame(spark)
     skinny = tracked_persist(df.select("doc_id", "sig", "lang"))
-    for frac_a, frac_b, acc in ((0.1, 0.7, 10000), (0.25, 1.0, 10000), (0.2, 0.5, 1)):
+    for fracs, acc in (
+        ([0.1, 0.7], 10000),
+        ([0.25, 1.0], 10000),
+        ([0.2, 0.5], 1),
+        ([0.25, 0.5, 0.75, 0.95], 10000),  # the dataset_card shape
+    ):
         fused = {
-            tuple(r[:1]): (r.cutoff_a, r.cutoff_b)
-            for r in _order_stat_cutoff_pair(
-                skinny, "sig", frac_a, frac_b, "doc_id", ["lang"], acc, None
+            tuple(r[:1]): tuple(r[f"cutoff_{i}"] for i in range(len(fracs)))
+            for r in _order_stat_cutoff_multi(
+                skinny, "sig", fracs, "doc_id", ["lang"], acc, None
             ).collect()
         }
         single = {}
-        for i, frac in enumerate((frac_a, frac_b)):
+        for i, frac in enumerate(fracs):
             for r in _order_stat_cutoff(
                 skinny, "sig", frac, "doc_id", ["lang"], acc, None
             ).collect():
-                single.setdefault(tuple(r[:1]), [None, None])[i] = r.cutoff
-        assert fused == {k: tuple(v) for k, v in single.items()}, (frac_a, frac_b, acc)
+                single.setdefault(tuple(r[:1]), [None] * len(fracs))[i] = r.cutoff
+        assert fused == {k: tuple(v) for k, v in single.items()}, (fracs, acc)
 
 
 def test_percentile_filter_fallback_and_nulls(spark):
