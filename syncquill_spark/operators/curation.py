@@ -895,10 +895,10 @@ def quality_percentile_filter(
     skinny = df.select(id_col, signal_col, *([stratify_col] if stratify_col else []))
     if not stratify_col:
         skinny = skinny.withColumn("_strat", F.lit(0))
-    # five consumers below (stats agg, region counts, top, boundary
-    # rank, fallback rank) — without a persist the upstream SIGNAL
-    # subtree (often a full tokenization) recomputes per branch: up to
-    # five corpus scans where the pre-rewrite form had two. skinny is
+    # four consumers below (stats agg, region counts, direct, ranked)
+    # — without a persist the upstream SIGNAL subtree (often a full
+    # tokenization) recomputes per branch: up to four corpus scans
+    # where the pre-rewrite form had two. skinny is
     # id+signal+stratum-width rows, so the cache is cheap; same
     # multi-consumer doctrine as dedup.py / bigram_commonness.
     skinny = tracked_persist(skinny)

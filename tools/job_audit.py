@@ -27,11 +27,22 @@ from syncquill_spark.plans import QUERIES  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--sf")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf":  # two-token form: --sf DIR (ADVICE r16)
+            i += 1
+            if i >= len(argv):
+                sys.exit("--sf requires a directory argument")
+            sf_dir = argv[i]
+        else:
+            args.append(a)
+        i += 1
     names = args or sorted(QUERIES)
 
     spark = get_spark("syncquill-job-audit")
