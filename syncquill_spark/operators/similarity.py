@@ -1219,30 +1219,32 @@ def ann_recall(
     lsh_topk / ivf_topk audited against brute_force_topk on a sampled
     query set.
 
-    Scale shape: one left-semi equi-join on (query, neighbor) — skinny
-    int pairs only — plus two per-query count aggregations; nothing
-    touches vectors.
+    Scale shape: ONE pass over the exact baseline — a left equi-join
+    on (query, neighbor) against the deduped approx pairs (skinny int
+    pairs only; AQE broadcasts the approx side when it fits) feeding
+    a single per-query aggregation that counts rows and hit markers
+    together. The baseline's lineage is typically a full brute-force
+    pass over the corpus, so single consumption matters: the previous
+    two-consumer shape (count agg + semi-join, then a third join to
+    stitch them) either recomputed that pass per consumer or paid a
+    persist whose materialization cost exceeded the reuse at every
+    measured scale (r16 driver −16%, r17 interleaved A/B). The
+    dropDuplicates on approx keeps the old semi-join's indifference
+    to duplicate approx rows; nothing touches vectors.
     """
-    # `exact` is consumed twice (the per-query count AND the hit
-    # semi-join) but its lineage is typically a full brute-force pass
-    # over the corpus — materialize the skinny (query, neighbor) pairs
-    # once so the baseline is computed once, not per consumer
-    exact = _materialize_small(exact.select(query_id_col, neighbor_col))
-    e = exact.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_exact"))
-    h = (
-        exact.select(query_id_col, neighbor_col)
-        .join(
-            approx.select(query_id_col, neighbor_col),
-            [query_id_col, neighbor_col],
-            "left_semi",
-        )
-        .groupBy(query_id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    hits = (
+        approx.select(query_id_col, neighbor_col)
+        .dropDuplicates()
+        .withColumn("_hit", F.lit(1))
     )
-    return e.join(h, query_id_col, "left").select(
-        query_id_col,
-        "n_exact",
-        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+    return (
+        exact.select(query_id_col, neighbor_col)
+        .join(hits, [query_id_col, neighbor_col], "left")
+        .groupBy(query_id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hits"),
+        )
     )
 
 

@@ -349,6 +349,29 @@ def test_ann_recall_counts_hits(spark, embeddings):
         assert 1 <= r.n_hits <= r.n_exact
 
 
+def test_ann_recall_single_pass_contract(spark):
+    """Pin the r17 single-pass rewrite to the old two-consumer
+    semantics on its edge cases: duplicate approx pairs count a hit
+    ONCE (the old semi-join's indifference), a query absent from
+    approx still reports n_hits=0, duplicate exact rows count per
+    row, and a NULL exact neighbor is never a hit."""
+    from syncquill_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 20), (3, None)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 20), (3, 99)],  # dup pair + non-hit
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r.query_id: (r.n_exact, r.n_hits)
+        for r in ann_recall(approx, exact).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 2), 3: (1, 0)}
+
+
 def test_signature_kernel_matches_pure_python_reference(spark):
     """The Arrow signature kernel's (q, n2, keys) must equal a pure
     Python/math.floor reference computed from the same spec — the

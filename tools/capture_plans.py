@@ -1,7 +1,7 @@
-"""Capture .explain("formatted") for named queries into plans/r16/.
+"""Capture .explain("formatted") for named queries into plans/<round>/.
 
-Usage: python tools/capture_plans.py <suffix> query [query ...]
-Writes plans/r16/<query>_<suffix>.txt for each query. NOTE: building a
+Usage: python tools/capture_plans.py [--round rNN] <suffix> query [query ...]
+Writes plans/<round>/<query>_<suffix>.txt (default round: r17). NOTE: building a
 query's DataFrame may itself execute side-effecting stages (the
 storage_* lifecycle rows write indexes to temp dirs while the plan is
 constructed); the captured plan is the final returned frame's.
@@ -21,11 +21,16 @@ from syncquill_spark.plans import QUERIES  # noqa: E402
 
 
 def main() -> None:
-    suffix = sys.argv[1]
-    names = sys.argv[2:]
+    argv = sys.argv[1:]
+    rnd = "r17"
+    if argv and argv[0] == "--round":
+        rnd = argv[1]
+        argv = argv[2:]
+    suffix = argv[0]
+    names = argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("syncquill-capture-plans")
