@@ -96,18 +96,27 @@ def referential_orphans(
     when it fits) + two counts — the child never shuffles payloads.
     """
     rel = relation or f"{child_key}->{parent_key}"
-    keys = parent.select(F.col(parent_key).alias("_pk")).dropDuplicates()
-    orphans = child.select(F.col(child_key).alias("_ck")).join(
-        keys, F.col("_ck") == F.col("_pk"), "left_anti"
+    keys = (
+        parent.select(F.col(parent_key).alias("_pk"))
+        .dropDuplicates()
+        .withColumn("_hit", F.lit(1))
     )
-    n_children = child.select(F.count(F.lit(1)).alias("n"))
-    n_orphans = orphans.select(F.count(F.lit(1)).alias("n"))
+    # ONE pass over the child (r17, guide §1.2): the old shape scanned
+    # it twice (a bare count + the anti-join count) and stitched the
+    # two scalar frames with a cross join. A LEFT join against the
+    # deduped keys (at most one match per child row) lets a single
+    # aggregation count rows and hits together; orphans = rows − hits,
+    # which counts NULL FKs as orphans exactly like the anti-join
+    # (NULL never matches).
     return (
-        n_children.crossJoin(
-            n_orphans.withColumnRenamed("n", "n_orph")
-        ).select(
-            F.lit(rel).alias("relation"),
-            F.col("n").alias("n_children"),
-            F.col("n_orph").alias("n_orphans"),
+        child.select(F.col(child_key).alias("_ck"))
+        .join(keys, F.col("_ck") == F.col("_pk"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            (F.count(F.lit(1)) - F.count("_hit")).alias("n_orphans"),
+        )
+        .select(
+            F.lit(rel).alias("relation"), "n_children", "n_orphans"
         )
     )
+

@@ -120,8 +120,17 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #  than riding a window slot.
 #  DOCUMENTED DEVIATIONS this round (rule 2b, zero slack): recorded
 #  here as they land, each output-identical and re-verified
-#  hash-identical at sf0.001/0.01/0.1 before its commit (see the
-#  numbered entries appended at the end of this block).
+#  hash-identical at sf0.001/0.01/0.1 before its commit.
+#  (1) profile_referential (r15-green, staleness 1 — already in the
+#      r18 mandatory leads below, so zero extra r18 burden):
+#      referential_orphans now consumes the child ONCE per edge (LEFT
+#      join against the deduped parent keys + a single count/hits
+#      aggregation) instead of two scans stitched by a cross join —
+#      per-edge broadcasts kept (a fully stacked single-join form was
+#      ALSO implemented and measured 1.35x SLOWER locally, so it was
+#      discarded; OPTIMIZATION_r17.md §2). Output verified
+#      hash-identical at all three SFs; scheduled jobs 39 -> 27,
+#      isolated median ~1.2x.
 # Left outside at staleness 2 after this round (the 50-row r15-green
 # cohort minus the 4 round-16 deviation rows filled above = the
 # remaining 42 rows that MUST lead the r18 window; the tripwire test
