@@ -131,6 +131,13 @@ _ALL_ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
 #      discarded; OPTIMIZATION_r17.md §2). Output verified
 #      hash-identical at all three SFs; scheduled jobs 39 -> 27,
 #      isolated median ~1.2x.
+#  Slot-free maintenance this round (no plan expression changes —
+#  the r15/r16 precedent): session default
+#  spark.sql.files.openCostInBytes 4MB -> 256KB (env-overridable),
+#  packing tiny-file binaryFile/text ingest dirs into ~parallelism
+#  scan tasks instead of hundreds (guide §6; media roundtrips ~1.8x,
+#  full registry re-verified 142/142 at sf0.001 AND sf0.01 after the
+#  change — split packing is runtime scheduling, not plan shape).
 # Left outside at staleness 2 after this round (the 50-row r15-green
 # cohort minus the 4 round-16 deviation rows filled above = the
 # remaining 42 rows that MUST lead the r18 window; the tripwire test
