@@ -349,6 +349,37 @@ def test_ann_recall_counts_hits(spark, embeddings):
         assert 1 <= r.n_hits <= r.n_exact
 
 
+def test_ivf_argmax_tie_break_on_duplicate_centroids(spark):
+    """Pin the r17 min-struct argmax to the window form's tie rule:
+    with every corpus vector identical, all sampled centroids tie at
+    every score, so the assignment must deterministically pick the
+    LOWEST cell_id and ivf_topk must still equal brute force (all
+    candidates share one cell)."""
+    from pyspark.sql import functions as F
+
+    from syncquill_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in ivf_topk(emb, queries, k=5, n_cells=4, nprobe=1).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    )
+    assert got == want
+
+
 def test_ann_recall_single_pass_contract(spark):
     """Pin the r17 single-pass rewrite to the old two-consumer
     semantics on its edge cases: duplicate approx pairs count a hit
