@@ -1590,7 +1590,17 @@ def q_agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .filter(F.col("n_name") == "NATION_3")
     )
-    per_part = scoped.groupBy("ps_partkey").agg(F.sum(value).alias("_v"))
+    from syncquill_spark.operators._cache import tracked_persist
+
+    # per_part is consumed twice (the threshold aggregate AND the
+    # filtered output) and its lineage is the full derived-partsupp
+    # subtree over lineitem — unpersisted, the corpus-sized scan and
+    # joins run once per consumer (r17; the r16 multi-consumer
+    # doctrine). Skinny (partkey, decimal) rows, so the cache is
+    # cheap at any scale.
+    per_part = tracked_persist(
+        scoped.groupBy("ps_partkey").agg(F.sum(value).alias("_v"))
+    )
     total = per_part.agg(F.sum("_v").alias("_tot"))
     return (
         per_part.crossJoin(F.broadcast(total))
